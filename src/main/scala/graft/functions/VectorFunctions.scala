@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as codegen'd
+  * higher-order-function programs (no UDF, no driver involvement).
+  *
+  * Convention: elements are cast to double before any arithmetic and
+  * reduced strictly left-to-right (`aggregate` folds in index order), so
+  * results are bit-deterministic across partitionings — a requirement for
+  * oracle comparison and for reproducible dedup decisions at scale.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL-safe-ish: 0.0 when either norm is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dv = x.cast("double") - y.cast("double")
+        dv * dv
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Random-hyperplane signature: sign bits of dot products against
+    * `planes` (deterministic, seeded off-line), packed into a long.
+    * This is the SimHash/LSH bucket key for ANN (§ Similarity). */
+  def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 63, "1..63 planes per signature")
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a seed
+    * (driver-side constant folding; executors only see literals). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's four specialized join shapes plus its windowed /
+  * dedup idioms, as reusable DataFrame combinators (SURVEY §2.4–§2.7).
+  *
+  * Scale notes are attached per operator: these run on day-partitioned
+  * fact tables at 100 TB, so each one states its shuffle behavior and the
+  * broadcast decision.
+  */
+object Relational {
+
+  /** Previous-period metric join (SURVEY §2.4, reference
+    * google_search_console.py:369-408): left-join the same fact table
+    * shifted by a period, exposing each metric as `<metric>Previous`.
+    *
+    * Scale: self-equi-join on (keys, date). Both sides shuffle on the same
+    * keys, so Spark co-partitions them in one exchange each; with the fact
+    * table bucketed/partitioned by the join keys the exchange on the big
+    * side is reused across periods.
+    */
+  def previousPeriodJoin(
+      cur: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      metrics: Seq[String],
+      shift: Column => Column,
+      suffix: String = "Previous"): DataFrame = {
+    val prev = cur.select(
+      (keys.map(col) :+ shift(col(dateCol)).as(dateCol)) ++
+        metrics.map(m => col(m).as(m + suffix)): _*)
+    cur.join(prev, keys :+ dateCol, "left")
+  }
+
+  /** As-of / latest-snapshot lookup (SURVEY §2.4, mongodb.py:128-131 /
+    * metatags.py:224-234): latest row per key by `dateCol`.
+    *
+    * Scale: one shuffle on `keys`; implemented with max_by-style
+    * row_number so no driver-side collect. AQE handles key skew.
+    */
+  def latestSnapshot(df: DataFrame, keys: Seq[String], dateCol: String,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordering = (desc(dateCol) +: tieBreak.map(desc)).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Change-detection self-join: each row paired with the previous
+    * snapshot's value of `valueCol` for the same key (lag over date).
+    * Mirrors metatags-has_title_changed (metatags.py:209-275). */
+  def withPreviousValue(df: DataFrame, keys: Seq[String], dateCol: String,
+                        valueCol: String, out: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    df.withColumn(out, lag(col(valueCol), 1).over(w))
+  }
+
+  /** Idempotent append: drop incoming rows whose key already exists in
+    * the sink (SURVEY §2.4 existence anti-join; replaces the reference's
+    * per-day COUNT probes, google_search_console.py:516-549).
+    *
+    * Scale: `sink` should be pre-filtered to the partitions the batch can
+    * touch (date pruning) before calling; the anti-join then shuffles only
+    * the incoming batch + pruned sink keys. When the pruned key set is
+    * small Spark broadcasts it (left_anti with broadcast hint).
+    */
+  def idempotentFilter(incoming: DataFrame, sink: DataFrame,
+                       keys: Seq[String], broadcastSink: Boolean = true): DataFrame = {
+    val keyDf = sink.select(keys.map(col): _*).dropDuplicates(keys)
+    incoming.join(if (broadcastSink) broadcast(keyDf) else keyDf, keys, "left_anti")
+  }
+
+  /** Duplicate-value detection within a group set (SURVEY §2.5,
+    * metatags.py:277-377): for each row, is its `valueCol` shared by other
+    * rows of the same urlset? Emits per-row validity plus the list of
+    * other members as `diff` (comma-joined, sorted for determinism).
+    *
+    * Scale: one shuffle on `valueCol`; collect_list is bounded by group
+    * size (pathological all-identical corpora would need a cap — callers
+    * can pre-aggregate counts only via `duplicateCounts`).
+    */
+  def duplicateValues(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val groups = df.groupBy(col(valueCol))
+      .agg(collect_list(col(idCol)).as("__members"))
+    df.join(groups, Seq(valueCol))
+      .withColumn("is_duplicate", size(col("__members")) > 1)
+      .withColumn("diff",
+        array_join(array_sort(array_remove(col("__members"), col(idCol))), ","))
+      .drop("__members")
+  }
+
+  /** Duplicate-count variant safe for adversarial corpora: no lists. */
+  def duplicateCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Top-k per group — rank() over a window; ties included by rank
+    * semantics. One shuffle on the partition keys. */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], ordering: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("rank", rank().over(w)).filter(col("rank") <= k)
+  }
+
+  /** The reference's retry-queue merge: pending work unioned with fresh
+    * work, deduped on the work-spec key (google_search_console.py:128-129).
+    */
+  def mergeWorkLists(fresh: DataFrame, pending: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    fresh.unionByName(pending, allowMissingColumns = true)
+      .dropDuplicates(keys)
+}

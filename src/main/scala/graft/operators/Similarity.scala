@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), training-data-pipeline tier.
+  *
+  * Three tiers, increasing scale:
+  *  1. [[bruteForceTopK]] — exact; broadcast the (small) query set against
+  *     the corpus; O(|corpus|·|queries|) but embarrassingly parallel and
+  *     shuffle-free except the final per-query top-k.
+  *  2. [[lshTopK]] — random-hyperplane bucketing; candidates share a
+  *     bucket in at least one of `tables` signatures; equi-join instead
+  *     of cross product.
+  *  3. [[ivfTopK]] — IVF-style: partition corpus by nearest centroid
+  *     (computed once, broadcast), probe only `nProbes` closest cells.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries` must be broadcast-sized (it is hint-broadcast); the corpus
+    * never shuffles until the final window over (query, sim) — and that
+    * shuffle carries only (ids, sim), not the vectors. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val scored = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
+      .join(broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))),
+        col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        cosine(col("__cv"), col("__qv")).as("sim"))
+    val w = Window.partitionBy(queryIdCol).orderBy(desc("sim"), asc("nbr_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(queryIdCol), col("nbr_id"), col("sim"), col("rn").as("rank"))
+  }
+
+  /** LSH-bucketed ANN: both sides signed with the same hyperplane tables;
+    * candidates = equal signature in any table; exact cosine re-rank.
+    * Recall is tuned by (tables, bitsPerTable). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, dim: Int,
+              tables: Int = 8, bitsPerTable: Int = 12,
+              seed: Long = 42L): DataFrame = {
+    def signed(df: DataFrame, id: String): DataFrame = {
+      val sigs = array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          hyperplaneSignature(col(vecCol),
+            randomPlanes(bitsPerTable, dim, seed + t)).as("sig"))
+      }: _*)
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        explode(sigs).as("s"))
+        .select(col(id), col(s"__v_$id"), col("s.tbl"), col("s.sig"))
+    }
+    val c = signed(corpus, "nbr_id")
+    val q = signed(queries, "query_id")
+    val cands = c.join(q, Seq("tbl", "sig"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        col("__v_query_id").as("qv"), col("__v_nbr_id").as("cv"))
+      .dropDuplicates("query_id", "nbr_id")
+    val scored = cands.select(col("query_id"), col("nbr_id"),
+      cosine(col("cv"), col("qv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nbr_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid
+    * (broadcast centroid table, computed by [[trainCentroids]]), then for
+    * each query probe the `nProbes` nearest cells only.
+    *
+    * Scale: the corpus is hash-partitioned by cell once and can be
+    * written bucketed-by-cell; queries touch nProbes/nCells of the data.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
+              nProbes: Int): DataFrame = {
+    def cellOf(vec: Column, n: Int): Column = {
+      // argmin over centroid distances: array_min over struct(dist, cell)
+      val scored = array(centroids.map { case (cid, cvec) =>
+        struct(l2Sq(vec, array(cvec.map(lit): _*)).as("d"), lit(cid).as("cell"))
+      }: _*)
+      slice(array_sort(scored), 1, n)
+    }
+    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+      element_at(cellOf(col(vecCol), 1), 1).getField("cell").as("cell"))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(transform(cellOf(col(vecCol), nProbes), s => s.getField("cell"))).as("cell"))
+    val scored = assigned.join(probed, Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id"), cosine(col("cv"), col("qv")).as("sim"))
+      .groupBy("query_id", "nbr_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nbr_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
+  }
+
+  /** K-means-lite centroid training: sample to driver, run a few Lloyd
+    * iterations. Centroid count and sample are tiny relative to corpus;
+    * this is the standard IVF build step (train on sample, assign at
+    * scale). */
+  def trainCentroids(corpus: DataFrame, vecCol: String, kCells: Int,
+                     sampleN: Int = 10000, iters: Int = 5,
+                     seed: Long = 42L): Seq[(Int, Seq[Double])] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val rng = new scala.util.Random(seed)
+    var cents = rng.shuffle(sample.toSeq).take(kCells).map(_.clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { v =>
+        val c = cents.indices.minBy { i =>
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) - cents(i)(j); d += t * t; j += 1 }
+          d
+        }
+        counts(c) += 1
+        var j = 0
+        while (j < v.length) { sums(c)(j) += v(j); j += 1 }
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i)
+        else sums(i).map(_ / counts(i))
+      }.toArray
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+  }
+}
