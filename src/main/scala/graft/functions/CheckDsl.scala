@@ -63,9 +63,14 @@ object CheckDsl {
   private def toDoubleOption(s: String): Option[Double] =
     try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
 
+  /** `==`/`!=` are null-safe: the reference formats the row value into the
+    * template and compares with Python `==`, where `None == None` is True
+    * and `None == 5` is False (/root/reference/utilities/parsing.py:23-55).
+    * Catalyst `===` would return NULL for `{col} == null`, so the check
+    * could never pass; `<=>` (eqNullSafe) reproduces Python semantics. */
   private def applyOp(l: Column, op: String, r: Column): Column = op match {
-    case "==" => l === r
-    case "!=" => l =!= r
+    case "==" => l <=> r
+    case "!=" => !(l <=> r)
     case ">"  => l > r
     case "<"  => l < r
     case ">=" => l >= r
@@ -80,7 +85,7 @@ object CheckDsl {
   def regexTemplate(input: Column, pattern: String, output: String,
                     fallback: Option[String] = None): Column = {
     val GroupRef = """\$(\d+)""".r
-    val parts = GroupRef.split(output, -1).map(lit(_))
+    val parts = GroupRef.pattern.split(output, -1).map(lit(_))
     val groups = GroupRef.findAllMatchIn(output).map(_.group(1).toInt).toSeq
     val interleaved: Seq[Column] =
       parts.toIndexedSeq.zipWithIndex.flatMap { case (p, i) =>

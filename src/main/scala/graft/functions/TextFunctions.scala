@@ -60,14 +60,16 @@ object TextFunctions {
     * lexicographic order of the language code (deterministic — required
     * for oracle comparison). */
   def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("score"), lit(lang).as("lang"))
+    // Ties must pick the FIRST language alphabetically: struct comparison
+    // is field-order lexicographic, so order langs descending and store a
+    // rank that is higher for alphabetically-earlier languages — array_max
+    // then resolves a score tie to the first lang.
+    val langs = stopwords.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordHits(text, words).as("score"),
+        lit(langs.size - i).as("rank"), lit(lang).as("lang"))
     }
-    // array_max on struct(score, lang) orders by score then lang; we want
-    // ties to pick the FIRST lang alphabetically, so invert: take max of
-    // (score, negated-rank) — simpler: sort desc by (score), asc by lang.
-    val arr = array(scored: _*)
-    val best = array_max(arr) // max by score, then by lang (lexicographic)
+    val best = array_max(array(scored: _*))
     when(best.getField("score") === 0, lit("und"))
       .otherwise(best.getField("lang"))
   }
@@ -105,9 +107,13 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    // Empty docs yield an EMPTY shingle set (not [""]) so two empty docs
+    // don't come out as Jaccard-1.0 near-dups; docs shorter than n tokens
+    // yield their whole text as the single shingle.
     array_distinct(
-      when(size(toks) >= n,
-        transform(idx, i => array_join(slice(toks, i + 1, n), " ")))
-      .otherwise(array(array_join(toks, " "))))
+      when(size(toks) === 0, array().cast("array<string>"))
+        .when(size(toks) >= n,
+          transform(idx, i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+        .otherwise(array(array_join(toks, " "))))
   }
 }

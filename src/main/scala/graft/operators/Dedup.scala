@@ -16,12 +16,25 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup: keep the first row (min id) per identical value.
-    * One shuffle on the (hashed) value. `xxhash64` pre-hash keeps wide
-    * text out of the shuffle — 8 bytes per row instead of the document. */
-  def exact(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
-    val hashed = df.withColumn("__h", xxhash64(col(valueCol)))
-    val keep = hashed.groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
-    hashed.join(keep, Seq("__h", idCol)).drop("__h")
+    * Grouping key is a 128-bit hash pair — two independently seeded
+    * xxhash64s — so distinct values can't silently merge the way a single
+    * 64-bit hash can at ~10⁹ rows (birthday bound), while the shuffle
+    * still carries 16 bytes per row instead of the document. Collision
+    * probability at 10¹² rows is ~10⁻¹⁴; for absolute certainty
+    * `verify = true` adds the value itself to the grouping key (map-side
+    * partial aggregation still reduces the shuffle to one row per
+    * distinct value). */
+  def exact(df: DataFrame, idCol: String, valueCol: String,
+            verify: Boolean = false): DataFrame = {
+    val hashed = df
+      .withColumn("__h1", xxhash64(col(valueCol)))
+      .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col(valueCol)))
+    val groupKeys =
+      if (verify) Seq(col("__h1"), col("__h2"), col(valueCol))
+      else Seq(col("__h1"), col("__h2"))
+    val keep = hashed.groupBy(groupKeys: _*).agg(min(col(idCol)).as(idCol))
+      .select(col("__h1"), col("__h2"), col(idCol))
+    hashed.join(keep, Seq("__h1", "__h2", idCol)).drop("__h1", "__h2")
   }
 
   /** Exact-dup groups: value hash → sorted member ids + count (>1 only). */
@@ -31,17 +44,21 @@ object Dedup {
            array_sort(collect_list(col(idCol))).as("members"))
       .filter(col("dup_count") > 1)
 
-  /** N-gram Jaccard near-dup pairs, exact (the oracle for the sketch
-    * variants): explode word shingles → self-equi-join on shingle →
-    * per-pair intersection count → Jaccard = |∩| / (|A|+|B|-|∩|).
+  /** N-gram Jaccard near-dup pairs: explode word shingles → self-equi-join
+    * on shingle → per-pair intersection count → Jaccard over the SHARED
+    * vocabulary: shingles with document frequency in [2, maxDocFreq].
+    * Dropping df=1 shingles is free (they can't intersect) and dropping
+    * ubiquitous ones is the standard stop-shingle trick — but both MUST
+    * also be dropped from the size denominators, or Jaccard is
+    * systematically underestimated; sizes are therefore computed from the
+    * same filtered shingle set as the intersections.
     *
     * Scale: the join key is a shingle, so cost is Σ(docs per shingle)²
-    * — bounded by dropping ubiquitous shingles (`maxDocFreq`), the
-    * standard stop-shingle trick. No cross join anywhere.
+    * — bounded by `maxDocFreq`. No cross join anywhere.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxDocFreq: Long = 1000000L): DataFrame = {
+                        maxDocFreq: Long = 10000L): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
     val filtered = {
@@ -49,7 +66,7 @@ object Dedup {
         .filter(col("df") <= maxDocFreq && col("df") >= 2)
       sh.join(freq, Seq("shingle")).select("id", "shingle")
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = filtered.as("a")
       .join(filtered.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -87,27 +104,36 @@ object Dedup {
                       shingleN: Int, bands: Int, rowsPerBand: Int,
                       threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df.select(
-      col(idCol).as("id"), col(textCol).as("__text"),
+    // Candidate generation carries ONLY (id, band, bucket) through the
+    // explode and the self-join — never the document text. At 100 TB the
+    // banded shuffle is then bands × 20 bytes per doc instead of bands ×
+    // document bytes, and the join output is (id_a, id_b) pairs. Texts are
+    // re-joined by id afterwards for the exact-Jaccard verification, which
+    // touches only candidate ids (a tiny fraction of the corpus).
+    val withSig = df.select(col(idCol).as("id"),
       minhashSignature(TextFunctions.wordShingles(col(textCol), shingleN),
         numHashes).as("sig"))
-    val banded = withSig.select(col("id"), col("__text"),
+    val banded = withSig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>").cast("string")).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("__text"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.__text").as("text_a"), col("b.__text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // verify with exact Jaccard over the shingle sets of the pair
-    val ja = exactJaccard(col("text_a"), col("text_b"), shingleN)
-    candidates.withColumn("jaccard", ja)
+    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__text"))
+    val withTexts = candidates
+      .join(texts, col("id_a") === col("__tid"))
+      .withColumnRenamed("__text", "text_a").drop("__tid")
+      .join(texts, col("id_b") === col("__tid"))
+      .withColumnRenamed("__text", "text_b").drop("__tid")
+    withTexts
+      .withColumn("jaccard", exactJaccard(col("text_a"), col("text_b"), shingleN))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

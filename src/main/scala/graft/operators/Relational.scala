@@ -65,11 +65,14 @@ object Relational {
     *
     * Scale: `sink` should be pre-filtered to the partitions the batch can
     * touch (date pruning) before calling; the anti-join then shuffles only
-    * the incoming batch + pruned sink keys. When the pruned key set is
-    * small Spark broadcasts it (left_anti with broadcast hint).
+    * the incoming batch + pruned sink keys. Broadcast is OPT-IN: only set
+    * `broadcastSink = true` when the caller has already pruned the sink to
+    * a provably small key set — broadcasting an unpruned 100 TB sink's
+    * keys is a driver OOM. Without the hint, AQE still converts to a
+    * broadcast join at runtime when the key set turns out small.
     */
   def idempotentFilter(incoming: DataFrame, sink: DataFrame,
-                       keys: Seq[String], broadcastSink: Boolean = true): DataFrame = {
+                       keys: Seq[String], broadcastSink: Boolean = false): DataFrame = {
     val keyDf = sink.select(keys.map(col): _*).dropDuplicates(keys)
     incoming.join(if (broadcastSink) broadcast(keyDf) else keyDf, keys, "left_anti")
   }
@@ -79,17 +82,27 @@ object Relational {
     * rows of the same urlset? Emits per-row validity plus the list of
     * other members as `diff` (comma-joined, sorted for determinism).
     *
-    * Scale: one shuffle on `valueCol`; collect_list is bounded by group
-    * size (pathological all-identical corpora would need a cap — callers
-    * can pre-aggregate counts only via `duplicateCounts`).
+    * Scale: one shuffle on `valueCol`. The member list per group is capped
+    * at `maxMembers` (row_number over the group, ordered by id, before the
+    * collect) so an adversarial corpus where every row shares one value
+    * cannot OOM an executor's aggregation buffer; `dup_count` still
+    * reports the TRUE group size. Count-only callers should use
+    * [[duplicateCounts]].
     */
-  def duplicateValues(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
-    val groups = df.groupBy(col(valueCol))
-      .agg(collect_list(col(idCol)).as("__members"))
-    df.join(groups, Seq(valueCol))
-      .withColumn("is_duplicate", size(col("__members")) > 1)
+  def duplicateValues(df: DataFrame, idCol: String, valueCol: String,
+                      maxMembers: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    val capped = df
+      .select(col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxMembers)
+    val groups = capped.groupBy(col(valueCol))
+      .agg(array_sort(collect_list(col(idCol))).as("__members"))
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("dup_count"))
+    df.join(groups, Seq(valueCol)).join(counts, Seq(valueCol))
+      .withColumn("is_duplicate", col("dup_count") > 1)
       .withColumn("diff",
-        array_join(array_sort(array_remove(col("__members"), col(idCol))), ","))
+        array_join(array_remove(col("__members"), col(idCol)), ","))
       .drop("__members")
   }
 

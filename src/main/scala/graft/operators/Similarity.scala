@@ -68,31 +68,41 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest centroid
-    * (broadcast centroid table, computed by [[trainCentroids]]), then for
-    * each query probe the `nProbes` nearest cells only.
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid,
+    * then for each query probe the `nProbes` nearest cells only.
     *
-    * Scale: the corpus is hash-partitioned by cell once and can be
-    * written bucketed-by-cell; queries touch nProbes/nCells of the data.
+    * `centroids` is a (cell: int, cvec: array<double>) DataFrame —
+    * broadcast-joined against both sides, with the argmin computed by
+    * map-side-combining `min_by` instead of a per-row O(cells·dim)
+    * literal expression: the broadcast join streams corpus×cells rows
+    * through codegen, and partial aggregation collapses them to one row
+    * per vector BEFORE the shuffle, so the exchange carries exactly one
+    * (id, cell) row per corpus vector no matter how many cells exist.
+    *
+    * Scale: the corpus can then be written bucketed-by-cell once;
+    * queries touch nProbes/nCells of the data.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, centroids: Seq[(Int, Seq[Double])],
+              vecCol: String, k: Int, centroids: DataFrame,
               nProbes: Int): DataFrame = {
-    def cellOf(vec: Column, n: Int): Column = {
-      // argmin over centroid distances: array_min over struct(dist, cell)
-      val scored = array(centroids.map { case (cid, cvec) =>
-        struct(l2Sq(vec, array(cvec.map(lit): _*)).as("d"), lit(cid).as("cell"))
-      }: _*)
-      slice(array_sort(scored), 1, n)
-    }
-    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
-      element_at(cellOf(col(vecCol), 1), 1).getField("cell").as("cell"))
-    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(transform(cellOf(col(vecCol), nProbes), s => s.getField("cell"))).as("cell"))
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    // nearest cell per corpus vector: min_by over the broadcast product
+    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+      .join(cents)
+      .groupBy(col("nbr_id"))
+      .agg(min_by(col("cell"), struct(l2Sq(col("cv"), col("cvec")), col("cell"))).as("cell"),
+           first(col("cv")).as("cv"))
+    // nProbes nearest cells per query (query side is the small side)
+    val qw = Window.partitionBy("query_id").orderBy(asc("__d"), asc("cell"))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(cents)
+      .withColumn("__d", l2Sq(col("qv"), col("cvec")))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nProbes)
+      .select(col("query_id"), col("qv"), col("cell"))
     val scored = assigned.join(probed, Seq("cell"))
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), cosine(col("cv"), col("qv")).as("sim"))
-      .groupBy("query_id", "nbr_id").agg(max("sim").as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nbr_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
@@ -105,7 +115,12 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, vecCol: String, kCells: Int,
                      sampleN: Int = 10000, iters: Int = 5,
                      seed: Long = 42L): Seq[(Int, Seq[Double])] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleN).collect()
+    // a real (uniform-ish) sample, not limit() — limit takes whatever
+    // partitions answer first, which biases centroids at scale
+    val total = corpus.count().max(1L)
+    val frac = math.min(1.0, sampleN.toDouble / total.toDouble)
+    val sample = corpus.select(col(vecCol)).sample(frac, seed)
+      .limit(sampleN).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty corpus")
     val rng = new scala.util.Random(seed)
@@ -129,5 +144,12 @@ object Similarity {
       }.toArray
     }
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+  }
+
+  /** Trained centroids as the (cell, cvec) DataFrame [[ivfTopK]] takes. */
+  def centroidsDF(spark: org.apache.spark.sql.SparkSession,
+                  cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cell", "cvec")
   }
 }

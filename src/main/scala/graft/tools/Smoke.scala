@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{CheckDsl, TextFunctions}
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Manual end-to-end smoke drive: runs each operator family against the
+  * driver-generated parquet at a given scale factor and prints a sample.
+  * The rebuild's analogue of the reference's module-debugger.py
+  * (/root/reference/module-debugger.py:1-24).
+  *
+  * Usage: sbt "runMain graft.tools.Smoke /root/testdata/sf0.001"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+
+    def show(name: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"=== $name ===")
+      try f.show(5, 60)
+      catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
+    }
+
+    show("CheckDsl.compile on events") {
+      events.withColumn("ok", CheckDsl.compile("{value} >= 50"))
+        .select("event_id", "value", "ok")
+    }
+    show("CheckDsl null-safe ==") {
+      events.withColumn("prev",
+          lag(col("value"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts")))
+        .withColumn("prev_is_null", CheckDsl.compile("{prev} == null"))
+        .select("event_id", "prev", "prev_is_null")
+    }
+    show("regexTemplate") {
+      docs.withColumn("tag",
+        CheckDsl.regexTemplate(col("source"), "^src(\\d+)$", "bucket-$1", Some("none")))
+        .select("doc_id", "source", "tag")
+    }
+    show("TextFunctions word/token/langId/fingerprint") {
+      docs.select(col("doc_id"),
+        TextFunctions.wordCount(col("text")).as("words"),
+        TextFunctions.tokenCount(col("text")).as("toks"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+    }
+    show("wordShingles incl. empty doc") {
+      spark.range(1).select(
+        TextFunctions.wordShingles(lit(""), 3).as("empty_shingles"),
+        TextFunctions.wordShingles(lit("one two"), 3).as("short"),
+        TextFunctions.wordShingles(lit("a b c d"), 3).as("full"))
+    }
+    show("Dedup.exact on substr(text,1,30)") {
+      Dedup.exact(docs.withColumn("k", substring(col("text"), 1, 30)), "doc_id", "k")
+        .select("doc_id", "k")
+    }
+    show("Dedup.ngramJaccardPairs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1, 1000)
+    }
+    show("Dedup.minhashLshPairs") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.2)
+    }
+    show("Dedup.simhashPairs") {
+      Dedup.simhashPairs(docs, "doc_id", "text", 10)
+    }
+    show("Relational.latestSnapshot(events by user)") {
+      Relational.latestSnapshot(events, Seq("user_id"), "ts", Seq("event_id"))
+    }
+    show("Relational.duplicateValues(part brand)") {
+      val part = Tables.part(spark, sfDir)
+      Relational.duplicateValues(part.limit(200), "p_partkey", "p_brand")
+        .select("p_partkey", "p_brand", "dup_count", "is_duplicate")
+    }
+    show("Similarity.bruteForceTopK") {
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+    }
+    show("Similarity.ivfTopK (centroids = first 8 vectors)") {
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").cast("array<double>").as("cvec"))
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        3, cents, 2)
+    }
+    spark.stop()
+  }
+}
