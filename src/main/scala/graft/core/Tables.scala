@@ -32,18 +32,22 @@ object Tables {
     * proper TimestampType column, truncated (losslessly) to microseconds. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
+    // integer division — `/` would go through double and lose precision
+    // above 2^53 (epoch-nanos ≈ 1.7e18)
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") /
-          org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` programs (the S9/S10
-    * query-as-source surface, SURVEY §2.1) can reference them by name. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    * query-as-source surface, SURVEY §2.1) can reference them by name.
+    * `events` goes through the ts conversion so SQL sees a real timestamp. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-        "region", "events", "documents", "embeddings")
+        "region", "documents", "embeddings")
       .foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
 }

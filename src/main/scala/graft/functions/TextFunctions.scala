@@ -16,11 +16,15 @@ object TextFunctions {
 
   /** Remove script/style/svg/noscript blocks then all tags, collapsing
     * whitespace — the reference's html_to_text (utilities/html.py:24-35).
-    * Regex-based (no DOM lib in this environment); good enough for the
-    * wordcount/check semantics it feeds. */
+    * Regex-based (no DOM lib in this environment); one replace per block
+    * tag instead of a backreference so the same patterns run under RE2
+    * engines too (keeps the DuckDB oracle exactly equivalent). */
+  val strippedBlockTags: Seq[String] = Seq("script", "style", "svg", "noscript")
+
   def stripHtml(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      "(?is)<(script|style|svg|noscript)\\b.*?</\\1>", " ")
+    val noBlocks = strippedBlockTags.foldLeft(html) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag\\b.*?</$tag>", " ")
+    }
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
     trim(regexp_replace(noTags, "\\s+", " "))
   }
@@ -91,16 +95,17 @@ object TextFunctions {
   }
 
   /** Polynomial rolling-hash fingerprint of the whole text:
-    * fold over characters of acc*31 + codepoint, mod 1e9+7.
-    * Runs as a codegen'd higher-order `aggregate` over `split` — the
-    * distributed shape of document fingerprinting (content-defined
-    * chunking would extend the same fold). */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      split(text, ""),
-      lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)),
-                        lit(1000000007L)))
+    * fold over character codes of acc*31 + code, mod 1e9+7. All
+    * intermediate values stay < 2^35, so the arithmetic is portable to
+    * any engine with 64-bit ints (the DuckDB oracle mirrors it exactly).
+    * Runs as a codegen'd higher-order `aggregate` — the distributed shape
+    * of document fingerprinting. */
+  def fingerprint(text: Column): Column = {
+    val codes = transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))).cast("long"))
+    aggregate(codes, lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
+  }
 
   /** Character n-gram shingles (as distinct strings) for Jaccard /
     * MinHash pipelines. Word-level variant below. */

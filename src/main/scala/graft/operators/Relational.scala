@@ -54,8 +54,10 @@ object Relational {
     * snapshot's value of `valueCol` for the same key (lag over date).
     * Mirrors metatags-has_title_changed (metatags.py:209-275). */
   def withPreviousValue(df: DataFrame, keys: Seq[String], dateCol: String,
-                        valueCol: String, out: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+                        valueCol: String, out: String,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordering = (col(dateCol) +: tieBreak.map(col)).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn(out, lag(col(valueCol), 1).over(w))
   }
 
@@ -102,7 +104,8 @@ object Relational {
     df.join(groups, Seq(valueCol)).join(counts, Seq(valueCol))
       .withColumn("is_duplicate", col("dup_count") > 1)
       .withColumn("diff",
-        array_join(array_remove(col("__members"), col(idCol)), ","))
+        array_join(transform(array_remove(col("__members"), col(idCol)),
+          m => m.cast("string")), ","))
       .drop("__members")
   }
 
