@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String): T =
+    Seq(input).toDF("text").select(c.as("r")).collect().head.getAs[T]("r")
+
+  test("wordCount matches reference semantics (len>1 + has letter)") {
+    // "a" too short, "42" no letter, "b2" counts
+    assert(one[Int](TextFunctions.wordCount(col("text")), "a 42 b2 hello x") === 2)
+  }
+
+  test("tokenCount drops empty tokens") {
+    assert(one[Int](TextFunctions.tokenCount(col("text")), "  a   b  ") === 2)
+    assert(one[Int](TextFunctions.tokenCount(col("text")), "") === 0)
+  }
+
+  test("subwordCount splits letters/digits/symbols") {
+    // "abc123!x" → abc, 123, !, x = 4 ; space not counted
+    assert(one[Int](TextFunctions.subwordCount(col("text")), "abc123!x y") === 5)
+  }
+
+  test("langId picks dominant stopword language") {
+    assert(one[String](TextFunctions.langId(col("text")),
+      "the cat and the dog is in it") === "en")
+    assert(one[String](TextFunctions.langId(col("text")),
+      "der hund und die katze ist nicht da") === "de")
+    assert(one[String](TextFunctions.langId(col("text")),
+      "zzz qqq www") === "und")
+  }
+
+  test("langId tie breaks to first language alphabetically") {
+    // "la" is in both es and fr lists → tie at 1 → "es" < "fr"
+    assert(one[String](TextFunctions.langId(col("text")), "la maison") === "es")
+    // "de" (es) vs "der" (de): craft exact tie: one hit each
+    assert(one[String](TextFunctions.langId(col("text")), "der de") === "de")
+  }
+
+  test("wordShingles: empty → [], short → whole text, normal → n-grams") {
+    assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 3), "") === Seq())
+    assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 3), "one two")
+      === Seq("one two"))
+    assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 2), "a b c").sorted
+      === Seq("a b", "b c"))
+  }
+
+  test("wordShingles dedups repeated shingles") {
+    assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 2), "x y x y")
+      .sorted === Seq("x y", "y x"))
+  }
+
+  test("fingerprint matches a direct Scala fold (portable arithmetic)") {
+    val texts = Seq("hello world", "a", "", "Spark SQL 4.1")
+    val df = texts.toDF("text")
+    val got = df.select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = texts.map(t =>
+      t.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L))
+    assert(got === want)
+  }
+
+  test("stripHtml removes block tags and collapses whitespace") {
+    val html = "<body><script>var x;</script><p>Hello   <b>world</b></p></body>"
+    assert(one[String](TextFunctions.stripHtml(col("text")), html) === "Hello world")
+  }
+
+  test("qualityScore is bounded and monotone-ish in quality") {
+    val junk = one[Double](TextFunctions.qualityScore(col("text")), "@@@ ### !!!")
+    val good = one[Double](TextFunctions.qualityScore(col("text")),
+      "the quick brown fox jumps over the lazy dog and it is a fine day " * 10)
+    assert(junk >= 0.0 && junk <= 1.0)
+    assert(good >= 0.0 && good <= 1.0)
+    assert(good > junk)
+  }
+}

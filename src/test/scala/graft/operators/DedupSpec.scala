@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different words entirely here now"),
+    (5L, "")                                               // empty doc
+  ).toDF("id", "text")
+
+  test("exact keeps the min-id row per value") {
+    val out = Dedup.exact(docs, "id", "text").select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exact with verify=true agrees") {
+    val out = Dedup.exact(docs, "id", "text", verify = true)
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("exactGroups emits only dup groups with sorted members") {
+    val out = Dedup.exactGroups(docs, "id", "text").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Seq[Long]]("members") === Seq(1L, 2L))
+  }
+
+  test("ngramJaccardPairs finds the exact and near dup, hand-checked value") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3,
+        threshold = 0.1, maxDocFreq = 100)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)), "exact dup pair")
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)), "near dup pair")
+    // doc1 has 7 shingles, doc3 has 7; shared-vocab semantics drop df=1
+    // shingles, so doc3's two "sleepy" tail shingles vanish → sizes 7 & 5,
+    // common 5 → 5/(7+5-5) = 5/7
+    assert(math.abs(pairs((1L, 3L)) - 5.0 / 7.0) < 1e-12)
+  }
+
+  test("empty docs never pair (no phantom Jaccard-1.0)") {
+    val twoEmpty = Seq((1L, ""), (2L, ""), (3L, "real text here")).toDF("id", "text")
+    val pairs = Dedup.ngramJaccardPairs(twoEmpty, "id", "text", 3, 0.01, 100)
+    assert(pairs.count() === 0)
+  }
+
+  test("minhashLshPairs recovers high-jaccard pairs with verified values") {
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0)
+    // verification is EXACT set Jaccard (array_intersect/union), which for
+    // (1,3) is 5 common / 9 union
+    pairs.get((1L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 9.0) < 1e-12))
+  }
+
+  test("simhash of identical text is identical; pairs within distance") {
+    val out = Dedup.simhashPairs(docs, "id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) === 0L, "identical docs → distance 0")
+  }
+
+  test("simhashPairs excludes far pairs") {
+    val out = Dedup.simhashPairs(docs, "id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(!out.exists(p => (p._1, p._2) === ((1L, 4L))),
+      "unrelated docs must not appear within distance 3")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshots = Seq(
+    ("u1", "2024-01-01", "title A"),
+    ("u1", "2024-01-02", "title B"),
+    ("u1", "2024-01-03", "title B"),
+    ("u2", "2024-01-01", "only"),
+    ("u3", "2024-01-02", "x"),
+    ("u3", "2024-01-02", "y") // same-date tie
+  ).toDF("url", "date", "title")
+
+  test("latestSnapshot picks newest per key with tie-break") {
+    val out = Relational.latestSnapshot(snapshots, Seq("url"), "date", Seq("title"))
+      .select("url", "title").as[(String, String)].collect().toMap
+    assert(out === Map("u1" -> "title B", "u2" -> "only", "u3" -> "y"))
+  }
+
+  test("withPreviousValue lags per key in date order") {
+    val out = Relational.withPreviousValue(snapshots, Seq("url"), "date",
+        "title", "prev", Seq("title"))
+      .filter(col("url") === "u1").orderBy("date")
+      .select("title", "prev").as[(String, String)].collect().toSeq
+    assert(out === Seq(("title A", null), ("title B", "title A"), ("title B", "title B")))
+  }
+
+  test("previousPeriodJoin exposes shifted metrics") {
+    val daily = Seq(
+      ("p", "2024-01-01", 10L), ("p", "2024-01-02", 20L), ("p", "2024-01-04", 40L)
+    ).toDF("k", "d", "m").withColumn("d", to_date(col("d")))
+    val out = Relational.previousPeriodJoin(daily, Seq("k"), "d", Seq("m"),
+        dd => date_add(dd, 1), "_prev")
+      .orderBy("d")
+      .select(col("m"), col("m_prev")).as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq((10L, None), (20L, Some(10L)), (40L, None)))
+  }
+
+  test("idempotentFilter: import twice equals import once") {
+    val batch = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val empty = batch.limit(0)
+    // first import: everything passes the filter, lands in the sink
+    val first = Relational.idempotentFilter(batch, empty, Seq("id"))
+    assert(first.count() === 3)
+    val sink = first
+    // replaying the same batch against the updated sink imports nothing
+    val second = Relational.idempotentFilter(batch, sink, Seq("id"))
+    assert(second.count() === 0, "replay must be a no-op")
+    // a partially-new batch imports only the new keys
+    val next = Seq((3, "c"), (4, "d")).toDF("id", "v")
+    val third = Relational.idempotentFilter(next, sink, Seq("id"))
+    assert(third.select("id").as[Int].collect().toSeq === Seq(4))
+  }
+
+  test("duplicateValues marks groups and lists other members") {
+    val df = Seq((1, "t"), (2, "t"), (3, "u")).toDF("id", "title")
+    val out = Relational.duplicateValues(df, "id", "title")
+      .select("id", "is_duplicate", "diff")
+      .as[(Int, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1, true, "2"), (2, true, "1"), (3, false, "")))
+  }
+
+  test("duplicateValues caps member list but reports true count") {
+    val df = (1 to 50).map(i => (i, "same")).toDF("id", "title")
+    val out = Relational.duplicateValues(df, "id", "title", maxMembers = 5)
+    val row = out.filter(col("id") === 1).select("dup_count", "diff").head()
+    assert(row.getLong(0) === 50L, "dup_count must be the uncapped group size")
+    assert(row.getString(1) === "2,3,4,5", "diff limited to capped members")
+  }
+
+  test("topKPerGroup keeps k rows per group with rank ties") {
+    val df = Seq(("g", 3), ("g", 2), ("g", 2), ("g", 1), ("h", 9)).toDF("k", "v")
+    val out = Relational.topKPerGroup(df, Seq("k"), Seq(desc("v")), 2)
+    // rank() semantics: ties at the boundary are all kept
+    assert(out.filter(col("k") === "g").count() === 3)
+    assert(out.filter(col("k") === "h").count() === 1)
+  }
+
+  test("mergeWorkLists dedups on the work key") {
+    val fresh = Seq((1, "x"), (2, "y")).toDF("id", "spec")
+    val pending = Seq((2, "y"), (3, "z")).toDF("id", "spec")
+    val out = Relational.mergeWorkLists(fresh, pending, Seq("id"))
+    assert(out.count() === 3)
+  }
+}
