@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+/** One HTTP hop (redirect chain entry) — mirrors the per-hop records of
+  * /root/reference/modules/aggregation/custom/html_parser.py:78-87. */
+final case class Hop(
+    status_code: Int,
+    url: String,
+    headers: Map[String, String],
+    ttfb: Double)
+
+/** A completed fetch — the observable surface of `requests.get` that the
+  * reference's sources consume (html_parser.py:66-96). `error` non-empty
+  * means the request failed (RequestException path, :97-103). */
+final case class FetchResult(
+    url: String,
+    status_code: Int,
+    headers: Map[String, String],
+    body: String,
+    redirects: Seq[Hop] = Nil,
+    ttfb: Double = 0.0,
+    error: String = "")
+
+/** Side-effecting fetch boundary. Implementations MUST be Serializable —
+  * fetchers ship to executors inside `mapPartitions` source stages
+  * (SURVEY §2.11: HTTP fetch is a source-layer concern, never a UDF).
+  *
+  * Production would add an `HttpFetcher` with a token-bucket rate limiter
+  * per partition (reference: 3 s between requests, 10 s between chunks,
+  * google_pagespeed.py:32-35) — this environment has no egress, so the
+  * shipped implementations are the fixture one (tests/e2e) and the
+  * failing one (error-path tests).
+  */
+trait Fetcher extends Serializable {
+  def fetch(url: String, userAgent: String): FetchResult
+}
+
+/** Canned pages keyed by exact URL; unknown URLs return 404. */
+final class FixtureFetcher(pages: Map[String, FetchResult]) extends Fetcher {
+  override def fetch(url: String, userAgent: String): FetchResult =
+    pages.getOrElse(url,
+      FetchResult(url, 404, Map("content-type" -> "text/html"), "not found"))
+}
+
+object FixtureFetcher {
+  /** Convenience: html page map → fixture with 200s + text/html headers. */
+  def html(pages: Map[String, String]): FixtureFetcher =
+    new FixtureFetcher(pages.map { case (u, body) =>
+      u -> FetchResult(u, 200,
+        Map("content-type" -> "text/html; charset=utf-8"), body)
+    })
+}
+
+/** Every fetch fails — drives the reference's RequestException path. */
+final class FailingFetcher(message: String = "connection refused") extends Fetcher {
+  override def fetch(url: String, userAgent: String): FetchResult =
+    FetchResult(url, 0, Map.empty, s"Error: $message", error = message)
+}

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** The engine's storage layer (SURVEY §7.1 step 4): parquet-backed staging
+  * and warehouse stores replacing the reference's MongoDB staging and
+  * BigQuery warehouse, with the same observable semantics:
+  *
+  *  - staging append + "unprocessed-only" incremental read via a
+  *    per-operation high-water mark (the reference's `processed_<op>`
+  *    markers, metatags.py:35-41,63-67 — a marker per document; here a
+  *    watermark on ingest time, which gives the same exactly-once-per-doc
+  *    guarantee without a second write per document);
+  *  - warehouse partitioned append/truncate
+  *    (bigquery_queries.py:18,89-116 write dispositions + day partitioning);
+  *  - idempotent append: left-anti on declared keys against the pruned
+  *    sink slice before writing (google_search_console.py:516-549).
+  *
+  * Scale notes: every store is a directory of parquet partitioned by a
+  * date-derived column; Catalyst prunes partitions on read. Watermarks are
+  * tiny single-row tables per (module, operation). Nothing here collects
+  * to the driver except the watermark scalar.
+  */
+final class StagingStore(spark: SparkSession, root: String) {
+
+  private def path(collection: String) = s"$root/staging/$collection"
+  private def wmPath(collection: String, op: String) =
+    s"$root/watermarks/${collection}__$op"
+
+  /** Append a batch, stamping the ingest time used by incremental reads. */
+  def append(collection: String, df: DataFrame): Unit =
+    df.withColumn("__ingested_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(path(collection))
+
+  /** Append with a caller-supplied ingest timestamp (deterministic tests). */
+  def appendAt(collection: String, df: DataFrame, at: java.sql.Timestamp): Unit =
+    df.withColumn("__ingested_at", lit(at))
+      .write.mode(SaveMode.Append).parquet(path(collection))
+
+  def readAll(collection: String): DataFrame =
+    spark.read.parquet(path(collection))
+
+  /** Rows not yet processed by `op`: ingest time strictly greater than the
+    * op's watermark. The filter lands on the parquet scan (pushdown). */
+  def readUnprocessed(collection: String, op: String): DataFrame = {
+    val all = readAll(collection)
+    watermark(collection, op) match {
+      case Some(wm) => all.filter(col("__ingested_at") > lit(wm))
+      case None     => all
+    }
+  }
+
+  /** Advance the op watermark to the max ingest time of `processed`.
+    * Call AFTER the downstream write succeeded — crash before this point
+    * re-processes the batch (at-least-once), and the warehouse's
+    * idempotent append turns that into exactly-once. */
+  def advanceWatermark(collection: String, op: String, processed: DataFrame): Unit = {
+    val mx = processed.agg(max(col("__ingested_at"))).collect().head
+    if (!mx.isNullAt(0)) {
+      import spark.implicits._
+      Seq(mx.getTimestamp(0)).toDF("wm")
+        .write.mode(SaveMode.Overwrite).parquet(wmPath(collection, op))
+    }
+  }
+
+  def watermark(collection: String, op: String): Option[java.sql.Timestamp] =
+    try {
+      val rows = spark.read.parquet(wmPath(collection, op)).collect()
+      rows.headOption.map(_.getTimestamp(0))
+    } catch { case _: Exception => None }
+
+  def exists(collection: String): Boolean =
+    new java.io.File(path(collection)).exists()
+}
+
+final class Warehouse(spark: SparkSession, root: String) {
+
+  private def path(table: String) = s"$root/warehouse/$table"
+
+  /** Partitioned append (WRITE_APPEND + TimePartitioning in the reference). */
+  def append(table: String, df: DataFrame, partitionCol: String = "date"): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path(table))
+
+  /** WRITE_TRUNCATE. */
+  def truncate(table: String, df: DataFrame, partitionCol: String = "date"): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path(table))
+
+  /** Exactly-once append: drop rows whose `keys` already exist in the
+    * sink, pruned to the incoming batch's partition values first so the
+    * anti-join reads only the partitions the batch can touch. */
+  def idempotentAppend(table: String, df: DataFrame, keys: Seq[String],
+                       partitionCol: String = "date"): Long = {
+    val fresh =
+      if (!exists(table)) df
+      else {
+        val parts = df.select(partitionCol).distinct().collect()
+          .map(_.get(0)).toSeq
+        val sink = read(table).filter(col(partitionCol).isInCollection(parts))
+        Relational.idempotentFilter(df, sink, keys)
+      }
+    val n = fresh.count()
+    if (n > 0) append(table, fresh, partitionCol)
+    n
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean = new java.io.File(path(table)).exists()
+}
+
+/** Small state tables with queue semantics: the reference's retry queues
+  * (google_pagespeed.py:136-169) and alert queue (service/alerting/
+  * queue.py:38-62, delete-on-read + re-enqueue on dispatch failure). */
+final class QueueStore(spark: SparkSession, root: String) {
+
+  private def path(queue: String) = s"$root/queues/$queue"
+
+  def enqueue(queue: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(queue))
+
+  /** Read the whole queue; empty DataFrame with `schema` when absent. */
+  def peek(queue: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (exists(queue)) spark.read.parquet(path(queue))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Delete-on-read: atomically replace the queue with `remaining`.
+    * Returns the drained rows (materialized before the overwrite). */
+  def drain(queue: String, schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.Row] = {
+    val rows = peek(queue, schema).collect().toSeq
+    clear(queue)
+    rows
+  }
+
+  def clear(queue: String): Unit = {
+    val dir = new java.io.File(path(queue))
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  def exists(queue: String): Boolean = new java.io.File(path(queue)).exists()
+}

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.core.ConfigLoader
+import graft.plans.Runner
+import graft.sources.{FetchResult, Fetcher}
+
+/** The rebuild of the reference's manual e2e harness
+  * (/root/reference/module-debugger.py:1-24): load a config, run every
+  * aggregation then every operation once, synchronously, and show the
+  * resulting checks table.
+  *
+  * With no egress in this environment, pages come from a deterministic
+  * synthetic fetcher: every configured URL gets a page whose title is
+  * derived from its path — URLs ending in an even digit share titles
+  * (exercises duplicates), paths containing "multi" get two titles,
+  * "noindex" pages get two h1s and no description.
+  *
+  * Usage: sbt "runMain graft.tools.ModuleDebugger <config.yaml> <storageRoot>"
+  */
+object ModuleDebugger {
+
+  /** Deterministic page synthesizer (serializable; ships to executors). */
+  final class SyntheticFetcher extends Fetcher {
+    override def fetch(url: String, userAgent: String): FetchResult = {
+      if (url.endsWith("/robots.txt")) {
+        val body =
+          if (url.contains("nosmap")) "User-agent: *\nDisallow:\n"
+          else s"User-agent: *\nSitemap: ${url.stripSuffix("robots.txt")}sitemap.xml\n"
+        return FetchResult(url, 200, Map("content-type" -> "text/plain"), body)
+      }
+      val path = url.replaceFirst("^[a-z]+://[^/]*", "")
+      val slug = path.replaceAll("[^A-Za-z0-9]+", " ").trim
+      val title =
+        if (slug.matches(".*[02468] html$")) "Shared Even Title"
+        else s"Title of $slug"
+      val titles =
+        if (path.contains("multi")) s"<title>$title</title><title>extra</title>"
+        else s"<title>$title</title>"
+      val desc =
+        if (path.contains("noindex")) ""
+        else s"""<meta name="description" content="About $slug">"""
+      val h1s =
+        if (path.contains("noindex")) "<h1>a</h1><h1>b</h1>" else s"<h1>$slug</h1>"
+      val body =
+        s"""<html><head>$titles$desc<link rel="canonical" href="$url"></head>
+           |<body>$h1s<p>Content for $slug.</p></body></html>""".stripMargin
+      FetchResult(url, 200,
+        Map("content-type" -> "text/html; charset=utf-8",
+          "content-encoding" -> "gzip",
+          "cache-control" -> "no-cache"),
+        body)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args.headOption.getOrElse("config/demo.yaml")
+    val root = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_debug").toString)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val config = ConfigLoader.loadFile(configPath)
+    println(s"config hash: ${config.hash}")
+    println(s"aggregations: ${config.aggregations.map(_.module).mkString(", ")}")
+    println(s"operations:   ${config.operations.map(_.module).mkString(", ")}")
+
+    val runner = new Runner(spark, config, root, new SyntheticFetcher)
+    runner.runAllOnce()
+
+    val checks = runner.warehouse.read(runner.ChecksTable)
+    println(s"\nchecks rows: ${checks.count()}")
+    checks.orderBy("check", "url.path")
+      .select("urlset", "check", "valid", "value", "diff", "error")
+      .show(60, 48)
+
+    // second run: staging watermark makes operations no-ops (no new docs)
+    val before = checks.count()
+    config.operations.foreach(mc => runner.runOperation(mc.module))
+    val after = runner.warehouse.read(runner.ChecksTable).count()
+    println(s"re-run without new data: $before -> $after checks (must be equal)")
+    spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_store").toString
+
+  test("staging: unprocessed-only incremental read with watermark") {
+    val root = tmpRoot()
+    val st = new StagingStore(spark, root)
+    st.appendAt("docs", Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    // first read sees everything
+    val batch1 = st.readUnprocessed("docs", "op1")
+    assert(batch1.count() === 2)
+    st.advanceWatermark("docs", "op1", batch1)
+    // nothing new → empty
+    assert(st.readUnprocessed("docs", "op1").count() === 0)
+    // late batch arrives → only it is read
+    st.appendAt("docs", Seq((3, "c")).toDF("id", "v"),
+      java.sql.Timestamp.valueOf("2024-01-02 10:00:00"))
+    val batch2 = st.readUnprocessed("docs", "op1")
+    assert(batch2.select("id").as[Int].collect().toSeq === Seq(3))
+    // a second operation has its own watermark and still sees everything
+    assert(st.readUnprocessed("docs", "op2").count() === 3)
+  }
+
+  test("warehouse: idempotent append is exactly-once under replay") {
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    val batch = Seq(("2024-01-01", "p1", 10), ("2024-01-01", "p2", 20))
+      .toDF("date", "prop", "v")
+    assert(wh.idempotentAppend("facts", batch, Seq("prop", "date")) === 2)
+    // exact replay: no new rows
+    assert(wh.idempotentAppend("facts", batch, Seq("prop", "date")) === 0)
+    assert(wh.read("facts").count() === 2)
+    // partial overlap: only the new key lands
+    val next = Seq(("2024-01-01", "p2", 99), ("2024-01-02", "p1", 30))
+      .toDF("date", "prop", "v")
+    assert(wh.idempotentAppend("facts", next, Seq("prop", "date")) === 1)
+    assert(wh.read("facts").count() === 3)
+    // original p2 value retained (first write wins)
+    assert(wh.read("facts").filter(col("prop") === "p2").select("v")
+      .as[Int].head() === 20)
+  }
+
+  test("warehouse: truncate replaces") {
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    wh.append("t", Seq(("2024-01-01", 1)).toDF("date", "v"))
+    wh.truncate("t", Seq(("2024-01-02", 2)).toDF("date", "v"))
+    assert(wh.read("t").select("v").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("queue: enqueue / drain deletes on read / re-enqueue") {
+    val root = tmpRoot()
+    val q = new QueueStore(spark, root)
+    val schema = Seq((1, "x")).toDF("id", "spec").schema
+    q.enqueue("retry", Seq((1, "x"), (2, "y")).toDF("id", "spec"))
+    val drained = q.drain("retry", schema)
+    assert(drained.size === 2)
+    assert(q.peek("retry", schema).count() === 0, "delete-on-read")
+    // dispatch failure → re-enqueue survives for the next run
+    q.enqueue("retry", spark.createDataFrame(
+      spark.sparkContext.parallelize(drained.take(1)), schema))
+    assert(q.peek("retry", schema).count() === 1)
+  }
+}
