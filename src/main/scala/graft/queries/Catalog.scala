@@ -679,6 +679,24 @@ object Catalog {
         WHERE ts > (SELECT max(ts) FROM events
                     WHERE event_id <= (SELECT max(event_id) // 2 FROM events))""")),
 
+    // ===== S9: nested columnMapping rename through query results =====
+    QueryDef("q33_column_mapping",
+      (s, dir) => {
+        T.registerAll(s, dir)
+        val df = s.sql(
+          """SELECT o_orderkey,
+               struct(o_orderstatus AS st, o_totalprice AS tp) AS rec
+             FROM orders""")
+        graft.operators.QueryHelper.renameColumns(df, Map(
+          "o_orderkey" -> "order_id", "rec.st" -> "status", "rec.tp" -> "total"))
+          .select(col("order_id"), col("rec.status").as("status"),
+            col("rec.total").as("total"))
+      },
+      Some("""
+        SELECT o_orderkey AS order_id, o_orderstatus AS status,
+               o_totalprice AS total
+        FROM orders""")),
+
     // ===== P2/S10: comparison-DSL per-row alert mode =====
     QueryDef("q32_check_dsl_alerts",
       (s, dir) => T.events(s, dir)

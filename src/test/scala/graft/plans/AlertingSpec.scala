@@ -1,0 +1,119 @@
+package graft.plans
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.operators.QueryHelper
+import graft.sources.QueueStore
+
+class AlertingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = java.sql.Timestamp.valueOf("2024-05-01 12:00:00")
+
+  private def registerOrders(): Unit =
+    Seq((1L, "O", 100.0), (2L, "F", 900.0), (3L, "O", 50.0))
+      .toDF("id", "status", "price").createOrReplaceTempView("t_orders")
+
+  test("named parameters incl. dateDaysAgo") {
+    registerOrders()
+    val df = QueryHelper.runQuery(spark,
+      "SELECT * FROM t_orders WHERE price > :minPrice",
+      Map("minPrice" -> 80))
+    assert(df.count() === 2)
+    val d = QueryHelper.runQuery(spark, "SELECT :d AS d",
+      Map("d" -> Map("dateDaysAgo" -> 3)))
+      .head().getDate(0)
+    assert(d === java.sql.Date.valueOf(java.time.LocalDate.now().minusDays(3)))
+    intercept[QueryHelper.InvalidDynamicParameter] {
+      QueryHelper.processParameters(Map("x" -> Map("unknownFn" -> 1)))
+    }
+  }
+
+  test("nested columnMapping rename (top, struct field, array of struct)") {
+    val df = Seq((1L, ("a", 2L), Seq(("x", 1L), ("y", 2L))))
+      .toDF("id", "rec", "items")
+    val out = QueryHelper.renameColumns(df, Map(
+      "id" -> "order_id", "rec._1" -> "name", "items._2" -> "qty"))
+    assert(out.columns.toSeq === Seq("order_id", "rec", "items"))
+    assert(out.select("rec.name").head().getString(0) === "a")
+    assert(out.schema("items").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("_1", "qty"))
+    // unmatched mapping entries are ignored
+    assert(QueryHelper.renameColumns(df, Map("nope" -> "x")).columns.toSeq
+      === df.columns.toSeq)
+  }
+
+  test("per-row mode: alerts on failing rows, logs every row") {
+    registerOrders()
+    val out = Alerting.runCheck(spark, Alerting.CheckConfig(
+      query = "SELECT * FROM t_orders",
+      groups = Seq("g1", "g2"),
+      message = "order {id} too cheap: {price}",
+      checksPerLine = Seq("{price} >= 80"),
+      logName = Some("price_check"),
+      logMessage = "checked {id}"), now)
+    val alerts = out.alerts.collect()
+    assert(alerts.length === 2, "1 failing row x 2 groups")
+    assert(alerts.map(_.getString(2)).distinct.toSeq
+      === Seq("order 3 too cheap: 50.0"))
+    assert(alerts.head.getString(3).contains("\"id\":3"))
+    val logs = out.logs.collect()
+    assert(logs.length === 3)
+    assert(logs.count(_.getBoolean(3)) === 2, "two rows pass")
+    assert(logs.map(_.getString(2)).sorted.toSeq
+      === Seq("checked 1", "checked 2", "checked 3"))
+  }
+
+  test("per-row negate inverts firing") {
+    registerOrders()
+    val out = Alerting.runCheck(spark, Alerting.CheckConfig(
+      query = "SELECT * FROM t_orders", negate = true,
+      message = "ok row {id}", checksPerLine = Seq("{price} >= 80")), now)
+    assert(out.alerts.count() === 2, "negate fires on PASSING rows")
+  }
+
+  test("whole-result mode with resultsCount template") {
+    registerOrders()
+    val fire = Alerting.runCheck(spark, Alerting.CheckConfig(
+      query = "SELECT * FROM t_orders WHERE price > 800",
+      message = "{resultsCount} expensive orders",
+      logName = Some("exp"), logMessage = "found {resultsCount}"), now)
+    assert(fire.alerts.count() === 1)
+    assert(fire.alerts.head().getString(2) === "1 expensive orders")
+    assert(fire.logs.head().getBoolean(3) === false, "firing logs success=false")
+    val quiet = Alerting.runCheck(spark, Alerting.CheckConfig(
+      query = "SELECT * FROM t_orders WHERE price > 9999",
+      message = "none", logName = Some("exp"), logMessage = "m"), now)
+    assert(quiet.alerts.count() === 0)
+    assert(quiet.logs.head().getBoolean(3) === true)
+    val negated = Alerting.runCheck(spark, Alerting.CheckConfig(
+      query = "SELECT * FROM t_orders WHERE price > 9999",
+      message = "no rows!", negate = true), now)
+    assert(negated.alerts.count() === 1, "negate fires on empty result")
+  }
+
+  test("dispatcher: delete-on-read, re-enqueue on failure, unhandled kept") {
+    val root = Files.createTempDirectory("graft_alert").toString
+    val q = new QueueStore(spark, root)
+    val alerts = Seq(
+      (now, "mail", "m1", "{}"), (now, "mail", "m2", "{}"),
+      (now, "wrike", "w1", "{}"), (now, "other", "o1", "{}"))
+      .toDF("created", "group", "message", "payload")
+    q.enqueue("alerts", alerts)
+
+    val rec = new Alerting.RecordingNotifier
+    Alerting.dispatch(spark, q, "alerts", Seq("mail", "wrike"), rec)
+    assert(rec.sent.map(_._1).sorted.toSeq === Seq("mail", "wrike"))
+    assert(rec.sent.find(_._1 == "mail").get._2.size === 2)
+    // unhandled group stays queued
+    val left = q.peek("alerts", Alerting.alertSchema).collect()
+    assert(left.map(_.getString(1)).toSeq === Seq("other"))
+
+    // failing notifier → everything re-enqueued
+    q.clear("alerts"); q.enqueue("alerts", alerts.filter($"group" === "mail"))
+    Alerting.dispatch(spark, q, "alerts", Seq("mail"), new Alerting.FailingNotifier)
+    assert(q.peek("alerts", Alerting.alertSchema).count() === 2,
+      "failure re-enqueues the batch")
+  }
+}
