@@ -21,12 +21,15 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; NULL-safe-ish: 0.0 when either norm is zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), norm(a), norm(b))
+
+  /** Cosine from precomputed parts — lets pairwise operators compute each
+    * side's norm ONCE per vector before the join instead of once per pair
+    * (3× fewer folds in the pair loop); the expression tree is identical
+    * to [[cosine]]'s, so results are bit-equal. */
+  def cosineFromParts(d: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
-  }
 
   /** Squared L2 distance. */
   def l2Sq(a: Column, b: Column): Column =

@@ -61,16 +61,29 @@ object Dedup {
                         maxDocFreq: Long = 10000L): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
-    val filtered = {
-      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq && col("df") >= 2)
-      sh.join(freq, Seq("shingle")).select("id", "shingle")
-    }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pairs = filtered.as("a")
-      .join(filtered.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // ONE exchange on shingle feeds everything: the window bounds group
+    // membership (df cap) BEFORE any collect — a degenerate shingle shared
+    // by 10⁹ docs is dropped, never buffered — and the subsequent
+    // groupBy(shingle) needs the same partitioning, so the shingle
+    // explosion + shuffle is computed once and reused (ReusedExchange)
+    // across the pair and size branches. Candidate pairs come from
+    // in-group combinations of the (≤ maxDocFreq) sorted id list — an
+    // expression, not a self-join, so no second pass over the corpus.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val bounded = sh
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+      .select("id", "shingle")
+    val sizes = bounded.groupBy("id").agg(count(lit(1)).as("sz"))
+    val groups = bounded.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // all (i < j) pairs within the sorted id list
+    val pairExpr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val pairs = groups
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")

@@ -27,11 +27,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      queryIdCol: String = "query_id"): DataFrame = {
-    val scored = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"))
-      .join(broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))),
-        col("nbr_id") =!= col(queryIdCol))
+    // norms computed once per vector BEFORE the pair join (not per pair)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val scored = c.join(broadcast(q), col("nbr_id") =!= col(queryIdCol))
       .select(col(queryIdCol), col("nbr_id"),
-        cosine(col("__cv"), col("__qv")).as("sim"))
+        cosineFromParts(dot(col("__cv"), col("__qv")),
+          col("__cn"), col("__qn")).as("sim"))
     val w = Window.partitionBy(queryIdCol).orderBy(desc("sim"), asc("nbr_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col(queryIdCol), col("nbr_id"), col("sim"), col("rn").as("rank"))
@@ -61,8 +65,11 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"),
         col("__v_query_id").as("qv"), col("__v_nbr_id").as("cv"))
       .dropDuplicates("query_id", "nbr_id")
-    val scored = cands.select(col("query_id"), col("nbr_id"),
-      cosine(col("cv"), col("qv")).as("sim"))
+    val scored = cands
+      .withColumn("__qn", norm(col("qv"))).withColumn("__cn", norm(col("cv")))
+      .select(col("query_id"), col("nbr_id"),
+        cosineFromParts(dot(col("cv"), col("qv")),
+          col("__cn"), col("__qn")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nbr_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
@@ -100,9 +107,12 @@ object Similarity {
       .withColumn("__cr", row_number().over(qw))
       .filter(col("__cr") <= nProbes)
       .select(col("query_id"), col("qv"), col("cell"))
-    val scored = assigned.join(probed, Seq("cell"))
+    val scored = assigned.withColumn("__cn", norm(col("cv")))
+      .join(probed.withColumn("__qn", norm(col("qv"))), Seq("cell"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .select(col("query_id"), col("nbr_id"), cosine(col("cv"), col("qv")).as("sim"))
+      .select(col("query_id"), col("nbr_id"),
+        cosineFromParts(dot(col("cv"), col("qv")),
+          col("__cn"), col("__qn")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nbr_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))

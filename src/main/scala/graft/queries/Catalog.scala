@@ -440,7 +440,7 @@ object Catalog {
     // ===== Dedup: exact n-gram Jaccard pairs =====
     QueryDef("q21_jaccard_pairs",
       (s, dir) => Dedup.ngramJaccardPairs(T.documents(s, dir),
-        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 500L),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100L),
       Some(s"""
         WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
         sh AS (SELECT doc_id, unnest(list_distinct(
@@ -450,7 +450,7 @@ object Catalog {
                       ELSE [array_to_string(tk, ' ')] END)) AS shingle
                FROM tks),
         flt AS (SELECT shingle FROM sh GROUP BY shingle
-                HAVING count(*) >= 2 AND count(*) <= 500),
+                HAVING count(*) >= 2 AND count(*) <= 100),
         fsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN flt USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -534,15 +534,17 @@ object Catalog {
     // ===== Similarity: label-blocked embedding near-dup pairs =====
     QueryDef("q24_embedding_neardup",
       (s, dir) => {
-        import graft.functions.VectorFunctions.cosine
+        import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
         val e = T.embeddings(s, dir)
+        // norms once per vector, not once per pair — bit-equal results
         val a = e.select(col("label"), col("vec_id").as("id_a"),
-          col("embedding").as("va"))
+          col("embedding").as("va"), norm(col("embedding")).as("na"))
         val b = e.select(col("label"), col("vec_id").as("id_b"),
-          col("embedding").as("vb"))
+          col("embedding").as("vb"), norm(col("embedding")).as("nb"))
         a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
           .select(col("label"), col("id_a"), col("id_b"),
-            cosine(col("va"), col("vb")).as("sim"))
+            cosineFromParts(dot(col("va"), col("vb")),
+              col("na"), col("nb")).as("sim"))
           .filter(col("sim") >= 0.35)
       },
       Some {
