@@ -160,6 +160,124 @@ object Dedup {
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
   }
 
+  // ------------------------------------------------------ portable sketches
+  //
+  // Same algorithms as the xxhash64 variants, but built ONLY from
+  // poly-hash + universal-hash modular arithmetic ((a·x + b) mod p over a
+  // 31-char rolling hash, p = 1e9+7, every intermediate < 2^62) so an
+  // external SQL engine can reproduce them bit-for-bit — these are the
+  // variants the DuckDB oracle verifies end-to-end.
+
+  val PortableMod = 1000000007L
+
+  /** Rolling poly-hash of a string expression (acc*31 + code, mod 1e9+7)
+    * — usable inside higher-order lambdas. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + c, lit(PortableMod)))
+
+  /** Seeded (a, b) pairs for the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod p. */
+  def universalCoeffs(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)((1L + r.nextInt((PortableMod - 1).toInt).toLong,
+      r.nextInt(PortableMod.toInt).toLong))
+  }
+
+  /** Portable MinHash + LSH banding pairs, verified with exact Jaccard.
+    * Candidate generation: per band, bucket = "_"-joined minhashes of the
+    * band's rows; docs sharing a (band, bucket) pair up via in-group
+    * combinations of the sorted id list (bounded by `maxBucket`), exactly
+    * like [[ngramJaccardPairs]] — ids only through the shuffle. */
+  def minhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, bands: Int, rowsPerBand: Int,
+                           threshold: Double, seed: Long = 42L,
+                           maxBucket: Int = 1000): DataFrame = {
+    val coeffs = universalCoeffs(bands * rowsPerBand, seed)
+    val shingles = TextFunctions.wordShingles(col(textCol), shingleN)
+    val hv = transform(shingles, s => polyHash(s))
+    val mins = coeffs.map { case (a, b) =>
+      array_min(transform(hv, x => pmod(lit(a) * x + lit(b), lit(PortableMod))))
+    }
+    val bucketStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_",
+          mins.slice(bnd * rowsPerBand, (bnd + 1) * rowsPerBand)
+            .map(_.cast("string")): _*).as("bucket"))
+    }
+    val banded = df
+      .filter(size(shingles) > 0) // empty docs never pair
+      .select(col(idCol).as("id"), explode(array(bucketStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val groups = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairExpr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val candidates = groups.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__text"))
+    candidates
+      .join(texts, col("id_a") === col("__tid"))
+      .withColumnRenamed("__text", "text_a").drop("__tid")
+      .join(texts, col("id_b") === col("__tid"))
+      .withColumnRenamed("__text", "text_b").drop("__tid")
+      .withColumn("jaccard", exactJaccard(col("text_a"), col("text_b"), shingleN))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Portable SimHash: bit_i = sign of Σ_tokens (±1 by ((a_i·h+b_i) mod p)
+    * mod 2), packed into `coeffs.size` bits. Token multiset (not set) —
+    * repeated words weigh more, like the xxhash variant. */
+  def simhashPortable(text: Column, coeffs: Seq[(Long, Long)]): Column = {
+    val hv = transform(TextFunctions.tokens(text), t => polyHash(t))
+    coeffs.zipWithIndex.map { case ((a, b), bit) =>
+      val s = aggregate(hv, lit(0L), (acc, h) =>
+        acc + when(pmod(lit(a) * h + lit(b), lit(PortableMod)) % 2 === 1,
+          lit(1L)).otherwise(lit(-1L)))
+      when(s > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Portable SimHash near-dup pairs within Hamming distance `maxDist`
+    * over a 32-bit signature: pigeonhole on 4×8-bit chunks (dist ≤ 3 ⇒ at
+    * least one exact chunk), in-group combinations carry (id, sig) so the
+    * verify step needs no re-join. */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+                           maxDist: Int = 3, seed: Long = 42L,
+                           maxBucket: Int = 10000): DataFrame = {
+    val coeffs = universalCoeffs(32, seed)
+    val sig = simhashPortable(col(textCol), coeffs)
+    val withSig = df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), sig.as("sig"))
+    val chunked = withSig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * 8).bitwiseAND(0xFFL).as("cval"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
+    val groups = chunked.groupBy("chunk", "cval")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val pairExpr = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+        y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+            .as("hamming")))))
+    groups.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
     * token-hash bit, sign → bit. Near-dups = signatures within small
     * Hamming distance; bucketing on bit-chunks gives the candidate join.

@@ -464,6 +464,90 @@ object Catalog {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5""")),
 
+    // ===== Dedup: portable MinHash-LSH, oracle-verified end-to-end =====
+    QueryDef("q34_minhash_pairs",
+      (s, dir) => Dedup.minhashPortablePairs(T.documents(s, dir),
+        "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, seed = 7L),
+      Some {
+        val coeffs = Dedup.universalCoeffs(16, 7L)
+        val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(hv, x -> ($a * x + $b) % 1000000007)) AS m$i"
+        }.mkString(",\n               ")
+        val bandArms = (0 until 8).map { bnd =>
+          val (r0, r1) = (bnd * 2, bnd * 2 + 1)
+          s"SELECT doc_id, $bnd AS band, m$r0::VARCHAR || '_' || m$r1::VARCHAR AS bucket FROM m"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END) AS shingles
+               FROM tks),
+        nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        hs AS (SELECT doc_id, list_transform(shingles, s ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(s) + 1),
+                     i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+        m AS (SELECT doc_id,
+               $mins
+              FROM hs),
+        banded AS ($bandArms),
+        groups AS (SELECT band, bucket, list_sort(list(doc_id)) AS ids
+                   FROM banded GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= 1000),
+        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM groups,
+          unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
+        j AS (SELECT c.id_a, c.id_b,
+                CASE WHEN CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) = 0.0
+                     THEN 0.0
+                     ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) END AS jaccard
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+      }),
+
+    // ===== Dedup: portable SimHash, oracle-verified end-to-end =====
+    QueryDef("q35_simhash_pairs",
+      (s, dir) => Dedup.simhashPortablePairs(T.documents(s, dir),
+        "doc_id", "text", maxDist = 3, seed = 7L),
+      Some {
+        val coeffs = Dedup.universalCoeffs(32, 7L)
+        val bits = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"(CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ($a * x + $b) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("\n               + ")
+        val chunkArms = (0 until 4).map { c =>
+          s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 8}) & 255 AS cval FROM sigs"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        nz AS (SELECT * FROM tks WHERE len(tk) > 0),
+        hs AS (SELECT doc_id, list_transform(tk, t ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(t) + 1),
+                     i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+        sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM hs),
+        chunked AS ($chunkArms),
+        groups AS (SELECT chunk, cval,
+                     list_sort(list({'id': doc_id, 'sig': sig})) AS ms
+                   FROM chunked GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= 10000),
+        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b,
+                        p.hamming AS hamming FROM groups,
+          unnest(flatten(list_transform(range(1, len(ms) + 1), i ->
+            list_transform(ms[i+1:], y ->
+              {'id_a': ms[i].id, 'id_b': y.id,
+               'hamming': bit_count(xor(ms[i].sig, y.sig))})))) AS t(p))
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
+      }),
+
     // ===== Similarity: exact brute-force top-k =====
     QueryDef("q22_brute_topk",
       (s, dir) => {

@@ -61,6 +61,22 @@ class DedupSpec extends SparkSpec {
     pairs.get((1L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 9.0) < 1e-12))
   }
 
+  test("portable minhash pairs recover dups with exact-jaccard verification") {
+    val pairs = Dedup.minhashPortablePairs(docs, "id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 1, threshold = 0.5, seed = 7L)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    pairs.get((1L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 9.0) < 1e-12))
+  }
+
+  test("portable simhash: identical docs distance 0, empty docs excluded") {
+    val out = Dedup.simhashPortablePairs(docs, "id", "text", maxDist = 3, seed = 7L)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(out((1L, 2L)) === 0L)
+    assert(!out.keys.exists(k => k._1 == 5L || k._2 == 5L),
+      "empty doc must not appear in any pair")
+  }
+
   test("simhash of identical text is identical; pairs within distance") {
     val out = Dedup.simhashPairs(docs, "id", "text", maxDist = 3)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
