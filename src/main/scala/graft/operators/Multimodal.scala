@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for the training-data pipeline tier: image/audio/
+  * video as opaque `binary` columns with typed metadata, processed
+  * batch-wise.
+  *
+  * The decode step is a clearly-marked DETERMINISTIC STUB — the real
+  * image/audio codecs are not in this container — but everything Spark
+  * cares about is real: the schema contract, the partition-wise batch
+  * shape (decoder initialized once per partition, the same pattern a
+  * model or codec handle needs), the frame-sampling explode, and the
+  * feature-vector output type (`array<float>`, ready for the Similarity
+  * operators).
+  *
+  * Scale notes: media bytes never enter a shuffle — features/metadata are
+  * extracted in a narrow mapPartitions stage and the binary column is
+  * pruned immediately after; downstream joins run on (id, features).
+  */
+object Multimodal {
+
+  /** Typed media metadata carried next to the binary payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),          // image | audio | video
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType)))
+
+  /** Standard media-table schema: id + content + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", metaSchema)))
+
+  // ----------------------------------------------------------- decoding
+
+  /** STUB decoder: a real implementation would hand `content` to a codec;
+    * this one derives deterministic pseudo-features so the distributed
+    * plumbing is testable offline. One instance per partition — the
+    * initialization-cost pattern a real codec/model handle requires. */
+  final class StubDecoder extends Serializable {
+    def features(content: Array[Byte], dim: Int): Array[Float] = {
+      // byte-value histogram folded to `dim` buckets, L1-normalized
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < content.length) {
+        hist((content(i) & 0xFF) % dim) += 1f
+        i += 1
+      }
+      val total = math.max(1f, content.length.toFloat)
+      hist.map(_ / total)
+    }
+
+    def decodeMeta(content: Array[Byte], kind: String): (Int, Int, Long, Int) = {
+      // ??? real codec goes here; stub derives dims from content length
+      val n = content.length
+      kind match {
+        case "image" => ((n % 640) + 1, (n % 480) + 1, 0L, 0)
+        case "audio" => (0, 0, n.toLong * 8, 16000)
+        case _ => ((n % 1920) + 1, (n % 1080) + 1, n.toLong * 4, 0)
+      }
+    }
+  }
+
+  /** Partition-wise feature extraction: binary → `array<float>` embedding
+    * column usable by [[Similarity]]. The decoder is constructed once per
+    * partition, NOT once per row. */
+  def featurize(df: DataFrame, idCol: String, contentCol: String,
+                dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(contentCol).as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = new StubDecoder // per-partition init
+        it.map { case (id, bytes) => (id, decoder.features(bytes, dim)) }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** Frame sampling: split the payload into fixed-size frames, keep every
+    * `everyN`-th, explode to (id, frame_idx, frame) rows — the batch
+    * shape video pipelines need. Pure column program (codegen'd); the
+    * binary is pruned right after the explode projection. */
+  def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
+                   frameSize: Int, everyN: Int = 1): DataFrame = {
+    val c = col(contentCol)
+    val nFrames = ceil(length(c).cast("double") / frameSize).cast("int")
+    // sequence(0, -1) would count DOWN (step auto-negates); empty payloads
+    // must yield an empty frame list instead
+    val idx = when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), nFrames - 1),
+        i => pmod(i, lit(everyN)) === 0))
+    df.select(col(idCol).as("media_id"),
+        explode(transform(idx, i =>
+          struct(i.as("frame_idx"),
+            c.substr(i * frameSize + 1, lit(frameSize)).as("frame")))).as("f"))
+      .select(col("media_id"), col("f.frame_idx"), col("f.frame"))
+  }
+
+  /** Stubbed metadata decode over the media table (mapPartitions batch). */
+  def withDecodedMeta(df: DataFrame, idCol: String, contentCol: String,
+                      kindCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol), col(kindCol))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        val decoder = new StubDecoder
+        it.map { case (id, bytes, kind) =>
+          val (w, h, d, sr) = decoder.decodeMeta(bytes, kind)
+          (id, kind, w, h, d, sr)
+        }
+      }
+      .toDF("media_id", "kind", "width", "height", "duration_ms", "sample_rate")
+  }
+}

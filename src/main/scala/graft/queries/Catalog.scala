@@ -647,6 +647,44 @@ object Catalog {
                     ELSE $d / ($na * $nb) END) >= 0.35"""
       }),
 
+    // ===== Multimodal: frame sampling over binary payloads =====
+    QueryDef("q36_frame_sample",
+      (s, dir) => {
+        val media = T.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        graft.operators.Multimodal.sampleFrames(media, "doc_id", "content",
+            frameSize = 64, everyN = 2)
+          .select(col("media_id").as("doc_id"), col("frame_idx"),
+            Dedup.polyHash(col("frame").cast("string")).as("frame_hash"),
+            length(col("frame")).as("frame_len"))
+      },
+      Some("""
+        WITH f AS (SELECT doc_id,
+            unnest(list_filter(range(0, CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS INTEGER)),
+                   i -> i % 2 = 0)) AS frame_idx,
+            text FROM documents)
+        SELECT doc_id, frame_idx,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) + 1),
+              i -> CAST(ascii(substr(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64), CAST(i AS INTEGER), 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS frame_hash,
+          length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_len
+        FROM f""")),
+
+    // ===== Multimodal: stubbed decode → features → ANN composition =====
+    // (mapPartitions feature extraction is not SQL-expressible — the
+    // driver records a rows-only check for this one)
+    QueryDef("q37_media_ann",
+      (s, dir) => {
+        val media = T.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("content"))
+        val feats = graft.operators.Multimodal.featurize(media, "doc_id",
+          "content", dim = 32)
+        Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 4),
+          "media_id", "features", k = 3)
+      },
+      None),
+
     // ===== S10: whole-result alert mode =====
     QueryDef("q25_count_alert",
       (s, dir) => Checks.countAlert(

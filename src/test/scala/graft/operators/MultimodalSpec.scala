@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "abcdefgh".getBytes("UTF-8"), "image"),
+    (2L, ("x" * 300).getBytes("UTF-8"), "video"),
+    (3L, Array.empty[Byte], "audio")
+  ).toDF("media_id", "content", "kind")
+
+  test("featurize: per-partition decoder, normalized histogram features") {
+    val out = Multimodal.featurize(media, "media_id", "content", dim = 8)
+    assert(out.columns.toSeq === Seq("media_id", "features"))
+    val f1 = out.filter(col("media_id") === 1).select("features")
+      .as[Array[Float]].head()
+    assert(f1.length === 8)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5, "L1-normalized")
+    val f3 = out.filter(col("media_id") === 3).select("features")
+      .as[Array[Float]].head()
+    assert(f3.forall(_ === 0.0f), "empty payload → zero vector")
+  }
+
+  test("sampleFrames: fixed-size frames, everyN stride, binary pruned") {
+    val out = Multimodal.sampleFrames(media, "media_id", "content",
+      frameSize = 100, everyN = 2)
+    val m2 = out.filter(col("media_id") === 2)
+      .select("frame_idx", "frame").as[(Int, Array[Byte])].collect()
+      .sortBy(_._1)
+    // 300 bytes / 100 = 3 frames → stride 2 keeps frames 0 and 2
+    assert(m2.map(_._1).toSeq === Seq(0, 2))
+    assert(m2.head._2.length === 100)
+    assert(out.filter(col("media_id") === 3).count() === 0, "empty → no frames")
+  }
+
+  test("withDecodedMeta: stub decode per kind") {
+    val out = Multimodal.withDecodedMeta(media, "media_id", "content", "kind")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) === 9 /* (8 % 640) + 1 */)
+    assert(out(3L).getInt(5) === 16000, "audio sample rate")
+    assert(out(2L).getLong(4) === 1200L, "video duration from stub")
+  }
+
+  test("multimodal features feed Similarity directly") {
+    val feats = Multimodal.featurize(media, "media_id", "content", dim = 8)
+    val top = Similarity.bruteForceTopK(feats, feats.filter(col("media_id") === 1),
+      "media_id", "features", k = 2)
+    assert(top.count() === 2)
+  }
+}

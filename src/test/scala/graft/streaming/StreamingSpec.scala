@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailyMetrics: watermarked tumbling day windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.dailyMetrics(
+      in.toDF().toDF("ts", "kind", "value"), "ts", "value", Seq("kind"))
+    val q = agg.writeStream.format("memory").queryName("daily")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 01:00:00"), "click", 1.0),
+        (ts("2024-01-01 09:00:00"), "click", 2.0),
+        (ts("2024-01-02 00:30:00"), "click", 5.0),
+        (ts("2024-01-01 12:00:00"), "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("daily")
+        .select(col("day_start").cast("string"), col("kind"), col("n"), col("total"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-02 00:00:00", "click", 1L, 5.0),
+        ("2024-01-01 00:00:00", "view", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("dedupeStream drops replayed keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = Streaming.dedupeStream(in.toDF().toDF("ts", "k"), "ts", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), "a"), (ts("2024-01-01 00:00:00"), "a"),
+        (ts("2024-01-01 00:01:00"), "b"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:00:00"), "a")) // replay across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 2)
+    } finally q.stop()
+  }
+
+  test("changeDetection emits only transitions with previous value") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.KeyedValue]
+    val q = Streaming.changeDetection(in.toDS())
+      .writeStream.format("memory").queryName("changes")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Streaming.KeyedValue("u1", ts("2024-01-01 00:00:00"), "Title A"),
+        Streaming.KeyedValue("u1", ts("2024-01-02 00:00:00"), "Title A"),
+        Streaming.KeyedValue("u1", ts("2024-01-03 00:00:00"), "Title B"))
+      q.processAllAvailable()
+      // state persists across micro-batches
+      in.addData(
+        Streaming.KeyedValue("u1", ts("2024-01-04 00:00:00"), "Title B"),
+        Streaming.KeyedValue("u1", ts("2024-01-05 00:00:00"), "Title C"))
+      q.processAllAvailable()
+      val rows = spark.table("changes")
+        .select("key", "value", "previous")
+        .as[(String, String, String)].collect().toSeq
+      assert(rows === Seq(
+        ("u1", "Title A", ""),       // first sight
+        ("u1", "Title B", "Title A"),
+        ("u1", "Title C", "Title B")))
+    } finally q.stop()
+  }
+}
