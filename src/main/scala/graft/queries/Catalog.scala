@@ -685,6 +685,76 @@ object Catalog {
       },
       None),
 
+    // ===== S12: xpath element extraction + per-element operations =====
+    QueryDef("q38_xpath_ops",
+      (s, dir) => {
+        import graft.sources.XPathSource
+        val body = concat(lit("<doc><t>"), substring(col("text"), 1, 50),
+          lit("</t><t>"), col("source"), lit("</t></doc>"))
+        T.documents(s, dir).select(col("doc_id"), body.as("body"))
+          .select(col("doc_id"),
+            explode(expr("xpath(body, '/doc/t/text()')")).as("element"))
+          .withColumn("wc",
+            XPathSource.opResult(XPathSource.OpWordcount, col("element")))
+          .withColumn("rc",
+            XPathSource.opResult(XPathSource.OpRegexCount("[a-z]+"), col("element")))
+      },
+      Some("""
+        WITH b AS (SELECT doc_id,
+            '<doc><t>' || substr(text, 1, 50) || '</t><t>' || source || '</t></doc>' AS body
+          FROM documents),
+        e AS (SELECT doc_id,
+            unnest(regexp_extract_all(body, '<t>(.*?)</t>', 1)) AS element
+          FROM b),
+        st AS (SELECT doc_id, element,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(element, '(?is)<script\b.*?</script>', ' ', 'g'),
+                    '(?is)<style\b.*?</style>', ' ', 'g'),
+                  '(?is)<svg\b.*?</svg>', ' ', 'g'),
+                '(?is)<noscript\b.*?</noscript>', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '\s+', ' ', 'g')) AS stripped
+          FROM e)
+        SELECT doc_id, element,
+          CAST(len(list_filter(string_split_regex(stripped, '\s+'),
+               w -> len(w) > 1 AND regexp_matches(w, '[a-zA-Z]'))) AS VARCHAR) AS wc,
+          CAST(len(regexp_extract_all(element, '[a-z]+', 0)) AS VARCHAR) AS rc
+        FROM st""")),
+
+    // ===== GSC matching enrichment (regex template + csv lookup) =====
+    QueryDef("q39_enrichment",
+      (s, dir) => {
+        import graft.plans.Enrichment
+        import graft.plans.Enrichment._
+        val df = T.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal"))
+        Enrichment.enrich(df, Seq("c_acctbal"), Seq(
+          MatchRule("c_mktsegment", "segment_class", "other", Seq(
+            CsvExpr(Seq(
+              "retail" -> Seq("HOUSEHOLD", "FURNITURE"),
+              "industry" -> Seq("MACHINERY", "BUILDING"),
+              "auto" -> Seq("AUTOMOBILE"))))),
+          MatchRule("c_name", "cust_id", "none", Seq(
+            RegexExpr("^Customer#0*(\\d+)$", "id-$1")))))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment,
+          CASE WHEN c_mktsegment LIKE '%AUTOMOBILE%' THEN 'auto'
+               WHEN c_mktsegment LIKE '%MACHINERY%'
+                 OR c_mktsegment LIKE '%BUILDING%' THEN 'industry'
+               WHEN c_mktsegment LIKE '%HOUSEHOLD%'
+                 OR c_mktsegment LIKE '%FURNITURE%' THEN 'retail'
+               ELSE 'other' END AS segment_class,
+          CASE WHEN regexp_matches(c_name, '^Customer#0*(\d+)$')
+               THEN 'id-' || regexp_extract(c_name, '^Customer#0*(\d+)$', 1)
+               ELSE 'none' END AS cust_id
+        FROM customer""")),
+
     // ===== S10: whole-result alert mode =====
     QueryDef("q25_count_alert",
       (s, dir) => Checks.countAlert(

@@ -147,7 +147,7 @@ object XPathSource {
         regexp_extract_all(e, lit(p), lit(g)).as(s"g$g")): _*)
       array_join(transform(zipped, t =>
         concat(lit("("),
-          concat_ws("),(", (0 until n).map(i => t.getField(s"g$i")): _*),
+          concat_ws("),(", (1 to n).map(g => t.getField(s"g$g")): _*),
           lit(")"))), sep)
   }
 
@@ -159,7 +159,14 @@ object XPathSource {
     val fetched = HtmlParserSource.stage(spark, urls, fetcher, userAgent,
       maxConcurrency, now)
       .filter(col("status_code") === 200)
-    val elems = expr(s"xpath(body, '${query.replace("'", "\\'")}')")
+    // The XML-validity guard lives INSIDE the xpath expression: Catalyst's
+    // generator pushdown can re-order evaluation past the status filter,
+    // so a separate filter does not protect the parser from non-XML
+    // bodies (404 pages, API errors) — an inline IF does, wherever the
+    // expression ends up in the plan.
+    val q = query.replace("'", "\\'")
+    val elems = expr(
+      s"xpath(IF(status_code = 200 AND body RLIKE '^\\\\s*<', body, '<x/>'), '$q')")
     fetched.select(
       Url.render(col("url")).as("url"),
       lit(cluster).as("cluster"),
