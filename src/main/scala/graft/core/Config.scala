@@ -73,8 +73,18 @@ object ConfigLoader {
         name -> urls
     }).getOrElse(Map.empty)
 
+    // module order matters (module-debugger runs in declaration order, and
+    // e.g. alerting_check reads what bigquery_queries wrote) — preserve
+    // the YAML's insertion order instead of going through a Scala Map
+    def orderedEntries(v: Any, where: String): Seq[(String, Any)] = v match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.toSeq.map { case (k, vv) => String.valueOf(k) -> (vv: Any) }
+      case null => throw ConfigError(s"$where is empty")
+      case other => throw ConfigError(s"$where must be a mapping, got ${other.getClass.getSimpleName}")
+    }
+
     def modules(key: String, defaultDb: String): Seq[ModuleConfig] =
-      root.get(key).map(asMap(_, key).map { case (module, v) =>
+      root.get(key).map(orderedEntries(_, key).map { case (module, v) =>
         val m = asMap(v, s"$key.$module")
         val cron = m.getOrElse("cron",
           throw ConfigError(s"$key.$module missing 'cron'")).toString
@@ -105,7 +115,7 @@ object ConfigLoader {
           settings = m.get("settings").map(asAnyMap).getOrElse(Map.empty),
           checks = m.get("checks").map(asAnyMap).getOrElse(Map.empty),
           urlsetChecks = perSetChecks)
-      }.toSeq).getOrElse(Nil)
+      }).getOrElse(Nil)
 
     // defaults mirror configuration_loader.py:372 (aggregation → staging
     // store, operation → checks store)

@@ -310,7 +310,10 @@ object CheckCatalog {
                          strategy: String, threshold: Double,
                          displayMode: Boolean = false): DataFrame = {
     val field = if (displayMode) "numericValue" else "score"
-    val path = s"$$.lighthouseResult.audits['$audit'].$field"
+    // the overall performance score lives under categories, not audits
+    val path =
+      if (audit == "performance") "$.lighthouseResult.categories.performance.score"
+      else s"$$.lighthouseResult.audits['$audit'].$field"
     val v = get_json_object(col("body"), path).cast("double")
     val valid = if (displayMode) v <= threshold else v >= threshold
     checkRows(staged.filter(col("strategy") === strategy),

@@ -18,12 +18,14 @@ import graft.sources._
   */
 final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
                    fetcher: Fetcher,
+                   notifier: Alerting.Notifier = new Alerting.RecordingNotifier,
                    now: () => java.sql.Timestamp =
                      () => new java.sql.Timestamp(System.currentTimeMillis())) {
 
   val staging = new StagingStore(spark, root)
   val warehouse = new Warehouse(spark, root)
   val queues = new QueueStore(spark, root)
+  val AlertQueue = "alerts"
 
   /** The checks fact table: one partitioned table with an urlset column
     * instead of the reference's table-per-urlset (SURVEY §1.1 verdict). */
@@ -36,6 +38,10 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
     name match {
       case "html_parser" => runHtmlParser(mc)
       case "robotstxt" => runRobotstxt(mc)
+      case "bigquery_queries" => runQueries(mc)
+      case "alerting_check" => runAlertingCheck(mc)
+      case "alerting_dispatcher" => runAlertingDispatcher(mc)
+      case "google_pagespeed" => runGooglePagespeed(mc)
       case other =>
         throw new IllegalArgumentException(s"unknown aggregation module '$other'")
     }
@@ -48,6 +54,7 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
       case "responseheader" => runResponseheader(mc)
       case "htmlheadings" => runHtmlheadings(mc)
       case "robotstxt" => runRobotstxtChecks(mc)
+      case "pagespeed" => runPagespeedChecks(mc)
       case other =>
         throw new IllegalArgumentException(s"unknown operation module '$other'")
     }
@@ -79,6 +86,143 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
       RobotstxtSource.stage(spark, configUrls(mc), fetcher, userAgent(mc),
         now = now))
 
+  /** S9 bigquery_queries equivalent: SQL + named params → columnMapping
+    * rename → warehouse write with configured disposition + time
+    * partitioning (bigquery_queries.py:36-160). Warehouse tables named in
+    * `views` are registered as temp views first (the reference's queries
+    * read warehouse tables). */
+  private def runQueries(mc: ModuleConfig): Unit = {
+    val query = mc.settings.getOrElse("query",
+      throw new IllegalArgumentException("bigquery_queries missing 'query'")).toString
+    val table = mc.settings.getOrElse("tablename", "query_result").toString
+    if (!registerViews(mc)) return // upstream table absent: next run picks it up
+    val params = mc.settings.get("parameters")
+      .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+      .getOrElse(Map.empty[String, Any])
+    val mapping = mc.settings.get("columnMapping")
+      .collect { case m: Map[String @unchecked, Any @unchecked] =>
+        m.map { case (k, v) => k -> v.toString } }
+      .getOrElse(Map.empty[String, String])
+    val result = graft.operators.QueryHelper.renameColumns(
+      graft.operators.QueryHelper.runQuery(spark, query, params), mapping)
+    val granularity = mc.settings.getOrElse("timePartitioning", "DAY").toString
+    val partitioned = Runner.withTimePartition(result, granularity)
+    mc.settings.getOrElse("writeDisposition", "WRITE_APPEND").toString match {
+      case "WRITE_TRUNCATE" => warehouse.truncate(table, partitioned)
+      case _ => warehouse.append(table, partitioned)
+    }
+  }
+
+  /** Register configured warehouse views; false when an upstream table
+    * does not exist yet (the cron analogue: this run is a no-op and the
+    * next cycle finds the table). */
+  private def registerViews(mc: ModuleConfig): Boolean =
+    mc.settings.get("views") match {
+      case Some(vs: Map[String @unchecked, Any @unchecked]) =>
+        vs.forall { case (view, wtable) =>
+          val t = wtable.toString
+          if (!warehouse.exists(t)) false
+          else { warehouse.read(t).createOrReplaceTempView(view); true }
+        }
+      case _ => true
+    }
+
+  /** S10: query → per-row / whole-result alerts → alert queue + log. */
+  private def runAlertingCheck(mc: ModuleConfig): Unit = {
+    if (!registerViews(mc)) return
+    def strSeq(key: String): Seq[String] = mc.settings.get(key) match {
+      case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+      case Some(s: String) => Seq(s)
+      case _ => Nil
+    }
+    val cfg = Alerting.CheckConfig(
+      query = mc.settings.getOrElse("query",
+        throw new IllegalArgumentException("alerting_check missing 'query'")).toString,
+      parameters = mc.settings.get("parameters")
+        .collect { case m: Map[String @unchecked, Any @unchecked] => m }
+        .getOrElse(Map.empty),
+      groups = if (strSeq("groups").nonEmpty) strSeq("groups") else Seq("default"),
+      message = mc.settings.getOrElse("message", "alert").toString,
+      negate = mc.settings.get("negate").contains(true),
+      checksPerLine = strSeq("checksPerLine"),
+      logName = mc.settings.get("logName").map(_.toString),
+      logMessage = mc.settings.getOrElse("logMessage", "").toString)
+    val out = Alerting.runCheck(spark, cfg, now())
+    if (!out.alerts.isEmpty) queues.enqueue(AlertQueue, out.alerts)
+    if (!out.logs.isEmpty)
+      warehouse.append("alerting_log",
+        out.logs.withColumn("date", to_date(col("date"))))
+  }
+
+  /** S11: drain + dispatch via the injected notifier. */
+  private def runAlertingDispatcher(mc: ModuleConfig): Unit = {
+    val groups = mc.settings.get("groups") match {
+      case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+      case _ => Seq("default")
+    }
+    Alerting.dispatch(spark, queues, AlertQueue, groups, notifier)
+  }
+
+  /** S4: Lighthouse pulls for configured cluster×strategy fan-out. */
+  private def runGooglePagespeed(mc: ModuleConfig): Unit = {
+    val apiKey = mc.settings.getOrElse("apiKey", "").toString
+    val requests = mc.settings.get("configurations") match {
+      case Some(cfgs: Seq[Any @unchecked]) => cfgs.flatMap {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          val strategy = m.getOrElse("strategy", "mobile").toString
+          m.get("cluster") match {
+            case Some(cl: Map[String @unchecked, Any @unchecked]) =>
+              cl.toSeq.flatMap { case (name, urls: Any) => urls match {
+                case us: Seq[Any @unchecked] =>
+                  us.map(u => PageSpeedSource.Request(name, u.toString, strategy))
+                case _ => Nil
+              }}
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    PageSpeedSource.run(spark, requests, fetcher,
+      (url, strategy) =>
+        "https://www.googleapis.com/pagespeedonline/v5/runPagespeed" +
+          s"?url=$url&strategy=$strategy&key=$apiKey",
+      warehouse, queues, staging = Some(staging), now = now)
+  }
+
+  /** Operation pagespeed: audit-threshold checks over the raw staged
+    * bodies (operation/pagespeed.py:148-524); config shape
+    * checks: { fcp_score: { desktop: 0.49, mobile: 0.3 }, ... }. */
+  private def runPagespeedChecks(mc: ModuleConfig): Unit = {
+    if (!staging.exists("pagespeed")) return
+    val batch = staging.readUnprocessed("pagespeed", "pagespeed")
+    if (batch.isEmpty) return
+    val staged = batch
+      .withColumn("urlset", col("cluster"))
+      .withColumn("url", graft.core.Url.parse(col("url")))
+      .withColumn("date", col("date").cast("timestamp"))
+    val auditOf = Map(
+      "fcp_score" -> "first-contentful-paint",
+      "tti_score" -> "interactive",
+      "ttfb_score" -> "server-response-time",
+      "performance_score" -> "performance")
+    val parts = mc.checks.toSeq.sortBy(_._1).flatMap {
+      case (checkKey, byStrategy: Map[String @unchecked, Any @unchecked]) =>
+        byStrategy.toSeq.sortBy(_._1).flatMap { case (strategy, threshold) =>
+          auditOf.get(checkKey).map { audit =>
+            CheckCatalog.pagespeedThreshold(staged, checkKey + "_", audit,
+              strategy, threshold.toString.toDouble)
+          }
+        }
+      case _ => Nil
+    }
+    if (parts.nonEmpty)
+      warehouse.append(ChecksTable,
+        parts.reduce(_.unionByName(_))
+          .withColumn("date", to_date(col("created"))))
+    staging.advanceWatermark("pagespeed", "pagespeed", batch)
+  }
+
   // ---------------------------------------------------------- operations
 
   /** Incremental read + check computation + append + watermark advance —
@@ -104,6 +248,8 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
 
   private def bool(m: Map[String, Any], key: String): Option[Boolean] =
     m.get(key).map(v => v == true || v == "true")
+
+  // (companion helpers below the class)
 
   private def runMetatags(mc: ModuleConfig): Unit =
     withStagedBatch("html_parser", "metatags") { (batch, history) =>
@@ -163,4 +309,23 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
         ).flatten
       }
     }
+}
+
+object Runner {
+  import org.apache.spark.sql.DataFrame
+
+  /** The S9 time-partitioning grain (HOUR/DAY/MONTH/YEAR,
+    * bigquery_queries.py:19-24): derive the partition value from the
+    * result's `date` column (or today when absent). */
+  def withTimePartition(df: DataFrame, granularity: String): DataFrame = {
+    val src =
+      if (df.columns.contains("date")) col("date") else current_date()
+    val derived = granularity.toUpperCase match {
+      case "HOUR" => date_trunc("hour", src)
+      case "MONTH" => date_trunc("month", src).cast("date")
+      case "YEAR" => date_trunc("year", src).cast("date")
+      case _ => src.cast("date")
+    }
+    df.withColumn("date", derived)
+  }
 }

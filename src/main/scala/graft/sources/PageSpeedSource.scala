@@ -83,7 +83,8 @@ object PageSpeedSource {
     * labdata + logs, re-enqueue failures. */
   def run(spark: SparkSession, requests: Seq[Request], fetcher: Fetcher,
           apiUrl: (String, String) => String, warehouse: Warehouse,
-          queues: QueueStore, tableName: String = "pagespeed",
+          queues: QueueStore, staging: Option[StagingStore] = None,
+          tableName: String = "pagespeed",
           retryQueue: String = "pagespeed_retry",
           now: () => java.sql.Timestamp =
             () => new java.sql.Timestamp(System.currentTimeMillis())): DataFrame = {
@@ -95,6 +96,10 @@ object PageSpeedSource {
     val work = (retries ++ requests)
       .groupBy(r => (r.cluster, r.url, r.strategy)).map(_._2.head).toSeq
     val raw = fetchRaw(spark, work, fetcher, apiUrl, now = now).cache()
+    // raw bodies staged for the operation tier (the reference's S3 path
+    // stores raw JSON; operation/pagespeed.py evaluates audit paths on it
+    // with unprocessed-marker incremental reads — hence StagingStore)
+    staging.foreach(_.append(tableName, raw.drop("retries")))
     val typed = labdata(raw)
       .withColumn("date", to_date(col("date")))
     if (!typed.isEmpty)

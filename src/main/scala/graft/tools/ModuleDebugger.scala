@@ -23,6 +23,15 @@ object ModuleDebugger {
   /** Deterministic page synthesizer (serializable; ships to executors). */
   final class SyntheticFetcher extends Fetcher {
     override def fetch(url: String, userAgent: String): FetchResult = {
+      if (url.startsWith("https://www.googleapis.com/pagespeedonline")) {
+        val score = if (url.contains("slow")) 0.31 else 0.93
+        return FetchResult(url, 200, Map("content-type" -> "application/json"),
+          s"""{"lighthouseResult":{"audits":{
+             |"first-contentful-paint":{"score":$score,"numericValue":1200.5},
+             |"interactive":{"score":$score},
+             |"server-response-time":{"score":0.99}},
+             |"categories":{"performance":{"score":$score}}}}""".stripMargin)
+      }
       if (url.endsWith("/robots.txt")) {
         val body =
           if (url.contains("nosmap")) "User-agent: *\nDisallow:\n"
@@ -71,20 +80,40 @@ object ModuleDebugger {
     println(s"aggregations: ${config.aggregations.map(_.module).mkString(", ")}")
     println(s"operations:   ${config.operations.map(_.module).mkString(", ")}")
 
-    val runner = new Runner(spark, config, root, new SyntheticFetcher)
+    val notifier = new graft.plans.Alerting.RecordingNotifier
+    val runner = new Runner(spark, config, root, new SyntheticFetcher, notifier)
     runner.runAllOnce()
 
     val checks = runner.warehouse.read(runner.ChecksTable)
-    println(s"\nchecks rows: ${checks.count()}")
+    println(s"\nchecks rows after cycle 1: ${checks.count()}")
     checks.orderBy("check", "url.path")
       .select("urlset", "check", "valid", "value", "diff", "error")
-      .show(60, 48)
+      .show(24, 44)
 
-    // second run: staging watermark makes operations no-ops (no new docs)
+    // operations replay without new staged docs: watermark makes it a no-op
     val before = checks.count()
     config.operations.foreach(mc => runner.runOperation(mc.module))
+    val afterOps = runner.warehouse.read(runner.ChecksTable).count()
+    println(s"operation replay without new staged docs: $before -> $afterOps (must be equal)")
+    // full cycle 2: re-fetches pages (new snapshots → new check rows, as a
+    // cron cycle should) and the ELT chain (bigquery_queries →
+    // alerting_check → dispatcher) now sees the cycle-1 checks table
+    runner.runAllOnce()
     val after = runner.warehouse.read(runner.ChecksTable).count()
-    println(s"re-run without new data: $before -> $after checks (must be equal)")
+    println(s"cycle 2 (re-fetch + ELT): $after checks total")
+    if (runner.warehouse.exists("check_summary")) {
+      println("check_summary (S9 result, truncate disposition):")
+      runner.warehouse.read("check_summary").orderBy("check").show(30, 44)
+    }
+    if (runner.warehouse.exists("alerting_log")) {
+      println("alerting_log:")
+      runner.warehouse.read("alerting_log").show(10, 44)
+    }
+    println(s"dispatched alert batches: ${notifier.sent.size}")
+    notifier.sent.foreach { case (g, alerts) =>
+      println(s"  group $g: ${alerts.size} alerts; first: " +
+        alerts.headOption.map(_._2).getOrElse(""))
+    }
     spark.stop()
   }
 }
