@@ -37,12 +37,24 @@ object Dedup {
     hashed.join(keep, Seq("__h1", "__h2", idCol)).drop("__h1", "__h2")
   }
 
-  /** Exact-dup groups: value hash → sorted member ids + count (>1 only). */
-  def exactGroups(df: DataFrame, idCol: String, valueCol: String): DataFrame =
-    df.groupBy(col(valueCol))
-      .agg(count(lit(1)).as("dup_count"),
-           array_sort(collect_list(col(idCol))).as("members"))
+  /** Exact-dup groups: value → sorted member ids + TRUE count (>1 only).
+    * The member list is capped (row_number before the collect) so an
+    * adversarial corpus where most rows share one value cannot blow an
+    * aggregation buffer; `dup_count` still reports the full group size. */
+  def exactGroups(df: DataFrame, idCol: String, valueCol: String,
+                  maxMembers: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(valueCol)).orderBy(col(idCol))
+    val capped = df.select(col(valueCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxMembers)
+      .groupBy(col(valueCol))
+      .agg(array_sort(collect_list(col(idCol))).as("members"))
+    df.groupBy(col(valueCol)).agg(count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
+      .join(capped, Seq(valueCol))
+      .select(col(valueCol), col("dup_count"), col("members"))
+  }
 
   /** N-gram Jaccard near-dup pairs: explode word shingles → self-equi-join
     * on shingle → per-pair intersection count → Jaccard over the SHARED

@@ -108,6 +108,29 @@ final class Warehouse(spark: SparkSession, root: String) {
   def read(table: String): DataFrame = spark.read.parquet(path(table))
 
   def exists(table: String): Boolean = new java.io.File(path(table)).exists()
+
+  /** Bucketed append: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with NO
+    * exchange on either side (SortMergeJoin reads bucket-aligned files).
+    * This is the 100 TB answer for fact-to-fact joins that repeat every
+    * run (e.g. current-vs-previous-period), where re-shuffling both
+    * sides each time would dominate the job. Registered as an external
+    * table because bucket metadata lives in the catalog. */
+  def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
+                     nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .option("path", path(table))
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(bucketedName(table))
+
+  def readBucketed(table: String): DataFrame =
+    spark.table(bucketedName(table))
+
+  private def bucketedName(table: String): String =
+    "graft_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(root).toLong & 0xffffffffL) +
+      "_" + table
 }
 
 /** Small state tables with queue semantics: the reference's retry queues

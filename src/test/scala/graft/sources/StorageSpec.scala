@@ -57,6 +57,22 @@ class StorageSpec extends SparkSpec {
     assert(wh.read("t").select("v").as[Int].collect().toSeq === Seq(2))
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    val facts = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val dims = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    wh.appendBucketed("facts_b", facts, Seq("k"), 4)
+    wh.appendBucketed("dims_b", dims, Seq("k"), 4)
+    val joined = wh.readBucketed("facts_b").join(wh.readBucketed("dims_b"), "k")
+    // force SMJ so the bucket layout (not a broadcast) carries the join
+    val plan = spark.sessionState.executePlan(
+      joined.hint("merge").queryExecution.logical).executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === 1000)
+  }
+
   test("queue: enqueue / drain deletes on read / re-enqueue") {
     val root = tmpRoot()
     val q = new QueueStore(spark, root)
