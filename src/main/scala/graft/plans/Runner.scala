@@ -19,8 +19,12 @@ import graft.sources._
 final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
                    fetcher: Fetcher,
                    notifier: Alerting.Notifier = new Alerting.RecordingNotifier,
+                   gscApi: Option[SearchAnalyticsApi] = None,
+                   gaApi: Option[GaReportingApi] = None,
+                   sistrixApi: Option[SistrixApi] = None,
                    now: () => java.sql.Timestamp =
-                     () => new java.sql.Timestamp(System.currentTimeMillis())) {
+                     () => new java.sql.Timestamp(System.currentTimeMillis()),
+                   today: () => java.time.LocalDate = () => java.time.LocalDate.now()) {
 
   val staging = new StagingStore(spark, root)
   val warehouse = new Warehouse(spark, root)
@@ -42,6 +46,9 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
       case "alerting_check" => runAlertingCheck(mc)
       case "alerting_dispatcher" => runAlertingDispatcher(mc)
       case "google_pagespeed" => runGooglePagespeed(mc)
+      case "google_search_console" => runGsc(mc)
+      case "google_analytics" => runGa(mc)
+      case "sistrix_domain" => runSistrixDomain(mc)
       case other =>
         throw new IllegalArgumentException(s"unknown aggregation module '$other'")
     }
@@ -188,6 +195,82 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
         "https://www.googleapis.com/pagespeedonline/v5/runPagespeed" +
           s"?url=$url&strategy=$strategy&key=$apiKey",
       warehouse, queues, staging = Some(staging), now = now)
+  }
+
+  /** S5: one import per configured property (reference settings shape:
+    * properties: [{property, dateDaysAgo, dimensions, searchTypes,
+    * previousData, tablename}]); failures/late data go through the retry
+    * queue with the original request date. */
+  private def runGsc(mc: ModuleConfig): Unit = {
+    val api = gscApi.getOrElse(throw new IllegalArgumentException(
+      "google_search_console requires a SearchAnalyticsApi"))
+    val specs = mc.settings.get("properties") match {
+      case Some(ps: Seq[Any @unchecked]) => ps.collect {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          def strs(k: String, dflt: Seq[String]) = m.get(k) match {
+            case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+            case _ => dflt
+          }
+          GscConfig(
+            property = m.getOrElse("property", throw new IllegalArgumentException(
+              "property is missing")).toString,
+            tableName = m.getOrElse("tablename", "search_console").toString,
+            requestDate = today().minusDays(
+              m.get("dateDaysAgo").map(_.toString.toLong).getOrElse(3L)),
+            dimensions = strs("dimensions", Seq("page", "device", "query", "country")),
+            searchTypes = strs("searchTypes", Seq("web", "image", "video")),
+            previousData = strs("previousData", Nil))
+      }
+      case _ => Nil
+    }
+    GscSource.run(spark, api, specs, warehouse, queues)
+  }
+
+  /** S6: one import per configured view. */
+  private def runGa(mc: ModuleConfig): Unit = {
+    val api = gaApi.getOrElse(throw new IllegalArgumentException(
+      "google_analytics requires a GaReportingApi"))
+    mc.settings.get("views_config") match {
+      case Some(vs: Seq[Any @unchecked]) => vs.foreach {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          def strs(k: String) = m.get(k) match {
+            case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+            case _ => Nil
+          }
+          GaSource.importView(spark, api, GaConfig(
+            view = m.getOrElse("view", "").toString,
+            tableName = m.getOrElse("tablename", "google_analytics").toString,
+            requestDate = today().minusDays(
+              m.get("dateDaysAgo").map(_.toString.toLong).getOrElse(1L)),
+            metrics = strs("metrics"), dimensions = strs("dimensions")),
+            warehouse)
+        case _ => ()
+      }
+      case _ => ()
+    }
+  }
+
+  /** S7: wide-row daily import with the weekday gate. */
+  private def runSistrixDomain(mc: ModuleConfig): Unit = {
+    val api = sistrixApi.getOrElse(throw new IllegalArgumentException(
+      "sistrix_domain requires a SistrixApi"))
+    val entity = Seq("domain", "host", "path", "url")
+      .flatMap(k => mc.settings.get(k).map(v => k -> v.toString))
+      .headOption.getOrElse(throw new IllegalArgumentException(
+        "You need one of these parameters: \"domain, host, path, url\""))
+    val methods = mc.settings.get("methods") match {
+      case Some(ms: Seq[Any @unchecked]) => ms.collect {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          SistrixMethod(m.getOrElse("method", "").toString,
+            m.getOrElse("fieldName", "value").toString)
+      }
+      case _ => Nil
+    }
+    SistrixDomainSource.importDaily(spark, api, entity, methods,
+      mc.settings.getOrElse("tablename", "sistrix").toString,
+      warehouse, today(),
+      onlyOnWeekday = mc.settings.get("onlyOnWeekday").map(_.toString),
+      today = today())
   }
 
   /** Operation pagespeed: audit-threshold checks over the raw staged

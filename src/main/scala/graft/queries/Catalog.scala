@@ -891,6 +891,79 @@ object Catalog {
                o_totalprice AS total
         FROM orders""")),
 
+    // ===== A4: multi-join analytics, broadcast dimensions (TPC-H Q3) =====
+    QueryDef("q40_shipping_priority",
+      (s, dir) => {
+        val c = T.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = T.orders(s, dir).filter(col("o_orderdate") < lit("1998-06-30"))
+        val l = T.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-06-30"))
+        // customer is the dimension side: broadcast it; orders↔lineitem
+        // co-shuffle on orderkey
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            to_date(col("o_orderdate")).as("order_date"),
+            col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+        GROUP BY 1, 2, 3""")),
+
+    // ===== A4: six-way star join with tiny broadcast dims (TPC-H Q5) =====
+    QueryDef("q41_region_volume",
+      (s, dir) => {
+        val r = T.region(s, dir).filter(col("r_name") === "EUROPE")
+        val n = T.nation(s, dir)
+        val c = T.customer(s, dir)
+        val o = T.orders(s, dir)
+        val l = T.lineitem(s, dir)
+        val sup = T.supplier(s, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY n_name""")),
+
+    // ===== Similarity: hyperplane-LSH ANN (rows-only: the seeded
+    // Gaussian planes are not expressible in the oracle) =====
+    QueryDef("q42_lsh_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, dim = 64, tables = 4, bitsPerTable = 8)
+      },
+      None),
+
     // ===== P2/S10: comparison-DSL per-row alert mode =====
     QueryDef("q32_check_dsl_alerts",
       (s, dir) => T.events(s, dir)
