@@ -183,13 +183,10 @@ object Dedup {
   val PortableMod = 1000000007L
 
   /** Rolling poly-hash of a string expression (acc*31 + code, mod 1e9+7)
-    * — usable inside higher-order lambdas. */
+    * — usable inside higher-order lambdas; evaluated by the native
+    * codegen expression (bit-equal to the composed fold, parity-tested). */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)),
-        i => ascii(s.substr(i, lit(1))).cast("long")),
-      lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + c, lit(PortableMod)))
+    graft.functions.expressions.ColumnBridge.polyHash(s)
 
   /** Seeded (a, b) pairs for the universal hash family
     * h_i(x) = (a_i·x + b_i) mod p. */
@@ -210,9 +207,18 @@ object Dedup {
                            maxBucket: Int = 1000): DataFrame = {
     val coeffs = universalCoeffs(bands * rowsPerBand, seed)
     val shingles = TextFunctions.wordShingles(col(textCol), shingleN)
-    val hv = transform(shingles, s => polyHash(s))
+    // Bind the per-shingle hashes to a COLUMN before fanning out into the
+    // per-hash-function minima: each of the bands×rows min expressions
+    // references `hv` as an attribute, so the expensive hash runs once
+    // per row instead of once per hash function (CollapseProject keeps
+    // multiply-referenced non-trivial aliases materialized).
+    val withHv = df
+      .filter(size(shingles) > 0) // empty docs never pair
+      .select(col(idCol).as("id"),
+        transform(shingles, s => polyHash(s)).as("hv"))
     val mins = coeffs.map { case (a, b) =>
-      array_min(transform(hv, x => pmod(lit(a) * x + lit(b), lit(PortableMod))))
+      array_min(transform(col("hv"),
+        x => pmod(lit(a) * x + lit(b), lit(PortableMod))))
     }
     val bucketStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -220,9 +226,8 @@ object Dedup {
           mins.slice(bnd * rowsPerBand, (bnd + 1) * rowsPerBand)
             .map(_.cast("string")): _*).as("bucket"))
     }
-    val banded = df
-      .filter(size(shingles) > 0) // empty docs never pair
-      .select(col(idCol).as("id"), explode(array(bucketStructs: _*)).as("bb"))
+    val banded = withHv
+      .select(col("id"), explode(array(bucketStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val groups = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -244,18 +249,22 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Portable SimHash: bit_i = sign of Σ_tokens (±1 by ((a_i·h+b_i) mod p)
-    * mod 2), packed into `coeffs.size` bits. Token multiset (not set) —
-    * repeated words weigh more, like the xxhash variant. */
-  def simhashPortable(text: Column, coeffs: Seq[(Long, Long)]): Column = {
-    val hv = transform(TextFunctions.tokens(text), t => polyHash(t))
+  /** Portable SimHash from a PRE-BOUND token-hash array column: bit_i =
+    * sign of Σ_tokens (±1 by ((a_i·h+b_i) mod p) mod 2), packed into
+    * `coeffs.size` bits. Token multiset (not set) — repeated words weigh
+    * more, like the xxhash variant. Callers should bind the token hashes
+    * to a column first so the per-bit expressions share one hash pass. */
+  def simhashFromHashes(hv: Column, coeffs: Seq[(Long, Long)]): Column =
     coeffs.zipWithIndex.map { case ((a, b), bit) =>
       val s = aggregate(hv, lit(0L), (acc, h) =>
         acc + when(pmod(lit(a) * h + lit(b), lit(PortableMod)) % 2 === 1,
           lit(1L)).otherwise(lit(-1L)))
       when(s > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  def simhashPortable(text: Column, coeffs: Seq[(Long, Long)]): Column =
+    simhashFromHashes(transform(TextFunctions.tokens(text), t => polyHash(t)),
+      coeffs)
 
   /** Portable SimHash near-dup pairs within Hamming distance `maxDist`
     * over a 32-bit signature: pigeonhole on 4×8-bit chunks (dist ≤ 3 ⇒ at
@@ -265,10 +274,12 @@ object Dedup {
                            maxDist: Int = 3, seed: Long = 42L,
                            maxBucket: Int = 10000): DataFrame = {
     val coeffs = universalCoeffs(32, seed)
-    val sig = simhashPortable(col(textCol), coeffs)
+    // token hashes bound to a column → the 32 per-bit aggregates share it
     val withSig = df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col(idCol).as("id"),
+        transform(TextFunctions.tokens(col(textCol)), t => polyHash(t)).as("__hv"))
+      .select(col("id"), simhashFromHashes(col("__hv"), coeffs).as("sig"))
     val chunked = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

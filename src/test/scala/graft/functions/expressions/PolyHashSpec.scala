@@ -1,0 +1,41 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+class PolyHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches the composed column program exactly") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatches = docs
+      .select(TextFunctions.fingerprintComposed(col("text")).as("composed"),
+        expr("graft_poly_hash(text)").as("native"))
+      .filter(col("composed") =!= col("native"))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("scala reference, empty string, unicode codepoints") {
+    GraftFunctions.register(spark)
+    val vals = Seq("", "a", "hello world", "café 😀")
+    val got = vals.toDF("s").select(expr("graft_poly_hash(s)")).as[Long]
+      .collect().toSeq
+    val want = vals.map(PolyHash.hash)
+    assert(got === want)
+    // direct fold over codepoints as the independent reference
+    assert(PolyHash.hash("ab") === (('a'.toLong * 31 + 'b') % 1000000007L))
+  }
+
+  test("usable from the S9 spark.sql surface") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      "SELECT doc_id, graft_poly_hash(text) AS h FROM documents WHERE doc_id < 5")
+      .count()
+    assert(n === 5)
+  }
+}
