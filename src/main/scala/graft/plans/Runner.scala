@@ -62,6 +62,7 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
       case "htmlheadings" => runHtmlheadings(mc)
       case "robotstxt" => runRobotstxtChecks(mc)
       case "pagespeed" => runPagespeedChecks(mc)
+      case "google_search_console" => runGscMatching(mc)
       case other =>
         throw new IllegalArgumentException(s"unknown operation module '$other'")
     }
@@ -355,10 +356,34 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
           bool(desc, "has_description_duplicates").map(a => CheckCatalog.hasDescriptionDuplicates(staged, a)),
           bool(canon, "has_canonical").map(a => CheckCatalog.hasCanonical(staged, a)),
           bool(canon, "canonical_is_self_referencing")
-            .filter(identity).map(_ => CheckCatalog.canonicalSelfReferencing(staged))
+            .filter(identity).map(_ => CheckCatalog.canonicalSelfReferencing(staged)),
+          bool(canon, "canonical_href_200").filter(identity).map { _ =>
+            // the live re-fetch of each canonical href becomes a prior
+            // fetch stage whose statuses join in as data (SURVEY §7.4)
+            val hrefs = staged
+              .select(graft.functions.HtmlFunctions.canonical(col("body")).as("href"))
+              .filter(col("href") =!= "").distinct()
+              .collect().map(_.getString(0)).toSeq
+            CheckCatalog.canonicalHref200(staged, fetchStatuses(hrefs))
+          }
         ).flatten
       }
     }
+
+  /** Fetch a small URL list (canonical hrefs, sitemap URLs — urlset
+    * scale) and return (url, status) for the live-fetch checks. */
+  private def fetchStatuses(urls: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (urls.isEmpty) return Seq.empty[(String, Int)].toDF("url", "status")
+    val f = fetcher // local copy — the lambda must not capture the Runner
+    spark.createDataset(urls)
+      .repartition(math.min(urls.size, 8))
+      .map { u =>
+        val r = f.fetch(u, HtmlParserSource.DefaultUserAgent)
+        (u, if (r.error.nonEmpty) 0 else r.status_code)
+      }
+      .toDF("url", "status")
+  }
 
   private def runResponseheader(mc: ModuleConfig): Unit =
     withStagedBatch("html_parser", "responseheader") { (batch, _) =>
@@ -388,10 +413,58 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
           checks.get("status_code").map(v =>
             CheckCatalog.robotsStatusCode(staged, v.toString.toInt)),
           bool(checks, "has_sitemap_xml").map(a =>
-            CheckCatalog.robotsHasSitemap(staged, a))
+            CheckCatalog.robotsHasSitemap(staged, a)),
+          bool(checks, "sitemap_access").filter(identity).map { _ =>
+            val sitemaps = staged
+              .select(explode(graft.functions.HtmlFunctions
+                .robotsSitemaps(col("body"))).as("sm"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            CheckCatalog.robotsSitemapAccess(staged, fetchStatuses(sitemaps))
+          }
         ).flatten
       }
     }
+
+  /** Operation google_search_console: the matching enrichment over the
+    * imported GSC table (operation/google_search_console.py:327-405):
+    * read the request day's rows, drop excluded fields, apply regex/CSV
+    * match rules, append day-partitioned to the output table. */
+  private def runGscMatching(mc: ModuleConfig): Unit = {
+    val inTable = mc.settings.getOrElse("inputTable", "search_console").toString
+    val outTable = mc.settings.getOrElse("tablename", "search_console_matched").toString
+    if (!warehouse.exists(inTable)) return
+    val excludes = mc.settings.get("excludeInputFields") match {
+      case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+      case _ => Nil
+    }
+    val rules = mc.settings.get("matches") match {
+      case Some(ms: Seq[Any @unchecked]) => ms.collect {
+        case m: Map[String @unchecked, Any @unchecked] =>
+          val exprs = m.get("expressions") match {
+            case Some(es: Seq[Any @unchecked]) => es.collect {
+              case e: Map[String @unchecked, Any @unchecked] if e.contains("regex") =>
+                Enrichment.RegexExpr(e("regex").toString,
+                  e.getOrElse("output", "").toString)
+              case e: Map[String @unchecked, Any @unchecked] if e.contains("csv") =>
+                Enrichment.CsvExpr(
+                  Enrichment.loadMatchesCsv(new String(
+                    java.nio.file.Files.readAllBytes(
+                      java.nio.file.Paths.get(e("csv").toString)), "UTF-8")),
+                  caseSensitive = e.get("caseSensitive").forall(_ == true),
+                  useRegex = e.get("useRegex").contains(true))
+            }
+            case _ => Nil
+          }
+          Enrichment.MatchRule(
+            m.getOrElse("inputField", "").toString,
+            m.getOrElse("outputField", "").toString,
+            m.getOrElse("fallback", "").toString, exprs)
+      }
+      case _ => Nil
+    }
+    val enriched = Enrichment.enrich(warehouse.read(inTable), excludes, rules)
+    warehouse.append(outTable, Runner.withTimePartition(enriched, "DAY"))
+  }
 }
 
 object Runner {

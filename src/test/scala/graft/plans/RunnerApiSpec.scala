@@ -85,4 +85,43 @@ class RunnerApiSpec extends SparkSpec {
       bare.runAggregation("google_search_console")
     }
   }
+
+  test("google_search_console matching operation enriches the imported table") {
+    val root = Files.createTempDirectory("graft_gsc_match").toString
+    val matchYaml =
+      """urlsets:
+        |  dummy:
+        |    - url: 'https://ex.com/'
+        |operations:
+        |  google_search_console:
+        |    cron: '0 4 * * *'
+        |    settings:
+        |      inputTable: 'gsc'
+        |      tablename: 'gsc_matched'
+        |      excludeInputFields: ['clicks']
+        |      matches:
+        |        - inputField: 'page'
+        |          outputField: 'section'
+        |          fallback: 'other'
+        |          expressions:
+        |            - regex: 'https://[^/]+/([a-z]+)/'
+        |              output: 'sec-$1'
+        |""".stripMargin
+    val runner = new Runner(spark, ConfigLoader.load(matchYaml), root,
+      new FailingFetcher())
+    // seed the warehouse gsc table
+    import spark.implicits._
+    runner.warehouse.append("gsc", Seq(
+      ("2024-03-15", "https://ex.com/blog/a.html", 3.0),
+      ("2024-03-15", "https://ex.com/shop/b.html", 5.0),
+      ("2024-03-15", "https://ex.com/c.html", 7.0))
+      .toDF("date", "page", "clicks"))
+    runner.runOperation("google_search_console")
+    val out = runner.warehouse.read("gsc_matched")
+    assert(!out.columns.contains("clicks"), "excluded input field dropped")
+    val m = out.select("page", "section").as[(String, String)].collect().toMap
+    assert(m("https://ex.com/blog/a.html") === "sec-blog")
+    assert(m("https://ex.com/shop/b.html") === "sec-shop")
+    assert(m("https://ex.com/c.html") === "other")
+  }
 }
