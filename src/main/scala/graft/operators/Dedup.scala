@@ -29,12 +29,17 @@ object Dedup {
     val hashed = df
       .withColumn("__h1", xxhash64(col(valueCol)))
       .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col(valueCol)))
-    val groupKeys =
+    // single pass: row_number over the hash pair keeps the min-id row —
+    // one shuffle, one scan (the groupBy + join-back formulation reads
+    // the corpus twice and shuffles it twice)
+    val partKeys =
       if (verify) Seq(col("__h1"), col("__h2"), col(valueCol))
       else Seq(col("__h1"), col("__h2"))
-    val keep = hashed.groupBy(groupKeys: _*).agg(min(col(idCol)).as(idCol))
-      .select(col("__h1"), col("__h2"), col(idCol))
-    hashed.join(keep, Seq("__h1", "__h2", idCol)).drop("__h1", "__h2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partKeys: _*).orderBy(col(idCol))
+    hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h1", "__h2", "__rn")
   }
 
   /** Exact-dup groups: value → sorted member ids + TRUE count (>1 only).
