@@ -156,22 +156,27 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__text"))
-    val withTexts = candidates
-      .join(texts, col("id_a") === col("__tid"))
-      .withColumnRenamed("__text", "text_a").drop("__tid")
-      .join(texts, col("id_b") === col("__tid"))
-      .withColumnRenamed("__text", "text_b").drop("__tid")
-    withTexts
-      .withColumn("jaccard", exactJaccard(col("text_a"), col("text_b"), shingleN))
+    val sets = df.select(col(idCol).as("__tid"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+    candidates
+      .join(sets, col("id_a") === col("__tid"))
+      .withColumnRenamed("__sh", "sh_a").drop("__tid")
+      .join(sets, col("id_b") === col("__tid"))
+      .withColumnRenamed("__sh", "sh_b").drop("__tid")
+      .withColumn("jaccard", exactJaccardFromSets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** Exact Jaccard of two texts' shingle sets, as a column program. */
-  def exactJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = TextFunctions.wordShingles(a, n)
-    val sb = TextFunctions.wordShingles(b, n)
+  def exactJaccard(a: Column, b: Column, n: Int): Column =
+    exactJaccardFromSets(TextFunctions.wordShingles(a, n),
+      TextFunctions.wordShingles(b, n))
+
+  /** Jaccard of two PRE-COMPUTED shingle-set columns: pairwise verifiers
+    * join per-doc sets by id so each document's shingling runs once, not
+    * once per candidate pair it appears in. */
+  def exactJaccardFromSets(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val uni = size(array_union(sa, sb)).cast("double")
     when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
@@ -243,13 +248,15 @@ object Dedup {
     val candidates = groups.select(explode(pairExpr).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val texts = df.select(col(idCol).as("__tid"), col(textCol).as("__text"))
+    // shingle each doc ONCE; verification joins the precomputed sets
+    val sets = df.select(col(idCol).as("__tid"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
     candidates
-      .join(texts, col("id_a") === col("__tid"))
-      .withColumnRenamed("__text", "text_a").drop("__tid")
-      .join(texts, col("id_b") === col("__tid"))
-      .withColumnRenamed("__text", "text_b").drop("__tid")
-      .withColumn("jaccard", exactJaccard(col("text_a"), col("text_b"), shingleN))
+      .join(sets, col("id_a") === col("__tid"))
+      .withColumnRenamed("__sh", "sh_a").drop("__tid")
+      .join(sets, col("id_b") === col("__tid"))
+      .withColumnRenamed("__sh", "sh_b").drop("__tid")
+      .withColumn("jaccard", exactJaccardFromSets(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
