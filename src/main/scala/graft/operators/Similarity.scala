@@ -26,7 +26,15 @@ object Similarity {
     * shuffle carries only (ids, sim), not the vectors. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     queryIdCol: String = "query_id"): DataFrame = {
+                     queryIdCol: String = "query_id",
+                     maxQueries: Int = 10000): DataFrame = {
+    // exact tier is O(|corpus|·|queries|): refuse query sets that should
+    // be going through lshTopK/ivfTopK instead — a silent 10⁶-query
+    // broadcast product is a cluster-killer, not a slow query
+    val qCount = queries.limit(maxQueries + 1).count()
+    require(qCount <= maxQueries,
+      s"bruteForceTopK query side exceeds $maxQueries vectors; " +
+        "use lshTopK or ivfTopK for large query sets")
     // norms computed once per vector BEFORE the pair join (not per pair)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
