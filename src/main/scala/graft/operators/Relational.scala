@@ -122,6 +122,26 @@ object Relational {
     df.withColumn("rank", rank().over(w)).filter(col("rank") <= k)
   }
 
+  /** Gap-based sessionization: a new session starts when the time since
+    * the key's previous event exceeds `gapSeconds`. Two stacked windows
+    * over ONE shuffle+sort on (keys; ts, tieBreak): lag marks session
+    * starts, a running sum numbers them — the standard distributed
+    * sessionization shape (no state explosion, no per-key collects;
+    * Structured Streaming's session_window covers the always-on case).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gapSeconds: Long, tieBreak: Seq[String] = Nil,
+                 out: String = "session_id"): DataFrame = {
+    val ordering = (col(tsCol) +: tieBreak.map(col)).toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn(out,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** The reference's retry-queue merge: pending work unioned with fresh
     * work, deduped on the work-spec key (google_search_console.py:128-129).
     */

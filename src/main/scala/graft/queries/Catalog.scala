@@ -964,6 +964,49 @@ object Catalog {
       },
       None),
 
+    // ===== W1/streaming-adjacent: gap-based sessionization =====
+    QueryDef("q43_sessionize",
+      (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
+          "ts", gapSeconds = 1800, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("session_id")),
+      Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_us
+              FROM events)""")),
+
+    // ===== session-level rollup on top of sessionization =====
+    QueryDef("q44_session_stats",
+      (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
+          "ts", gapSeconds = 1800, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us")),
+      Some("""
+        WITH sess AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (SELECT event_id, user_id, ts,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_us
+                FROM events))
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us,
+               max(us) - min(us) AS duration_us
+        FROM sess GROUP BY user_id, session_id""")),
+
     // ===== P2/S10: comparison-DSL per-row alert mode =====
     QueryDef("q32_check_dsl_alerts",
       (s, dir) => T.events(s, dir)

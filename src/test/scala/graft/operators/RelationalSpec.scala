@@ -80,6 +80,19 @@ class RelationalSpec extends SparkSpec {
     assert(out.filter(col("k") === "h").count() === 1)
   }
 
+  test("sessionize splits on gaps per key, running session ids") {
+    val ev = Seq(
+      ("u1", "2024-01-01 00:00:00", 1L),
+      ("u1", "2024-01-01 00:10:00", 2L),  // same session (gap 10m < 30m)
+      ("u1", "2024-01-01 01:00:00", 3L),  // new session (50m gap)
+      ("u1", "2024-01-01 01:05:00", 4L),
+      ("u2", "2024-01-01 00:00:00", 5L)
+    ).toDF("user", "ts", "id").withColumn("ts", to_timestamp(col("ts")))
+    val out = Relational.sessionize(ev, Seq("user"), "ts", 1800, Seq("id"))
+      .select("id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("mergeWorkLists dedups on the work key") {
     val fresh = Seq((1, "x"), (2, "y")).toDF("id", "spec")
     val pending = Seq((2, "y"), (3, "z")).toDF("id", "spec")

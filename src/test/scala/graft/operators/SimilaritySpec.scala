@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with planted structure: 1≈2, 3 orthogonal-ish, 4 = -1
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.1f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, -0.1f)),
+    (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK matches a direct Scala computation") {
+    val out = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .select("nbr_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq === Seq(2L, 3L),
+      "nearest is the near-duplicate, then the slightly-positive axis")
+  }
+
+  test("bruteForceTopK refuses oversized query sets") {
+    intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding", 2,
+        maxQueries = 3)
+    }
+  }
+
+  test("lshTopK recalls the planted near-duplicate") {
+    val out = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 2, dim = 4, tables = 8, bitsPerTable = 2)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(out.contains(2L), "the 0.99-cosine neighbor must be recalled")
+  }
+
+  test("ivfTopK with trained centroids matches brute force on probes") {
+    val cents = Similarity.centroidsDF(spark,
+      Similarity.trainCentroids(corpus, "embedding", kCells = 3, sampleN = 10))
+    val ivf = Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") === 1),
+        "vec_id", "embedding", k = 1, cents, nProbes = 3)
+      .select("nbr_id").as[Long].head()
+    assert(ivf === 2L, "probing all cells recovers the exact neighbor")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HtmlParserSourceSpec extends SparkSpec {
+
+  private val now = () => java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("error path mirrors the RequestException row shape") {
+    val out = HtmlParserSource.stage(spark,
+      Seq(ConfigUrl("s", "https://down.example/")),
+      new FailingFetcher("connection refused"), now = now).head()
+    assert(out.getAs[Int]("status_code") === 0)
+    assert(out.getAs[String]("body") === "Error: connection refused")
+    assert(out.getAs[Map[String, String]]("headers").isEmpty)
+    assert(out.getAs[Int]("num_redirects") === 0)
+  }
+
+  test("redirect chain is staged with hop count") {
+    val hops = Seq(
+      Hop(301, "https://ex.com/old", Map("location" -> "https://ex.com/new"), 12.5),
+      Hop(200, "https://ex.com/new", Map("content-type" -> "text/html"), 30.0))
+    val fetcher = new FixtureFetcher(Map(
+      "https://ex.com/old" -> FetchResult("https://ex.com/old", 200,
+        Map("content-type" -> "text/html"), "<html>final</html>",
+        redirects = hops, ttfb = 42.5)))
+    val out = HtmlParserSource.stage(spark,
+      Seq(ConfigUrl("s", "https://ex.com/old")), fetcher, now = now).head()
+    assert(out.getAs[Int]("num_redirects") === 1,
+      "reference counts only the history hops, not the final response")
+    val staged = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("redirects"))
+    assert(staged.map(_.getAs[Int]("status_code")) === Seq(301, 200))
+    assert(out.getAs[Double]("ttfb") === 42.5)
+  }
+
+  test("non-html content type is replaced by the reference's message") {
+    val fetcher = new FixtureFetcher(Map(
+      "https://ex.com/x.pdf" -> FetchResult("https://ex.com/x.pdf", 200,
+        Map("Content-Type" -> "application/pdf"), "%PDF")))
+    val out = HtmlParserSource.stage(spark,
+      Seq(ConfigUrl("s", "https://ex.com/x.pdf")), fetcher, now = now).head()
+    assert(out.getAs[String]("body") ===
+      "Can't use content-type \"application/pdf\" for parsing")
+  }
+
+  test("url parses into the struct shape") {
+    val u = HtmlParserSource.parseUrl("https://Sub.Example.com/a/b?x=1&y=2")
+    assert(u === graft.core.Url("https", "Sub.Example.com", "/a/b", "x=1&y=2"))
+    assert(HtmlParserSource.parseUrl("https://ex.com") ===
+      graft.core.Url("https", "ex.com", "", ""))
+  }
+}
