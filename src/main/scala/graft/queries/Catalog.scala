@@ -964,6 +964,38 @@ object Catalog {
       },
       None),
 
+    // ===== A4: rollup / grouping sets via the native surface =====
+    QueryDef("q45_rollup",
+      (s, dir) => T.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue")),
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""")),
+
+    // ===== J-family: left-semi join (EXISTS) =====
+    QueryDef("q46_semi_join",
+      (s, dir) => T.orders(s, dir)
+        .join(T.lineitem(s, dir).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""")),
+
+    // ===== set ops: EXCEPT (customers with no urgent orders) =====
+    QueryDef("q47_except",
+      (s, dir) => T.customer(s, dir).select(col("c_custkey"))
+        .except(T.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))),
+      Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT SELECT o_custkey AS c_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'""")),
+
     // ===== W1/streaming-adjacent: gap-based sessionization =====
     QueryDef("q43_sessionize",
       (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
