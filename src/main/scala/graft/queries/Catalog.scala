@@ -996,6 +996,46 @@ object Catalog {
         EXCEPT SELECT o_custkey AS c_custkey FROM orders
                WHERE o_orderpriority = '1-URGENT'""")),
 
+    // ===== training pipeline: reproducible dataset split =====
+    QueryDef("q48_dataset_split",
+      (s, dir) => graft.operators.Sampling.deterministicSplit(
+          T.documents(s, dir).select("doc_id", "lang"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "v1")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n")),
+      Some("""
+        WITH b AS (SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 100 AS bucket
+          FROM documents)
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n
+        FROM b GROUP BY 1, 2""")),
+
+    // ===== training pipeline: deterministic stratified sample =====
+    QueryDef("q49_stratified_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedTopK(
+          T.documents(s, dir).select("doc_id", "lang"), Seq("lang"),
+          "doc_id", k = 5, salt = "v1")
+        .select("lang", "doc_id"),
+      Some("""
+        WITH h AS (SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+          FROM documents)
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h)
+        WHERE rn <= 5""")),
+
     // ===== W1/streaming-adjacent: gap-based sessionization =====
     QueryDef("q43_sessionize",
       (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
