@@ -264,9 +264,18 @@ object Dedup {
   /** Portable SimHash from a PRE-BOUND token-hash array column: bit_i =
     * sign of Σ_tokens (±1 by ((a_i·h+b_i) mod p) mod 2), packed into
     * `coeffs.size` bits. Token multiset (not set) — repeated words weigh
-    * more, like the xxhash variant. Callers should bind the token hashes
-    * to a column first so the per-bit expressions share one hash pass. */
+    * more, like the xxhash variant. Evaluated by the native one-pass
+    * expression (bit-equal to [[simhashFromHashesComposed]], the
+    * executable spec it is parity-tested against). */
   def simhashFromHashes(hv: Column, coeffs: Seq[(Long, Long)]): Column =
+    graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.PortableSimHash(
+        graft.functions.expressions.ColumnBridge.expression(hv),
+        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
+
+  /** Composed higher-order-function form — one aggregate traversal per
+    * bit; kept as the specification of the native expression. */
+  def simhashFromHashesComposed(hv: Column, coeffs: Seq[(Long, Long)]): Column =
     coeffs.zipWithIndex.map { case ((a, b), bit) =>
       val s = aggregate(hv, lit(0L), (acc, h) =>
         acc + when(pmod(lit(a) * h + lit(b), lit(PortableMod)) % 2 === 1,

@@ -30,6 +30,21 @@ class PolyHashSpec extends SparkSpec {
     assert(PolyHash.hash("ab") === (('a'.toLong * 31 + 'b') % 1000000007L))
   }
 
+  test("native simhash matches the composed column program exactly") {
+    val coeffs = graft.operators.Dedup.universalCoeffs(32, 7L)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        transform(TextFunctions.tokens(col("text")),
+          t => graft.operators.Dedup.polyHash(t)).as("hv"))
+      .filter(size(col("hv")) > 0)
+    val mismatches = docs.select(
+        graft.operators.Dedup.simhashFromHashes(col("hv"), coeffs).as("native"),
+        graft.operators.Dedup.simhashFromHashesComposed(col("hv"), coeffs).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("usable from the S9 spark.sql surface") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, "/root/testdata/sf0.001")
