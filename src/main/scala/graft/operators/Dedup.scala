@@ -226,17 +226,21 @@ object Dedup {
       .filter(size(shingles) > 0) // empty docs never pair
       .select(col(idCol).as("id"),
         transform(shingles, s => polyHash(s)).as("hv"))
-    val mins = coeffs.map { case (a, b) =>
-      array_min(transform(col("hv"),
-        x => pmod(lit(a) * x + lit(b), lit(PortableMod))))
-    }
+    // all minima in ONE native pass over the hash array (vs one
+    // array_min(transform(...)) traversal per hash function), bound to a
+    // column so band buckets read elements, not re-evaluations
+    val minsArr = graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.PortableMinHash(
+        graft.functions.expressions.ColumnBridge.expression(col("hv")),
+        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
+    val withMins = withHv.select(col("id"), minsArr.as("mins"))
     val bucketStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws("_",
-          mins.slice(bnd * rowsPerBand, (bnd + 1) * rowsPerBand)
-            .map(_.cast("string")): _*).as("bucket"))
+          (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+            .map(i => col("mins").getItem(i).cast("string")): _*).as("bucket"))
     }
-    val banded = withHv
+    val banded = withMins
       .select(col("id"), explode(array(bucketStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val groups = banded.groupBy("band", "bucket")

@@ -45,6 +45,25 @@ class PolyHashSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("native minhash minima match the composed column program exactly") {
+    val coeffs = graft.operators.Dedup.universalCoeffs(16, 7L)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        transform(TextFunctions.wordShingles(col("text"), 3),
+          s => graft.operators.Dedup.polyHash(s)).as("hv"))
+      .filter(size(col("hv")) > 0)
+    val native = ColumnBridge.column(PortableMinHash(
+      ColumnBridge.expression(col("hv")),
+      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
+    val composed = array(coeffs.map { case (a, b) =>
+      array_min(transform(col("hv"),
+        x => pmod(lit(a) * x + lit(b), lit(1000000007L))))
+    }: _*)
+    val mismatches = docs.select(native.as("n"), composed.as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(mismatches === 0)
+  }
+
   test("usable from the S9 spark.sql surface") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, "/root/testdata/sf0.001")
