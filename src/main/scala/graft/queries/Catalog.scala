@@ -996,6 +996,67 @@ object Catalog {
         EXCEPT SELECT o_custkey AS c_custkey FROM orders
                WHERE o_orderpriority = '1-URGENT'""")),
 
+    // ===== window frames: 7-day moving revenue (decimal-exact) =====
+    QueryDef("q50_moving_avg",
+      (s, dir) => {
+        val daily = T.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("order_date"),
+            col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+            count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority").orderBy("order_date")
+          .rowsBetween(-6, 0)
+        daily.select(col("o_orderpriority"), col("order_date"),
+          sum(col("rev")).over(w).cast("double").as("rev_7d"),
+          sum(col("n")).over(w).as("n_7d"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                 count(*) AS n
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, order_date,
+               CAST(sum(rev) OVER (PARTITION BY o_orderpriority
+                 ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+               sum(n) OVER (PARTITION BY o_orderpriority
+                 ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+        FROM daily""")),
+
+    // ===== window frames: running cumulative counts =====
+    QueryDef("q51_cumulative",
+      (s, dir) => {
+        val daily = T.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("order_date"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("order_date")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        daily.select(col("order_date"), col("n"),
+          sum(col("n")).over(w).as("cumulative_orders"))
+      },
+      Some("""
+        SELECT order_date, n,
+               sum(n) OVER (ORDER BY order_date
+                 ROWS UNBOUNDED PRECEDING) AS cumulative_orders
+        FROM (SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n
+              FROM orders GROUP BY 1)""")),
+
+    // ===== pivot via conditional aggregation =====
+    QueryDef("q52_pivot_status",
+      (s, dir) => T.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p")),
+      Some("""
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        FROM orders GROUP BY o_orderpriority""")),
+
     // ===== training pipeline: reproducible dataset split =====
     QueryDef("q48_dataset_split",
       (s, dir) => graft.operators.Sampling.deterministicSplit(
