@@ -161,7 +161,7 @@ object Catalog {
           Seq("o_orderpriority"),
           Seq(desc("o_totalprice"), asc("o_orderkey")), 5)
         .select(col("o_orderpriority"), col("o_orderkey"),
-          col("o_totalprice"), col("rank")),
+          col("o_totalprice"), col("rank").cast("long").as("rank")),
       Some("""
         SELECT o_orderpriority, o_orderkey, o_totalprice, "rank" FROM (
           SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -326,7 +326,7 @@ object Catalog {
           max("k").as("max_k"), sum("k").as("sum_k")),
       Some("""
         SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
-               sum(k) AS sum_k
+               CAST(sum(k) AS BIGINT) AS sum_k
         FROM (SELECT event_type,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
@@ -347,9 +347,9 @@ object Catalog {
     // ===== Text analysis: counts =====
     QueryDef("q15_text_stats",
       (s, dir) => T.documents(s, dir).select(col("doc_id"),
-        TextFunctions.wordCount(col("text")).as("n_words"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.subwordCount(col("text")).as("n_subwords")),
+        TextFunctions.wordCount(col("text")).cast("long").as("n_words"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords")),
       Some(s"""
         SELECT doc_id,
           len(list_filter(string_split_regex(text, '\\s+'),
@@ -516,7 +516,8 @@ object Catalog {
     // ===== Dedup: portable SimHash, oracle-verified end-to-end =====
     QueryDef("q35_simhash_pairs",
       (s, dir) => Dedup.simhashPortablePairs(T.documents(s, dir),
-        "doc_id", "text", maxDist = 3, seed = 7L),
+        "doc_id", "text", maxDist = 3, seed = 7L)
+        .withColumn("hamming", col("hamming").cast("long")),
       Some {
         val coeffs = Dedup.universalCoeffs(32, 7L)
         val bits = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -545,7 +546,8 @@ object Catalog {
             list_transform(ms[i+1:], y ->
               {'id_a': ms[i].id, 'id_b': y.id,
                'hamming': bit_count(xor(ms[i].sig, y.sig))})))) AS t(p))
-        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3"""
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3"""
       }),
 
     // ===== Similarity: exact brute-force top-k =====
@@ -554,6 +556,7 @@ object Catalog {
         val e = T.embeddings(s, dir)
         Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
           "vec_id", "embedding", 5)
+          .withColumn("rank", col("rank").cast("long"))
       },
       Some {
         val d = duckDot("qv", "cv")
@@ -582,6 +585,7 @@ object Catalog {
             col("embedding").cast("array<double>").as("cvec"))
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
           "vec_id", "embedding", 5, cents, nProbes = 2)
+          .withColumn("rank", col("rank").cast("long"))
       },
       Some {
         val l2 = duckL2("e.embedding", "c.cvec")
@@ -654,9 +658,10 @@ object Catalog {
           .select(col("doc_id"), col("text").cast("binary").as("content"))
         graft.operators.Multimodal.sampleFrames(media, "doc_id", "content",
             frameSize = 64, everyN = 2)
-          .select(col("media_id").as("doc_id"), col("frame_idx"),
+          .select(col("media_id").as("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
             Dedup.polyHash(col("frame").cast("string")).as("frame_hash"),
-            length(col("frame")).as("frame_len"))
+            length(col("frame")).cast("long").as("frame_len"))
       },
       Some("""
         WITH f AS (SELECT doc_id,
@@ -831,7 +836,7 @@ object Catalog {
           substring(col("text"), 1, 120), lit("</p><h1>hi</h1></body>"))
         T.documents(s, dir).select(col("doc_id"),
           TextFunctions.stripHtml(html).as("stripped"))
-          .withColumn("n_words", TextFunctions.wordCount(col("stripped")))
+          .withColumn("n_words", TextFunctions.wordCount(col("stripped")).cast("long"))
       },
       Some("""
         WITH h AS (SELECT doc_id,
@@ -1020,8 +1025,8 @@ object Catalog {
         SELECT o_orderpriority, order_date,
                CAST(sum(rev) OVER (PARTITION BY o_orderpriority
                  ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
-               sum(n) OVER (PARTITION BY o_orderpriority
-                 ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d
+               CAST(sum(n) OVER (PARTITION BY o_orderpriority
+                 ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
         FROM daily""")),
 
     // ===== window frames: running cumulative counts =====
@@ -1037,8 +1042,8 @@ object Catalog {
       },
       Some("""
         SELECT order_date, n,
-               sum(n) OVER (ORDER BY order_date
-                 ROWS UNBOUNDED PRECEDING) AS cumulative_orders
+               CAST(sum(n) OVER (ORDER BY order_date
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_orders
         FROM (SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n
               FROM orders GROUP BY 1)""")),
 
@@ -1052,9 +1057,9 @@ object Catalog {
           sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p")),
       Some("""
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         FROM orders GROUP BY o_orderpriority""")),
 
     // ===== training pipeline: reproducible dataset split =====
@@ -1105,10 +1110,10 @@ object Catalog {
           unix_micros(col("ts")).as("ts_us"), col("session_id")),
       Some("""
         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-               sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+               CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                         THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS session_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
                   ORDER BY ts, event_id) AS prev_us
@@ -1127,10 +1132,10 @@ object Catalog {
       Some("""
         WITH sess AS (
           SELECT user_id, epoch_us(ts) AS us,
-                 sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                 CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
                           THEN 1 ELSE 0 END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM (SELECT event_id, user_id, ts,
                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS prev_us
