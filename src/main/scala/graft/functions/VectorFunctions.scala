@@ -57,4 +57,21 @@ object VectorFunctions {
     val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** Integer-lattice hyperplanes: coefficient j of plane p is
+    * `((a_p * j + b_p) mod 1e9+7) mod 9 - 4` with per-plane universal-hash
+    * coefficients (a, b) drawn from `seed`. Statistically these behave
+    * like the Gaussian planes for sign-LSH (symmetric around 0, mean 0)
+    * but — being small exact integers — any engine can reproduce the
+    * signature bit-for-bit from the same (a, b) table, which Gaussian
+    * draws cannot guarantee across RNG implementations. */
+  def latticePlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val M = 1000000007L
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes) {
+      val a = 1L + rng.nextInt((M - 1).toInt)
+      val b = rng.nextInt(M.toInt).toLong
+      (1 to dim).map(j => ((a * j + b) % M % 9 - 4).toDouble)
+    }
+  }
 }

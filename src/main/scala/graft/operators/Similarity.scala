@@ -55,12 +55,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               tables: Int = 8, bitsPerTable: Int = 12,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L,
+              planes: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val planeTables = planes.getOrElse(
+      (0 until tables).map(t => randomPlanes(bitsPerTable, dim, seed + t)))
+    require(planeTables.size == tables, s"need $tables plane tables")
     def signed(df: DataFrame, id: String): DataFrame = {
       val sigs = array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
-          hyperplaneSignature(col(vecCol),
-            randomPlanes(bitsPerTable, dim, seed + t)).as("sig"))
+          hyperplaneSignature(col(vecCol), planeTables(t)).as("sig"))
       }: _*)
       df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
         explode(sigs).as("s"))

@@ -54,6 +54,13 @@ object Catalog {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x, y) -> x + y)"
 
+  /** q42's hyperplane tables — one source of truth for the Spark query
+    * AND the generated oracle SQL (integer coefficients, so both engines
+    * compute identical sign bits). */
+  private val q42Planes: Seq[Seq[Seq[Double]]] =
+    (0 until 4).map(t =>
+      graft.functions.VectorFunctions.latticePlanes(8, 64, 42L + t))
+
   private def duckL2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x, y) -> x + y)"
@@ -677,8 +684,9 @@ object Catalog {
         FROM f""")),
 
     // ===== Multimodal: stubbed decode → features → ANN composition =====
-    // (mapPartitions feature extraction is not SQL-expressible — the
-    // driver records a rows-only check for this one)
+    // The stub featurizer is a folded byte histogram (L1-normalized in
+    // float32) — arithmetic DuckDB reproduces exactly (REAL division is
+    // IEEE binary32 in both engines), so this IS oracle-checkable.
     QueryDef("q37_media_ann",
       (s, dir) => {
         val media = T.documents(s, dir)
@@ -687,8 +695,33 @@ object Catalog {
           "content", dim = 32)
         Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 4),
           "media_id", "features", k = 3)
+          .withColumn("rank", col("rank").cast("long"))
       },
-      None),
+      Some {
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH bk AS (SELECT doc_id, length(text) AS n,
+            list_transform(range(1, length(text) + 1),
+              i -> ascii(substr(text, CAST(i AS INTEGER), 1)) % 32) AS bs
+          FROM documents),
+        feats AS (SELECT doc_id,
+            list_transform(range(0, 32), k ->
+              CAST(len(list_filter(bs, b -> b = k)) AS REAL)
+                / CAST(CASE WHEN n < 1 THEN 1 ELSE n END AS REAL)) AS fv
+          FROM bk),
+        q AS (SELECT doc_id AS query_id, fv AS qv FROM feats WHERE doc_id < 4),
+        c AS (SELECT doc_id AS nbr_id, fv AS cv FROM feats),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM c CROSS JOIN q WHERE nbr_id != query_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 3"""
+      }),
 
     // ===== S12: xpath element extraction + per-element operations =====
     QueryDef("q38_xpath_ops",
@@ -959,15 +992,53 @@ object Catalog {
         WHERE r_name = 'EUROPE'
         GROUP BY n_name""")),
 
-    // ===== Similarity: hyperplane-LSH ANN (rows-only: the seeded
-    // Gaussian planes are not expressible in the oracle) =====
+    // ===== Similarity: hyperplane-LSH ANN, portable integer-lattice
+    // planes so the oracle reproduces the signatures bit-for-bit =====
     QueryDef("q42_lsh_topk",
       (s, dir) => {
         val e = T.embeddings(s, dir)
         Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, dim = 64, tables = 4, bitsPerTable = 8)
+          "vec_id", "embedding", k = 5, dim = 64, tables = 4,
+          bitsPerTable = 8, planes = Some(q42Planes))
+          .withColumn("rank", col("rank").cast("long"))
       },
-      None),
+      Some {
+        def planeList(p: Seq[Double]): String =
+          p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
+        def sigExpr(tbl: Seq[Seq[Double]]): String =
+          tbl.zipWithIndex.map { case (p, i) =>
+            val d = duckDot("embedding", planeList(p))
+            s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString("(", "\n             + ", ")")
+        val sigCols = q42Planes.zipWithIndex.map { case (tbl, t) =>
+          s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
+        val arms = (0 until 4).map(t =>
+          s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
+          .mkString("\n          UNION ALL ")
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH sigs AS (SELECT vec_id,
+            $sigCols
+          FROM embeddings),
+        b AS ($arms),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+                 FROM b c JOIN b q USING (tbl, sig)
+                 WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM cand
+          JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings)
+            ON qid = query_id
+          JOIN (SELECT vec_id AS nid, embedding AS cv FROM embeddings)
+            ON nid = nbr_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 5"""
+      }),
 
     // ===== A4: rollup / grouping sets via the native surface =====
     QueryDef("q45_rollup",
