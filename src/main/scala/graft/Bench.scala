@@ -15,7 +15,11 @@ object Bench {
     // JIT/codegen warmup so the first measured query doesn't absorb JVM
     // startup; deterministic name order for run-to-run comparability
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (local profiling; driver passes none)
+    val wanted = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces full evaluation of every projection — count()
       // would let Catalyst skip computing the expressions under test

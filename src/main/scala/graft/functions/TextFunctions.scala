@@ -115,10 +115,21 @@ object TextFunctions {
       (acc, c) => pmod(acc * lit(31L) + c, lit(1000000007L)))
   }
 
-  /** Character n-gram shingles (as distinct strings) for Jaccard /
-    * MinHash pipelines. Word-level variant below. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles (as distinct strings) for Jaccard / MinHash
+    * pipelines.
+    *
+    * PERFORMANCE: `text` is tokenized inline and the token subtree is
+    * referenced from inside a `transform` lambda — Catalyst re-evaluates
+    * captured subtrees per array ELEMENT, so this form is O(tokens²) per
+    * row. Fine for literals/tests; for table columns, bind the tokens to
+    * a projected column first and use [[wordShinglesFromTokens]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
+
+  /** Shingles from a PRE-BOUND token-array column (an attribute, so each
+    * lambda reference is a row-slot read, not a re-tokenization — this is
+    * the linear-time form the dedup operators use). */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
     val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     // Empty docs yield an EMPTY shingle set (not [""]) so two empty docs
     // don't come out as Jaccard-1.0 near-dups; docs shorter than n tokens

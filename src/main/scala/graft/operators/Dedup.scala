@@ -76,8 +76,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Long = 10000L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+    // tokens bound to a column FIRST: shingling reads a row slot per
+    // lambda reference instead of re-tokenizing per element (the inline
+    // form is O(tokens²) per row — measured 10× on the r2 bench)
+    val sh = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
+          .as("shingle"))
     // ONE exchange on shingle feeds everything: the window bounds group
     // membership (df cap) BEFORE any collect — a degenerate shingle shared
     // by 10⁹ docs is dropped, never buffered — and the subsequent
@@ -140,9 +147,14 @@ object Dedup {
     // document bytes, and the join output is (id_a, id_b) pairs. Texts are
     // re-joined by id afterwards for the exact-Jaccard verification, which
     // touches only candidate ids (a tiny fraction of the corpus).
-    val withSig = df.select(col(idCol).as("id"),
-      minhashSignature(TextFunctions.wordShingles(col(textCol), shingleN),
-        numHashes).as("sig"))
+    val staged = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        TextFunctions.wordShinglesFromTokens(col("__toks"), shingleN)
+          .as("__sh"))
+    val withSig = staged.select(col("id"),
+      minhashSignature(col("__sh"), numHashes).as("sig"))
     val banded = withSig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -156,8 +168,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = df.select(col(idCol).as("__tid"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+    val sets = staged.select(col("id").as("__tid"), col("__sh"))
     candidates
       .join(sets, col("id_a") === col("__tid"))
       .withColumnRenamed("__sh", "sh_a").drop("__tid")
@@ -216,16 +227,21 @@ object Dedup {
                            threshold: Double, seed: Long = 42L,
                            maxBucket: Int = 1000): DataFrame = {
     val coeffs = universalCoeffs(bands * rowsPerBand, seed)
-    val shingles = TextFunctions.wordShingles(col(textCol), shingleN)
-    // Bind the per-shingle hashes to a COLUMN before fanning out into the
-    // per-hash-function minima: each of the bands×rows min expressions
-    // references `hv` as an attribute, so the expensive hash runs once
-    // per row instead of once per hash function (CollapseProject keeps
-    // multiply-referenced non-trivial aliases materialized).
+    // Stage tokens → shingles → hashes as three projections, each alias
+    // bound to a COLUMN before the next references it: a lambda that
+    // captures a non-attribute subtree re-evaluates it per array ELEMENT
+    // (inline shingling is O(tokens²) per row — it dominated the r2
+    // bench), and the bands×rows min expressions all share `hv` as a row
+    // slot (CollapseProject keeps multiply-referenced non-trivial aliases
+    // materialized).
     val withHv = df
-      .filter(size(shingles) > 0) // empty docs never pair
       .select(col(idCol).as("id"),
-        transform(shingles, s => polyHash(s)).as("hv"))
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0) // empty docs never pair
+      .select(col("id"),
+        TextFunctions.wordShinglesFromTokens(col("__toks"), shingleN)
+          .as("__sh"))
+      .select(col("id"), transform(col("__sh"), s => polyHash(s)).as("hv"))
     // all minima in ONE native pass over the hash array (vs one
     // array_min(transform(...)) traversal per hash function), bound to a
     // column so band buckets read elements, not re-evaluations
@@ -252,9 +268,15 @@ object Dedup {
     val candidates = groups.select(explode(pairExpr).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // shingle each doc ONCE; verification joins the precomputed sets
-    val sets = df.select(col(idCol).as("__tid"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+    // Verify over the HASHED shingle sets (arrays of longs), not the
+    // string shingles: set intersection/union on fixed-width longs is far
+    // cheaper than string equality, the join payload shrinks ~4×, and the
+    // hash computation is shared with the signature branch. Jaccard over
+    // distinct hashes equals Jaccard over shingles except on poly-hash
+    // collisions (p = 1e9+7; ~1e-6 per pair at 10² shingles/doc) — and
+    // the oracle mirrors the hashed form, so both engines always agree.
+    val sets = withHv.select(col("id").as("__tid"),
+      array_distinct(col("hv")).as("__sh"))
     candidates
       .join(sets, col("id_a") === col("__tid"))
       .withColumnRenamed("__sh", "sh_a").drop("__tid")

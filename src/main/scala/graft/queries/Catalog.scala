@@ -509,14 +509,15 @@ object Catalog {
         cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM groups,
           unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
             list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
+        sv AS (SELECT doc_id, list_distinct(hv) AS s FROM hs),
         j AS (SELECT c.id_a, c.id_b,
-                CASE WHEN CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) = 0.0
+                CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0.0
                      THEN 0.0
-                     ELSE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) END AS jaccard
+                     ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END AS jaccard
               FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b)
+              JOIN sv a ON a.doc_id = c.id_a
+              JOIN sv b ON b.doc_id = c.id_b)
         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
       }),
 
