@@ -145,6 +145,37 @@ object Relational {
   /** The reference's retry-queue merge: pending work unioned with fresh
     * work, deduped on the work-spec key (google_search_console.py:128-129).
     */
+  /** Scalable global running sum (two-phase prefix sum): a global
+    * `Window.orderBy(...)` funnels the whole stream through ONE task
+    * (Spark warns `No Partition Defined for Window operation`) — fatal at
+    * 100× scale. Instead:
+    *   1. window per `bucket` (a coarse, monotone prefix of the ordering,
+    *      e.g. year-month of the order date) → parallel local cumsums;
+    *   2. per-bucket totals → each bucket's offset = sum of all EARLIER
+    *      buckets' totals, via a triangular join over the (tiny, bounded)
+    *      bucket list — no unpartitioned window even here;
+    *   3. broadcast the offsets back and add.
+    *
+    * Requires: `bucket` is non-decreasing along `order` (rows of an
+    * earlier bucket all precede rows of a later one). Long-typed values
+    * sum associatively, so the result is bit-equal to the global window.
+    */
+  def prefixSum(df: DataFrame, bucket: Column, order: Seq[Column],
+                value: Column, out: String): DataFrame = {
+    val withB = df.withColumn("__bucket", bucket)
+    val local = Window.partitionBy("__bucket").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = withB.withColumn("__local", sum(value).over(local))
+    val totals = withB.groupBy(col("__bucket")).agg(sum(value).as("__btot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(sum(col("b.__btot")).as("__off"))
+    withLocal.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn(out, col("__local") + coalesce(col("__off"), lit(0L)))
+      .drop("__bucket", "__local", "__off")
+  }
+
   def mergeWorkLists(fresh: DataFrame, pending: DataFrame,
                      keys: Seq[String]): DataFrame =
     fresh.unionByName(pending, allowMissingColumns = true)

@@ -1107,10 +1107,14 @@ object Catalog {
         val daily = T.orders(s, dir)
           .groupBy(to_date(col("o_orderdate")).as("order_date"))
           .agg(count(lit(1)).as("n"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy("order_date")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        daily.select(col("order_date"), col("n"),
-          sum(col("n")).over(w).as("cumulative_orders"))
+        // two-phase prefix sum bucketed by year-month: parallel local
+        // windows + broadcast offsets; a global Window.orderBy would pull
+        // every row through one task (long sums are associative, so this
+        // is bit-equal to the single-partition form the oracle computes)
+        Relational.prefixSum(daily,
+            year(col("order_date")) * 100 + month(col("order_date")),
+            Seq(col("order_date")), col("n"), "cumulative_orders")
+          .select(col("order_date"), col("n"), col("cumulative_orders"))
       },
       Some("""
         SELECT order_date, n,

@@ -93,6 +93,25 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("prefixSum equals a global running sum, across bucket boundaries") {
+    // 30 rows over 3 buckets; compare against the straightforward
+    // driver-side prefix sum
+    val rows = (1 to 30).map(i => (i / 10, i.toLong, (i * 7 % 13).toLong))
+    val df = rows.toDF("bucket", "pos", "v")
+    val out = Relational.prefixSum(df, col("bucket"), Seq(col("pos")),
+        col("v"), "cum")
+      .orderBy("pos").select("pos", "cum").as[(Long, Long)].collect().toSeq
+    val expected = rows.sortBy(_._2)
+      .scanLeft(0L)((acc, r) => acc + r._3).tail
+      .zip(rows.sortBy(_._2)).map { case (c, r) => (r._2, c) }
+    assert(out === expected)
+    // single bucket degenerates to a plain windowed cumsum
+    val one = Relational.prefixSum(df.withColumn("b1", lit(0)), col("b1"),
+        Seq(col("pos")), col("v"), "cum")
+      .orderBy("pos").select("pos", "cum").as[(Long, Long)].collect().toSeq
+    assert(one === expected)
+  }
+
   test("mergeWorkLists dedups on the work key") {
     val fresh = Seq((1, "x"), (2, "y")).toDF("id", "spec")
     val pending = Seq((2, "y"), (3, "z")).toDF("id", "spec")
