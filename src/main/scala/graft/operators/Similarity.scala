@@ -129,6 +129,36 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
   }
 
+  /** All-pairs exact cosine within label blocks — near-dup detection when
+    * a trustworthy blocking key (language, domain, source shard) exists.
+    *
+    * Cost is Σ n_label² pairs, so every block is CAPPED at `maxBlock`
+    * members — first `maxBlock` by ascending id, deterministic, mirroring
+    * `maxBucket` in the LSH/SimHash pair generators. Without the cap one
+    * hot label (half the corpus speaking English) silently turns this
+    * into a cross join at 100×. Labels that overflow the cap should go
+    * through [[lshTopK]] within the label instead. */
+  def labelBlockedNearDup(df: DataFrame, labelCol: String, idCol: String,
+                          vecCol: String, threshold: Double,
+                          maxBlock: Int = 1000): DataFrame = {
+    val w = Window.partitionBy("label").orderBy(col("id"))
+    val capped = df.select(col(labelCol).as("label"), col(idCol).as("id"),
+        col(vecCol).as("v"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBlock)
+      .drop("__rn")
+    // norms once per vector, not once per pair — bit-equal results
+    val a = capped.select(col("label"), col("id").as("id_a"),
+      col("v").as("va"), norm(col("v")).as("na"))
+    val b = capped.select(col("label"), col("id").as("id_b"),
+      col("v").as("vb"), norm(col("v")).as("nb"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        cosineFromParts(dot(col("va"), col("vb")),
+          col("na"), col("nb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** K-means-lite centroid training: sample to driver, run a few Lloyd
     * iterations. Centroid count and sample are tiny relative to corpus;
     * this is the standard IVF build step (train on sample, assign at

@@ -629,26 +629,16 @@ object Catalog {
 
     // ===== Similarity: label-blocked embedding near-dup pairs =====
     QueryDef("q24_embedding_neardup",
-      (s, dir) => {
-        import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
-        val e = T.embeddings(s, dir)
-        // norms once per vector, not once per pair — bit-equal results
-        val a = e.select(col("label"), col("vec_id").as("id_a"),
-          col("embedding").as("va"), norm(col("embedding")).as("na"))
-        val b = e.select(col("label"), col("vec_id").as("id_b"),
-          col("embedding").as("vb"), norm(col("embedding")).as("nb"))
-        a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-          .select(col("label"), col("id_a"), col("id_b"),
-            cosineFromParts(dot(col("va"), col("vb")),
-              col("na"), col("nb")).as("sim"))
-          .filter(col("sim") >= 0.35)
-      },
+      (s, dir) => Similarity.labelBlockedNearDup(T.embeddings(s, dir),
+        "label", "vec_id", "embedding", threshold = 0.35, maxBlock = 1000),
       Some {
         val d = duckDot("va", "vb")
         val na = s"sqrt(${duckDot("va", "va")})"
         val nb = s"sqrt(${duckDot("vb", "vb")})"
         s"""
-        WITH e AS (SELECT label, vec_id, embedding FROM embeddings)
+        WITH e AS (SELECT label, vec_id, embedding FROM embeddings
+                   QUALIFY row_number() OVER (PARTITION BY label
+                                              ORDER BY vec_id) <= 1000)
         SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
                CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
                     ELSE $d / ($na * $nb) END AS sim

@@ -37,6 +37,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(2L), "the 0.99-cosine neighbor must be recalled")
   }
 
+  test("labelBlockedNearDup caps hot labels (bounded pair count)") {
+    // one hot label with 20 identical vectors: uncapped all-pairs would
+    // emit 190 pairs; cap 5 bounds it to C(5,2) = 10 from the 5 lowest ids
+    val hot = (1L to 20L).map(i => ("en", i, Array(1.0f, 0.0f)))
+    val cold = Seq(("de", 100L, Array(0.0f, 1.0f)), ("de", 101L, Array(0.0f, 1.0f)))
+    val df = (hot ++ cold).toDF("label", "vec_id", "embedding")
+    val out = Similarity.labelBlockedNearDup(df, "label", "vec_id",
+        "embedding", threshold = 0.9, maxBlock = 5)
+      .select("label", "id_a", "id_b").as[(String, Long, Long)].collect()
+    assert(out.count(_._1 == "en") === 10, "hot block capped at C(5,2)")
+    assert(out.filter(_._1 == "en").forall(p => p._2 <= 5 && p._3 <= 5),
+      "cap keeps the first maxBlock members by id — deterministic")
+    assert(out.count(_._1 == "de") === 1, "small blocks unaffected")
+  }
+
   test("ivfTopK with trained centroids matches brute force on probes") {
     val cents = Similarity.centroidsDF(spark,
       Similarity.trainCentroids(corpus, "embedding", kCells = 3, sampleN = 10))
