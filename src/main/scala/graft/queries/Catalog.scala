@@ -1128,6 +1128,96 @@ object Catalog {
                CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         FROM orders GROUP BY o_orderpriority""")),
 
+    // ===== C5: responseheader check family over synthesized headers =====
+    QueryDef("q53_responseheader_checks",
+      (s, dir) => {
+        val staged = T.documents(s, dir).select(
+          col("source").as("urlset"),
+          concat(lit("https://example.com/"), col("doc_id")).as("url"),
+          lit("2024-01-01").as("date"),
+          when(pmod(col("doc_id"), lit(5)) === 0, 404).otherwise(200)
+            .as("status_code"),
+          map(
+            lit("Content-Encoding"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("gzip")).otherwise(lit("br")),
+            lit("Cache-Control"),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("No-Cache"))
+              .otherwise(lit("max-age=3600"))).as("headers"))
+        graft.plans.CheckCatalog.responseHeaders(staged, Map(
+          "status_code" -> "200",
+          "content_encoding" -> "gzip",
+          "cache_control" -> "no-cache",
+          "expires" -> "-1")) // never present → exercises the missing branch
+      },
+      Some("""
+        WITH s AS (SELECT source AS urlset,
+            'https://example.com/' || doc_id AS url,
+            '2024-01-01' AS created,
+            CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status_code,
+            CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'br' END AS enc,
+            CASE WHEN doc_id % 3 = 0 THEN 'No-Cache' ELSE 'max-age=3600' END AS cc
+          FROM documents)
+        SELECT urlset, 'responseheader-status_code' AS "check", '' AS value,
+               status_code = 200 AS valid, '' AS diff, '' AS error,
+               url, created FROM s
+        UNION ALL SELECT urlset, 'responseheader-content_encoding', '',
+               lower(enc) = 'gzip', '', '', url, created FROM s
+        UNION ALL SELECT urlset, 'responseheader-cache_control', '',
+               lower(cc) = 'no-cache', '', '', url, created FROM s
+        UNION ALL SELECT urlset, 'responseheader-expires', '',
+               FALSE, '', '', url, created FROM s""")),
+
+    // ===== C7: pagespeed threshold family over synthesized Lighthouse
+    // JSON (score mode >= on desktop, display mode <= on mobile) =====
+    QueryDef("q54_pagespeed_checks",
+      (s, dir) => {
+        val scoreTxt = concat(lit("0."),
+          lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+        val nvTxt = pmod(col("doc_id"), lit(5000)).cast("string")
+        val audits = concat(
+          lit(""","audits":{"first-contentful-paint":{"score":"""), scoreTxt,
+          lit(""","numericValue":"""), nvTxt, lit("}}"))
+        val body = concat(
+          lit("""{"lighthouseResult":{"categories":{"performance":{"score":"""),
+          scoreTxt, lit("}}"),
+          when(pmod(col("doc_id"), lit(10)) =!= 0, audits).otherwise(lit("")),
+          lit("}}"))
+        val staged = T.documents(s, dir).select(
+          col("source").as("urlset"),
+          concat(lit("https://example.com/"), col("doc_id")).as("url"),
+          lit("2024-01-01").as("date"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "desktop").otherwise("mobile")
+            .as("strategy"),
+          body.as("body"))
+        graft.plans.CheckCatalog.pagespeedThreshold(staged,
+            "performance_score_", "performance", "desktop", 0.5)
+          .unionByName(graft.plans.CheckCatalog.pagespeedThreshold(staged,
+            "fcp_display_", "first-contentful-paint", "mobile", 3000.0,
+            displayMode = true))
+      },
+      Some("""
+        WITH s AS (SELECT source AS urlset,
+            'https://example.com/' || doc_id AS url,
+            '2024-01-01' AS created,
+            doc_id % 2 = 0 AS is_desktop,
+            CAST('0.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS score,
+            CASE WHEN doc_id % 10 = 0 THEN NULL
+                 ELSE CAST(doc_id % 5000 AS DOUBLE) END AS nv
+          FROM documents)
+        SELECT urlset, 'pagespeed-performance_score_desktop' AS "check",
+               coalesce(CAST(score AS VARCHAR), '') AS value,
+               coalesce(score >= 0.5, FALSE) AS valid, '' AS diff,
+               CASE WHEN score IS NULL THEN 'audit missing' ELSE '' END AS error,
+               url, created
+        FROM s WHERE is_desktop
+        UNION ALL
+        SELECT urlset, 'pagespeed-fcp_display_mobile',
+               coalesce(CAST(nv AS VARCHAR), ''),
+               coalesce(nv <= 3000.0, FALSE), '',
+               CASE WHEN nv IS NULL THEN 'audit missing' ELSE '' END,
+               url, created
+        FROM s WHERE NOT is_desktop""")),
+
     // ===== training pipeline: reproducible dataset split =====
     QueryDef("q48_dataset_split",
       (s, dir) => graft.operators.Sampling.deterministicSplit(
