@@ -20,13 +20,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write forces full evaluation of every projection — count()
-      // would let Catalyst skip computing the expressions under test
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two reps: the first rep absorbs codegen compilation and
+      // page-cache warmup, so drift between rounds is attributable to
+      // plan changes rather than JIT/IO noise
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop write forces full evaluation of every projection — count()
+        // would let Catalyst skip computing the expressions under test
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,4 +41,45 @@ object DateFunctions {
     * "Monday" — case-insensitive like the reference's comparison). */
   def onWeekday(d: Column, weekday: String): Column =
     lower(weekdayName(d)) === weekday.toLowerCase
+
+  // -------------------------------------------------------------- timezones
+  //
+  // The reference's timezone machinery (utilities/datetime.py:5-19 plus
+  // the Europe/Berlin normalization in sistrix_domain.py:71-74 and
+  // sistrix_optimizer.py:139). Sessions here pin UTC (oracle parity), so
+  // zone conversion is always EXPLICIT — never via the session timezone,
+  // which would silently differ between driver and executors on a real
+  // cluster.
+
+  /** Resolve the reference's timezone specials: `utc` → UTC, `local` →
+    * the configured deployment zone (the reference reads the host zone;
+    * on a cluster that must be an explicit config, not the executor OS),
+    * anything else → the named IANA zone, case preserved. */
+  def resolveZone(spec: String, localZone: String = "UTC"): String =
+    if (spec.equalsIgnoreCase("utc")) "UTC"
+    else if (spec.equalsIgnoreCase("local")) localZone
+    else spec
+
+  /** Wall-clock timestamp in `zone` for a UTC instant (DST-aware). */
+  def toZone(tsUtc: Column, zone: String): Column =
+    from_utc_timestamp(tsUtc, zone)
+
+  /** UTC instant for a wall-clock timestamp read in `zone` (DST-aware;
+    * the spring-forward gap maps like java.time: shifted by the offset
+    * in force after the transition). */
+  def fromZone(tsLocal: Column, zone: String): Column =
+    to_utc_timestamp(tsLocal, zone)
+
+  /** The Sistrix date normalization: the API reports Europe/Berlin
+    * wall-clock time, so the date KEY is the Berlin calendar date of the
+    * instant — one day off from the UTC date for late-evening rows. */
+  def localDate(tsUtc: Column, zone: String = "Europe/Berlin"): Column =
+    to_date(from_utc_timestamp(tsUtc, zone))
+
+  /** Driver-side "today" in the configured zone — the reference runs its
+    * weekday gates and request-date keys on Europe/Berlin wall-clock, not
+    * UTC (sistrix_domain.py:71-74); pass this as
+    * `SistrixDomainSource.importDaily(..., today = todayIn(zone))`. */
+  def todayIn(zone: String): java.time.LocalDate =
+    java.time.LocalDate.now(java.time.ZoneId.of(resolveZone(zone)))
 }

@@ -53,4 +53,46 @@ class DateFunctionsSpec extends SparkSpec {
         date_sub(current_date(), 3).as("b")).collect().head
     assert(row.getDate(0) === row.getDate(1))
   }
+
+  // ---------------------------------------------------------- timezones
+
+  private def ts(s: String): org.apache.spark.sql.DataFrame =
+    Seq(s).toDF("t").select(to_timestamp(col("t")).as("t"))
+
+  test("resolveZone handles the reference's utc/local specials") {
+    assert(DateFunctions.resolveZone("utc") === "UTC")
+    assert(DateFunctions.resolveZone("UTC") === "UTC")
+    assert(DateFunctions.resolveZone("local", "Europe/Berlin") === "Europe/Berlin")
+    assert(DateFunctions.resolveZone("Europe/Berlin") === "Europe/Berlin")
+  }
+
+  test("toZone across the March DST boundary (CET +1 → CEST +2)") {
+    // Berlin springs forward 2024-03-31 02:00 CET → 03:00 CEST
+    assert(str(ts("2024-03-31 00:59:00"),
+      DateFunctions.toZone(col("t"), "Europe/Berlin")) === "2024-03-31 01:59:00")
+    assert(str(ts("2024-03-31 01:00:00"),
+      DateFunctions.toZone(col("t"), "Europe/Berlin")) === "2024-03-31 03:00:00")
+  }
+
+  test("toZone across the October DST boundary (CEST +2 → CET +1)") {
+    // Berlin falls back 2024-10-27 03:00 CEST → 02:00 CET
+    assert(str(ts("2024-10-27 00:59:00"),
+      DateFunctions.toZone(col("t"), "Europe/Berlin")) === "2024-10-27 02:59:00")
+    assert(str(ts("2024-10-27 01:00:00"),
+      DateFunctions.toZone(col("t"), "Europe/Berlin")) === "2024-10-27 02:00:00")
+  }
+
+  test("fromZone inverts toZone in both DST regimes") {
+    assert(str(ts("2024-07-01 12:00:00"),
+      DateFunctions.fromZone(col("t"), "Europe/Berlin")) === "2024-07-01 10:00:00")
+    assert(str(ts("2024-01-01 12:00:00"),
+      DateFunctions.fromZone(col("t"), "Europe/Berlin")) === "2024-01-01 11:00:00")
+  }
+
+  test("localDate rolls late-evening UTC rows to the Berlin next day") {
+    assert(str(ts("2024-03-30 23:30:00"),
+      DateFunctions.localDate(col("t"))) === "2024-03-31")
+    assert(str(ts("2024-03-30 12:00:00"),
+      DateFunctions.localDate(col("t"))) === "2024-03-30")
+  }
 }
