@@ -116,4 +116,103 @@ class AlertingSpec extends SparkSpec {
     assert(q.peek("alerts", Alerting.alertSchema).count() === 2,
       "failure re-enqueues the batch")
   }
+
+  // ------------------------------------------------------- notifications
+
+  import Notifications._
+
+  private def alert(msg: String, payload: String = "{}") =
+    Notifications.Alert(java.sql.Timestamp.valueOf("2024-05-01 08:30:00"),
+      msg, payload)
+
+  test("email text render: header, one line per alert, cap at 10 + ...") {
+    val body = renderText("Alerts", "please check",
+      (1 to 12).map(i => alert(s"m$i")))
+    assert(body.startsWith("Alerts\n\nplease check\n\n"))
+    assert(body.contains("2024-05-01 08:30:00 - m1"))
+    assert(body.contains("m10") && !body.contains("m11"),
+      "only the first 10 alerts render")
+    assert(body.contains("\n..."), "overflow marked with ellipsis")
+    val short = renderText("t", "i", Seq(alert("only")))
+    assert(!short.contains("..."))
+  }
+
+  test("html render escapes markup") {
+    val html = renderHtml("T", "i", Seq(alert("<b>&boom</b>")))
+    assert(html.contains("&lt;b&gt;&amp;boom&lt;/b&gt;"))
+  }
+
+  test("log attachment: iso stamp, payload appended only when present") {
+    val log = renderLogAttachment(Seq(
+      alert("plain"), alert("with data", """{"k": 1}""")))
+    val lines = log.split(System.lineSeparator()).toSeq
+    assert(lines(0) === "[2024-05-01T08:30:00] plain")
+    assert(lines(1) === """[2024-05-01T08:30:00] with data | {"k": 1}""")
+  }
+
+  test("email notifier renders text+log through the transport") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[EmailMessage]
+    val transport = new EmailTransport {
+      override def send(m: EmailMessage): Unit = sent += m
+    }
+    val n = new EmailNotifier(transport, "graft@example.com",
+      Seq("ops@example.com"), "subject", "Alerts", "check these",
+      withText = true, withHtml = true)
+    n.send("mail", Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"),
+      "m1", """{"a": 2}""")))
+    assert(sent.size === 1)
+    assert(sent.head.text.get.contains("m1"))
+    assert(sent.head.html.get.contains("m1"))
+    assert(sent.head.attachments("alerts.log").contains("| {\"a\": 2}"))
+    intercept[IllegalArgumentException] {
+      new EmailNotifier(transport, "f", Seq("t"), "s", "t", "i",
+        withText = false, withHtml = false)
+    }
+    intercept[IllegalArgumentException] { SmtpConfig("h", 25, "u", "p", Some("tls")) }
+    SmtpConfig("h", 465, "u", "p", Some("ssl")) // valid modes construct
+    SmtpConfig("h", 587, "u", "p", Some("starttls"))
+  }
+
+  test("wrike notifier: one task per alert vs one summarized task") {
+    val tasks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val client = new WrikeClient {
+      override def createTask(folderId: String, title: String,
+                              description: String,
+                              responsibles: Seq[String]): Unit =
+        tasks += (title -> description)
+    }
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), "line1\nline2", """{"x": 1}"""),
+      (java.sql.Timestamp.valueOf("2024-05-01 08:31:00"), "second", "{}"))
+    new WrikeNotifier(client, "folder1", "Alert").send("wrike", batch)
+    assert(tasks.size === 2, "per-alert mode: one task each")
+    assert(tasks.head._2.contains("line1<br/>line2<br/><br/>"))
+    assert(tasks.head._2.contains("""{"x": 1}"""))
+
+    tasks.clear()
+    new WrikeNotifier(client, "folder1", "Alert", summarise = true)
+      .send("wrike", batch)
+    assert(tasks.size === 1, "summarized mode: one task for the batch")
+    assert(tasks.head._2.contains("line1") && tasks.head._2.contains("second"))
+
+    tasks.clear()
+    new WrikeNotifier(client, "folder1", "Alert", addAlertData = false)
+      .send("wrike", batch.take(1))
+    assert(!tasks.head._2.contains("""{"x": 1}"""), "addAlertData=false")
+  }
+
+  test("failing email transport re-enqueues via the dispatch path") {
+    val root = Files.createTempDirectory("graft_alert_mail").toString
+    val q = new QueueStore(spark, root)
+    q.enqueue("alerts", Seq((now, "mail", "m1", "{}"))
+      .toDF("created", "group", "message", "payload"))
+    val broken = new EmailTransport {
+      override def send(m: EmailMessage): Unit =
+        throw new RuntimeException("smtp down")
+    }
+    val n = new EmailNotifier(broken, "f@x", Seq("t@x"), "s", "T", "i")
+    Alerting.dispatch(spark, q, "alerts", Seq("mail"), n)
+    assert(q.peek("alerts", Alerting.alertSchema).count() === 1,
+      "transport failure keeps the alert queued")
+  }
 }
