@@ -57,3 +57,26 @@ final class FailingFetcher(message: String = "connection refused") extends Fetch
   override def fetch(url: String, userAgent: String): FetchResult =
     FetchResult(url, 0, Map.empty, s"Error: $message", error = message)
 }
+
+/** Headless-browser boundary for html_parser's `render` option
+  * (html_parser.py:120-132): given a URL whose RAW fetch succeeded with
+  * text/html, return the DOM-rendered page source. The reference's
+  * failure mode is an error STRING body (never an exception), so
+  * implementations follow suit. A production impl drives a remote
+  * WebDriver; none ships here (no egress). */
+trait Renderer extends Serializable {
+  def render(url: String): String
+}
+
+object Renderer {
+  /** The reference's body when rendering is requested but no renderer is
+    * available (html_parser.py:129). */
+  val NotConfigured = "Error: chromedriver not configured properly"
+}
+
+/** Canned rendered DOM per URL; unknown URLs reproduce the reference's
+  * not-configured error body. */
+final class FixtureRenderer(pages: Map[String, String]) extends Renderer {
+  override def render(url: String): String =
+    pages.getOrElse(url, Renderer.NotConfigured)
+}

@@ -50,7 +50,8 @@ object HtmlParserSource {
   def stage(spark: SparkSession, urls: Seq[ConfigUrl], fetcher: Fetcher,
             userAgent: String = DefaultUserAgent,
             maxConcurrency: Int = 8,
-            now: () => Timestamp = () => new Timestamp(System.currentTimeMillis())): DataFrame = {
+            now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+            renderer: Option[Renderer] = None): DataFrame = {
     import spark.implicits._
     val slots = math.max(1, math.min(urls.size, maxConcurrency))
     val ds: Dataset[ConfigUrl] = spark.createDataset(urls).repartition(slots)
@@ -62,7 +63,15 @@ object HtmlParserSource {
         }.getOrElse("")
         val body =
           if (r.error.nonEmpty) s"Error: ${r.error}"
-          else if (contentType.startsWith("text/html")) r.body
+          else if (contentType.startsWith("text/html")) {
+            // render option (html_parser.py:91-94): status/headers/ttfb
+            // come from the RAW request; only the body is replaced by the
+            // headless-browser DOM. Requesting render without a renderer
+            // reproduces the reference's error-body failure mode.
+            if (cu.render)
+              renderer.map(_.render(cu.url)).getOrElse(Renderer.NotConfigured)
+            else r.body
+          }
           else "Can't use content-type \"" + contentType + "\" for parsing"
         HtmlDoc(cu.urlset, parseUrl(cu.url),
           status_code = if (r.error.nonEmpty) 0 else r.status_code,

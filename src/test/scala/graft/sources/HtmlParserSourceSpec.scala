@@ -44,6 +44,32 @@ class HtmlParserSourceSpec extends SparkSpec {
       "Can't use content-type \"application/pdf\" for parsing")
   }
 
+  test("render option: rendered body from the renderer, raw otherwise") {
+    val fetcher = FixtureFetcher.html(Map(
+      "https://ex.com/spa" -> "<html><div id=app></div></html>",
+      "https://ex.com/static" -> "<html>static</html>"))
+    val renderer = new FixtureRenderer(Map(
+      "https://ex.com/spa" -> "<html><div id=app>hydrated</div></html>"))
+    val rows = HtmlParserSource.stage(spark, Seq(
+        ConfigUrl("s", "https://ex.com/spa", render = true),
+        ConfigUrl("s", "https://ex.com/static")),
+      fetcher, now = now, renderer = Some(renderer))
+      .select(col("url.path"), col("body"), col("rendered"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(rows("/spa") === ("<html><div id=app>hydrated</div></html>", true),
+      "render=true takes the DOM from the renderer")
+    assert(rows("/static") === ("<html>static</html>", false),
+      "render=false keeps the raw fetch body")
+    // requesting render without a renderer → the reference's error body
+    val noR = HtmlParserSource.stage(spark,
+        Seq(ConfigUrl("s", "https://ex.com/spa", render = true)),
+        fetcher, now = now).head()
+    assert(noR.getAs[String]("body") === Renderer.NotConfigured)
+    assert(noR.getAs[Int]("status_code") === 200,
+      "status still comes from the raw request")
+  }
+
   test("url parses into the struct shape") {
     val u = HtmlParserSource.parseUrl("https://Sub.Example.com/a/b?x=1&y=2")
     assert(u === graft.core.Url("https", "Sub.Example.com", "/a/b", "x=1&y=2"))
