@@ -27,6 +27,34 @@ trait SearchAnalyticsApi extends Serializable {
             rowLimit: Int): Seq[GscRow]
 }
 
+/** GSC naming-convention schema typer (google_search_console.py:497-514):
+  * for ARBITRARY dimension/metric sets — including the `<metric>Previous`
+  * columns the previous-period join appends — the column NAME alone
+  * decides the type: `date` → DATE; prefix impressions|clicks|ctr|
+  * position → FLOAT64 (Double); anything else STRING; columns containing
+  * `Previous` are NULLABLE (the joined period may be absent). */
+object GscSchema {
+  import org.apache.spark.sql.types._
+
+  def fieldFor(column: String): StructField = {
+    val dt: DataType =
+      if (column == "date") DateType
+      else if (Seq("impressions", "clicks", "ctr", "position")
+        .exists(column.startsWith)) DoubleType
+      else StringType
+    StructField(column, dt, nullable = column.contains("Previous"))
+  }
+
+  def schemaFor(columns: Seq[String]): StructType =
+    StructType(columns.map(fieldFor))
+
+  /** Cast an untyped (stringly) frame to the convention types, e.g. after
+    * a CSV/JSON landing of raw API pages. */
+  def applyTo(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      col(c).cast(fieldFor(c).dataType).as(c)).toIndexedSeq: _*)
+}
+
 final case class GscConfig(
     property: String,
     tableName: String = "search_console",

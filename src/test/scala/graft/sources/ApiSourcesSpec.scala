@@ -221,4 +221,23 @@ class ApiSourcesSpec extends SparkSpec {
     // log accumulated one row per attempt: 2 + 1 + 1
     assert(wh.read("pagespeed_log").count() === 4)
   }
+
+  test("GSC naming-convention typer: date/metric prefixes/Previous-nullable") {
+    import org.apache.spark.sql.types._
+    val sch = GscSchema.schemaFor(Seq(
+      "date", "query", "clicks", "ctrPrevious", "positionDesktop", "page"))
+    assert(sch("date").dataType === DateType)
+    assert(sch("query").dataType === StringType)
+    assert(sch("clicks").dataType === DoubleType)
+    assert(sch("ctrPrevious").dataType === DoubleType)
+    assert(sch("ctrPrevious").nullable, "Previous columns are nullable")
+    assert(!sch("clicks").nullable)
+    assert(sch("positionDesktop").dataType === DoubleType,
+      "prefix match, like the reference's startswith")
+    val typed = GscSchema.applyTo(
+      Seq(("2024-05-01", "1.5", "kw")).toDF("date", "clicks", "query"))
+    assert(typed.schema("date").dataType === DateType)
+    assert(typed.schema("clicks").dataType === DoubleType)
+    assert(typed.head().getDouble(1) === 1.5)
+  }
 }
