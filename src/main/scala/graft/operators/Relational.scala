@@ -93,20 +93,22 @@ object Relational {
     */
   def duplicateValues(df: DataFrame, idCol: String, valueCol: String,
                       maxMembers: Int = 1000): DataFrame = {
-    val w = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
-    val capped = df
-      .select(col(valueCol), col(idCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxMembers)
-    val groups = capped.groupBy(col(valueCol))
-      .agg(array_sort(collect_list(col(idCol))).as("__members"))
-    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("dup_count"))
-    df.join(groups, Seq(valueCol)).join(counts, Seq(valueCol))
+    // ONE exchange on valueCol feeds all three window aggregates (the
+    // former groupBy + groupBy + double-join-back shape moved the table
+    // through three stages for the same answer); the member list still
+    // caps at maxMembers via the row_number guard inside collect_list
+    // (nulls are skipped), while dup_count reports the TRUE group size.
+    val wv = Window.partitionBy(col(valueCol))
+    val wOrd = wv.orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("dup_count", count(lit(1)).over(wv))
+      .withColumn("__members", array_sort(
+        collect_list(when(col("__rn") <= maxMembers, col(idCol))).over(wv)))
       .withColumn("is_duplicate", col("dup_count") > 1)
       .withColumn("diff",
         array_join(transform(array_remove(col("__members"), col(idCol)),
           m => m.cast("string")), ","))
-      .drop("__members")
+      .drop("__members", "__rn")
   }
 
   /** Duplicate-count variant safe for adversarial corpora: no lists. */

@@ -527,12 +527,12 @@ object Catalog {
         "doc_id", "text", maxDist = 3, seed = 7L)
         .withColumn("hamming", col("hamming").cast("long")),
       Some {
-        val coeffs = Dedup.universalCoeffs(32, 7L)
+        val coeffs = Dedup.universalCoeffs(48, 7L)
         val bits = coeffs.zipWithIndex.map { case ((a, b), i) =>
           s"(CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ($a * x + $b) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
         }.mkString("\n               + ")
         val chunkArms = (0 until 4).map { c =>
-          s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 8}) & 255 AS cval FROM sigs"
+          s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 12}) & 4095 AS cval FROM sigs"
         }.mkString("\n          UNION ALL ")
         s"""
         WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
