@@ -1218,6 +1218,20 @@ object Catalog {
                url, created
         FROM s WHERE NOT is_desktop""")),
 
+    // ===== skew mitigation: two-phase salted aggregation. The salt is
+    // deterministic and the per-(key, salt) partials merge to exactly the
+    // plain group-sum (quantities are integer-valued doubles, so the
+    // float sums are exact in any order — the oracle needs no salt) =====
+    QueryDef("q55_salted_sum",
+      (s, dir) => graft.operators.Skew.saltedSum(
+        T.lineitem(s, dir)
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity", salts = 16),
+      Some("""
+        SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // ===== training pipeline: reproducible dataset split =====
     QueryDef("q48_dataset_split",
       (s, dir) => graft.operators.Sampling.deterministicSplit(
