@@ -109,6 +109,46 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def exists(table: String): Boolean = new java.io.File(path(table)).exists()
 
+  /** Upsert (MERGE-shaped): rows matching the incoming batch on `keys`
+    * are replaced by the incoming version; new keys are appended.
+    *
+    * Plain parquet has no row-level transaction log (a lakehouse table
+    * format would express this as MERGE INTO), so this is a
+    * partition-scoped read-modify-write: only partitions present in the
+    * batch are read (anti-join out the matched keys, union the batch)
+    * and rewritten via DYNAMIC partition overwrite — untouched
+    * partitions are never read or written, keeping the cost
+    * proportional to the batch's partitions, not the table. The merged
+    * rows stage through a scratch path first because Spark (correctly)
+    * refuses to overwrite a path it is still reading. */
+  def merge(table: String, updates: DataFrame, keys: Seq[String],
+            partitionCol: String = "date"): Unit = {
+    if (!exists(table)) { append(table, updates, partitionCol); return }
+    val parts = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).toSeq
+    val affected = read(table).filter(col(partitionCol).isInCollection(parts))
+    val cols = affected.columns.map(col).toIndexedSeq
+    val merged = affected
+      .join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates.select(cols: _*))
+    val tmp = path(table) + "__merge_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(path(table))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val fs = new java.io.File(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(fs)
+  }
+
   /** Bucketed append: co-locates future joins/aggregations on
     * `bucketCols` — two tables bucketed the same way join with NO
     * exchange on either side (SortMergeJoin reads bucket-aligned files).

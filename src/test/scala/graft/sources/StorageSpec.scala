@@ -49,6 +49,32 @@ class StorageSpec extends SparkSpec {
       .as[Int].head() === 20)
   }
 
+  test("warehouse: merge replaces matched keys, appends new, keeps other partitions") {
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    wh.append("metrics", Seq(
+      ("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+      ("2024-01-02", 3L, 30.0)).toDF("date", "id", "v"))
+    // update id=1, insert id=4, both in the 01-01 partition; 01-02 untouched
+    wh.merge("metrics", Seq(
+      ("2024-01-01", 1L, 11.0), ("2024-01-01", 4L, 40.0)).toDF("date", "id", "v"),
+      keys = Seq("id"))
+    val out = wh.read("metrics").as[(Long, Double, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(
+      1L -> (11.0, "2024-01-01"), 2L -> (20.0, "2024-01-01"),
+      4L -> (40.0, "2024-01-01"), 3L -> (30.0, "2024-01-02")))
+    // merge into a missing table degrades to plain append
+    wh.merge("fresh", Seq(("2024-01-01", 9L, 9.0)).toDF("date", "id", "v"),
+      keys = Seq("id"))
+    assert(wh.read("fresh").count() === 1)
+    // replaying the same merge is a no-op on values (idempotent upsert)
+    wh.merge("metrics", Seq(
+      ("2024-01-01", 1L, 11.0), ("2024-01-01", 4L, 40.0)).toDF("date", "id", "v"),
+      keys = Seq("id"))
+    assert(wh.read("metrics").count() === 4)
+  }
+
   test("warehouse: truncate replaces") {
     val root = tmpRoot()
     val wh = new Warehouse(spark, root)
