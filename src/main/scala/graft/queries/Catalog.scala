@@ -1218,6 +1218,65 @@ object Catalog {
                url, created
         FROM s WHERE NOT is_desktop""")),
 
+    // ===== A4: range-filter aggregation (TPC-H Q6 shape) =====
+    QueryDef("q56_revenue_forecast",
+      (s, dir) => T.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double")
+          .as("revenue")),
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ===== A4/J4: conditional ratio over a join (TPC-H Q14 shape) =====
+    QueryDef("q57_promo_revenue",
+      (s, dir) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        T.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1995-09-01") &&
+            col("l_shipdate") < lit("1995-10-01"))
+          .join(T.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(rev).cast("double")).as("promo_revenue"))
+      },
+      Some("""
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'""")),
+
+    // ===== A4/W1: group-having + join back (TPC-H Q18 shape) =====
+    QueryDef("q58_big_orders",
+      (s, dir) => {
+        val big = T.lineitem(s, dir).groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        T.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("sum_qty"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+        FROM orders JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        ) ON o_orderkey = l_orderkey""")),
+
     // ===== skew mitigation: two-phase salted aggregation. The salt is
     // deterministic and the per-(key, salt) partials merge to exactly the
     // plain group-sum (quantities are integer-valued doubles, so the
