@@ -42,6 +42,22 @@ object Streaming {
       .select((Seq(col("window.start").as("day_start")) ++
         keyCols.map(col) ++ Seq(col("n"), col("total"))): _*)
 
+  /** Streaming gap-based sessionization — the always-on form of
+    * `Relational.sessionize` (batch q43/q44): `session_window` merges
+    * events within `gap` of each other per key into one growing window;
+    * the watermark bounds session state so abandoned sessions finalize
+    * and evict instead of accumulating forever. */
+  def sessionMetrics(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                     gap: String = "30 minutes",
+                     lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select((Seq(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end")) ++
+        keyCols.map(col) :+ col("n_events")): _*)
+
   /** Streaming exactly-once-per-key: dropDuplicates with watermark — the
     * always-on version of the idempotent-append anti-join (§2.4). */
   def dedupeStream(df: DataFrame, tsCol: String, keys: Seq[String],

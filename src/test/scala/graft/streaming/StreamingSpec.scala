@@ -34,6 +34,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionMetrics merges events within the gap, splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = Streaming.sessionMetrics(
+      in.toDF().toDF("ts", "user"), "ts", Seq("user"), gap = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "u1"),
+        (ts("2024-01-01 00:10:00"), "u1"),  // same session (10m < 30m)
+        (ts("2024-01-01 01:00:00"), "u1"),  // new session (50m gap)
+        (ts("2024-01-01 00:00:00"), "u2"))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("session_start").cast("string"), col("user"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 00:00:00", "u1", 2L),
+        ("2024-01-01 01:00:00", "u1", 1L),
+        ("2024-01-01 00:00:00", "u2", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupeStream drops replayed keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
