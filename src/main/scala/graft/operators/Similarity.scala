@@ -102,14 +102,36 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: DataFrame,
-              nProbes: Int): DataFrame = {
+              nProbes: Int): DataFrame =
+    ivfTopKAssigned(assignCells(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, centroids, nProbes)
+
+  /** Nearest-centroid cell per corpus vector — the IVF build step, as a
+    * standalone stage: at scale run this ONCE, write the result bucketed
+    * by `cell` (`Warehouse.appendBucketed(..., Seq("cell"), n)`), and
+    * serve queries against the bucketed table via [[ivfTopKAssigned]] —
+    * re-assigning the corpus per query batch would re-scan 100 TB.
+    *
+    * The argmin is `min_by` over the broadcast corpus×centroids product:
+    * partial aggregation collapses to one (id, cell) row per vector
+    * BEFORE the exchange, so the shuffle never carries the product. */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
     val cents = broadcast(centroids.select(col("cell"), col("cvec")))
-    // nearest cell per corpus vector: min_by over the broadcast product
-    val assigned = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
       .join(cents)
       .groupBy(col("nbr_id"))
       .agg(min_by(col("cell"), struct(l2Sq(col("cv"), col("cvec")), col("cell"))).as("cell"),
            first(col("cv")).as("cv"))
+  }
+
+  /** ANN over a PRE-ASSIGNED corpus — the (nbr_id, cell, cv) shape
+    * [[assignCells]] produces, typically read back from a cell-bucketed
+    * warehouse table. Queries probe only their `nProbes` nearest cells. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, centroids: DataFrame,
+                      nProbes: Int): DataFrame = {
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
     // nProbes nearest cells per query (query side is the small side)
     val qw = Window.partitionBy("query_id").orderBy(asc("__d"), asc("cell"))
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

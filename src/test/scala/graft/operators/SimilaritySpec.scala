@@ -52,6 +52,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count(_._1 == "de") === 1, "small blocks unaffected")
   }
 
+  test("ivfTopKAssigned over a cell-bucketed warehouse table matches inline IVF") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val wh = new graft.sources.Warehouse(spark, root)
+    val cents = Similarity.centroidsDF(spark, Seq(
+      0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0)))
+    val queries = corpus.filter(col("vec_id") === 1)
+    val inline = Similarity.ivfTopK(corpus, queries,
+      "vec_id", "embedding", 2, cents, nProbes = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // build once: assign cells, persist bucketed by cell, serve from it
+    wh.appendBucketed("ivf_corpus",
+      Similarity.assignCells(corpus, "vec_id", "embedding", cents),
+      Seq("cell"), 2)
+    val served = Similarity.ivfTopKAssigned(wh.readBucketed("ivf_corpus"),
+      queries, "vec_id", "embedding", 2, cents, nProbes = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === inline,
+      "bucketed-table serving returns the same neighbors as inline IVF")
+  }
+
   test("ivfTopK with trained centroids matches brute force on probes") {
     val cents = Similarity.centroidsDF(spark,
       Similarity.trainCentroids(corpus, "embedding", kCells = 3, sampleN = 10))
