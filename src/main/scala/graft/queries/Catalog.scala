@@ -150,11 +150,15 @@ object Catalog {
 
     // ===== A1: duplicate detection with member diff =====
     QueryDef("q05_duplicate_brands",
+      // member cap 100 exercised end-to-end: brand groups run to ~800
+      // members, so the uncapped diff string is quadratic output weight
+      // (group_size × rows); dup_count still reports the true size
       (s, dir) => Relational.duplicateValues(
-          T.part(s, dir).select("p_partkey", "p_brand"), "p_partkey", "p_brand")
+          T.part(s, dir).select("p_partkey", "p_brand"), "p_partkey", "p_brand",
+          maxMembers = 100)
         .select("p_partkey", "p_brand", "dup_count", "is_duplicate", "diff"),
       Some("""
-        WITH m AS (SELECT p_brand, list_sort(list(p_partkey)) AS mem,
+        WITH m AS (SELECT p_brand, list_sort(list(p_partkey))[:100] AS mem,
                           count(*) AS dup_count
                    FROM part GROUP BY p_brand)
         SELECT p.p_partkey, p.p_brand, m.dup_count,
