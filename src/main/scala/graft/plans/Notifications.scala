@@ -121,6 +121,58 @@ object Notifications {
     }
   }
 
+  // ------------------------------------------------------ config parsing
+
+  final case class ConfigurationMissing(what: String)
+    extends RuntimeException(s"Missing $what in alert configuration")
+
+  /** Build a Notifier from one dispatcher `configurations` entry — the
+    * reference dispatches per entry on `type` ∈ email | wrike
+    * (alerting_dispatcher.py:63-99, 181-273), raising on missing
+    * required keys. Transports are injected; this only parses. */
+  def fromConfig(cfg: Map[String, Any], transport: => EmailTransport,
+                 wrike: => WrikeClient): Notifier = {
+    def str(k: String): Option[String] = cfg.get(k).map(_.toString)
+    cfg.getOrElse("type", "email").toString match {
+      case "email" =>
+        val from = str("fromEmail").getOrElse(
+          throw ConfigurationMissing("from email"))
+        val to = cfg.get("toEmail") match {
+          case Some(s: String) => Seq(s)
+          case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+          case _ => throw ConfigurationMissing("to email")
+        }
+        val withText = cfg.contains("templateText")
+        val withHtml = cfg.contains("templateHtml")
+        if (!withText && !withHtml)
+          throw ConfigurationMissing("html or text email template")
+        new EmailNotifier(transport, from, to,
+          subject = str("subject").getOrElse("graft Alert"),
+          title = str("title").getOrElse("Alerts"),
+          infotext = str("infotext").getOrElse(""),
+          withText = withText, withHtml = withHtml)
+      case "wrike" =>
+        str("apiToken").getOrElse(
+          throw ConfigurationMissing("api token for wrike API"))
+        val folder = str("folderId").orElse(str("folderSharedId")).getOrElse(
+          throw ConfigurationMissing("folder api- or share id for task"))
+        val responsibles = cfg.get("responsible") match {
+          case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
+          case _ => Nil
+        }
+        new WrikeNotifier(wrike, folder,
+          taskTitle = str("taskTitle").getOrElse("graft Alert"),
+          responsibles = responsibles,
+          addAlertData = cfg.get("addAlertData")
+            .forall(_.toString.toBoolean),
+          summarise = cfg.get("summariseAlerts")
+            .exists(_.toString.toBoolean))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown alert configuration type '$other'")
+    }
+  }
+
   // -------------------------------------------------------------- wrike
 
   /** HTTP boundary for the Wrike API (create-task is the only call the

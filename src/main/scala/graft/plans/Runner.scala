@@ -19,6 +19,8 @@ import graft.sources._
 final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
                    fetcher: Fetcher,
                    notifier: Alerting.Notifier = new Alerting.RecordingNotifier,
+                   emailTransport: Option[Notifications.EmailTransport] = None,
+                   wrikeClient: Option[Notifications.WrikeClient] = None,
                    gscApi: Option[SearchAnalyticsApi] = None,
                    gaApi: Option[GaReportingApi] = None,
                    sistrixApi: Option[SistrixApi] = None,
@@ -162,13 +164,34 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
         out.logs.withColumn("date", to_date(col("date"))))
   }
 
-  /** S11: drain + dispatch via the injected notifier. */
+  /** S11: drain + dispatch. With a `configurations` list each entry
+    * builds its own notifier (type email | wrike) and drains its own
+    * groups — the reference's per-configuration dispatch
+    * (alerting_dispatcher.py:55-99); otherwise the injected notifier
+    * handles the module-level groups. */
   private def runAlertingDispatcher(mc: ModuleConfig): Unit = {
-    val groups = mc.settings.get("groups") match {
+    def groupsOf(m: Map[String, Any]): Seq[String] = m.get("groups") match {
       case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
       case _ => Seq("default")
     }
-    Alerting.dispatch(spark, queues, AlertQueue, groups, notifier)
+    mc.settings.get("configurations") match {
+      case Some(cfgs: Seq[Any @unchecked]) =>
+        cfgs.foreach {
+          case m: Map[String @unchecked, Any @unchecked] =>
+            val n = Notifications.fromConfig(m,
+              emailTransport.getOrElse(
+                throw Notifications.ConfigurationMissing("email transport")),
+              wrikeClient.getOrElse(
+                throw Notifications.ConfigurationMissing("wrike client")))
+            Alerting.dispatch(spark, queues, AlertQueue, groupsOf(m), n)
+          case other =>
+            throw new IllegalArgumentException(
+              s"alerting_dispatcher configuration entry must be a map, got $other")
+        }
+      case _ =>
+        Alerting.dispatch(spark, queues, AlertQueue,
+          groupsOf(mc.settings), notifier)
+    }
   }
 
   /** S4: Lighthouse pulls for configured cluster×strategy fan-out. */

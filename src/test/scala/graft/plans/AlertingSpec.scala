@@ -201,6 +201,46 @@ class AlertingSpec extends SparkSpec {
     assert(!tasks.head._2.contains("""{"x": 1}"""), "addAlertData=false")
   }
 
+  test("fromConfig builds email/wrike notifiers, rejects missing keys") {
+    val sent = scala.collection.mutable.ArrayBuffer.empty[EmailMessage]
+    val transport = new EmailTransport {
+      override def send(m: EmailMessage): Unit = sent += m
+    }
+    val tasks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val client = new WrikeClient {
+      override def createTask(folderId: String, title: String,
+                              description: String,
+                              responsibles: Seq[String]): Unit =
+        tasks += s"$folderId/$title"
+    }
+    val batch = Seq((now, "m1", "{}"))
+
+    val email = fromConfig(Map(
+      "type" -> "email", "fromEmail" -> "f@x", "toEmail" -> Seq("a@x", "b@x"),
+      "templateText" -> "email_alert.txt", "subject" -> "s"), transport, client)
+    email.send("mail", batch)
+    assert(sent.head.toEmail === Seq("a@x", "b@x"))
+    assert(sent.head.text.nonEmpty && sent.head.html.isEmpty)
+
+    val wrike = fromConfig(Map(
+      "type" -> "wrike", "apiToken" -> "t", "folderSharedId" -> "share1",
+      "taskTitle" -> "T", "summariseAlerts" -> true), transport, client)
+    wrike.send("wrike", batch)
+    assert(tasks === Seq("share1/T"))
+
+    intercept[ConfigurationMissing] {
+      fromConfig(Map("type" -> "email", "toEmail" -> "t@x",
+        "templateText" -> "x"), transport, client)
+    }
+    intercept[ConfigurationMissing] {
+      fromConfig(Map("type" -> "email", "fromEmail" -> "f@x",
+        "toEmail" -> "t@x"), transport, client)  // no template at all
+    }
+    intercept[ConfigurationMissing] {
+      fromConfig(Map("type" -> "wrike", "apiToken" -> "t"), transport, client)
+    }
+  }
+
   test("failing email transport re-enqueues via the dispatch path") {
     val root = Files.createTempDirectory("graft_alert_mail").toString
     val q = new QueueStore(spark, root)
