@@ -75,7 +75,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxDocFreq: Long = 10000L): DataFrame = {
+                        maxDocFreq: Long = 1000L): DataFrame = {
     // tokens bound to a column FIRST: shingling reads a row slot per
     // lambda reference instead of re-tokenizing per element (the inline
     // form is O(tokens²) per row — measured 10× on the r2 bench)
@@ -101,15 +101,20 @@ object Dedup {
     val sizes = bounded.groupBy("id").agg(count(lit(1)).as("sz"))
     val groups = bounded.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-    // all (i < j) pairs within the sorted id list
-    val pairExpr = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
+    // all (i < j) pairs within the sorted id list — native kernel
+    // (the composed slice form copies O(n) per element; see IdPairs)
+    val pairExpr = idPairs(col("ids"))
     val pairs = groups
       .select(explode(pairExpr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
+    // SMJ hint: `pairs` descends from an explode, so its size estimate is
+    // garbage — left alone the planner may pick IT as the broadcast side
+    // of the sizes join and OOM the driver (observed at 50k docs with a
+    // hot-shingle pair explosion). Sort-merge is correct at every scale:
+    // sizes is per-doc (too big to broadcast at 10⁹ docs) and both sides
+    // shuffle on the same id key.
+    pairs.hint("merge")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
       .withColumn("jaccard",
@@ -262,10 +267,7 @@ object Dedup {
     val groups = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val pairExpr = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    val candidates = groups.select(explode(pairExpr).as("p"))
+    val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // Verify over the HASHED shingle sets (arrays of longs), not the
@@ -343,21 +345,45 @@ object Dedup {
     val groups = chunked.groupBy("chunk", "cval")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-    // hamming filter INSIDE the pair expression: far-apart pairs never
-    // leave the bucket array, so the explode + dedup downstream see only
-    // true near-dups instead of every in-bucket combination
-    val pairExpr = filter(
-      flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
-              .as("hamming"))))),
-      p => p.getField("hamming") <= maxDist)
+    // native one-pass pair kernel: the composed transform/slice/filter
+    // form copies an O(n) struct array per element — O(n²) allocations
+    // per bucket, which melts down on near-identical-signature buckets;
+    // the kernel allocates only for matches (hammingPairsComposed is the
+    // executable spec it is parity-tested against)
+    val pairExpr = graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.HammingPairs(
+        graft.functions.expressions.ColumnBridge.expression(col("ms")),
+        maxDist))
     groups.select(explode(pairExpr).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Native (i < j) id-combination kernel as a Column. */
+  def idPairs(ids: Column): Column =
+    graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.IdPairs(
+        graft.functions.expressions.ColumnBridge.expression(ids)))
+
+  /** Composed form — the executable specification of
+    * [[graft.functions.expressions.IdPairs]]. */
+  def idPairsComposed(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
+  /** Composed higher-order-function form of the in-bucket pair kernel —
+    * kept as the executable specification of
+    * [[graft.functions.expressions.HammingPairs]]. */
+  def hammingPairsComposed(ms: Column, maxDist: Int): Column =
+    filter(
+      flatten(transform(ms, (x, i) =>
+        transform(slice(ms, i + lit(2), size(ms)),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+              .as("hamming"))))),
+      p => p.getField("hamming") <= maxDist)
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
     * token-hash bit, sign → bit. Near-dups = signatures within small
