@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   def dot(a: Column, b: Column): Column =
+    graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.DotProduct(
+        graft.functions.expressions.ColumnBridge.expression(a),
+        graft.functions.expressions.ColumnBridge.expression(b)))
+
+  /** Composed higher-order-function form — the executable specification
+    * [[graft.functions.expressions.DotProduct]] is parity-tested
+    * against (identical IEEE fold order, so bit-equal results). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -33,6 +42,14 @@ object VectorFunctions {
 
   /** Squared L2 distance. */
   def l2Sq(a: Column, b: Column): Column =
+    graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.L2Squared(
+        graft.functions.expressions.ColumnBridge.expression(a),
+        graft.functions.expressions.ColumnBridge.expression(b)))
+
+  /** Composed form — the executable specification of
+    * [[graft.functions.expressions.L2Squared]]. */
+  def l2SqComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val dv = x.cast("double") - y.cast("double")

@@ -45,6 +45,30 @@ object ScaleProbe {
       graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 1000)
     }
+
+    args.lift(1).foreach { embPath =>
+      val emb = spark.read.parquet(embPath)
+      println(s"[probe] vectors = ${emb.count()}")
+      val queries = emb.filter(col("vec_id") < 64)
+      time("ivf_topk (trained)") {
+        val cents = graft.operators.Similarity.centroidsDF(spark,
+          graft.operators.Similarity.trainCentroids(emb, "embedding",
+            kCells = 64, sampleN = 5000))
+        graft.operators.Similarity.ivfTopK(emb, queries,
+          "vec_id", "embedding", 10, cents, nProbes = 4)
+      }
+      time("lsh_topk (lattice)") {
+        val planes = (0 until 4).map(t =>
+          graft.functions.VectorFunctions.latticePlanes(12, 64, 42L + t))
+        graft.operators.Similarity.lshTopK(emb, queries, "vec_id",
+          "embedding", k = 10, dim = 64, tables = 4, bitsPerTable = 12,
+          planes = Some(planes))
+      }
+      time("brute_topk") {
+        graft.operators.Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", 10)
+      }
+    }
     spark.stop()
   }
 }
