@@ -81,7 +81,14 @@ object ModuleDebugger {
     println(s"operations:   ${config.operations.map(_.module).mkString(", ")}")
 
     val notifier = new graft.plans.Alerting.RecordingNotifier
-    val runner = new Runner(spark, config, root, new SyntheticFetcher, notifier)
+    val outbox = scala.collection.mutable.ArrayBuffer
+      .empty[graft.plans.Notifications.EmailMessage]
+    val transport = new graft.plans.Notifications.EmailTransport {
+      override def send(m: graft.plans.Notifications.EmailMessage): Unit =
+        outbox += m
+    }
+    val runner = new Runner(spark, config, root, new SyntheticFetcher, notifier,
+      emailTransport = Some(transport))
     runner.runAllOnce()
 
     val checks = runner.warehouse.read(runner.ChecksTable)
@@ -109,10 +116,11 @@ object ModuleDebugger {
       println("alerting_log:")
       runner.warehouse.read("alerting_log").show(10, 44)
     }
-    println(s"dispatched alert batches: ${notifier.sent.size}")
-    notifier.sent.foreach { case (g, alerts) =>
-      println(s"  group $g: ${alerts.size} alerts; first: " +
-        alerts.headOption.map(_._2).getOrElse(""))
+    println(s"dispatched emails: ${outbox.size}")
+    outbox.foreach { m =>
+      println(s"  to ${m.toEmail.mkString(",")} subject='${m.subject}' " +
+        s"attachment ${m.attachments.keys.mkString(",")}")
+      println(m.text.getOrElse("").linesIterator.map("    | " + _).mkString("\n"))
     }
     spark.stop()
   }
