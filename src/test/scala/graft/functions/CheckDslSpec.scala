@@ -82,6 +82,47 @@ class CheckDslSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CheckDsl.compile("") }
   }
 
+  test("property: compiled DSL matches a direct Scala evaluator (500 cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the reference formats the row value into the template and evaluates
+    // with Python semantics; this evaluator is the spec (None==None true,
+    // None vs anything else false, ordered ops false on null)
+    def evalDirect(v: Option[Long], op: String, lr: Option[Long]): Boolean =
+      (op, v, lr) match {
+        case ("==", a, b) => a == b
+        case ("!=", a, b) => a != b
+        case (_, None, _) | (_, _, None) => false
+        case (">", Some(a), Some(b)) => a > b
+        case ("<", Some(a), Some(b)) => a < b
+        case (">=", Some(a), Some(b)) => a >= b
+        case ("<=", Some(a), Some(b)) => a <= b
+      }
+    val genCase = for {
+      v <- Gen.option(Gen.choose(-5L, 5L))
+      op <- Gen.oneOf("==", "!=", ">", "<", ">=", "<=")
+      litV <- Gen.option(Gen.choose(-5L, 5L))
+    } yield (v, op, litV)
+    val cases = Gen.listOfN(500, genCase)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val df = cases.zipWithIndex
+      .map { case ((v, _, _), i) => (i.toLong, v) }
+      .toDF("i", "value")
+    val results = cases.zipWithIndex.map { case ((_, op, lv), i) =>
+      val template = s"{value} $op ${lv.map(_.toString).getOrElse("null")}"
+      (i, CheckDsl.compile(template))
+    }
+    // evaluate all 500 compiled predicates in one pass
+    val got = df.select(col("i") +: results.map { case (i, c) =>
+        coalesce(c, lit(false)).as(s"c$i") }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    cases.zipWithIndex.foreach { case ((v, op, lv), i) =>
+      val want = evalDirect(v, op, lv)
+      val gotV = got(i.toLong).getAs[Boolean](s"c$i")
+      assert(gotV === want, s"case $i: {${v.orNull}} $op ${lv.orNull}")
+    }
+  }
+
   test("regexTemplate substitutes capture groups with fallback") {
     val df = Seq(("Customer#0042"), ("garbage")).toDF("name")
     val r = df.select(CheckDsl.regexTemplate(col("name"),
