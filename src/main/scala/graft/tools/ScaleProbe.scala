@@ -41,7 +41,7 @@ object ScaleProbe {
       graft.operators.Dedup.simhashPortablePairs(docs, "doc_id", "text",
         maxDist = 3, seed = 7L)
     }
-    time("jaccard_pairs") {
+    if (sys.env.contains("PROBE_JACCARD")) time("jaccard_pairs") {
       graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 1000)
     }
