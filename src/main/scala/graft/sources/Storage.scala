@@ -89,7 +89,13 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   /** Exactly-once append: drop rows whose `keys` already exist in the
     * sink, pruned to the incoming batch's partition values first so the
-    * anti-join reads only the partitions the batch can touch. */
+    * anti-join reads only the partitions the batch can touch.
+    *
+    * `keys` is the REPLAY identity, not a row identity — a batch
+    * legitimately carries many rows per key (all of a GSC day's rows
+    * share one (property, date)), so the batch is NOT deduped within
+    * itself; the invariant is that appending the same batch again is a
+    * no-op (property-tested in StorageSpec). */
   def idempotentAppend(table: String, df: DataFrame, keys: Seq[String],
                        partitionCol: String = "date"): Long = {
     val fresh =

@@ -65,6 +65,29 @@ object Streaming {
     df.withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
+  /** Streaming threshold alerting — the always-on form of
+    * alerting_check's whole-result mode (S10): windowed per-key counts
+    * that cross `threshold` become alert rows in the
+    * [[graft.plans.Alerting.alertSchema]] shape, ready for the same
+    * queue + dispatcher chain the batch path uses. */
+  def thresholdAlerts(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                      threshold: Long, group: String = "default",
+                      windowLen: String = "1 hour",
+                      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy((window(col(tsCol), windowLen) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .select(
+        col("window.end").as("created"),
+        lit(group).as("group"),
+        concat_ws(" ",
+          (lit("threshold") +: keyCols.map(col) :+
+            col("n").cast("string")): _*).as("message"),
+        to_json(struct((col("window.start") +: keyCols.map(col) :+
+          col("n")): _*)).as("payload"))
+
   /** Per-key change detection with custom state — the streaming form of
     * the as-of/lag comparison (metatags-has_title_changed): emits one row
     * per arriving record whose value differs from the key's previous

@@ -75,6 +75,34 @@ class StorageSpec extends SparkSpec {
     assert(wh.read("metrics").count() === 4)
   }
 
+  test("property: idempotent append — replaying any batch sequence equals once") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // keys are REPLAY identity, not row identity: a batch may carry many
+    // rows per key (a GSC day), so the model keeps every occurrence from
+    // the FIRST batch that introduced a key and drops later batches' rows
+    val genBatch = Gen.listOf(Gen.choose(1, 40))
+    val batches = Gen.listOfN(6, genBatch)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    batches.foreach { ids =>
+      val df = ids.map(i => ("2024-01-01", i.toLong)).toDF("date", "id")
+      if (ids.nonEmpty) {
+        wh.idempotentAppend("props", df, Seq("id"))
+        wh.idempotentAppend("props", df, Seq("id")) // immediate replay
+      }
+    }
+    val stored = wh.read("props").select("id").as[Long].collect().sorted.toSeq
+    val expected = batches.foldLeft((Set.empty[Int], List.empty[Int])) {
+      case ((seen, acc), ids) =>
+        val fresh = ids.filterNot(seen)
+        (seen ++ fresh, acc ++ fresh)
+    }._2.map(_.toLong).sorted
+    assert(stored === expected,
+      "replaying any batch sequence adds each key's rows exactly once")
+  }
+
   test("warehouse: truncate replaces") {
     val root = tmpRoot()
     val wh = new Warehouse(spark, root)

@@ -58,6 +58,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thresholdAlerts fires only for keys crossing the windowed count") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val alerts = Streaming.thresholdAlerts(
+      in.toDF().toDF("ts", "kind"), "ts", Seq("kind"),
+      threshold = 3, group = "mail")
+    val q = alerts.writeStream.format("memory").queryName("th_alerts")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:10:00"), "error"), (ts("2024-01-01 00:20:00"), "error"),
+        (ts("2024-01-01 00:30:00"), "error"), (ts("2024-01-01 00:40:00"), "ok"))
+      q.processAllAvailable()
+      val rows = spark.table("th_alerts")
+        .select("group", "message").as[(String, String)].collect().toSeq
+      assert(rows === Seq(("mail", "threshold error 3")),
+        "only the 3-event key fires; schema matches the alert queue shape")
+    } finally q.stop()
+  }
+
   test("dedupeStream drops replayed keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
