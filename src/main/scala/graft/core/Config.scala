@@ -66,6 +66,8 @@ object ConfigLoader {
           val m = asMap(entry, s"urlsets.$name[]")
           val url = m.getOrElse("url",
             throw ConfigError(s"urlsets.$name entry missing 'url'")).toString
+          if (!Validation.validUrl(url))
+            throw ConfigError(s"urlsets.$name has invalid url '$url'")
           val render = m.get("render").exists(b => b == true || b == "true")
           UrlsetUrl(url, render)
         }

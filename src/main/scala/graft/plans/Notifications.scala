@@ -190,6 +190,9 @@ object Notifications {
                             responsibles: Seq[String] = Nil,
                             addAlertData: Boolean = true,
                             summarise: Boolean = false) extends Notifier {
+    responsibles.find(!graft.core.Validation.validEmail(_)).foreach(bad =>
+      throw new IllegalArgumentException(
+        s"'$bad' is not a valid email address")) // wrike.py:89
     override def send(group: String,
                       alerts: Seq[(java.sql.Timestamp, String, String)]): Unit = {
       val as = alerts.map { case (c, m, p) => Alert(c, m, p) }

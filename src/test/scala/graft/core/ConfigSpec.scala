@@ -63,6 +63,21 @@ class ConfigSpec extends AnyFunSuite {
       ConfigLoader.load("urlsets:\n  empty: []\n"))
   }
 
+  test("invalid urlset url is a config error (validator.py semantics)") {
+    val bad = good.replace("https://a.com/b", "not a url")
+    val e = intercept[ConfigLoader.ConfigError](ConfigLoader.load(bad))
+    assert(e.getMessage.contains("invalid url"))
+    // the reference regex's accepts/rejects
+    assert(Validation.validUrl("http://localhost:8080/x"))
+    assert(Validation.validUrl("https://sub.example.co.uk/path?q=1"))
+    assert(Validation.validUrl("https://127.0.0.1/"))
+    assert(!Validation.validUrl("ftp://example.com/"))
+    assert(!Validation.validUrl("https://"))
+    assert(Validation.validEmail("a.b+c@ex-ample.org"))
+    assert(!Validation.validEmail("not-an-email"))
+    assert(!Validation.validEmail("x@y"))
+  }
+
   test("module declaration order is preserved") {
     val yaml =
       """aggregations:
