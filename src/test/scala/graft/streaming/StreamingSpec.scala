@@ -120,4 +120,28 @@ class StreamingSpec extends SparkSpec {
         ("u1", "Title C", "Title B")))
     } finally q.stop()
   }
+
+  test("readStagingStream turns batch staging appends into micro-batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val st = new graft.sources.StagingStore(spark, root)
+    val schema = Seq((1L, "a", ts("2024-01-01 00:00:00")))
+      .toDF("id", "v", "__staged_at").schema
+    st.appendAt("docs", Seq((1L, "a")).toDF("id", "v"),
+      ts("2024-01-01 00:00:00"))
+    val stream = Streaming.readStagingStream(spark, root, "docs", schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("staged")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("staged").count() === 1)
+      // a later BATCH append becomes the next micro-batch — same files,
+      // different reader: the batch path needs no changes to go always-on
+      st.appendAt("docs", Seq((2L, "b"), (3L, "c")).toDF("id", "v"),
+        ts("2024-01-01 01:00:00"))
+      q.processAllAvailable()
+      assert(spark.table("staged").select("id").as[Long].collect().sorted
+        === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
