@@ -1281,6 +1281,39 @@ object Catalog {
           FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
         ) ON o_orderkey = l_orderkey""")),
 
+    // ===== Multimodal: stubbed metadata decode (mapPartitions batch;
+    // the stub's arithmetic is exactly expressible in SQL, so the
+    // distributed plumbing gets a value-level oracle) =====
+    QueryDef("q59_media_meta",
+      (s, dir) => {
+        val media = T.documents(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("content"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
+        graft.operators.Multimodal.withDecodedMeta(media, "doc_id",
+            "content", "kind")
+          .select(col("media_id"), col("kind"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("duration_ms"),
+            col("sample_rate").cast("long").as("sample_rate"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+               CAST(CASE doc_id % 3 WHEN 0 THEN (n % 640) + 1
+                                    WHEN 1 THEN 0
+                                    ELSE (n % 1920) + 1 END AS BIGINT) AS width,
+               CAST(CASE doc_id % 3 WHEN 0 THEN (n % 480) + 1
+                                    WHEN 1 THEN 0
+                                    ELSE (n % 1080) + 1 END AS BIGINT) AS height,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 0
+                                    WHEN 1 THEN n * 8
+                                    ELSE n * 4 END AS BIGINT) AS duration_ms,
+               CAST(CASE doc_id % 3 WHEN 1 THEN 16000 ELSE 0 END AS BIGINT)
+                 AS sample_rate
+        FROM (SELECT doc_id, length(text) AS n FROM documents)""")),
+
     // ===== skew mitigation: two-phase salted aggregation. The salt is
     // deterministic and the per-(key, salt) partials merge to exactly the
     // plain group-sum (quantities are integer-valued doubles, so the
