@@ -103,6 +103,35 @@ object Multimodal {
       .select(col("media_id"), col("f.frame_idx"), col("f.frame"))
   }
 
+  /** STUB resize: a real implementation hands the payload to an image
+    * codec and re-encodes at the target size; the stub keeps every
+    * `factor`-th byte — deterministic, SQL-mirrorable, and shaped like
+    * the real thing (payload in, smaller payload out). */
+  def resizePayload(content: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((content.length + factor - 1) / factor)
+    var i = 0
+    var k = 0
+    while (i < content.length) { out(k) = content(i); k += 1; i += factor }
+    out
+  }
+
+  /** Partition-wise stub resize: binary → smaller binary, decoder-handle
+    * pattern like [[featurize]]. The binary never shuffles — the narrow
+    * map stage rewrites it in place. */
+  def resized(df: DataFrame, idCol: String, contentCol: String,
+              factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(contentCol).as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val _ = new StubDecoder // per-partition init, as a real codec needs
+        it.map { case (id, bytes) => (id, resizePayload(bytes, factor)) }
+      }
+      .toDF("media_id", "content")
+  }
+
   /** Stubbed metadata decode over the media table (mapPartitions batch). */
   def withDecodedMeta(df: DataFrame, idCol: String, contentCol: String,
                       kindCol: String): DataFrame = {

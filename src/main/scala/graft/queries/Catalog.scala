@@ -1314,6 +1314,23 @@ object Catalog {
                  AS sample_rate
         FROM (SELECT doc_id, length(text) AS n FROM documents)""")),
 
+    // ===== Multimodal: stub resize (every-4th-byte downsample) =====
+    QueryDef("q60_media_resize",
+      (s, dir) => {
+        val media = T.documents(s, dir).select(col("doc_id"),
+          col("text").cast("binary").as("content"))
+        graft.operators.Multimodal.resized(media, "doc_id", "content", 4)
+          .select(col("media_id"),
+            col("content").cast("string").as("resized"),
+            length(col("content")).cast("long").as("n_bytes"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               array_to_string(list_transform(range(1, length(text) + 1, 4),
+                 i -> substr(text, CAST(i AS INTEGER), 1)), '') AS resized,
+               CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS n_bytes
+        FROM documents""")),
+
     // ===== skew mitigation: two-phase salted aggregation. The salt is
     // deterministic and the per-(key, salt) partials merge to exactly the
     // plain group-sum (quantities are integer-valued doubles, so the

@@ -44,6 +44,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).getLong(4) === 1200L, "video duration from stub")
   }
 
+  test("resized keeps every factor-th byte; empty payload stays empty") {
+    val out = Multimodal.resized(media, "media_id", "content", factor = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(new String(out(1L), "UTF-8") === "adg", "bytes 0, 3, 6 of abcdefgh")
+    assert(out(2L).length === 100, "ceil(300 / 3)")
+    assert(out(3L).isEmpty)
+  }
+
   test("multimodal features feed Similarity directly") {
     val feats = Multimodal.featurize(media, "media_id", "content", dim = 8)
     val top = Similarity.bruteForceTopK(feats, feats.filter(col("media_id") === 1),
