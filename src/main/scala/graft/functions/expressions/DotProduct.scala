@@ -34,9 +34,10 @@ case class DotProduct(left: Expression, right: Expression)
     val lf = isFloat(left)
     val rf = isFloat(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
       s"""
-         |Object r = graft.functions.expressions.DotProduct.dot($a, $b, $lf, $rf);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = graft.functions.expressions.DotProduct.dot($a, $b, $lf, $rf);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
   }
@@ -106,9 +107,10 @@ case class L2Squared(left: Expression, right: Expression)
     val lf = isFloat(left)
     val rf = isFloat(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("l2Res")
       s"""
-         |Object r = graft.functions.expressions.DotProduct.l2sq($a, $b, $lf, $rf);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
+         |Object $r = graft.functions.expressions.DotProduct.l2sq($a, $b, $lf, $rf);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $r).doubleValue(); }
        """.stripMargin
     })
   }

@@ -71,7 +71,9 @@ object Dedup {
     * same filtered shingle set as the intersections.
     *
     * Scale: the join key is a shingle, so cost is Σ(docs per shingle)²
-    * — bounded by `maxDocFreq`. No cross join anywhere.
+    * — bounded by `maxDocFreq` (a df-10000 shingle alone yields 50M
+    * pairs, hence the conservative default; raise it deliberately, with
+    * the quadratic cost in mind). No cross join anywhere.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,

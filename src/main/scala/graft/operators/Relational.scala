@@ -100,7 +100,11 @@ object Relational {
     // (nulls are skipped), while dup_count reports the TRUE group size.
     val wv = Window.partitionBy(col(valueCol))
     val wOrd = wv.orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(wOrd))
+    // NULL values never pair: the former join-back form dropped
+    // null-keyed rows via inner-join semantics; the window form would
+    // instead lump every NULL into one "duplicate" group — filter first
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
       .withColumn("dup_count", count(lit(1)).over(wv))
       .withColumn("__members", array_sort(
         collect_list(when(col("__rn") <= maxMembers, col(idCol))).over(wv)))

@@ -71,15 +71,21 @@ object Notifications {
     * newlines become `<br/>`, blank separator, optional payload block. */
   def wrikeDescription(a: Alert, addAlertData: Boolean): String = {
     val msg = a.message.replace("\n", "<br/>") + "<br/><br/>"
-    if (addAlertData && a.payload != null && a.payload.nonEmpty)
+    // "{}" is the queue's no-data payload — the reference skips empty
+    // dicts ('if add_alert_data and alert.data'), as the log attachment
+    // above does
+    if (addAlertData && a.payload != null && a.payload.nonEmpty
+        && a.payload != "{}")
       msg + a.payload.replace("\n", "<br/>") + "<br/><br/>"
     else msg
   }
 
   // -------------------------------------------------------------- email
 
-  /** Validated SMTP endpoint config; `encryption` ∈ ssl | starttls | none
-    * (dispatcher.py:18-23 rejects anything else at construction). */
+  /** Validated SMTP endpoint config; `encryption` is Some("ssl"),
+    * Some("starttls"), or None (plain SMTP) — any other STRING is
+    * rejected at construction, exactly like dispatcher.py:18-23 (the
+    * reference accepts only 'ssl', 'starttls', or Python None). */
   final case class SmtpConfig(host: String, port: Int, user: String,
                               password: String,
                               encryption: Option[String] = None) {
@@ -158,7 +164,8 @@ object Notifications {
           throw ConfigurationMissing("folder api- or share id for task"))
         val responsibles = cfg.get("responsible") match {
           case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
-          case _ => Nil
+          case Some(one) => Seq(one.toString) // scalar form, like toEmail
+          case None => Nil
         }
         new WrikeNotifier(wrike, folder,
           taskTitle = str("taskTitle").getOrElse("graft Alert"),

@@ -126,7 +126,13 @@ final class Warehouse(spark: SparkSession, root: String) {
     * partitions are never read or written, keeping the cost
     * proportional to the batch's partitions, not the table. The merged
     * rows stage through a scratch path first because Spark (correctly)
-    * refuses to overwrite a path it is still reading. */
+    * refuses to overwrite a path it is still reading.
+    *
+    * CONSTRAINT: a key's partition value must be stable — pruning means
+    * an update that MOVES a key to a different partition cannot see (or
+    * remove) the old row, leaving both. Date-keyed fact rows satisfy
+    * this naturally; a mutable partition column needs a delete first
+    * (the same caveat partition-pruned MERGE has in lakehouse formats). */
   def merge(table: String, updates: DataFrame, keys: Seq[String],
             partitionCol: String = "date"): Unit = {
     if (!exists(table)) { append(table, updates, partitionCol); return }

@@ -93,6 +93,16 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("duplicateValues: null values never pair (dropped like the join form)") {
+    val df = Seq((1L, "t"), (2L, "t"), (3L, null), (4L, null))
+      .toDF("id", "title")
+    val out = Relational.duplicateValues(df, "id", "title")
+      .select("id", "is_duplicate", "diff")
+      .as[(Long, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, true, "2"), (2L, true, "1")),
+      "null-titled rows are not duplicates of each other and are dropped")
+  }
+
   test("prefixSum equals a global running sum, across bucket boundaries") {
     // 30 rows over 3 buckets; compare against the straightforward
     // driver-side prefix sum

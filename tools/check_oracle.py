@@ -28,6 +28,8 @@ def canon_type(t):
 
 
 def norm(v):
+    if v is None:
+        return "\x00NULL"      # never collides with the string 'None'
     if isinstance(v, float):
         return repr(v)          # exact bit-repr comparison for doubles
     if isinstance(v, bool):
