@@ -51,7 +51,15 @@ object Similarity {
 
   /** LSH-bucketed ANN: both sides signed with the same hyperplane tables;
     * candidates = equal signature in any table; exact cosine re-rank.
-    * Recall is tuned by (tables, bitsPerTable). */
+    * Recall is tuned by (tables, bitsPerTable).
+    *
+    * Candidate generation carries ONLY (id, tbl, sig) through the
+    * ×tables signature explode, the bucket equi-join, and the pair
+    * dedup — never the embedding vectors. At a 100 TB embedding corpus
+    * the banding shuffle is then tables × ~20 bytes per vector instead
+    * of tables × vector bytes. Vectors are re-joined by id only after
+    * dedup, for exact scoring over the (small) candidate set — the same
+    * shape as [[Dedup.minhashLshPairs]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               tables: Int = 8, bitsPerTable: Int = 12,
@@ -65,19 +73,26 @@ object Similarity {
         struct(lit(t).as("tbl"),
           hyperplaneSignature(col(vecCol), planeTables(t)).as("sig"))
       }: _*)
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
-        explode(sigs).as("s"))
-        .select(col(id), col(s"__v_$id"), col("s.tbl"), col("s.sig"))
+      df.select(col(idCol).as(id), explode(sigs).as("s"))
+        .select(col(id), col("s.tbl"), col("s.sig"))
     }
     val c = signed(corpus, "nbr_id")
     val q = signed(queries, "query_id")
     val cands = c.join(q, Seq("tbl", "sig"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .select(col("query_id"), col("nbr_id"),
-        col("__v_query_id").as("qv"), col("__v_nbr_id").as("cv"))
+      .select(col("query_id"), col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-    val scored = cands
-      .withColumn("__qn", norm(col("qv"))).withColumn("__cn", norm(col("cv")))
+    // payload re-join: norms once per id row (not per candidate pair).
+    // `cands` descends from an explode, so its size estimate is garbage —
+    // the merge hint keeps the planner from broadcast-building it; the
+    // base-relation sides (qv/cv) have real stats and may still be
+    // broadcast by Catalyst when genuinely small.
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("__qn"))
+    val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("__cn"))
+    val scored = cands.hint("merge").join(cv, Seq("nbr_id"))
+      .join(qv, Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
         cosineFromParts(dot(col("cv"), col("qv")),
           col("__cn"), col("__qn")).as("sim"))
