@@ -13,13 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned tables where the `date`-derived filters prune partitions.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
-    // unless read as a raw long (driver-generated data; values are exactly
-    // µs-precision, verified — the ns→µs conversion in events() is lossless)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  // DataFrames are immutable plan objects, so one per (session, path) can
+  // be shared by every query: without this each of the ~120 bench
+  // evaluations re-lists the file and re-reads parquet footers for schema.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, s"$sfDir/$name.parquet"), {
+      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
+      // unless read as a raw long (driver-generated data; values are exactly
+      // µs-precision, verified — the ns→µs conversion in events() is lossless)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
