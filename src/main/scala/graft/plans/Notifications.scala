@@ -32,29 +32,35 @@ object Notifications {
     f.format(ts)
   }
 
-  /** Text body with the reference template's semantics: title and
-    * infotext paragraphs, then `<ts> - <message>` per alert, at most 10
-    * lines then an ellipsis (the template's `loop.index` break). */
-  def renderText(title: String, infotext: String,
-                 alerts: Seq[Alert]): String = {
-    val lines = alerts.take(10)
-      .map(a => s"${fmt(a.created, "yyyy-MM-dd HH:mm:ss")} - ${a.message}")
-    val tail = if (alerts.size > 10) "\n..." else ""
-    s"$title\n\n$infotext\n\n${lines.mkString("\n")}$tail\n"
-  }
+  /** A loaded template body plus its autoescape mode (decided by the
+    * file extension, like the reference's select_autoescape). */
+  final case class Template(source: String, autoescape: Boolean = true)
 
-  /** HTML alternative: same content, `<br/>` line breaks, messages
-    * HTML-escaped (the text template escapes with `|e` too). */
+  /** The stock templates shipped in the jar — standalone equivalents of
+    * the reference's email_alert.txt/.html (title + infotext, one line
+    * per alert, capped at 10 with an ellipsis via the loop.index break).
+    * Used when a config doesn't point at custom files of its own. */
+  lazy val stockText: Template = Template(
+    Templates.load("resources/templates", "alerting_dispatcher/email_alert.txt"))
+  lazy val stockHtml: Template = Template(
+    Templates.load("resources/templates", "alerting_dispatcher/email_alert.html"))
+
+  /** Render the stock text template (reference semantics: title and
+    * infotext paragraphs, then `<ts> - <message>` per alert, at most 10
+    * lines then an ellipsis). */
+  def renderText(title: String, infotext: String,
+                 alerts: Seq[Alert]): String =
+    Templates.render(stockText.source,
+      Map("title" -> title, "infotext" -> infotext, "alerts" -> alerts),
+      autoescape = stockText.autoescape)
+
+  /** Render the stock HTML template (same content in the standalone
+    * base+body shape; everything escaped once, Jinja-autoescape style). */
   def renderHtml(title: String, infotext: String,
-                 alerts: Seq[Alert]): String = {
-    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-      .replace(">", "&gt;")
-    val lines = alerts.take(10)
-      .map(a => s"${fmt(a.created, "yyyy-MM-dd HH:mm:ss")} - ${esc(a.message)}")
-    val tail = if (alerts.size > 10) "<br/>..." else ""
-    s"<html><body><h1>${esc(title)}</h1><p>${esc(infotext)}</p>" +
-      s"<p>${lines.mkString("<br/>")}$tail</p></body></html>"
-  }
+                 alerts: Seq[Alert]): String =
+    Templates.render(stockHtml.source,
+      Map("title" -> title, "infotext" -> infotext, "alerts" -> alerts),
+      autoescape = stockHtml.autoescape)
 
   /** The `alerts.log` attachment (alerting_dispatcher.py:133-146):
     * `[<iso created>] <message>`, plus ` | <payload>` when the alert
@@ -105,25 +111,30 @@ object Notifications {
     def send(message: EmailMessage): Unit
   }
 
-  /** Email mode of the dispatcher: render text and/or html (at least one
-    * template must be configured, alerting_dispatcher.py:117-118), attach
-    * the plaintext log, send one message per drained group batch. */
+  /** Email mode of the dispatcher: render the configured text and/or
+    * html template (at least one must be configured,
+    * alerting_dispatcher.py:117-118) with the user's
+    * `templateVariables` plus the drained `alerts`
+    * (alerting_dispatcher.py:120-121,132), attach the plaintext log,
+    * send one message per drained group batch. */
   final class EmailNotifier(transport: EmailTransport, fromEmail: String,
                             toEmail: Seq[String], subject: String,
-                            title: String, infotext: String,
-                            withText: Boolean = true,
-                            withHtml: Boolean = false) extends Notifier {
-    require(withText || withHtml,
+                            text: Option[Template], html: Option[Template],
+                            variables: Map[String, Any] = Map.empty)
+      extends Notifier {
+    require(text.nonEmpty || html.nonEmpty,
       "You at least have to provide a html or text email template")
     override def send(group: String,
                       alerts: Seq[(java.sql.Timestamp, String, String)]): Unit = {
       val as = alerts.map { case (c, m, p) => Alert(c, m, p) }
-      if (as.nonEmpty)
+      if (as.nonEmpty) {
+        val vars = variables + ("alerts" -> as)
         transport.send(EmailMessage(
           fromEmail, toEmail, subject,
-          text = if (withText) Some(renderText(title, infotext, as)) else None,
-          html = if (withHtml) Some(renderHtml(title, infotext, as)) else None,
+          text = text.map(t => Templates.render(t.source, vars, t.autoescape)),
+          html = html.map(t => Templates.render(t.source, vars, t.autoescape)),
           attachments = Map("alerts.log" -> renderLogAttachment(as))))
+      }
     }
   }
 
@@ -135,12 +146,24 @@ object Notifications {
   /** Build a Notifier from one dispatcher `configurations` entry — the
     * reference dispatches per entry on `type` ∈ email | wrike
     * (alerting_dispatcher.py:63-99, 181-273), raising on missing
-    * required keys. Transports are injected; this only parses. */
+    * required keys. Transports are injected; this only parses.
+    *
+    * `templateText`/`templateHtml` are template FILE PATHS relative to
+    * `templatesRoot` (alerting_dispatcher.py:111-115; only string
+    * values count, non-strings are ignored like the reference's
+    * type-checks), loaded eagerly so a typo'd path fails at config time;
+    * `templateVariables` is the user's dict handed to the renderer with
+    * `alerts` added at dispatch (alerting_dispatcher.py:120-121,132). */
   def fromConfig(cfg: Map[String, Any], transport: => EmailTransport,
-                 wrike: => WrikeClient): Notifier = {
+                 wrike: => WrikeClient,
+                 templatesRoot: String = "resources/templates"): Notifier = {
     def str(k: String): Option[String] = cfg.get(k).map(_.toString)
     cfg.getOrElse("type", "email").toString match {
       case "email" =>
+        val subject = cfg.get("subject") match {
+          case Some(s: String) => s
+          case _ => throw ConfigurationMissing("subject")
+        }
         val from = str("fromEmail").getOrElse(
           throw ConfigurationMissing("from email"))
         val to = cfg.get("toEmail") match {
@@ -148,15 +171,19 @@ object Notifications {
           case Some(xs: Seq[Any @unchecked]) => xs.map(_.toString)
           case _ => throw ConfigurationMissing("to email")
         }
-        val withText = cfg.contains("templateText")
-        val withHtml = cfg.contains("templateHtml")
-        if (!withText && !withHtml)
+        def tpl(k: String): Option[Template] = cfg.get(k).collect {
+          case p: String =>
+            Template(Templates.load(templatesRoot, p), Templates.autoescapes(p))
+        }
+        val text = tpl("templateText")
+        val html = tpl("templateHtml")
+        if (text.isEmpty && html.isEmpty)
           throw ConfigurationMissing("html or text email template")
-        new EmailNotifier(transport, from, to,
-          subject = str("subject").getOrElse("graft Alert"),
-          title = str("title").getOrElse("Alerts"),
-          infotext = str("infotext").getOrElse(""),
-          withText = withText, withHtml = withHtml)
+        val variables = cfg.get("templateVariables") match {
+          case Some(m: Map[String @unchecked, Any @unchecked]) => m
+          case _ => Map.empty[String, Any]
+        }
+        new EmailNotifier(transport, from, to, subject, text, html, variables)
       case "wrike" =>
         str("apiToken").getOrElse(
           throw ConfigurationMissing("api token for wrike API"))

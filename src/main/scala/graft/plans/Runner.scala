@@ -26,7 +26,8 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
                    sistrixApi: Option[SistrixApi] = None,
                    now: () => java.sql.Timestamp =
                      () => new java.sql.Timestamp(System.currentTimeMillis()),
-                   today: () => java.time.LocalDate = () => java.time.LocalDate.now()) {
+                   today: () => java.time.LocalDate = () => java.time.LocalDate.now(),
+                   templatesRoot: String = "resources/templates") {
 
   val staging = new StagingStore(spark, root)
   val warehouse = new Warehouse(spark, root)
@@ -182,7 +183,8 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
               emailTransport.getOrElse(
                 throw Notifications.ConfigurationMissing("email transport")),
               wrikeClient.getOrElse(
-                throw Notifications.ConfigurationMissing("wrike client")))
+                throw Notifications.ConfigurationMissing("wrike client")),
+              templatesRoot)
             Alerting.dispatch(spark, queues, AlertQueue, groupsOf(m), n)
           case other =>
             throw new IllegalArgumentException(

@@ -156,17 +156,18 @@ class AlertingSpec extends SparkSpec {
       override def send(m: EmailMessage): Unit = sent += m
     }
     val n = new EmailNotifier(transport, "graft@example.com",
-      Seq("ops@example.com"), "subject", "Alerts", "check these",
-      withText = true, withHtml = true)
+      Seq("ops@example.com"), "subject",
+      text = Some(stockText), html = Some(stockHtml),
+      variables = Map("title" -> "Alerts", "infotext" -> "check these"))
     n.send("mail", Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"),
       "m1", """{"a": 2}""")))
     assert(sent.size === 1)
     assert(sent.head.text.get.contains("m1"))
+    assert(sent.head.text.get.startsWith("Alerts\n\ncheck these\n\n"))
     assert(sent.head.html.get.contains("m1"))
     assert(sent.head.attachments("alerts.log").contains("| {\"a\": 2}"))
     intercept[IllegalArgumentException] {
-      new EmailNotifier(transport, "f", Seq("t"), "s", "t", "i",
-        withText = false, withHtml = false)
+      new EmailNotifier(transport, "f", Seq("t"), "s", None, None)
     }
     intercept[IllegalArgumentException] { SmtpConfig("h", 25, "u", "p", Some("tls")) }
     SmtpConfig("h", 465, "u", "p", Some("ssl")) // valid modes construct
@@ -217,10 +218,14 @@ class AlertingSpec extends SparkSpec {
 
     val email = fromConfig(Map(
       "type" -> "email", "fromEmail" -> "f@x", "toEmail" -> Seq("a@x", "b@x"),
-      "templateText" -> "email_alert.txt", "subject" -> "s"), transport, client)
+      "templateText" -> "alerting_dispatcher/email_alert.txt",
+      "templateVariables" -> Map("title" -> "T1", "infotext" -> "I1"),
+      "subject" -> "s"), transport, client)
     email.send("mail", batch)
     assert(sent.head.toEmail === Seq("a@x", "b@x"))
     assert(sent.head.text.nonEmpty && sent.head.html.isEmpty)
+    assert(sent.head.text.get.startsWith("T1\n\nI1\n\n"),
+      "templateVariables reach the template")
 
     val wrike = fromConfig(Map(
       "type" -> "wrike", "apiToken" -> "t", "folderSharedId" -> "share1",
@@ -228,17 +233,65 @@ class AlertingSpec extends SparkSpec {
     wrike.send("wrike", batch)
     assert(tasks === Seq("share1/T"))
 
-    intercept[ConfigurationMissing] {
-      fromConfig(Map("type" -> "email", "toEmail" -> "t@x",
+    intercept[ConfigurationMissing] {  // no subject (checked first, like the reference)
+      fromConfig(Map("type" -> "email", "fromEmail" -> "f@x", "toEmail" -> "t@x",
+        "templateText" -> "x"), transport, client)
+    }
+    intercept[ConfigurationMissing] {  // no fromEmail
+      fromConfig(Map("type" -> "email", "subject" -> "s", "toEmail" -> "t@x",
         "templateText" -> "x"), transport, client)
     }
     intercept[ConfigurationMissing] {
-      fromConfig(Map("type" -> "email", "fromEmail" -> "f@x",
+      fromConfig(Map("type" -> "email", "subject" -> "s", "fromEmail" -> "f@x",
         "toEmail" -> "t@x"), transport, client)  // no template at all
+    }
+    // non-string template values are ignored, like the reference's
+    // type-checks (alerting_dispatcher.py:111-115) — booleans don't count
+    intercept[ConfigurationMissing] {
+      fromConfig(Map("type" -> "email", "subject" -> "s", "fromEmail" -> "f@x",
+        "toEmail" -> "t@x", "templateText" -> true), transport, client)
+    }
+    // a typo'd template path fails at config time, not at first dispatch
+    intercept[IllegalArgumentException] {
+      fromConfig(Map("type" -> "email", "subject" -> "s", "fromEmail" -> "f@x",
+        "toEmail" -> "t@x", "templateText" -> "no/such_template.txt"),
+        transport, client)
     }
     intercept[ConfigurationMissing] {
       fromConfig(Map("type" -> "wrike", "apiToken" -> "t"), transport, client)
     }
+  }
+
+  test("custom template file renders bit-exactly with templateVariables") {
+    val root = Files.createTempDirectory("graft_templates").toString
+    val dir = java.nio.file.Paths.get(root, "my")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("digest.txt"),
+      ("Hi {{ recipient }},\n\n{% for alert in alerts %}" +
+        "{{ loop.index }}. [{{ alert.date|datetime(\"%H:%M\") }}] " +
+        "{{ alert.message|e }}{% if alert.data != \"{}\" %} ({{ alert.data }})" +
+        "{% endif %}\n{% endfor %}\n-- {{ signature }}\n")
+        .getBytes("UTF-8"))
+    val sent = scala.collection.mutable.ArrayBuffer.empty[EmailMessage]
+    val transport = new EmailTransport {
+      override def send(m: EmailMessage): Unit = sent += m
+    }
+    val n = fromConfig(Map(
+      "type" -> "email", "subject" -> "s", "fromEmail" -> "f@x",
+      "toEmail" -> "t@x", "templateText" -> "my/digest.txt",
+      "templateVariables" -> Map("recipient" -> "Ops", "signature" -> "graft")),
+      transport, null, templatesRoot = root)
+    n.send("mail", Seq(
+      (java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), "a < b", "{}"),
+      (java.sql.Timestamp.valueOf("2024-05-01 09:45:00"), "disk full",
+        """{"free": 0}""")))
+    assert(sent.head.text.get ===
+      "Hi Ops,\n\n" +
+        "1. [08:30] a &lt; b\n" +
+        "2. [09:45] disk full ({&#34;free&#34;: 0})\n" +
+        "\n-- graft",  // one trailing template newline stripped, as Jinja does
+      "custom template renders bit-exactly (autoescaped .txt, loop.index, " +
+        "datetime filter, data conditional)")
   }
 
   test("failing email transport re-enqueues via the dispatch path") {
@@ -250,7 +303,8 @@ class AlertingSpec extends SparkSpec {
       override def send(m: EmailMessage): Unit =
         throw new RuntimeException("smtp down")
     }
-    val n = new EmailNotifier(broken, "f@x", Seq("t@x"), "s", "T", "i")
+    val n = new EmailNotifier(broken, "f@x", Seq("t@x"), "s",
+      Some(stockText), None, Map("title" -> "T", "infotext" -> "i"))
     Alerting.dispatch(spark, q, "alerts", Seq("mail"), n)
     assert(q.peek("alerts", Alerting.alertSchema).count() === 1,
       "transport failure keeps the alert queued")
