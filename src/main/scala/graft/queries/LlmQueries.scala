@@ -1,0 +1,496 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T, Url}
+import graft.functions.{CheckDsl, DateFunctions, HtmlFunctions, TextFunctions}
+import graft.operators.{Checks, Dedup, Lookup, Relational, Similarity}
+import graft.operators.Checks.Spec
+import Catalog.QueryDef
+
+/** LLM-data-pipeline tier: text analysis, dedup (exact / Jaccard /
+  * MinHash / SimHash), embedding similarity search, and the
+  * training-pipeline operators (split / stratified sample / salted
+  * aggregation / sessionization).
+  * Oracle-parity rules live in [[Catalog]]'s scaladoc. */
+private[queries] object LlmQueries {
+  import Catalog._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== Text analysis: counts =====
+    QueryDef("q15_text_stats",
+      (s, dir) => T.documents(s, dir).select(col("doc_id"),
+        TextFunctions.wordCount(col("text")).cast("long").as("n_words"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords")),
+      Some(s"""
+        SELECT doc_id,
+          len(list_filter(string_split_regex(text, '\\s+'),
+              w -> len(w) > 1 AND regexp_matches(w, '[a-zA-Z]'))) AS n_words,
+          len($duckToks) AS n_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_subwords
+        FROM documents""")),
+
+    // ===== Text analysis: language ID =====
+    QueryDef("q16_lang_id",
+      (s, dir) => T.documents(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred")),
+      Some {
+        val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
+        val scores = langs.map { case (lang, words) =>
+          s"len(list_filter(tk, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+        }.mkString(", ")
+        val allZero = langs.map { case (l, _) => s"s_$l = 0" }.mkString(" AND ")
+        val cases = langs.map { case (l, _) =>
+          val geAll = langs.map { case (o, _) => s"s_$l >= s_$o" }.mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sc AS (SELECT doc_id, $scores FROM tks)
+        SELECT doc_id,
+               CASE WHEN $allZero THEN 'und' $cases END AS lang_pred
+        FROM sc"""
+      }),
+
+    // ===== Text analysis: quality score (exact IEEE mirror) =====
+    QueryDef("q17_quality_score",
+      (s, dir) => T.documents(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q")),
+      Some(s"""
+        WITH x AS (SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS len,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+            CAST(len($duckToks) AS DOUBLE) AS ntok,
+            CAST(len(list_filter($duckToks,
+              t -> list_contains(${sqlList(TextFunctions.stopwords("en"))}, t))) AS DOUBLE) AS hits
+          FROM documents)
+        SELECT doc_id,
+          ((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
+            + CASE WHEN ntok > 0 THEN hits / ntok ELSE 0.0 END)
+            + least(len / 500.0, 1.0)) / 3.0 AS q
+        FROM x""")),
+
+    // ===== Text analysis: rolling-hash fingerprint =====
+    QueryDef("q18_fingerprint",
+      (s, dir) => T.documents(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp")),
+      Some("""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(text) + 1),
+                i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        FROM documents""")),
+
+    // ===== Dedup: exact (min-id keep) =====
+    QueryDef("q19_dedup_exact",
+      (s, dir) => Dedup.exact(
+          T.documents(s, dir).withColumn("k", substring(col("text"), 1, 40)),
+          "doc_id", "k")
+        .select("doc_id", "k"),
+      Some("""
+        SELECT d.doc_id, substr(d.text, 1, 40) AS k
+        FROM documents d
+        JOIN (SELECT substr(text, 1, 40) AS kk, min(doc_id) AS mid
+              FROM documents GROUP BY 1) g
+          ON substr(d.text, 1, 40) = g.kk AND d.doc_id = g.mid""")),
+
+    // ===== Dedup: exact groups =====
+    QueryDef("q20_dup_groups",
+      (s, dir) => Dedup.exactGroups(
+          T.documents(s, dir).withColumn("k", substring(col("text"), 1, 20)),
+          "doc_id", "k")
+        .select(col("k"), col("dup_count"),
+          array_join(transform(col("members"), m => m.cast("string")), ",")
+            .as("members")),
+      Some("""
+        SELECT substr(text, 1, 20) AS k, count(*) AS dup_count,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+        FROM documents GROUP BY 1 HAVING count(*) > 1""")),
+
+    // ===== Dedup: exact n-gram Jaccard pairs =====
+    QueryDef("q21_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(T.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 100L),
+      Some(s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END)) AS shingle
+               FROM tks),
+        flt AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) >= 2 AND count(*) <= 100),
+        fsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN flt USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                  FROM fsh a JOIN fsh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5""")),
+
+    // ===== Dedup: portable MinHash-LSH, oracle-verified end-to-end =====
+    QueryDef("q34_minhash_pairs",
+      (s, dir) => Dedup.minhashPortablePairs(T.documents(s, dir),
+        "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, seed = 7L),
+      Some {
+        val coeffs = Dedup.universalCoeffs(16, 7L)
+        val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(hv, x -> ($a * x + $b) % 1000000007)) AS m$i"
+        }.mkString(",\n               ")
+        val bandArms = (0 until 8).map { bnd =>
+          val (r0, r1) = (bnd * 2, bnd * 2 + 1)
+          s"SELECT doc_id, $bnd AS band, m$r0::VARCHAR || '_' || m$r1::VARCHAR AS bucket FROM m"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END) AS shingles
+               FROM tks),
+        nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        hs AS (SELECT doc_id, list_transform(shingles, s ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(s) + 1),
+                     i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+        m AS (SELECT doc_id,
+               $mins
+              FROM hs),
+        banded AS ($bandArms),
+        groups AS (SELECT band, bucket, list_sort(list(doc_id)) AS ids
+                   FROM banded GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= 1000),
+        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM groups,
+          unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
+        sv AS (SELECT doc_id, list_distinct(hv) AS s FROM hs),
+        j AS (SELECT c.id_a, c.id_b,
+                CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0.0
+                     THEN 0.0
+                     ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END AS jaccard
+              FROM cand c
+              JOIN sv a ON a.doc_id = c.id_a
+              JOIN sv b ON b.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
+      }),
+
+    // ===== Dedup: portable SimHash, oracle-verified end-to-end =====
+    QueryDef("q35_simhash_pairs",
+      (s, dir) => Dedup.simhashPortablePairs(T.documents(s, dir),
+        "doc_id", "text", maxDist = 3, seed = 7L)
+        .withColumn("hamming", col("hamming").cast("long")),
+      Some {
+        val coeffs = Dedup.universalCoeffs(48, 7L)
+        val bits = coeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"(CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ($a * x + $b) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("\n               + ")
+        val chunkArms = (0 until 4).map { c =>
+          s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 12}) & 4095 AS cval FROM sigs"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        nz AS (SELECT * FROM tks WHERE len(tk) > 0),
+        hs AS (SELECT doc_id, list_transform(tk, t ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(t) + 1),
+                     i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+        sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM hs),
+        chunked AS ($chunkArms),
+        groups AS (SELECT chunk, cval,
+                     list_sort(list({'id': doc_id, 'sig': sig})) AS ms
+                   FROM chunked GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= 10000),
+        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b,
+                        p.hamming AS hamming FROM groups,
+          unnest(flatten(list_transform(range(1, len(ms) + 1), i ->
+            list_transform(ms[i+1:], y ->
+              {'id_a': ms[i].id, 'id_b': y.id,
+               'hamming': bit_count(xor(ms[i].sig, y.sig))})))) AS t(p))
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3"""
+      }),
+
+    // ===== Similarity: exact brute-force top-k =====
+    QueryDef("q22_brute_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM c CROSS JOIN q WHERE nbr_id != query_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 5"""
+      }),
+
+    // ===== Similarity: IVF-partitioned ANN =====
+    QueryDef("q23_ivf_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").cast("array<double>").as("cvec"))
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5, cents, nProbes = 2)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val l2 = duckL2("e.embedding", "c.cvec")
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                              embedding::DOUBLE[] AS cvec
+                       FROM embeddings WHERE vec_id < 16),
+        assigned AS (SELECT nbr_id, cv, cell FROM (
+            SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $l2, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        probed AS (SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $l2, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8)
+          WHERE rn <= 2),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM assigned JOIN probed USING (cell)
+          WHERE nbr_id != query_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 5"""
+      }),
+
+    // ===== Similarity: label-blocked embedding near-dup pairs =====
+    QueryDef("q24_embedding_neardup",
+      (s, dir) => Similarity.labelBlockedNearDup(T.embeddings(s, dir),
+        "label", "vec_id", "embedding", threshold = 0.35, maxBlock = 1000),
+      Some {
+        val d = duckDot("va", "vb")
+        val na = s"sqrt(${duckDot("va", "va")})"
+        val nb = s"sqrt(${duckDot("vb", "vb")})"
+        s"""
+        WITH e AS (SELECT label, vec_id, embedding FROM embeddings
+                   QUALIFY row_number() OVER (PARTITION BY label
+                                              ORDER BY vec_id) <= 1000)
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                    ELSE $d / ($na * $nb) END AS sim
+        FROM (SELECT label, vec_id, embedding AS va FROM e) a
+        JOIN (SELECT label, vec_id, embedding AS vb FROM e) b USING (label)
+        WHERE a.vec_id < b.vec_id
+          AND (CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                    ELSE $d / ($na * $nb) END) >= 0.35"""
+      }),
+
+    // ===== F5/A3: strip_html + wordcount =====
+    QueryDef("q30_strip_html",
+      (s, dir) => {
+        val html = concat(lit("<body><script>var x = 1;</script><style>p{}</style><p>"),
+          substring(col("text"), 1, 120), lit("</p><h1>hi</h1></body>"))
+        T.documents(s, dir).select(col("doc_id"),
+          TextFunctions.stripHtml(html).as("stripped"))
+          .withColumn("n_words", TextFunctions.wordCount(col("stripped")).cast("long"))
+      },
+      Some("""
+        WITH h AS (SELECT doc_id,
+          '<body><script>var x = 1;</script><style>p{}</style><p>'
+            || substr(text, 1, 120) || '</p><h1>hi</h1></body>' AS html
+          FROM documents),
+        st AS (SELECT doc_id,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html, '(?is)<script\b.*?</script>', ' ', 'g'),
+                    '(?is)<style\b.*?</style>', ' ', 'g'),
+                  '(?is)<svg\b.*?</svg>', ' ', 'g'),
+                '(?is)<noscript\b.*?</noscript>', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '\s+', ' ', 'g')) AS stripped
+          FROM h)
+        SELECT doc_id, stripped,
+          len(list_filter(string_split_regex(stripped, '\s+'),
+              w -> len(w) > 1 AND regexp_matches(w, '[a-zA-Z]'))) AS n_words
+        FROM st""")),
+
+    // ===== Similarity: hyperplane-LSH ANN, portable integer-lattice
+    // planes so the oracle reproduces the signatures bit-for-bit =====
+    QueryDef("q42_lsh_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, dim = 64, tables = 4,
+          bitsPerTable = 8, planes = Some(q42Planes))
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        def planeList(p: Seq[Double]): String =
+          p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
+        def sigExpr(tbl: Seq[Seq[Double]]): String =
+          tbl.zipWithIndex.map { case (p, i) =>
+            val d = duckDot("embedding", planeList(p))
+            s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString("(", "\n             + ", ")")
+        val sigCols = q42Planes.zipWithIndex.map { case (tbl, t) =>
+          s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
+        val arms = (0 until 4).map(t =>
+          s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
+          .mkString("\n          UNION ALL ")
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH sigs AS (SELECT vec_id,
+            $sigCols
+          FROM embeddings),
+        b AS ($arms),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+                 FROM b c JOIN b q USING (tbl, sig)
+                 WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM cand
+          JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings)
+            ON qid = query_id
+          JOIN (SELECT vec_id AS nid, embedding AS cv FROM embeddings)
+            ON nid = nbr_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 5"""
+      }),
+
+    // ===== skew mitigation: two-phase salted aggregation. The salt is
+    // deterministic and the per-(key, salt) partials merge to exactly the
+    // plain group-sum (quantities are integer-valued doubles, so the
+    // float sums are exact in any order — the oracle needs no salt) =====
+    QueryDef("q55_salted_sum",
+      (s, dir) => graft.operators.Skew.saltedSum(
+        T.lineitem(s, dir)
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity", salts = 16),
+      Some("""
+        SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ===== training pipeline: reproducible dataset split =====
+    QueryDef("q48_dataset_split",
+      (s, dir) => graft.operators.Sampling.deterministicSplit(
+          T.documents(s, dir).select("doc_id", "lang"), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "v1")
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n")),
+      Some("""
+        WITH b AS (SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 100 AS bucket
+          FROM documents)
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n
+        FROM b GROUP BY 1, 2""")),
+
+    // ===== training pipeline: deterministic stratified sample =====
+    QueryDef("q49_stratified_sample",
+      (s, dir) => graft.operators.Sampling.stratifiedTopK(
+          T.documents(s, dir).select("doc_id", "lang"), Seq("lang"),
+          "doc_id", k = 5, salt = "v1")
+        .select("lang", "doc_id"),
+      Some("""
+        WITH h AS (SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+          FROM documents)
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h)
+        WHERE rn <= 5""")),
+
+    // ===== W1/streaming-adjacent: gap-based sessionization =====
+    QueryDef("q43_sessionize",
+      (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
+          "ts", gapSeconds = 1800, tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("session_id")),
+      Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_us
+              FROM events)""")),
+
+    // ===== session-level rollup on top of sessionization =====
+    QueryDef("q44_session_stats",
+      (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
+          "ts", gapSeconds = 1800, tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us")),
+      Some("""
+        WITH sess AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 CAST(sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (SELECT event_id, user_id, ts,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_us
+                FROM events))
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us,
+               max(us) - min(us) AS duration_us
+        FROM sess GROUP BY user_id, session_id""")),
+  )
+}
