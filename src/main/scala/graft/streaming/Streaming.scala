@@ -88,6 +88,38 @@ object Streaming {
         to_json(struct((col("window.start") +: keyCols.map(col) :+
           col("n")): _*)).as("payload"))
 
+  /** Stream-static enrichment join — the streaming form of matching a
+    * small configured rules/lookup table (alert rules, urlset
+    * classifications) against the event stream. The static side is
+    * broadcast: the stream never shuffles and no join state accrues.
+    * The static plan is re-evaluated each micro-batch, so a rules
+    * DataFrame that reads from storage picks up rule edits between
+    * batches without restarting the query. */
+  def ruleMatches(events: DataFrame, rules: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    events.join(broadcast(rules), keys)
+
+  /** Watermarked stream-stream inner join: pair each left event with
+    * right events for the same `key` whose timestamp falls in
+    * [leftTs, leftTs + within]. Both sides carry watermarks and the
+    * range condition bounds join state, so buffered rows evict once the
+    * watermark passes — the always-on form of the previous-period /
+    * as-of correlation joins (§2.4). Timestamp columns must be named
+    * differently so the range condition is unambiguous. */
+  def correlateStreams(left: DataFrame, leftTs: String,
+                       right: DataFrame, rightTs: String,
+                       key: String, within: String,
+                       lateness: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs,
+      "left and right timestamp columns must have distinct names")
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+      .drop(r(key))
+  }
+
   /** Per-key change detection with custom state — the streaming form of
     * the as-of/lag comparison (metatags-has_title_changed): emits one row
     * per arriving record whose value differs from the key's previous

@@ -94,6 +94,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ruleMatches broadcast-joins static alert rules against the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(("error", "page", "sev1"), ("timeout", "api", "sev2"))
+      .toDF("kind", "scope", "severity")
+    val in = MemoryStream[(Timestamp, String)]
+    val out = Streaming.ruleMatches(
+      in.toDF().toDF("ts", "kind"), rules, Seq("kind"))
+    val q = out.writeStream.format("memory").queryName("rule_hits")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "error"),
+        (ts("2024-01-01 00:01:00"), "ok"),       // no rule -> dropped
+        (ts("2024-01-01 00:02:00"), "timeout"))
+      q.processAllAvailable()
+      val rows = spark.table("rule_hits")
+        .select("kind", "scope", "severity").as[(String, String, String)]
+        .collect().toSet
+      assert(rows === Set(("error", "page", "sev1"), ("timeout", "api", "sev2")),
+        "only events matching a rule pass, enriched with the rule columns")
+      // the static side must be the broadcast build side: no stream shuffle
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    } finally q.stop()
+  }
+
+  test("correlateStreams pairs events within the interval, drops the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String, Double)]
+    val out = Streaming.correlateStreams(
+      views.toDF().toDF("view_ts", "user"), "view_ts",
+      buys.toDF().toDF("buy_ts", "user", "amount"), "buy_ts",
+      key = "user", within = "1 hour")
+    val q = out.writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (ts("2024-01-01 10:00:00"), "u1"),
+        (ts("2024-01-01 10:00:00"), "u2"))
+      buys.addData(
+        (ts("2024-01-01 10:30:00"), "u1", 9.99),   // 30m after the view: pairs
+        (ts("2024-01-01 12:00:00"), "u2", 5.00),   // 2h after: outside `within`
+        (ts("2024-01-01 09:00:00"), "u1", 1.00))   // before the view: no pair
+      q.processAllAvailable()
+      val rows = spark.table("correlated")
+        .select(col("user"), col("view_ts").cast("string"),
+          col("buy_ts").cast("string"), col("amount"))
+        .as[(String, String, String, Double)].collect().toSet
+      assert(rows === Set(
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:30:00", 9.99)),
+        "only the within-interval (view, buy) pair joins")
+    } finally q.stop()
+  }
+
   test("changeDetection emits only transitions with previous value") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.KeyedValue]
