@@ -60,10 +60,36 @@ final class FailingFetcher(message: String = "connection refused") extends Fetch
 
 /** Headless-browser boundary for html_parser's `render` option
   * (html_parser.py:120-132): given a URL whose RAW fetch succeeded with
-  * text/html, return the DOM-rendered page source. The reference's
-  * failure mode is an error STRING body (never an exception), so
-  * implementations follow suit. A production impl drives a remote
-  * WebDriver; none ships here (no egress). */
+  * text/html, return the DOM-rendered page source. A production impl
+  * drives a remote WebDriver/CDP endpoint; none ships here (no egress).
+  *
+  * PRODUCTION CONTRACT — an implementation slots in without semantic
+  * drift if it holds all of these:
+  *
+  *  1. Called only for text/html bodies whose raw fetch succeeded —
+  *     [[HtmlParserSource.stage]] keeps status/headers/ttfb from the RAW
+  *     request and replaces only the body (html_parser.py:91-94). An
+  *     implementation must not re-issue the status probe.
+  *  2. NEVER throws. Every failure — driver unavailable, navigation
+  *     timeout, tab crash — returns an error STRING body; the reference
+  *     collapses all WebDriverException to
+  *     [[Renderer.NotConfigured]] (html_parser.py:128-129). A thrown
+  *     exception would kill the whole fetch partition and lose the
+  *     other URLs' staged rows.
+  *  3. Bounds per-URL wall time. The fetch stage runs `maxConcurrency`
+  *     slots inside a module budget (the reference's envelope is a
+  *     600 s module limit), so set page-load + script timeouts such
+  *     that timeout × URLs-per-slot stays inside it; on expiry return
+  *     the error body, never block the partition.
+  *  4. Creates browser sessions lazily per executor/partition
+  *     (`@transient lazy val`), one session reused across a partition's
+  *     URLs. The trait is Serializable because it ships in the
+  *     mapPartitions closure — a live connection must not be serialized
+  *     from the driver.
+  *  5. Output is the serialized DOM at load-complete; re-rendering the
+  *     same URL may legitimately differ (live web). Replay identity is
+  *     the staging append's concern, not the renderer's.
+  */
 trait Renderer extends Serializable {
   def render(url: String): String
 }

@@ -70,6 +70,55 @@ class HtmlParserSourceSpec extends SparkSpec {
       "status still comes from the raw request")
   }
 
+  test("renderer contract: html-only invocation, raw metadata, error body") {
+    // contract point 1: the renderer is consulted ONLY for text/html
+    // bodies whose raw fetch succeeded — never for non-html or errors
+    // (the spy echoes the url, so any unexpected invocation shows up in
+    // that row's staged body; closures serialize, so no shared state)
+    val spying = new Renderer {
+      override def render(url: String): String = s"<dom:$url>"
+    }
+    val fetcher = new FixtureFetcher(Map(
+      "https://ex.com/page" -> FetchResult("https://ex.com/page", 200,
+        Map("content-type" -> "text/html", "x-served-by" -> "edge1"),
+        "<html>raw</html>", ttfb = 0.25),
+      "https://ex.com/x.pdf" -> FetchResult("https://ex.com/x.pdf", 200,
+        Map("content-type" -> "application/pdf"), "%PDF")))
+    val rows = HtmlParserSource.stage(spark, Seq(
+        ConfigUrl("s", "https://ex.com/page", render = true),
+        ConfigUrl("s", "https://ex.com/x.pdf", render = true),
+        ConfigUrl("s", "https://ex.com/down", render = true)),
+      new Fetcher {  // /down fails at the raw fetch
+        override def fetch(url: String, ua: String): FetchResult =
+          if (url.endsWith("/down"))
+            FetchResult(url, 0, Map.empty, "Error: refused", error = "refused")
+          else fetcher.fetch(url, ua)
+      }, now = now, renderer = Some(spying), maxConcurrency = 1)
+      .collect().map(r => r.getAs[org.apache.spark.sql.Row]("url").getAs[String]("path") -> r).toMap
+    assert(rows("/x.pdf").getAs[String]("body") ===
+      "Can't use content-type \"application/pdf\" for parsing",
+      "non-html keeps the content-type message — renderer not consulted")
+    assert(rows("/down").getAs[String]("body") === "Error: refused",
+      "failed raw fetch keeps the error body — renderer not consulted")
+    // contract point 2/5: body replaced, raw status/headers/ttfb kept
+    val page = rows("/page")
+    assert(page.getAs[String]("body") === "<dom:https://ex.com/page>")
+    assert(page.getAs[Int]("status_code") === 200)
+    assert(page.getAs[Double]("ttfb") === 0.25)
+    assert(page.getAs[Map[String, String]]("headers")("x-served-by") === "edge1",
+      "metadata comes from the RAW request, only the body is rendered")
+    // contract point 2: a renderer failure is an error STRING row, and the
+    // rest of the partition still stages (nothing thrown)
+    val failing = new Renderer {
+      override def render(url: String): String = Renderer.NotConfigured
+    }
+    val out = HtmlParserSource.stage(spark, Seq(
+        ConfigUrl("s", "https://ex.com/page", render = true)),
+      fetcher, now = now, renderer = Some(failing)).head()
+    assert(out.getAs[String]("body") === Renderer.NotConfigured)
+    assert(out.getAs[Boolean]("rendered") === true)
+  }
+
   test("url parses into the struct shape") {
     val u = HtmlParserSource.parseUrl("https://Sub.Example.com/a/b?x=1&y=2")
     assert(u === graft.core.Url("https", "Sub.Example.com", "/a/b", "x=1&y=2"))
