@@ -318,30 +318,38 @@ object Dedup {
       coeffs)
 
   /** Portable SimHash near-dup pairs within Hamming distance `maxDist`
-    * over a 48-bit signature: pigeonhole on 4×12-bit chunks (dist ≤ 3 ⇒ at
-    * least one exact chunk), in-group combinations carry (id, sig) so the
-    * verify step needs no re-join.
+    * over a `chunks`×`chunkBits`-bit signature: pigeonhole on the chunks
+    * (dist < chunks ⇒ at least one exact chunk), in-group combinations
+    * carry (id, sig) so the verify step needs no re-join.
     *
-    * Why 48/12 and not 32/8: bucket keys live in the chunk-value space,
-    * so 8-bit chunks put the whole corpus into ≤256 buckets per chunk —
-    * bucket population grows linearly with the corpus and the in-group
-    * pair count quadratically (measured 2.6M candidate pairs from 5k
-    * docs). 12-bit chunks give 16× the bucket space; widen further (the
-    * native expression takes up to 63 bits) before raising `maxBucket`. */
+    * SIZE `chunkBits` TO THE CORPUS: bucket keys live in the chunk-value
+    * space (2^chunkBits buckets per chunk), bucket population grows
+    * linearly with the corpus and the in-bucket comparison count
+    * quadratically. Measured: 8-bit chunks → 2.6M candidate pairs from
+    * 5k docs; the 12-bit default → ~244 docs/bucket and ~488M hamming
+    * comparisons at 1M docs (6.7 s at local[32], but quadratic from
+    * there); 15-bit chunks cut it ~64×. The native expression takes up
+    * to 63 total bits — widen chunkBits before raising `maxBucket`. */
   def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
                            maxDist: Int = 3, seed: Long = 42L,
-                           maxBucket: Int = 10000): DataFrame = {
-    val coeffs = universalCoeffs(48, seed)
-    // token hashes bound to a column → the 32 per-bit aggregates share it
+                           maxBucket: Int = 10000,
+                           chunks: Int = 4, chunkBits: Int = 12): DataFrame = {
+    require(chunks * chunkBits <= 63,
+      s"signature ${chunks}x$chunkBits exceeds 63 bits")
+    require(maxDist < chunks,
+      s"pigeonhole needs maxDist < chunks: $maxDist >= $chunks misses pairs")
+    val coeffs = universalCoeffs(chunks * chunkBits, seed)
+    // token hashes bound to a column → the per-bit aggregates share it
     val withSig = df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         transform(TextFunctions.tokens(col(textCol)), t => polyHash(t)).as("__hv"))
       .select(col("id"), simhashFromHashes(col("__hv"), coeffs).as("sig"))
+    val chunkMask = (1L << chunkBits) - 1
     val chunked = withSig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * 12).bitwiseAND(0xFFFL).as("cval"))
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask).as("cval"))
       }: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
     val groups = chunked.groupBy("chunk", "cval")

@@ -127,17 +127,36 @@ object Similarity {
     * serve queries against the bucketed table via [[ivfTopKAssigned]] —
     * re-assigning the corpus per query batch would re-scan 100 TB.
     *
-    * The argmin is `min_by` over the broadcast corpus×centroids product:
-    * partial aggregation collapses to one (id, cell) row per vector
-    * BEFORE the exchange, so the shuffle never carries the product. */
+    * The argmin is the native [[graft.functions.expressions.NearestCell]]
+    * kernel over the collected centroid matrix (bounded: one row per
+    * cell): a single narrow map, no corpus×cells row explosion, no
+    * shuffle, vectors never leave their partitions. The earlier
+    * broadcast-join + min_by/first(cv) form was NOT scale-safe despite
+    * its map-side-combine reasoning: array-typed aggregation buffers
+    * force ObjectHashAggregate, whose sort-based fallback sorts the
+    * exploded product with full vector payloads (measured at 1M×256:
+    * ~200 GB spill, disk-full abort — caught by tools/ScaleProbe ivf).
+    * Same distances (identical IEEE fold), same smallest-cell tie rule. */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
-    corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-      .join(cents)
-      .groupBy(col("nbr_id"))
-      .agg(min_by(col("cell"), struct(l2Sq(col("cv"), col("cvec")), col("cell"))).as("cell"),
-           first(col("cv")).as("cv"))
+    // driver-side bounded control read: one row per cell, sorted so the
+    // kernel's first-wins scan reproduces min_by's smallest-cell ties
+    val rows = centroids.select(col("cell").cast("int"), col("cvec"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "assignCells needs at least one centroid")
+    val cellIds = rows.map(_.getInt(0))
+    val dim = rows.head.getSeq[Any](1).size
+    val flat = new Array[Double](rows.length * dim)
+    var i = 0
+    rows.foreach { r =>
+      r.getSeq[Any](1).foreach { v =>
+        flat(i) = v.asInstanceOf[Number].doubleValue(); i += 1 }
+    }
+    import graft.functions.expressions.{ColumnBridge, NearestCell}
+    corpus.select(col(idCol).as("nbr_id"),
+      ColumnBridge.column(NearestCell(
+        ColumnBridge.expression(col(vecCol)), flat, cellIds, dim)).as("cell"),
+      col(vecCol).as("cv"))
   }
 
   /** ANN over a PRE-ASSIGNED corpus — the (nbr_id, cell, cv) shape

@@ -1,18 +1,236 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale probe for the dedup/similarity family: runs the pair pipelines
-  * against an arbitrary documents parquet (e.g. a 10× replica) and
-  * prints wall time + result counts, so bucket-cap and pair-volume
+/** Scale probe for the dedup/similarity family: measures wall time,
+  * candidate volume, and result counts on synthetic corpora whose size
+  * and near-dup profile are CONTROLLED, so bucket-cap and pair-volume
   * behavior is measured, not guessed, before the next scale-up.
   *
-  * Usage: runMain graft.tools.ScaleProbe /tmp/docs50k.parquet
+  * Modes:
+  *  - `gen <docsPath> <nDocs> <dupRate> [<embPath> <nVecs>]` —
+  *    synthesize a deterministic corpus (see [[synthDocs]]) and
+  *    optionally a clustered embedding table;
+  *  - `pairs <docsPath> <dupRate>` — exact/minhash/simhash pipelines
+  *    with candidates-per-true-positive reporting;
+  *  - `ivf <embPath> <whRoot>` — end-to-end IVF split: train + assign +
+  *    bucketed warehouse write (build), then [[graft.operators
+  *    .Similarity.ivfTopKAssigned]] over the bucketed table (serve),
+  *    with recall@10 against the brute-force oracle;
+  *  - legacy: `<docsPath> [<embPath>]` — the original adversarial-corpus
+  *    probe (kept for comparability with earlier rounds).
   */
 object ScaleProbe {
+
+  // ------------------------------------------------------ corpus synthesis
+
+  /** Deterministic documents with a REALISTIC near-dup profile: ids
+    * below nBase = n·(1−dupRate) are unique (120 tokens from a ~9M-word
+    * vocab — cross-doc Jaccard ≈ 0); every id ≥ nBase is a near-dup of
+    * base doc pmod(xxhash64(id), nBase): 4 of 5 replace every 10th
+    * token (Jaccard ≈ 108/132 ≈ 0.82 — must survive verification at
+    * 0.5), 1 of 5 replace every 2nd token (Jaccard ≈ 60/180 ≈ 0.33 —
+    * the borderline candidates verification must reject). */
+  def synthDocs(spark: SparkSession, n: Long, dupRate: Double): DataFrame = {
+    val nBase = (n * (1 - dupRate)).toLong
+    // xxhash64 mixing, NOT a linear congruence: a lattice formula like
+    // docKey*C + j*D mod V makes doc pairs at specific id offsets share
+    // almost every token (measured: 3.8M phantom near-dup pairs at 1M
+    // docs), which silently turns a "realistic" corpus adversarial
+    def tokenOf(docKey: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      concat(lit("w"), pmod(xxhash64(docKey, j), lit(9000000L)).cast("string"))
+    val base = pmod(xxhash64(col("id")), lit(nBase))
+    val mutEvery = when(pmod(col("id"), lit(5)) === 0, lit(2L)).otherwise(lit(10L))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(
+        transform(sequence(lit(0L), lit(119L)), j =>
+          when(col("id") < nBase, tokenOf(col("id"), j))
+            .when(pmod(j + col("id"), mutEvery) === 0,
+              concat(lit("m"), col("id"), lit("_"), j))
+            .otherwise(tokenOf(base, j))),
+        " ").as("text"))
+  }
+
+  /** Deterministic clustered embeddings: `cells` well-separated
+    * sin-lattice centroids in `dim` dimensions, each vector = its
+    * centroid (cell = id mod cells) plus bounded deterministic noise —
+    * the structure IVF expects, with a knowable cluster assignment. */
+  def synthEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
+                      cells: Int = 256): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (sin((pmod(col("id"), lit(cells)) * lit(dim) + j).cast("double") * lit(0.37)) +
+          (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / lit(500.0)
+            - lit(1.0)) * lit(0.15)).cast("float")).as("embedding"))
+
+  // --------------------------------------------------------------- probes
+
+  private def time[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val a = body
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    a
+  }
+
+  private def timedCount(label: String)(df: => DataFrame): Long = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    n
+  }
+
+  /** Pair pipelines with candidate accounting: a second pass with the
+    * verification threshold disabled (jaccard ≥ 0 / hamming ≤ 48) counts
+    * CANDIDATES through the identical plan, so
+    * candidates-per-true-positive is measured on the production path. */
+  private def pairsProbe(spark: SparkSession, docsPath: String,
+                         dupRate: Double): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    val expectedTrue = (n * dupRate * 0.8).toLong
+    println(s"[probe] docs=$n dupRate=$dupRate expected_light_dups≈$expectedTrue")
+
+    timedCount("exact_dedup") {
+      graft.operators.Dedup.exact(docs, "doc_id", "text")
+    }
+    val mhVerified = timedCount("minhash_verified(t=0.5)") {
+      graft.operators.Dedup.minhashPortablePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, seed = 7L)
+    }
+    val mhCands = timedCount("minhash_candidates(t=0)") {
+      graft.operators.Dedup.minhashPortablePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.0, seed = 7L)
+    }
+    println(f"[probe] minhash cand/verified = ${
+      if (mhVerified == 0) Double.NaN else mhCands.toDouble / mhVerified}%.2f" +
+      f"  recall_vs_expected = ${
+        if (expectedTrue == 0) Double.NaN else mhVerified.toDouble / expectedTrue}%.3f")
+    Seq(12, 15).foreach { cb =>
+      val shVerified = timedCount(s"simhash_verified(d<=3,${cb}b)") {
+        graft.operators.Dedup.simhashPortablePairs(docs, "doc_id", "text",
+          maxDist = 3, seed = 7L, chunkBits = cb)
+      }
+      val vol = time(s"simhash_cand_volume(${cb}b)") {
+        simhashCandidateVolume(docs, chunks = 4, chunkBits = cb, seed = 7L)
+      }
+      println(f"[probe] simhash(${cb}b) in-bucket comparisons=$vol " +
+        f"per-verified=${if (shVerified == 0) Double.NaN
+          else vol.toDouble / shVerified}%.1f")
+    }
+  }
+
+  /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
+    * geometry — what the HammingPairs kernel iterates, counted without
+    * materializing pairs (mirrors simhashPortablePairs's bucket keying
+    * and filters). */
+  private def simhashCandidateVolume(docs: DataFrame, chunks: Int,
+                                     chunkBits: Int, seed: Long,
+                                     maxBucket: Int = 10000): Long = {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions
+    val coeffs = Dedup.universalCoeffs(chunks * chunkBits, seed)
+    val mask = (1L << chunkBits) - 1
+    docs.filter(size(TextFunctions.tokens(col("text"))) > 0)
+      .select(Dedup.simhashPortable(col("text"), coeffs).as("sig"))
+      .select(explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(mask).as("cval"))): _*))
+        .as("cc"))
+      .groupBy("cc.chunk", "cc.cval").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long"))
+      .head().getLong(0)
+  }
+
+  /** The IVF build/serve split, end to end against the bucketed
+    * warehouse path it was designed for: build ONCE (train + assign +
+    * bucketed write), serve MANY (probed top-k over the bucketed
+    * table), recall@10 against brute force. */
+  private def ivfProbe(spark: SparkSession, embPath: String,
+                       whRoot: String): Unit = {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(embPath)
+    println(s"[probe] vectors = ${emb.count()}")
+    val wh = new graft.sources.Warehouse(spark, whRoot)
+
+    val cents = time("ivf_build: train(256 cells)") {
+      Similarity.centroidsDF(spark,
+        Similarity.trainCentroids(emb, "embedding", kCells = 256,
+          sampleN = 20000)).cache()
+    }
+    cents.count()
+    time("ivf_build: assign+bucketed write") {
+      wh.appendBucketed("ivf_corpus",
+        Similarity.assignCells(emb, "vec_id", "embedding", cents),
+        Seq("cell"), 64)
+    }
+
+    val queries = emb.filter(col("vec_id") < 256).cache()
+    queries.count()
+    val corpus = wh.readBucketed("ivf_corpus")
+    val served = time("ivf_serve: 256 queries, 8 probes") {
+      val r = Similarity.ivfTopKAssigned(corpus, queries, "vec_id",
+        "embedding", 10, cents, nProbes = 8).cache()
+      r.count(); r
+    }
+    val brute = time("brute_topk (oracle)") {
+      val r = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10).cache()
+      r.count(); r
+    }
+    val hit = served.join(brute, Seq("query_id", "nbr_id")).count()
+    println(f"[probe] ivf recall@10 = ${hit.toDouble / brute.count()}%.3f " +
+      s"(probing 8/256 cells)")
+  }
+
+  private def legacyProbe(spark: SparkSession, docsPath: String,
+                          embPath: Option[String]): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    println(s"[probe] docs = ${docs.count()}")
+    timedCount("exact_dedup") {
+      graft.operators.Dedup.exact(docs, "doc_id", "text")
+    }
+    timedCount("minhash_pairs") {
+      graft.operators.Dedup.minhashPortablePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, seed = 7L)
+    }
+    timedCount("simhash_pairs") {
+      graft.operators.Dedup.simhashPortablePairs(docs, "doc_id", "text",
+        maxDist = 3, seed = 7L)
+    }
+    if (sys.env.contains("PROBE_JACCARD")) timedCount("jaccard_pairs") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000)
+    }
+    embPath.foreach { p =>
+      val emb = spark.read.parquet(p)
+      println(s"[probe] vectors = ${emb.count()}")
+      val queries = emb.filter(col("vec_id") < 64)
+      timedCount("ivf_topk (trained)") {
+        val cents = graft.operators.Similarity.centroidsDF(spark,
+          graft.operators.Similarity.trainCentroids(emb, "embedding",
+            kCells = 64, sampleN = 5000))
+        graft.operators.Similarity.ivfTopK(emb, queries,
+          "vec_id", "embedding", 10, cents, nProbes = 4)
+      }
+      timedCount("lsh_topk (lattice)") {
+        val planes = (0 until 4).map(t =>
+          graft.functions.VectorFunctions.latticePlanes(12, 64, 42L + t))
+        graft.operators.Similarity.lshTopK(emb, queries, "vec_id",
+          "embedding", k = 10, dim = 64, tables = 4, bitsPerTable = 12,
+          planes = Some(planes))
+      }
+      timedCount("brute_topk") {
+        graft.operators.Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", 10)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val docsPath = args.headOption.getOrElse("/tmp/docs50k.parquet")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,54 +238,31 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(2000000).selectExpr("sum(id * 2)").collect()
-    val docs = spark.read.parquet(docsPath)
-    println(s"[probe] docs = ${docs.count()}")
+    spark.range(2000000).selectExpr("sum(id * 2)").collect() // JIT warmup
 
-    def time(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[probe] $label%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
-    }
-
-    time("exact_dedup") {
-      graft.operators.Dedup.exact(docs, "doc_id", "text")
-    }
-    time("minhash_pairs") {
-      graft.operators.Dedup.minhashPortablePairs(docs, "doc_id", "text",
-        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, seed = 7L)
-    }
-    time("simhash_pairs") {
-      graft.operators.Dedup.simhashPortablePairs(docs, "doc_id", "text",
-        maxDist = 3, seed = 7L)
-    }
-    if (sys.env.contains("PROBE_JACCARD")) time("jaccard_pairs") {
-      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 1000)
-    }
-
-    args.lift(1).foreach { embPath =>
-      val emb = spark.read.parquet(embPath)
-      println(s"[probe] vectors = ${emb.count()}")
-      val queries = emb.filter(col("vec_id") < 64)
-      time("ivf_topk (trained)") {
-        val cents = graft.operators.Similarity.centroidsDF(spark,
-          graft.operators.Similarity.trainCentroids(emb, "embedding",
-            kCells = 64, sampleN = 5000))
-        graft.operators.Similarity.ivfTopK(emb, queries,
-          "vec_id", "embedding", 10, cents, nProbes = 4)
-      }
-      time("lsh_topk (lattice)") {
-        val planes = (0 until 4).map(t =>
-          graft.functions.VectorFunctions.latticePlanes(12, 64, 42L + t))
-        graft.operators.Similarity.lshTopK(emb, queries, "vec_id",
-          "embedding", k = 10, dim = 64, tables = 4, bitsPerTable = 12,
-          planes = Some(planes))
-      }
-      time("brute_topk") {
-        graft.operators.Similarity.bruteForceTopK(emb, queries,
-          "vec_id", "embedding", 10)
-      }
+    args.toList match {
+      case "gen" :: docsPath :: n :: dupRate :: rest =>
+        time(s"gen docs n=$n dup=$dupRate") {
+          synthDocs(spark, n.toLong, dupRate.toDouble)
+            .repartition(32).write.mode("overwrite").parquet(docsPath)
+        }
+        rest match {
+          case embPath :: nVecs :: Nil =>
+            time(s"gen embeddings n=$nVecs") {
+              synthEmbeddings(spark, nVecs.toLong)
+                .repartition(32).write.mode("overwrite").parquet(embPath)
+            }
+          case _ => ()
+        }
+      case "pairs" :: docsPath :: dupRate :: Nil =>
+        pairsProbe(spark, docsPath, dupRate.toDouble)
+      case "ivf" :: embPath :: whRoot :: Nil =>
+        ivfProbe(spark, embPath, whRoot)
+      case docsPath :: rest if !docsPath.contains("gen") =>
+        legacyProbe(spark, docsPath, rest.headOption)
+      case _ =>
+        println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
+          "pairs <docs> <dupRate> | ivf <emb> <whRoot> | <docs> [<emb>]")
     }
     spark.stop()
   }
