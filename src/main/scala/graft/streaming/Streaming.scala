@@ -88,6 +88,26 @@ object Streaming {
         to_json(struct((col("window.start") +: keyCols.map(col) :+
           col("n")): _*)).as("payload"))
 
+  /** Exactly-once streaming sink into the warehouse: every micro-batch
+    * lands via [[graft.sources.Warehouse.idempotentAppend]] keyed on
+    * `keys`, so the batch a recovered checkpoint RE-DELIVERS (foreachBatch
+    * is at-least-once) appends nothing the first delivery didn't — the
+    * streaming end of the same effectively-once contract the batch
+    * pipeline gets from the idempotent-append anti-join (§2.4). `keys`
+    * is the replay identity, not a row identity, exactly as in batch. */
+  def warehouseSink(df: DataFrame, warehouse: graft.sources.Warehouse,
+                    table: String, keys: Seq[String], checkpoint: String,
+                    partitionCol: String = "date")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        warehouse.idempotentAppend(table, batch.toDF(), keys, partitionCol)
+        ()
+      }
+      .start()
+
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset
     * classifications) against the event stream. The static side is
