@@ -16,6 +16,10 @@ object Tables {
   // DataFrames are immutable plan objects, so one per (session, path) can
   // be shared by every query: without this each of the ~120 bench
   // evaluations re-lists the file and re-reads parquet footers for schema.
+  // Documented trade: the cached plan pins its file listing, so a path
+  // REWRITTEN mid-session would serve stale/missing files — fine here
+  // because the driver's testdata is immutable for a session's lifetime;
+  // a live table must not go through this cache.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -34,12 +34,21 @@ object Templates {
     * (the reference's Jinja FileSystemLoader raises TemplateNotFound — a
     * typo'd path must not silently fall back to a default body). */
   def load(root: String, path: String): String = {
-    val f = java.nio.file.Paths.get(root).resolve(path)
+    // containment: a config path must stay under the template root, like
+    // Jinja's FileSystemLoader which raises TemplateNotFound on up-paths
+    // — "../../etc/passwd" must never end up in an outgoing email body
+    val rootP = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    val f = rootP.resolve(path).normalize
+    if (!f.startsWith(rootP))
+      throw new IllegalArgumentException(s"template not found: $path " +
+        "(path escapes the templates root)")
     if (java.nio.file.Files.isRegularFile(f))
       new String(java.nio.file.Files.readAllBytes(f),
         java.nio.charset.StandardCharsets.UTF_8)
     else {
-      val in = getClass.getClassLoader.getResourceAsStream(s"templates/$path")
+      val in =
+        if (path.split('/').contains("..")) null
+        else getClass.getClassLoader.getResourceAsStream(s"templates/$path")
       if (in == null)
         throw new IllegalArgumentException(s"template not found: $f")
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
@@ -73,13 +82,15 @@ object Templates {
 
   // -------------------------------------------------------------- parser
 
-  private val Tag = raw"\{\{.*?\}\}|\{%.*?%\}".r
+  // (?s): tags may span lines (editors wrap long expressions — Jinja
+  // allows it); {# … #} comments are recognized and dropped
+  private val Tag = raw"(?s)\{\{.*?\}\}|\{%.*?%\}|\{#.*?#\}".r
 
   private def parse(src: String): Seq[Node] = {
     // one trailing newline stripped, as Jinja does by default
     val s = if (src.endsWith("\r\n")) src.dropRight(2)
             else if (src.endsWith("\n")) src.dropRight(1) else src
-    val (nodes, rest) = parseUntil(tokenize(s), Set.empty)
+    val (nodes, rest) = parseUntil(tokenize(s), Set.empty, inLoop = false)
     require(rest.isEmpty, "unbalanced template tags")
     nodes
   }
@@ -96,7 +107,8 @@ object Templates {
       if (m.start > last) out += Raw(s.substring(last, m.start))
       val t = m.matched
       if (t.startsWith("{{")) out += Expr(t.substring(2, t.length - 2).trim)
-      else out += Stmt(t.substring(2, t.length - 2).trim)
+      else if (t.startsWith("{%")) out += Stmt(t.substring(2, t.length - 2).trim)
+      // {# comments #} emit nothing
       last = m.end
     }
     if (last < s.length) out += Raw(s.substring(last))
@@ -107,8 +119,8 @@ object Templates {
     * returns (nodes, remaining-after-closer-consumed-check) — the closer
     * token itself is left for the caller to inspect via the returned
     * remainder's head having been consumed (we return after consuming). */
-  private def parseUntil(toks: List[Tok],
-                         closers: Set[String]): (Seq[Node], List[Tok]) = {
+  private def parseUntil(toks: List[Tok], closers: Set[String],
+                         inLoop: Boolean): (Seq[Node], List[Tok]) = {
     val nodes = Seq.newBuilder[Node]
     var rest = toks
     while (rest.nonEmpty) {
@@ -122,14 +134,18 @@ object Templates {
             case "for" =>
               val m = raw"for\s+(\w+)\s+in\s+([\w.]+)".r.findFirstMatchIn(s)
                 .getOrElse(throw new IllegalArgumentException(s"bad for: {% $s %}"))
-              val (body, t2) = parseUntil(t, Set("endfor"))
+              val (body, t2) = parseUntil(t, Set("endfor"), inLoop = true)
               nodes += For(m.group(1), m.group(2).split('.').toSeq, body)
               rest = t2
             case "if" =>
-              val (body, t2) = parseUntil(t, Set("endif"))
+              val (body, t2) = parseUntil(t, Set("endif"), inLoop)
               nodes += If(parseCond(s.drop(2).trim), body)
               rest = t2
-            case "break" => nodes += Break; rest = t
+            case "break" =>
+              // Jinja's loopcontrols extension rejects this at compile
+              // time; failing at render would poison every dispatch
+              require(inLoop, "{% break %} outside of a {% for %} loop")
+              nodes += Break; rest = t
             case other => throw new IllegalArgumentException(
               s"unsupported template statement: {% $other … %} " +
                 "(supported: for/endfor, if/endif, break)")
@@ -179,18 +195,34 @@ object Templates {
       s.substring(1, s.length - 1)
     else s
 
+  /** First index of `op` OUTSIDE quoted literals, or -1 — an operator
+    * inside a string literal (`s == "a!=b"`) must not split there. */
+  private def indexOfTop(s: String, op: String): Int = {
+    var i = 0; var quote = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' ' }
+      else if (c == '"' || c == '\'') quote = c
+      else if (s.startsWith(op, i)) return i
+      i += 1
+    }
+    -1
+  }
+
   private def parseCond(s: String): Cond = {
     def operand(o: String): Operand = {
       val t = o.trim
       if (t.headOption.exists(c => c == '"' || c == '\'')) Lit(unquote(t))
-      else if (t.forall(c => c.isDigit || c == '-') && t.nonEmpty) Lit(t.toLong)
+      else if (t.matches("-?\\d+")) Lit(t.toLong)
       else Path(t.split('.').toSeq)
     }
-    if (s.contains("!=")) {
-      val Array(a, b) = s.split("!=", 2); Cmp(operand(a), operand(b), eq = false)
-    } else if (s.contains("==")) {
-      val Array(a, b) = s.split("==", 2); Cmp(operand(a), operand(b), eq = true)
-    } else Truthy(s.trim.split('.').toSeq)
+    val ne = indexOfTop(s, "!=")
+    val eq = indexOfTop(s, "==")
+    if (ne >= 0 && (eq < 0 || ne < eq))
+      Cmp(operand(s.substring(0, ne)), operand(s.substring(ne + 2)), eq = false)
+    else if (eq >= 0)
+      Cmp(operand(s.substring(0, eq)), operand(s.substring(eq + 2)), eq = true)
+    else Truthy(s.trim.split('.').toSeq)
   }
 
   // ------------------------------------------------------------ renderer

@@ -88,33 +88,50 @@ object Streaming {
         to_json(struct((col("window.start") +: keyCols.map(col) :+
           col("n")): _*)).as("payload"))
 
-  /** Exactly-once streaming sink into the warehouse: every micro-batch
-    * lands via [[graft.sources.Warehouse.idempotentAppend]] keyed on
-    * `keys`, so the batch a recovered checkpoint RE-DELIVERS (foreachBatch
-    * is at-least-once) appends nothing the first delivery didn't — the
-    * streaming end of the same effectively-once contract the batch
-    * pipeline gets from the idempotent-append anti-join (§2.4). `keys`
-    * is the replay identity, not a row identity, exactly as in batch. */
+  /** Exactly-once streaming sink into the warehouse. foreachBatch is
+    * at-least-once (a recovered checkpoint RE-DELIVERS the in-flight
+    * micro-batch with the SAME batchId), so the replay identity is the
+    * batchId itself: each row is stamped with it and
+    * [[graft.sources.Warehouse.idempotentAppend]] keys the anti-join on
+    * `__batch_id` — a redelivered batch appends nothing, while new rows
+    * for an already-seen business key in a LATER batch still land
+    * (business-key dedup is a different operator: [[dedupeStream]], or
+    * the batch anti-join at read time). */
   def warehouseSink(df: DataFrame, warehouse: graft.sources.Warehouse,
-                    table: String, keys: Seq[String], checkpoint: String,
+                    table: String, checkpoint: String,
                     partitionCol: String = "date")
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        warehouse.idempotentAppend(table, batch.toDF(), keys, partitionCol)
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatch(warehouse, table, partitionCol)(batch.toDF(), batchId)
       }
       .start()
+
+  /** The per-micro-batch body of [[warehouseSink]], exposed so the
+    * redelivery no-op is directly testable: append under the batchId
+    * replay key. */
+  def appendBatch(warehouse: graft.sources.Warehouse, table: String,
+                  partitionCol: String = "date")
+                 (batch: DataFrame, batchId: Long): Unit = {
+    warehouse.idempotentAppend(table,
+      batch.withColumn("__batch_id", lit(batchId)),
+      keys = Seq("__batch_id"), partitionCol)
+    ()
+  }
 
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset
     * classifications) against the event stream. The static side is
     * broadcast: the stream never shuffles and no join state accrues.
-    * The static plan is re-evaluated each micro-batch, so a rules
-    * DataFrame that reads from storage picks up rule edits between
-    * batches without restarting the query. */
+    * The static side re-EXECUTES each micro-batch, but a plain parquet
+    * DataFrame pins its file listing at analysis — appended or
+    * rewritten rule files are not picked up (an overwrite crashes the
+    * query with missing files). For live-editable rules, pass a source
+    * that re-resolves per execution (a JDBC/Delta source, or re-read +
+    * restart on change); for config-file rules, restart the query — the
+    * reference's cron model treats rule edits as deploys anyway. */
   def ruleMatches(events: DataFrame, rules: DataFrame,
                   keys: Seq[String]): DataFrame =
     events.join(broadcast(rules), keys)

@@ -258,7 +258,8 @@ object ScaleProbe {
         pairsProbe(spark, docsPath, dupRate.toDouble)
       case "ivf" :: embPath :: whRoot :: Nil =>
         ivfProbe(spark, embPath, whRoot)
-      case docsPath :: rest if !docsPath.contains("gen") =>
+      case docsPath :: rest
+          if !Set("gen", "pairs", "ivf").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +

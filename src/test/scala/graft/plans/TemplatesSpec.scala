@@ -80,6 +80,40 @@ class TemplatesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Templates.render("{% endif %}", Map.empty)
     }
+    // break outside a loop is a PARSE error (jinja loopcontrols compile
+    // error), not a render-time explosion poisoning every dispatch
+    intercept[IllegalArgumentException] {
+      Templates.render("{% if x %}{% break %}{% endif %}", Map("x" -> true))
+    }
+  }
+
+  test("multi-line tags, comments, quoted operators") {
+    assert(Templates.render("a {{\n  x\n}} b", Map("x" -> "v")) === "a v b")
+    assert(Templates.render("x{# a comment\nspanning lines #}y", Map.empty)
+      === "xy", "comment tags emit nothing")
+    // '!=' inside a quoted literal must not split the condition
+    assert(Templates.render("{% if s == \"a!=b\" %}hit{% endif %}",
+      Map("s" -> "a!=b")) === "hit")
+    assert(Templates.render("{% if s == \"a!=b\" %}hit{% endif %}",
+      Map("s" -> "other")) === "")
+    // a dashed operand is a path, not a crashing numeric literal
+    assert(Templates.render("{% if x == 1-2 %}hit{% endif %}",
+      Map("x" -> 1L)) === "", "non-numeric '1-2' resolves as a missing path")
+  }
+
+  test("load rejects paths escaping the templates root") {
+    val root = java.nio.file.Files.createTempDirectory("tpl_jail").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "ok.txt"), "ok".getBytes("UTF-8"))
+    val outside = java.nio.file.Files.createTempFile("secret", ".txt")
+    java.nio.file.Files.write(outside, "secret".getBytes("UTF-8"))
+    assert(Templates.load(root, "ok.txt") === "ok")
+    intercept[IllegalArgumentException] {
+      Templates.load(root, s"../${outside.getFileName}")
+    }
+    intercept[IllegalArgumentException] {
+      Templates.load(root, "../../etc/passwd")
+    }
   }
 
   test("strftime: supported directives, %%, unknown throws") {

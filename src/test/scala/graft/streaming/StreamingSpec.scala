@@ -177,31 +177,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("warehouseSink: replayed micro-batch appends nothing new") {
+  test("warehouseSink: batchId is the replay identity, new batches land") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_wsink").toString
     val wh = new graft.sources.Warehouse(spark, root)
     val in = MemoryStream[(java.sql.Date, String, Double)]
     val q = Streaming.warehouseSink(
       in.toDF().toDF("date", "property", "value"), wh, "metrics",
-      keys = Seq("property", "date"), checkpoint = s"$root/ckpt")
+      checkpoint = s"$root/ckpt")
     try {
       in.addData(
         (java.sql.Date.valueOf("2024-01-01"), "site", 1.0),
         (java.sql.Date.valueOf("2024-01-01"), "site", 2.0))
       q.processAllAvailable()
-      assert(wh.read("metrics").count() === 2,
-        "both rows of the key land (keys are replay identity, not row identity)")
-      // the same data arriving again — a recovered checkpoint redelivery —
-      // must be a no-op because the (property, date) keys already exist
+      assert(wh.read("metrics").count() === 2)
+      // LATER rows for the same business key are new data, not a replay —
+      // they must land (the replay key is the batchId, not row content)
       in.addData((java.sql.Date.valueOf("2024-01-01"), "site", 1.0))
       q.processAllAvailable()
-      assert(wh.read("metrics").count() === 2, "replayed key appends nothing")
-      // a genuinely new key still lands
-      in.addData((java.sql.Date.valueOf("2024-01-02"), "site", 5.0))
-      q.processAllAvailable()
-      assert(wh.read("metrics").count() === 3)
+      assert(wh.read("metrics").count() === 3,
+        "same-looking row in a NEW micro-batch is appended")
     } finally q.stop()
+    // checkpoint REDELIVERY = same batchId again → no-op (the foreachBatch
+    // body is exercised directly; MemoryStream cannot simulate recovery)
+    val batch = Seq((java.sql.Date.valueOf("2024-01-02"), "site", 5.0))
+      .toDF("date", "property", "value")
+    Streaming.appendBatch(wh, "metrics")(batch, batchId = 99L)
+    assert(wh.read("metrics").count() === 4)
+    Streaming.appendBatch(wh, "metrics")(batch, batchId = 99L)
+    assert(wh.read("metrics").count() === 4, "redelivered batchId appends nothing")
+    Streaming.appendBatch(wh, "metrics")(batch, batchId = 100L)
+    assert(wh.read("metrics").count() === 5, "next batchId lands")
   }
 
   test("readStagingStream turns batch staging appends into micro-batches") {
