@@ -59,36 +59,57 @@ object TextFunctions {
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))
 
-  /** Heuristic language ID: argmax of per-language stopword hit counts,
-    * "und" (undetermined) when every score is zero. Ties break by the
-    * lexicographic order of the language code (deterministic — required
-    * for oracle comparison). */
-  def langId(text: Column): Column = {
-    // Ties must pick the FIRST language alphabetically: struct comparison
-    // is field-order lexicographic, so order langs descending and store a
-    // rank that is higher for alphabetically-earlier languages — array_max
-    // then resolves a score tie to the first lang.
+  /** Best (score, rank, lang) struct from a PRE-BOUND token array
+    * column. Ties must pick the FIRST language alphabetically: struct
+    * comparison is field-order lexicographic, so order langs descending
+    * and store a rank that is higher for alphabetically-earlier
+    * languages — array_max then resolves a score tie to the first lang.
+    *
+    * Stage `tokens(text)` AND this struct as their own projections in
+    * hot paths: a captured non-attribute subtree re-evaluates per
+    * consumer, so the inline [[langId]] form splits the text once per
+    * language per CASE branch — 8 tokenizations/row in q16's old plan. */
+  def langBest(toks: Column): Column = {
     val langs = stopwords.toSeq.sortBy(_._1)
     val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
-      struct(stopwordHits(text, words).as("score"),
+      struct(size(filter(toks, t => t.isInCollection(words))).as("score"),
         lit(langs.size - i).as("rank"), lit(lang).as("lang"))
     }
-    val best = array_max(array(scored: _*))
+    array_max(array(scored: _*))
+  }
+
+  /** Final language code from a bound [[langBest]] struct: "und"
+    * (undetermined) when every score is zero. */
+  def langIdFromBest(best: Column): Column =
     when(best.getField("score") === 0, lit("und"))
       .otherwise(best.getField("lang"))
-  }
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * "und" when every score is zero; deterministic alphabetic
+    * tie-break (required for oracle comparison). Convenience one-shot
+    * form — prefer staging tokens + [[langBest]] in scans (see there). */
+  def langId(text: Column): Column =
+    langIdFromBest(langBest(tokens(text)))
 
   /** Quality score in [0,1]: mean of three bounded ratios — alphabetic
     * character ratio, stopword ratio, and a length saturation term.
     * Shape mirrors Gopher/C4-style quality filters (public recipes). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] over a PRE-BOUND token array — stage
+    * `tokens(text)` as its own projection in scans: the one-shot form
+    * re-tokenizes three times per row (nTokens is referenced twice,
+    * stopword hits once). Identical IEEE op order either way. */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val len = length(text).cast("double")
     val alphaRatio = when(len > 0,
       length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len)
       .otherwise(lit(0.0))
-    val nTokens = tokenCount(text).cast("double")
+    val nTokens = size(toks).cast("double")
     val stopRatio = when(nTokens > 0,
-      stopwordHits(text, stopwords("en")).cast("double") / nTokens)
+      size(filter(toks, t => t.isInCollection(stopwords("en"))))
+        .cast("double") / nTokens)
       .otherwise(lit(0.0))
     val lengthTerm = least(len / lit(500.0), lit(1.0))
     (alphaRatio + stopRatio + lengthTerm) / lit(3.0)

@@ -34,8 +34,14 @@ private[queries] object LlmQueries {
 
     // ===== Text analysis: language ID =====
     QueryDef("q16_lang_id",
-      (s, dir) => T.documents(s, dir).select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("lang_pred")),
+      // tokens and the best-language struct each staged as a projection:
+      // the inline langId form re-splits the text once per language per
+      // CASE branch (8 tokenizations/row in the old plan)
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), TextFunctions.langBest(col("__toks")).as("__best"))
+        .select(col("doc_id"),
+          TextFunctions.langIdFromBest(col("__best")).as("lang_pred")),
       Some {
         val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
         val scores = langs.map { case (lang, words) =>
@@ -56,8 +62,12 @@ private[queries] object LlmQueries {
 
     // ===== Text analysis: quality score (exact IEEE mirror) =====
     QueryDef("q17_quality_score",
-      (s, dir) => T.documents(s, dir).select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("q")),
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+            .as("q")),
       Some(s"""
         WITH x AS (SELECT doc_id,
             CAST(length(text) AS DOUBLE) AS len,
