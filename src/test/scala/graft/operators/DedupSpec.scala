@@ -77,6 +77,21 @@ class DedupSpec extends SparkSpec {
       "empty doc must not appear in any pair")
   }
 
+  test("portable simhash chunk geometry: wider chunks still pair exacts") {
+    // identical docs hash equal under ANY signature width — the 15-bit
+    // variant (the ≥1M-corpus bucket sizing) must still find them
+    val out = Dedup.simhashPortablePairs(docs, "id", "text", maxDist = 3,
+        seed = 7L, chunks = 4, chunkBits = 15)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(out((1L, 2L)) === 0L)
+    intercept[IllegalArgumentException] {  // 4×16 = 64 bits > 63
+      Dedup.simhashPortablePairs(docs, "id", "text", chunks = 4, chunkBits = 16)
+    }
+    intercept[IllegalArgumentException] {  // pigeonhole needs maxDist < chunks
+      Dedup.simhashPortablePairs(docs, "id", "text", maxDist = 4, chunks = 4)
+    }
+  }
+
   test("simhash of identical text is identical; pairs within distance") {
     val out = Dedup.simhashPairs(docs, "id", "text", maxDist = 3)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
