@@ -109,6 +109,27 @@ object Streaming {
       }
       .start()
 
+  /** Cron-compatible catch-up: process everything currently available
+    * (Trigger.AvailableNow), land it through the [[warehouseSink]]
+    * replay-safe path, then RETURN — the streaming pipeline run as the
+    * reference's cron micro-batch, with the checkpoint replacing the
+    * per-operation watermark table. Running it again processes only
+    * what arrived since the last run; a run that crashes mid-batch
+    * redelivers under the same batchId and appends nothing twice. */
+  def runAvailableNow(df: DataFrame, warehouse: graft.sources.Warehouse,
+                      table: String, checkpoint: String,
+                      partitionCol: String = "date"): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        appendBatch(warehouse, table, partitionCol)(batch.toDF(), batchId)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The per-micro-batch body of [[warehouseSink]], exposed so the
     * redelivery no-op is directly testable: append under the batchId
     * replay key. */

@@ -210,6 +210,36 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("metrics").count() === 5, "next batchId lands")
   }
 
+  test("runAvailableNow: cron-style catch-up processes only what's new") {
+    val root = java.nio.file.Files.createTempDirectory("graft_catchup").toString
+    val st = new graft.sources.StagingStore(spark, root)
+    val wh = new graft.sources.Warehouse(spark, root)
+    val schema = Seq((1L, "a", java.sql.Date.valueOf("2024-01-01"),
+      ts("2024-01-01 00:00:00"))).toDF("id", "v", "date", "__staged_at").schema
+    def stage(rows: (Long, String)*): Unit =
+      st.appendAt("docs", rows.toDF("id", "v")
+        .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))),
+        ts("2024-01-01 00:00:00"))
+    stage(1L -> "a", 2L -> "b")
+    // cron run 1: everything available lands, then the call RETURNS
+    Streaming.runAvailableNow(
+      Streaming.readStagingStream(spark, root, "docs", schema),
+      wh, "docs_wh", s"$root/ckpt")
+    assert(wh.read("docs_wh").count() === 2)
+    // cron run 2 with nothing new: no-op (checkpoint, not a watermark table)
+    Streaming.runAvailableNow(
+      Streaming.readStagingStream(spark, root, "docs", schema),
+      wh, "docs_wh", s"$root/ckpt")
+    assert(wh.read("docs_wh").count() === 2)
+    // new staged files since the last run: only THEY are processed
+    stage(3L -> "c")
+    Streaming.runAvailableNow(
+      Streaming.readStagingStream(spark, root, "docs", schema),
+      wh, "docs_wh", s"$root/ckpt")
+    assert(wh.read("docs_wh").select("id").as[Long].collect().sorted
+      === Seq(1L, 2L, 3L))
+  }
+
   test("readStagingStream turns batch staging appends into micro-batches") {
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val st = new graft.sources.StagingStore(spark, root)
