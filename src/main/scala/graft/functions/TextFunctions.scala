@@ -147,6 +147,23 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
+  /** Gopher-style repetition signal over PRE-BOUND tokens: the fraction
+    * of n-grams that duplicate an earlier n-gram of the same document
+    * (0.0 when the doc has fewer than n tokens). High values mark the
+    * boilerplate/looping text a training pipeline filters out. Exact
+    * integer counts and one IEEE division — oracle-portable. */
+  def duplicateNgramFraction(toks: Column, n: Int): Column = {
+    val total = size(toks) - (n - 1)
+    // grams built only inside the total>0 branch: sequence(0, total-1)
+    // would generate a DESCENDING [0,-1] range for an empty doc
+    val grams = transform(sequence(lit(0), total - 1),
+      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    when(total > 0,
+      (total - size(array_distinct(grams))).cast("double") /
+        total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Shingles from a PRE-BOUND token-array column (an attribute, so each
     * lambda reference is a row-slot read, not a re-tokenization — this is
     * the linear-time form the dedup operators use). */

@@ -95,6 +95,31 @@ private[queries] object LlmQueries {
             (a, b) -> (a * 31 + b) % 1000000007) AS fp
         FROM documents""")),
 
+    // ===== Text analysis: Gopher-style repetition filter =====
+    QueryDef("q61_repetition",
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextFunctions.duplicateNgramFraction(col("__toks"), 2).as("rep2"),
+          TextFunctions.duplicateNgramFraction(col("__toks"), 3).as("rep3")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        g AS (SELECT doc_id,
+            len(tk) - 1 AS t2, len(tk) - 2 AS t3,
+            list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+              i -> tk[i] || ' ' || tk[i+1]) AS g2,
+            list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+          FROM t)
+        SELECT doc_id,
+          CASE WHEN t2 > 0
+               THEN CAST(t2 - len(list_distinct(g2)) AS DOUBLE) / CAST(t2 AS DOUBLE)
+               ELSE 0.0 END AS rep2,
+          CASE WHEN t3 > 0
+               THEN CAST(t3 - len(list_distinct(g3)) AS DOUBLE) / CAST(t3 AS DOUBLE)
+               ELSE 0.0 END AS rep3
+        FROM g""")),
+
     // ===== Dedup: exact (min-id keep) =====
     QueryDef("q19_dedup_exact",
       (s, dir) => Dedup.exact(

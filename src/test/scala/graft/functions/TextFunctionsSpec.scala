@@ -40,6 +40,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.langId(col("text")), "der de") === "de")
   }
 
+  test("duplicateNgramFraction: empty/short 0.0, loops score high") {
+    def rep(n: Int, text: String): Double =
+      one[Double](TextFunctions.duplicateNgramFraction(
+        TextFunctions.tokens(col("text")), n), text)
+    assert(rep(2, "") === 0.0, "empty doc")
+    assert(rep(2, "one") === 0.0, "fewer tokens than n")
+    assert(rep(2, "a b c d") === 0.0, "all bigrams unique")
+    // "a b a b a b": bigrams [a b, b a, a b, b a, a b] → 5 total, 2 distinct
+    assert(rep(2, "a b a b a b") === 3.0 / 5.0, "looping text scores high")
+    assert(rep(3, "x y z x y z") === 1.0 / 4.0)
+  }
+
   test("wordShingles: empty → [], short → whole text, normal → n-grams") {
     assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 3), "") === Seq())
     assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 3), "one two")
