@@ -147,6 +147,23 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(text), n)
 
+  /** PII scrubbing for training text: emails, phone-like digit runs,
+    * and IPv4 literals replaced by typed placeholders. Patterns stay in
+    * the RE2-compatible subset (no backreferences/lookaround) so Spark
+    * (Java regex) and any RE2 engine agree byte-for-byte. Order
+    * matters: emails first (their local parts can look phone-like
+    * never, but digits in domains can), then IPs, then phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Gopher-style repetition signal over PRE-BOUND tokens: the fraction
     * of n-grams that duplicate an earlier n-gram of the same document
     * (0.0 when the doc has fewer than n tokens). High values mark the
@@ -162,6 +179,17 @@ object TextFunctions {
       (total - size(array_distinct(grams))).cast("double") /
         total.cast("double"))
       .otherwise(lit(0.0))
+  }
+
+  /** Plain (non-distinct) word n-gram list from PRE-BOUND tokens; empty
+    * when the doc has fewer than n tokens (no short-doc special case —
+    * decontamination wants exact n-grams only). */
+  def ngrams(toks: Column, n: Int): Column = {
+    val total = size(toks) - (n - 1)
+    when(total > 0,
+      transform(sequence(lit(0), total - 1),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Shingles from a PRE-BOUND token-array column (an attribute, so each

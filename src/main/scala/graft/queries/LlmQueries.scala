@@ -120,6 +120,42 @@ private[queries] object LlmQueries {
                ELSE 0.0 END AS rep3
         FROM g""")),
 
+    // ===== Text analysis: PII redaction (RE2-portable patterns) =====
+    QueryDef("q62_pii_redact",
+      (s, dir) => T.documents(s, dir).select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("redacted"),
+        regexp_count(col("text"), lit(TextFunctions.EmailRe))
+          .cast("long").as("n_email")),
+      Some(s"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+            '${TextFunctions.Ipv4Re}', '<IP>', 'g'),
+            '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS redacted,
+          CAST(len(regexp_extract_all(text, '${TextFunctions.EmailRe}'))
+            AS BIGINT) AS n_email
+        FROM documents""")),
+
+    // ===== Dedup-adjacent: benchmark decontamination =====
+    QueryDef("q63_decontaminate",
+      // eval set = docs 0-24 standing in for a benchmark suite; flag any
+      // later doc sharing a 5-gram with it
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        Dedup.contaminatedIds(d.filter(col("doc_id") >= 25), "doc_id", "text",
+          d.filter(col("doc_id") < 25), "text", n = 5)
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(tk) - 4, 0) + 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                 tk[i+3] || ' ' || tk[i+4])) AS g
+          FROM tk),
+        eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)
+        SELECT DISTINCT d.doc_id FROM g d JOIN eg USING (g)
+        WHERE d.doc_id >= 25""")),
+
     // ===== Dedup: exact (min-id keep) =====
     QueryDef("q19_dedup_exact",
       (s, dir) => Dedup.exact(

@@ -52,6 +52,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rep(3, "x y z x y z") === 1.0 / 4.0)
   }
 
+  test("redactPii: emails, phones, IPs replaced by typed placeholders") {
+    def red(s: String): String =
+      one[String](TextFunctions.redactPii(col("text")), s)
+    assert(red("mail a.b+c@ex-ample.co.uk now") === "mail <EMAIL> now")
+    assert(red("call +49 (30) 1234-5678 today") === "call <PHONE> today")
+    assert(red("host 10.0.0.1 up") === "host <IP> up")
+    assert(red("x@y.de or 192.168.0.255 or 0123456789") ===
+      "<EMAIL> or <IP> or <PHONE>")
+    assert(red("nothing here") === "nothing here")
+    assert(red("v1.2.3 release") === "v1.2.3 release",
+      "short dotted versions are not IPs (needs 4 octets)")
+  }
+
   test("wordShingles: empty → [], short → whole text, normal → n-grams") {
     assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 3), "") === Seq())
     assert(one[Seq[String]](TextFunctions.wordShingles(col("text"), 3), "one two")

@@ -105,4 +105,16 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => (p._1, p._2) === ((1L, 4L))),
       "unrelated docs must not appear within distance 3")
   }
+
+  test("contaminatedIds flags docs sharing an n-gram with the eval set") {
+    val evalSet = Seq((100L, "the quick brown fox jumps high")).toDF("id", "text")
+    // doc 1/2/3 share "the quick brown fox jumps" (5-gram) with the eval
+    // set; doc 4 shares nothing; doc 5 is empty; a 4-token doc can never
+    // contribute a 5-gram
+    val corpus = docs.union(Seq((6L, "too short for grams")).toDF("id", "text"))
+    val out = Dedup.contaminatedIds(corpus, "id", "text",
+        evalSet, "text", n = 5)
+      .as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L, 3L))
+  }
 }
