@@ -391,6 +391,57 @@ object Dedup {
       .select(idCol).distinct()
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-dup PAIRS (minhash/simhash/jaccard output) into dedup
+    * CLUSTERS (keep one doc per component). Iterative min-label
+    * propagation: every node adopts the minimum label among itself and
+    * its neighbors until fixpoint, so each component converges to its
+    * minimum member id.
+    *
+    * Scale shape: each iteration is one equi-join + one partial-agg'd
+    * groupBy over the edge list (ids only), and converges in
+    * O(component diameter) iterations — near-dup graphs are dense
+    * band-bucket cliques with tiny diameters, so maxIter=20 is
+    * generous. Labels are localCheckpointed each round to truncate
+    * lineage (an unbounded iterative plan would otherwise re-execute
+    * from the source every iteration and blow the optimizer up). The
+    * per-iteration `count` is a bounded control read driving the
+    * fixpoint test.
+    *
+    * Returns (id, component) for every id appearing in `pairs`;
+    * `component` = min id of the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
+        .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
+          (col("__nmin") < col("comp")).as("__chg"))
+      val mat = next.localCheckpoint(true)
+      changed = mat.filter(col("__chg")).count()
+      labels = mat.select("id", "comp")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   /** Native (i < j) id-combination kernel as a Column. */
   def idPairs(ids: Column): Column =
     graft.functions.expressions.ColumnBridge.column(

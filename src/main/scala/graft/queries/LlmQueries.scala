@@ -156,6 +156,38 @@ private[queries] object LlmQueries {
         SELECT DISTINCT d.doc_id FROM g d JOIN eg USING (g)
         WHERE d.doc_id >= 25""")),
 
+    // ===== Dedup: pair list → dedup clusters (connected components).
+    // Two overlapping prefix keys chain components across hops, so the
+    // fixpoint is exercised beyond single-key cliques =====
+    QueryDef("q64_dup_components",
+      (s, dir) => {
+        val d = T.documents(s, dir).select(col("doc_id"),
+          substring(col("text"), 1, 40).as("k1"),
+          substring(col("text"), 41, 40).as("k2"))
+        def pairsBy(k: String) = d
+          .select(col("doc_id").as("id_a"), col(k).as("__k"))
+          .join(d.select(col("doc_id").as("id_b"), col(k).as("__k")), "__k")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(
+          pairsBy("k1").union(pairsBy("k2")).distinct(), "id_a", "id_b")
+      },
+      Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+          JOIN documents b ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+            AND a.doc_id < b.doc_id
+          UNION
+          SELECT a.doc_id, b.doc_id FROM documents a
+          JOIN documents b ON substr(a.text, 41, 40) = substr(b.text, 41, 40)
+            AND a.doc_id < b.doc_id),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        cc AS (
+          SELECT src AS id, src AS comp FROM edges
+          UNION
+          SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+        SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM cc GROUP BY id""")),
+
     // ===== Dedup: exact (min-id keep) =====
     QueryDef("q19_dedup_exact",
       (s, dir) => Dedup.exact(

@@ -117,4 +117,20 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("connectedComponents: paths, cycles, isolated pairs converge to min id") {
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),                       // path 1-2-3
+      (10L, 11L),                               // isolated pair
+      (20L, 21L), (21L, 22L), (22L, 20L),       // cycle
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)  // longer path
+    ).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
+  }
 }
