@@ -122,6 +122,27 @@ object ScaleProbe {
     }
   }
 
+  /** Pairs → clusters at scale: minhash pairs over the corpus, then
+    * [[graft.operators.Dedup.connectedComponents]] (the edge
+    * localCheckpoint inside CC materializes the pair pipeline once;
+    * the reported time covers pairs + propagation to fixpoint). */
+  private def ccProbe(spark: SparkSession, docsPath: String): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    println(s"[probe] docs = ${docs.count()}")
+    val comps = time("minhash pairs -> components") {
+      val pairs = graft.operators.Dedup.minhashPortablePairs(docs,
+        "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, seed = 7L)
+      val cc = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .cache()
+      cc.count(); cc
+    }
+    val n = comps.count()
+    val k = comps.select("comp").distinct().count()
+    println(s"[probe] clustered_docs=$n clusters=$k " +
+      s"(survivors after dedup: corpus - ${n - k})")
+  }
+
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
     * geometry — what the HammingPairs kernel iterates, counted without
     * materializing pairs (mirrors simhashPortablePairs's bucket keying
@@ -258,12 +279,15 @@ object ScaleProbe {
         pairsProbe(spark, docsPath, dupRate.toDouble)
       case "ivf" :: embPath :: whRoot :: Nil =>
         ivfProbe(spark, embPath, whRoot)
+      case "cc" :: docsPath :: Nil =>
+        ccProbe(spark, docsPath)
       case docsPath :: rest
-          if !Set("gen", "pairs", "ivf").contains(docsPath) =>
+          if !Set("gen", "pairs", "ivf", "cc").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
-          "pairs <docs> <dupRate> | ivf <emb> <whRoot> | <docs> [<emb>]")
+          "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
+          "<docs> [<emb>]")
     }
     spark.stop()
   }
