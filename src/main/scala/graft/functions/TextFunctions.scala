@@ -57,7 +57,12 @@ object TextFunctions {
 
   /** Count of tokens present in `words`. */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(words)))
+    stopwordHitsFromTokens(tokens(text), words)
+
+  /** [[stopwordHits]] over a PRE-BOUND token array — the form langBest
+    * and qualityScoreFromTokens share. */
+  def stopwordHitsFromTokens(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
 
   /** Best (score, rank, lang) struct from a PRE-BOUND token array
     * column. Ties must pick the FIRST language alphabetically: struct
@@ -72,7 +77,7 @@ object TextFunctions {
   def langBest(toks: Column): Column = {
     val langs = stopwords.toSeq.sortBy(_._1)
     val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
-      struct(size(filter(toks, t => t.isInCollection(words))).as("score"),
+      struct(stopwordHitsFromTokens(toks, words).as("score"),
         lit(langs.size - i).as("rank"), lit(lang).as("lang"))
     }
     array_max(array(scored: _*))
@@ -108,8 +113,7 @@ object TextFunctions {
       .otherwise(lit(0.0))
     val nTokens = size(toks).cast("double")
     val stopRatio = when(nTokens > 0,
-      size(filter(toks, t => t.isInCollection(stopwords("en"))))
-        .cast("double") / nTokens)
+      stopwordHitsFromTokens(toks, stopwords("en")).cast("double") / nTokens)
       .otherwise(lit(0.0))
     val lengthTerm = least(len / lit(500.0), lit(1.0))
     (alphaRatio + stopRatio + lengthTerm) / lit(3.0)
@@ -151,11 +155,19 @@ object TextFunctions {
     * and IPv4 literals replaced by typed placeholders. Patterns stay in
     * the RE2-compatible subset (no backreferences/lookaround) so Spark
     * (Java regex) and any RE2 engine agree byte-for-byte. Order
-    * matters: emails first (their local parts can look phone-like
-    * never, but digits in domains can), then IPs, then phones. */
+    * matters: emails first (digits in domains could look phone-like),
+    * then IPs, then phones.
+    *
+    * PhoneRe counts DIGITS (≥9, each optionally preceded by one
+    * (/)/-/./space separator), not raw characters: a char-class length
+    * gate redacted ISO dates ("2024-01-01") and numeric ranges
+    * ("1000-2000") — both have 8 digits, under the threshold. Trade,
+    * documented: phone numbers with ≤8 digits stay unredacted, and a
+    * date immediately followed by a time can still exceed 9 digits.
+    * Regex PII scrubbing is a recall/precision dial, not a parser. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val PhoneRe = "\\+?[0-9](?:[()\\-. ]{0,2}[0-9]){8,}"
 
   def redactPii(text: Column): Column =
     regexp_replace(
@@ -171,12 +183,8 @@ object TextFunctions {
     * integer counts and one IEEE division — oracle-portable. */
   def duplicateNgramFraction(toks: Column, n: Int): Column = {
     val total = size(toks) - (n - 1)
-    // grams built only inside the total>0 branch: sequence(0, total-1)
-    // would generate a DESCENDING [0,-1] range for an empty doc
-    val grams = transform(sequence(lit(0), total - 1),
-      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
     when(total > 0,
-      (total - size(array_distinct(grams))).cast("double") /
+      (total - size(array_distinct(ngrams(toks, n)))).cast("double") /
         total.cast("double"))
       .otherwise(lit(0.0))
   }

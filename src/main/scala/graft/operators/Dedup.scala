@@ -393,52 +393,78 @@ object Dedup {
 
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS (minhash/simhash/jaccard output) into dedup
-    * CLUSTERS (keep one doc per component). Iterative min-label
-    * propagation: every node adopts the minimum label among itself and
-    * its neighbors until fixpoint, so each component converges to its
-    * minimum member id.
+    * CLUSTERS (keep one doc per component). Min-label propagation with
+    * POINTER JUMPING: each round every node adopts the minimum label
+    * among itself and its neighbors, then follows its label's label one
+    * hop — path lengths halve per round, so convergence is
+    * O(log diameter) rounds, not O(diameter) (a 25-doc chain of
+    * templated near-dups converges in ~5 rounds, and maxIter=50 covers
+    * any graph that fits in storage).
     *
-    * Scale shape: each iteration is one equi-join + one partial-agg'd
-    * groupBy over the edge list (ids only), and converges in
-    * O(component diameter) iterations — near-dup graphs are dense
-    * band-bucket cliques with tiny diameters, so maxIter=20 is
-    * generous. Labels are localCheckpointed each round to truncate
-    * lineage (an unbounded iterative plan would otherwise re-execute
-    * from the source every iteration and blow the optimizer up). The
-    * per-iteration `count` is a bounded control read driving the
-    * fixpoint test.
+    * Scale shape: every round is two ids-only equi-joins + one
+    * partial-agg'd groupBy over the edge list. Labels are
+    * localCheckpointed each round to truncate lineage, and the PREVIOUS
+    * round's checkpoint blocks are unpersisted as soon as the new round
+    * materializes — storage holds at most edges + two label tables. The
+    * per-round `count` is a bounded control read driving the fixpoint
+    * test.
     *
     * Returns (id, component) for every id appearing in `pairs`;
-    * `component` = min id of the component. */
+    * `component` = min id of the component. Ids must be integral
+    * columns — a silent cast of string/UUID ids to long would collapse
+    * every edge to (null, null), so non-integral ids are rejected. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents id column '$c' must be integral, got $dt")
+    }
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint + track the checkpoint's RDD ids so superseded
+    // rounds can be unpersisted deterministically instead of waiting on
+    // the ContextCleaner's GC-driven cleanup
+    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val mat = df.localCheckpoint(true)
+      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var (labels, prevIds) = checkpoint(
+      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("__c1"))
+      // pointer jump: labels are node ids, so follow __c1 through the
+      // same round's mapping — comp = min(__c1, label(__c1))
+      val next = stepped
+        .join(stepped.select(col("id").as("__c1"), col("__c1").as("__jump")),
+          Seq("__c1"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("comp"),
-          (col("__nmin") < col("comp")).as("__chg"))
-      val mat = next.localCheckpoint(true)
-      changed = mat.filter(col("__chg")).count()
+          least(col("__c1"), coalesce(col("__jump"), col("__c1"))).as("comp"),
+          col("__old"))
+      val (mat, ids) = checkpoint(next)
+      changed = mat.filter(col("comp") < col("__old")).count()
       labels = mat.select("id", "comp")
+      prevIds.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      prevIds = ids
       iter += 1
     }
     require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations")
+      s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 

@@ -161,26 +161,33 @@ private[queries] object LlmQueries {
     // fixpoint is exercised beyond single-key cliques =====
     QueryDef("q64_dup_components",
       (s, dir) => {
+        // length guards: a doc shorter than the key offset would get key
+        // "" and the self-join would pair ALL such docs quadratically
         val d = T.documents(s, dir).select(col("doc_id"),
+          length(col("text")).as("__len"),
           substring(col("text"), 1, 40).as("k1"),
           substring(col("text"), 41, 40).as("k2"))
-        def pairsBy(k: String) = d
-          .select(col("doc_id").as("id_a"), col(k).as("__k"))
-          .join(d.select(col("doc_id").as("id_b"), col(k).as("__k")), "__k")
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
+        def pairsBy(k: String, minLen: Int) = {
+          val side = d.filter(col("__len") > minLen)
+          side.select(col("doc_id").as("id_a"), col(k).as("__k"))
+            .join(side.select(col("doc_id").as("id_b"), col(k).as("__k")), "__k")
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+        }
         Dedup.connectedComponents(
-          pairsBy("k1").union(pairsBy("k2")).distinct(), "id_a", "id_b")
+          pairsBy("k1", 0).union(pairsBy("k2", 40)).distinct(), "id_a", "id_b")
       },
       Some("""
         WITH RECURSIVE e0 AS (
           SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
           JOIN documents b ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
             AND a.doc_id < b.doc_id
+            AND length(a.text) > 0 AND length(b.text) > 0
           UNION
           SELECT a.doc_id, b.doc_id FROM documents a
           JOIN documents b ON substr(a.text, 41, 40) = substr(b.text, 41, 40)
-            AND a.doc_id < b.doc_id),
+            AND a.doc_id < b.doc_id
+            AND length(a.text) > 40 AND length(b.text) > 40),
         edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
         cc AS (
           SELECT src AS id, src AS comp FROM edges

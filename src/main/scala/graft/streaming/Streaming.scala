@@ -99,36 +99,32 @@ object Streaming {
     * the batch anti-join at read time). */
   def warehouseSink(df: DataFrame, warehouse: graft.sources.Warehouse,
                     table: String, checkpoint: String,
-                    partitionCol: String = "date")
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+                    partitionCol: String = "date",
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+    trigger.fold(writer)(writer.trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         appendBatch(warehouse, table, partitionCol)(batch.toDF(), batchId)
       }
       .start()
+  }
 
-  /** Cron-compatible catch-up: process everything currently available
-    * (Trigger.AvailableNow), land it through the [[warehouseSink]]
-    * replay-safe path, then RETURN — the streaming pipeline run as the
-    * reference's cron micro-batch, with the checkpoint replacing the
-    * per-operation watermark table. Running it again processes only
-    * what arrived since the last run; a run that crashes mid-batch
-    * redelivers under the same batchId and appends nothing twice. */
+  /** Cron-compatible catch-up: [[warehouseSink]] under
+    * Trigger.AvailableNow — process everything currently available,
+    * land it through the replay-safe path, then RETURN. Running it
+    * again processes only what arrived since the last run; a run that
+    * crashes mid-batch redelivers under the same batchId and appends
+    * nothing twice. The checkpoint replaces the per-operation
+    * watermark table of the batch path. */
   def runAvailableNow(df: DataFrame, warehouse: graft.sources.Warehouse,
                       table: String, checkpoint: String,
-                      partitionCol: String = "date"): Unit = {
-    val q = df.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        appendBatch(warehouse, table, partitionCol)(batch.toDF(), batchId)
-      }
-      .start()
-    q.awaitTermination()
-  }
+                      partitionCol: String = "date"): Unit =
+    warehouseSink(df, warehouse, table, checkpoint, partitionCol,
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      .awaitTermination()
 
   /** The per-micro-batch body of [[warehouseSink]], exposed so the
     * redelivery no-op is directly testable: append under the batchId

@@ -63,6 +63,12 @@ class TextFunctionsSpec extends SparkSpec {
     assert(red("nothing here") === "nothing here")
     assert(red("v1.2.3 release") === "v1.2.3 release",
       "short dotted versions are not IPs (needs 4 octets)")
+    // digit-counting keeps common numerics out of the phone pattern
+    assert(red("on 2024-01-01 we hired 1000-2000 people") ===
+      "on 2024-01-01 we hired 1000-2000 people",
+      "dates and numeric ranges (8 digits) are not phones (needs 9+)")
+    assert(red("serial 123 456 789 0") === "serial <PHONE>",
+      "10 spaced digits still redact")
   }
 
   test("wordShingles: empty → [], short → whole text, normal → n-grams") {

@@ -133,4 +133,20 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L, 34L -> 30L))
   }
+
+  test("connectedComponents: a 60-node chain converges (pointer jumping)") {
+    // plain one-hop propagation would need 59 rounds; pointer jumping
+    // must land this inside maxIter = 8
+    val chain = (100L until 159L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size === 60 && out.values.forall(_ === 100L))
+  }
+
+  test("connectedComponents rejects non-integral id columns") {
+    val stringIds = Seq(("a", "b")).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(stringIds, "id_a", "id_b")
+    }
+  }
 }
