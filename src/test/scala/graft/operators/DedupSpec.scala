@@ -149,4 +149,32 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(stringIds, "id_a", "id_b")
     }
   }
+
+  test("connectedComponents matches a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // driver-side union-find as the executable spec
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = ids.map(i => i -> find(i)).toMap
+        val actual = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(actual === expected, s"trial $trial, n=$n, edges=${edges.size}")
+      }
+    }
+  }
 }
