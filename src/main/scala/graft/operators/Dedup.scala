@@ -45,19 +45,25 @@ object Dedup {
   /** Exact-dup groups: value → sorted member ids + TRUE count (>1 only).
     * The member list is capped (row_number before the collect) so an
     * adversarial corpus where most rows share one value cannot blow an
-    * aggregation buffer; `dup_count` still reports the full group size. */
+    * aggregation buffer; `dup_count` still reports the full group size.
+    *
+    * One exchange total: row_number and the whole-partition count share
+    * the same (partitionBy, orderBy) Window — a single sort — and the
+    * groupBy that follows needs the same hash partitioning on the value,
+    * so it aggregates in place (the groupBy + groupBy + join-back
+    * formulation scans and shuffles the input twice). */
   def exactGroups(df: DataFrame, idCol: String, valueCol: String,
                   maxMembers: Int = 1000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(valueCol)).orderBy(col(idCol))
-    val capped = df.select(col(valueCol), col(idCol))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(valueCol)).orderBy(col(idCol))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(valueCol), col(idCol))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxMembers)
+      .withColumn("__n", count(lit(1)).over(full))
+      .filter(col("__n") > 1 && col("__rn") <= maxMembers)
       .groupBy(col(valueCol))
-      .agg(array_sort(collect_list(col(idCol))).as("members"))
-    df.groupBy(col(valueCol)).agg(count(lit(1)).as("dup_count"))
-      .filter(col("dup_count") > 1)
-      .join(capped, Seq(valueCol))
+      .agg(max(col("__n")).as("dup_count"),
+        array_sort(collect_list(col(idCol))).as("members"))
       .select(col(valueCol), col("dup_count"), col("members"))
   }
 
@@ -146,14 +152,16 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, bands: Int, rowsPerBand: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Candidate generation carries ONLY (id, band, bucket) through the
-    // explode and the self-join — never the document text. At 100 TB the
+    // explode and the grouping — never the document text. At 100 TB the
     // banded shuffle is then bands × 20 bytes per doc instead of bands ×
-    // document bytes, and the join output is (id_a, id_b) pairs. Texts are
-    // re-joined by id afterwards for the exact-Jaccard verification, which
-    // touches only candidate ids (a tiny fraction of the corpus).
+    // document bytes. Pairs come from in-group combinations of the sorted
+    // id list, bounded by `maxBucket` (a degenerate bucket — thousands of
+    // near-empty docs sharing a signature — would otherwise go quadratic);
+    // texts are re-joined by id afterwards for the exact-Jaccard
+    // verification, which touches only candidate ids.
     val staged = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
@@ -169,11 +177,11 @@ object Dedup {
             .cast("array<string>").cast("string")).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val groups = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sets = staged.select(col("id").as("__tid"), col("__sh"))
     candidates
@@ -444,10 +452,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
-      val stepped = labels
+      // materialize BEFORE the pointer-jump self-join: `stepped` feeds
+      // both sides of it, and an unmaterialized plan would evaluate the
+      // edges⋈labels subtree once per side — doubling the dominant
+      // per-round cost on large edge sets
+      val (stepped, stepIds) = checkpoint(labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
-          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("__c1"))
+          least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("__c1")))
       // pointer jump: labels are node ids, so follow __c1 through the
       // same round's mapping — comp = min(__c1, label(__c1))
       val next = stepped
@@ -459,7 +471,8 @@ object Dedup {
       val (mat, ids) = checkpoint(next)
       changed = mat.filter(col("comp") < col("__old")).count()
       labels = mat.select("id", "comp")
-      prevIds.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      (prevIds ++ stepIds).foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
       prevIds = ids
       iter += 1
     }
@@ -508,10 +521,12 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs within Hamming distance `maxDist`,
     * using the pigeonhole 4×16-bit chunk trick: pairs within distance ≤3
-    * must share at least one exact 16-bit chunk → equi-join on
-    * (chunkIdx, chunkValue), verify with bit_count(xor). */
+    * must share at least one exact 16-bit chunk → group on
+    * (chunkIdx, chunkValue) bounded by `maxBucket` (a degenerate chunk
+    * value would otherwise go quadratic), pair + verify with the native
+    * in-group Hamming kernel — same shape as [[simhashPortablePairs]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = withSig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { c =>
@@ -519,13 +534,16 @@ object Dedup {
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("cval"))
       }: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+    val groups = chunked.groupBy("chunk", "cval")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val pairExpr = graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.HammingPairs(
+        graft.functions.expressions.ColumnBridge.expression(col("ms")),
+        maxDist))
+    groups.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .filter(col("hamming") <= maxDist)
   }
 }

@@ -68,8 +68,8 @@ object Catalog {
   // ----------------------------------------------------------- definitions
 
   val defs: Seq[QueryDef] =
-    RelationalQueries.defs ++ ChecksQueries.defs ++
-      LlmQueries.defs ++ MultimodalQueries.defs
+    RelationalQueries.defs ++ ChecksQueries.defs ++ LlmQueries.defs ++
+      SimilarityQueries.defs ++ MultimodalQueries.defs
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -335,97 +335,6 @@ private[queries] object LlmQueries {
         FROM cand WHERE hamming <= 3"""
       }),
 
-    // ===== Similarity: exact brute-force top-k =====
-    QueryDef("q22_brute_topk",
-      (s, dir) => {
-        val e = T.embeddings(s, dir)
-        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 5)
-          .withColumn("rank", col("rank").cast("long"))
-      },
-      Some {
-        val d = duckDot("qv", "cv")
-        val na = s"sqrt(${duckDot("qv", "qv")})"
-        val nb = s"sqrt(${duckDot("cv", "cv")})"
-        s"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                   FROM embeddings WHERE vec_id < 8),
-        c AS (SELECT vec_id AS nbr_id, embedding AS cv FROM embeddings),
-        scored AS (SELECT query_id, nbr_id,
-            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
-                 ELSE $d / ($na * $nb) END AS sim
-          FROM c CROSS JOIN q WHERE nbr_id != query_id)
-        SELECT query_id, nbr_id, sim, "rank" FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
-        WHERE "rank" <= 5"""
-      }),
-
-    // ===== Similarity: IVF-partitioned ANN =====
-    QueryDef("q23_ivf_topk",
-      (s, dir) => {
-        val e = T.embeddings(s, dir)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").cast("int").as("cell"),
-            col("embedding").cast("array<double>").as("cvec"))
-        Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 5, cents, nProbes = 2)
-          .withColumn("rank", col("rank").cast("long"))
-      },
-      Some {
-        val l2 = duckL2("e.embedding", "c.cvec")
-        val d = duckDot("qv", "cv")
-        val na = s"sqrt(${duckDot("qv", "qv")})"
-        val nb = s"sqrt(${duckDot("cv", "cv")})"
-        s"""
-        WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cell,
-                              embedding::DOUBLE[] AS cvec
-                       FROM embeddings WHERE vec_id < 16),
-        assigned AS (SELECT nbr_id, cv, cell FROM (
-            SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY $l2, c.cell) AS rn
-            FROM embeddings e CROSS JOIN cents c)
-          WHERE rn = 1),
-        probed AS (SELECT query_id, qv, cell FROM (
-            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY $l2, c.cell) AS rn
-            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8)
-          WHERE rn <= 2),
-        scored AS (SELECT query_id, nbr_id,
-            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
-                 ELSE $d / ($na * $nb) END AS sim
-          FROM assigned JOIN probed USING (cell)
-          WHERE nbr_id != query_id)
-        SELECT query_id, nbr_id, sim, "rank" FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
-        WHERE "rank" <= 5"""
-      }),
-
-    // ===== Similarity: label-blocked embedding near-dup pairs =====
-    QueryDef("q24_embedding_neardup",
-      (s, dir) => Similarity.labelBlockedNearDup(T.embeddings(s, dir),
-        "label", "vec_id", "embedding", threshold = 0.35, maxBlock = 1000),
-      Some {
-        val d = duckDot("va", "vb")
-        val na = s"sqrt(${duckDot("va", "va")})"
-        val nb = s"sqrt(${duckDot("vb", "vb")})"
-        s"""
-        WITH e AS (SELECT label, vec_id, embedding FROM embeddings
-                   QUALIFY row_number() OVER (PARTITION BY label
-                                              ORDER BY vec_id) <= 1000)
-        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-               CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
-                    ELSE $d / ($na * $nb) END AS sim
-        FROM (SELECT label, vec_id, embedding AS va FROM e) a
-        JOIN (SELECT label, vec_id, embedding AS vb FROM e) b USING (label)
-        WHERE a.vec_id < b.vec_id
-          AND (CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
-                    ELSE $d / ($na * $nb) END) >= 0.35"""
-      }),
-
     // ===== F5/A3: strip_html + wordcount =====
     QueryDef("q30_strip_html",
       (s, dir) => {
@@ -457,54 +366,6 @@ private[queries] object LlmQueries {
           len(list_filter(string_split_regex(stripped, '\s+'),
               w -> len(w) > 1 AND regexp_matches(w, '[a-zA-Z]'))) AS n_words
         FROM st""")),
-
-    // ===== Similarity: hyperplane-LSH ANN, portable integer-lattice
-    // planes so the oracle reproduces the signatures bit-for-bit =====
-    QueryDef("q42_lsh_topk",
-      (s, dir) => {
-        val e = T.embeddings(s, dir)
-        Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, dim = 64, tables = 4,
-          bitsPerTable = 8, planes = Some(q42Planes))
-          .withColumn("rank", col("rank").cast("long"))
-      },
-      Some {
-        def planeList(p: Seq[Double]): String =
-          p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
-        def sigExpr(tbl: Seq[Seq[Double]]): String =
-          tbl.zipWithIndex.map { case (p, i) =>
-            val d = duckDot("embedding", planeList(p))
-            s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
-          }.mkString("(", "\n             + ", ")")
-        val sigCols = q42Planes.zipWithIndex.map { case (tbl, t) =>
-          s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
-        val arms = (0 until 4).map(t =>
-          s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
-          .mkString("\n          UNION ALL ")
-        val d = duckDot("qv", "cv")
-        val na = s"sqrt(${duckDot("qv", "qv")})"
-        val nb = s"sqrt(${duckDot("cv", "cv")})"
-        s"""
-        WITH sigs AS (SELECT vec_id,
-            $sigCols
-          FROM embeddings),
-        b AS ($arms),
-        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
-                 FROM b c JOIN b q USING (tbl, sig)
-                 WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
-        scored AS (SELECT query_id, nbr_id,
-            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
-                 ELSE $d / ($na * $nb) END AS sim
-          FROM cand
-          JOIN (SELECT vec_id AS qid, embedding AS qv FROM embeddings)
-            ON qid = query_id
-          JOIN (SELECT vec_id AS nid, embedding AS cv FROM embeddings)
-            ON nid = nbr_id)
-        SELECT query_id, nbr_id, sim, "rank" FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
-        WHERE "rank" <= 5"""
-      }),
 
     // ===== skew mitigation: two-phase salted aggregation. The salt is
     // deterministic and the per-(key, salt) partials merge to exactly the

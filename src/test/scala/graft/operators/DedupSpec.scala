@@ -106,6 +106,24 @@ class DedupSpec extends SparkSpec {
       "unrelated docs must not appear within distance 3")
   }
 
+  test("legacy pair generators drop over-cap hot buckets") {
+    // 6 identical docs share EVERY band/chunk bucket — a cap below the
+    // group size must drop the bucket entirely (no quadratic blow-up),
+    // and a cap at the group size must let all C(6,2)=15 pairs through
+    val clones = Seq.tabulate(6)(i =>
+      (i.toLong, "same exact text for every clone here")).toDF("id", "text")
+    assert(Dedup.minhashLshPairs(clones, "id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 5).count() === 0)
+    assert(Dedup.simhashPairs(clones, "id", "text",
+      maxDist = 3, maxBucket = 5).count() === 0)
+    assert(Dedup.minhashLshPairs(clones, "id", "text",
+      shingleN = 3, bands = 4, rowsPerBand = 2, threshold = 0.5,
+      maxBucket = 6).count() === 15)
+    assert(Dedup.simhashPairs(clones, "id", "text",
+      maxDist = 3, maxBucket = 6).count() === 15)
+  }
+
   test("contaminatedIds flags docs sharing an n-gram with the eval set") {
     val evalSet = Seq((100L, "the quick brown fox jumps high")).toDF("id", "text")
     // doc 1/2/3 share "the quick brown fox jumps" (5-gram) with the eval
