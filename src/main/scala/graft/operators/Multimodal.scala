@@ -8,13 +8,15 @@ import org.apache.spark.sql.types._
   * video as opaque `binary` columns with typed metadata, processed
   * batch-wise.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB — the real
-  * image/audio codecs are not in this container — but everything Spark
-  * cares about is real: the schema contract, the partition-wise batch
-  * shape (decoder initialized once per partition, the same pattern a
-  * model or codec handle needs), the frame-sampling explode, and the
-  * feature-vector output type (`array<float>`, ready for the Similarity
-  * operators).
+  * IMAGE decode and resize are REAL — [[ImageCodec]] wraps
+  * `javax.imageio` (PNG/JPEG/BMP/GIF, stock JRE, no native libs).
+  * Audio/video decode stays a clearly-marked DETERMINISTIC STUB (those
+  * codecs are not in this container), as does the fallback for payloads
+  * ImageIO cannot parse. Everything Spark cares about is real either
+  * way: the schema contract, the partition-wise batch shape (codec
+  * initialized once per partition, the same pattern a model handle
+  * needs), the frame-sampling explode, and the feature-vector output
+  * type (`array<float>`, ready for the Similarity operators).
   *
   * Scale notes: media bytes never enter a shuffle — features/metadata are
   * extracted in a narrow mapPartitions stage and the binary column is
@@ -65,6 +67,67 @@ object Multimodal {
         case _ => ((n % 1920) + 1, (n % 1080) + 1, n.toLong * 4, 0)
       }
     }
+  }
+
+  /** REAL image codec backed by `javax.imageio` — PNG/JPEG/BMP/GIF decode
+    * and resize with no native dependencies (stock-JRE readers). Payloads
+    * ImageIO cannot parse return None so callers fall back to the
+    * [[StubDecoder]] and mixed tables keep flowing. Same
+    * one-instance-per-partition handle pattern as the stub. */
+  final class ImageCodec extends Serializable {
+    // ImageIO's default stream cache writes executor-local temp FILES per
+    // decode; in-memory payloads want the memory cache
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: java.io.IOException => None }
+
+    def dims(bytes: Array[Byte]): Option[(Int, Int)] =
+      decode(bytes).map(i => (i.getWidth, i.getHeight))
+
+    /** Decode → scale both dims by 1/factor (floor, min 1) → re-encode
+      * PNG. None when the payload isn't a decodable image. */
+    def resize(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
+      decode(bytes).map { img =>
+        val w = math.max(1, img.getWidth / factor)
+        val h = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        Multimodal.encodePng(out)
+      }
+  }
+
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic REAL PNG of the given dimensions: pixel values from a
+    * cheap seeded mix (the bytes only need to be a decodable image — the
+    * codec roundtrip verifies DIMENSIONS, not pixels). Fixture generator
+    * for the real-codec queries and specs. */
+  def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 40) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
   }
 
   /** Partition-wise feature extraction: binary → `array<float>` embedding
@@ -132,7 +195,10 @@ object Multimodal {
       .toDF("media_id", "content")
   }
 
-  /** Stubbed metadata decode over the media table (mapPartitions batch). */
+  /** Metadata decode over the media table (mapPartitions batch): image
+    * rows go through the REAL [[ImageCodec]] (actual decoded dimensions);
+    * payloads ImageIO cannot parse — and the audio/video kinds, whose
+    * codecs aren't in a stock JRE — fall back to the documented stub. */
   def withDecodedMeta(df: DataFrame, idCol: String, contentCol: String,
                       kindCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -140,12 +206,53 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(contentCol), col(kindCol))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        val decoder = new StubDecoder
+        val codec = new ImageCodec // per-partition init
+        val stub = new StubDecoder
         it.map { case (id, bytes, kind) =>
-          val (w, h, d, sr) = decoder.decodeMeta(bytes, kind)
+          val (w, h, d, sr) =
+            if (kind == "image")
+              codec.dims(bytes).map { case (iw, ih) => (iw, ih, 0L, 0) }
+                .getOrElse(stub.decodeMeta(bytes, kind))
+            else stub.decodeMeta(bytes, kind)
           (id, kind, w, h, d, sr)
         }
       }
       .toDF("media_id", "kind", "width", "height", "duration_ms", "sample_rate")
+  }
+
+  /** REAL image resize: decode via [[ImageCodec]], scale dims by
+    * 1/factor (floor, min 1), re-encode PNG; undecodable payloads fall
+    * back to the stub byte-drop so mixed tables keep flowing. The binary
+    * never shuffles — a narrow map stage rewrites it in place, codec
+    * constructed once per partition. */
+  def resizedImage(df: DataFrame, idCol: String, contentCol: String,
+                   factor: Int): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(contentCol).as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new ImageCodec
+        it.map { case (id, bytes) =>
+          (id, codec.resize(bytes, factor)
+            .getOrElse(resizePayload(bytes, factor)))
+        }
+      }
+      .toDF("media_id", "content")
+  }
+
+  /** Fixture generator: one REAL PNG per row with the given dimension
+    * columns (int), seeded by the id — runs on executors so the encode
+    * cost distributes with the data. */
+  def synthImages(df: DataFrame, idCol: String, wCol: String,
+                  hCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) => (id, pngBytes(w, h, id)) })
+      .toDF("media_id", "content")
   }
 }

@@ -81,17 +81,28 @@ private[queries] object MultimodalQueries {
         WHERE "rank" <= 3"""
       }),
 
-    // ===== Multimodal: stubbed metadata decode (mapPartitions batch;
-    // the stub's arithmetic is exactly expressible in SQL, so the
-    // distributed plumbing gets a value-level oracle) =====
+    // ===== Multimodal: metadata decode (mapPartitions batch). Image
+    // rows carry a REAL PNG with id-derived dimensions, so the oracle's
+    // arithmetic only matches if the javax.imageio codec reports the
+    // ACTUAL decoded width/height; audio/video keep text payloads and
+    // the documented stub (their codecs aren't in a stock JRE) =====
     QueryDef("q59_media_meta",
       (s, dir) => {
-        val media = T.documents(s, dir).select(col("doc_id"),
-          col("text").cast("binary").as("content"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
-        graft.operators.Multimodal.withDecodedMeta(media, "doc_id",
-            "content", "kind")
+        val docs = T.documents(s, dir)
+        val imgs = graft.operators.Multimodal.synthImages(
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+              .select(col("doc_id"),
+                (pmod(col("doc_id"), lit(64)) + 1).as("w"),
+                (pmod(col("doc_id"), lit(48)) + 1).as("h")),
+            "doc_id", "w", "h")
+          .withColumn("kind", lit("image"))
+        val rest = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("content"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"))
+        graft.operators.Multimodal.withDecodedMeta(imgs.unionByName(rest),
+            "media_id", "content", "kind")
           .select(col("media_id"), col("kind"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
@@ -101,10 +112,10 @@ private[queries] object MultimodalQueries {
       Some("""
         SELECT doc_id AS media_id,
                ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
-               CAST(CASE doc_id % 3 WHEN 0 THEN (n % 640) + 1
+               CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 64) + 1
                                     WHEN 1 THEN 0
                                     ELSE (n % 1920) + 1 END AS BIGINT) AS width,
-               CAST(CASE doc_id % 3 WHEN 0 THEN (n % 480) + 1
+               CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 48) + 1
                                     WHEN 1 THEN 0
                                     ELSE (n % 1080) + 1 END AS BIGINT) AS height,
                CAST(CASE doc_id % 3 WHEN 0 THEN 0
@@ -114,21 +125,29 @@ private[queries] object MultimodalQueries {
                  AS sample_rate
         FROM (SELECT doc_id, length(text) AS n FROM documents)""")),
 
-    // ===== Multimodal: stub resize (every-4th-byte downsample) =====
+    // ===== Multimodal: REAL image resize roundtrip — synth PNG at
+    // (doc_id%64+8, doc_id%48+8) → ImageCodec resize by 2 → decode the
+    // RESIZED payload; the oracle arithmetic only matches if both the
+    // resize and the second decode report true dimensions =====
     QueryDef("q60_media_resize",
       (s, dir) => {
-        val media = T.documents(s, dir).select(col("doc_id"),
-          col("text").cast("binary").as("content"))
-        graft.operators.Multimodal.resized(media, "doc_id", "content", 4)
+        val spec = T.documents(s, dir).select(col("doc_id"),
+          (pmod(col("doc_id"), lit(64)) + 8).as("w"),
+          (pmod(col("doc_id"), lit(48)) + 8).as("h"))
+        val media = graft.operators.Multimodal.synthImages(
+          spec, "doc_id", "w", "h")
+        val rs = graft.operators.Multimodal.resizedImage(
+          media, "media_id", "content", factor = 2)
+        graft.operators.Multimodal.withDecodedMeta(
+            rs.withColumn("kind", lit("image")), "media_id", "content", "kind")
           .select(col("media_id"),
-            col("content").cast("string").as("resized"),
-            length(col("content")).cast("long").as("n_bytes"))
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
       },
       Some("""
         SELECT doc_id AS media_id,
-               array_to_string(list_transform(range(1, length(text) + 1, 4),
-                 i -> substr(text, CAST(i AS INTEGER), 1)), '') AS resized,
-               CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS n_bytes
+               CAST((doc_id % 64 + 8) // 2 AS BIGINT) AS width,
+               CAST((doc_id % 48 + 8) // 2 AS BIGINT) AS height
         FROM documents""")),
   )
 }

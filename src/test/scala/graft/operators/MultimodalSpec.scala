@@ -52,6 +52,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("ImageCodec: real PNG roundtrip reports actual dimensions") {
+    val codec = new Multimodal.ImageCodec
+    val png = Multimodal.pngBytes(37, 23, seed = 42L)
+    assert(codec.dims(png) === Some((37, 23)))
+    assert(codec.dims("not an image".getBytes("UTF-8")) === None)
+    assert(codec.dims(Array.empty[Byte]) === None)
+  }
+
+  test("ImageCodec.resize halves dimensions with floor 1") {
+    val codec = new Multimodal.ImageCodec
+    val resized = codec.resize(Multimodal.pngBytes(9, 5, 1L), factor = 2).get
+    assert(codec.dims(resized) === Some((4, 2)))
+    val tiny = codec.resize(Multimodal.pngBytes(1, 1, 1L), factor = 4).get
+    assert(codec.dims(tiny) === Some((1, 1)), "never shrinks below 1x1")
+    assert(codec.resize("text".getBytes("UTF-8"), 2) === None)
+  }
+
+  test("withDecodedMeta: real codec for decodable images, stub fallback") {
+    val mixed = Seq(
+      (1L, Multimodal.pngBytes(12, 34, 7L), "image"),   // real decode
+      (2L, "abcdefgh".getBytes("UTF-8"), "image"),      // stub fallback
+      (3L, "abcdefgh".getBytes("UTF-8"), "audio")       // stub by kind
+    ).toDF("media_id", "content", "kind")
+    val out = Multimodal.withDecodedMeta(mixed, "media_id", "content", "kind")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) === 12 && out(1L).getInt(3) === 34)
+    assert(out(2L).getInt(2) === 9, "(8 % 640) + 1 stub arithmetic")
+    assert(out(3L).getInt(5) === 16000)
+  }
+
+  test("resizedImage: real resize for images, stub byte-drop fallback") {
+    val mixed = Seq(
+      (1L, Multimodal.pngBytes(20, 10, 7L)),
+      (2L, "abcdefgh".getBytes("UTF-8"))
+    ).toDF("media_id", "content")
+    val out = Multimodal.resizedImage(mixed, "media_id", "content", factor = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val codec = new Multimodal.ImageCodec
+    assert(codec.dims(out(1L)) === Some((10, 5)))
+    assert(new String(out(2L), "UTF-8") === "aceg", "stub keeps every 2nd byte")
+  }
+
   test("multimodal features feed Similarity directly") {
     val feats = Multimodal.featurize(media, "media_id", "content", dim = 8)
     val top = Similarity.bruteForceTopK(feats, feats.filter(col("media_id") === 1),
