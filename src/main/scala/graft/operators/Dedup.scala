@@ -241,14 +241,49 @@ object Dedup {
                            shingleN: Int, bands: Int, rowsPerBand: Int,
                            threshold: Double, seed: Long = 42L,
                            maxBucket: Int = 1000): DataFrame = {
+    val (banded, sets) =
+      minhashStage(df, idCol, textCol, shingleN, bands, rowsPerBand, seed)
+    val groups = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // Verify over the HASHED shingle sets (arrays of longs), not the
+    // string shingles: set intersection/union on fixed-width longs is far
+    // cheaper than string equality, the join payload shrinks ~4×, and the
+    // hash computation is shared with the signature branch. Jaccard over
+    // distinct hashes equals Jaccard over shingles except on poly-hash
+    // collisions (p = 1e9+7; ~1e-6 per pair at 10² shingles/doc) — and
+    // the oracle mirrors the hashed form, so both engines always agree.
+    val tagged = sets.select(col("id").as("__tid"), col("hset").as("__sh"))
+    candidates
+      .join(tagged, col("id_a") === col("__tid"))
+      .withColumnRenamed("__sh", "sh_a").drop("__tid")
+      .join(tagged, col("id_b") === col("__tid"))
+      .withColumnRenamed("__sh", "sh_b").drop("__tid")
+      .withColumn("jaccard", exactJaccardFromSets(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared staging of the portable MinHash pipeline for one batch of
+    * documents: returns (banded, sets) where `banded` is the LSH index
+    * slice (id, band, bucket) — exactly what a signature STORE persists —
+    * and `sets` is (id, hset), the distinct shingle-hash set the exact
+    * Jaccard verification reads.
+    *
+    * Stage tokens → shingles → hashes as three projections, each alias
+    * bound to a COLUMN before the next references it: a lambda that
+    * captures a non-attribute subtree re-evaluates it per array ELEMENT
+    * (inline shingling is O(tokens²) per row — it dominated the r2
+    * bench), and the bands×rows min expressions all share `hv` as a row
+    * slot (CollapseProject keeps multiply-referenced non-trivial aliases
+    * materialized). */
+  private[operators] def minhashStage(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, bands: Int, rowsPerBand: Int,
+      seed: Long): (DataFrame, DataFrame) = {
     val coeffs = universalCoeffs(bands * rowsPerBand, seed)
-    // Stage tokens → shingles → hashes as three projections, each alias
-    // bound to a COLUMN before the next references it: a lambda that
-    // captures a non-attribute subtree re-evaluates it per array ELEMENT
-    // (inline shingling is O(tokens²) per row — it dominated the r2
-    // bench), and the bands×rows min expressions all share `hv` as a row
-    // slot (CollapseProject keeps multiply-referenced non-trivial aliases
-    // materialized).
     val withHv = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
@@ -274,29 +309,8 @@ object Dedup {
     val banded = withMins
       .select(col("id"), explode(array(bucketStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val groups = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // Verify over the HASHED shingle sets (arrays of longs), not the
-    // string shingles: set intersection/union on fixed-width longs is far
-    // cheaper than string equality, the join payload shrinks ~4×, and the
-    // hash computation is shared with the signature branch. Jaccard over
-    // distinct hashes equals Jaccard over shingles except on poly-hash
-    // collisions (p = 1e9+7; ~1e-6 per pair at 10² shingles/doc) — and
-    // the oracle mirrors the hashed form, so both engines always agree.
-    val sets = withHv.select(col("id").as("__tid"),
-      array_distinct(col("hv")).as("__sh"))
-    candidates
-      .join(sets, col("id_a") === col("__tid"))
-      .withColumnRenamed("__sh", "sh_a").drop("__tid")
-      .join(sets, col("id_b") === col("__tid"))
-      .withColumnRenamed("__sh", "sh_b").drop("__tid")
-      .withColumn("jaccard", exactJaccardFromSets(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val sets = withHv.select(col("id"), array_distinct(col("hv")).as("hset"))
+    (banded, sets)
   }
 
   /** Portable SimHash from a PRE-BOUND token-hash array column: bit_i =
@@ -342,24 +356,9 @@ object Dedup {
                            maxDist: Int = 3, seed: Long = 42L,
                            maxBucket: Int = 10000,
                            chunks: Int = 4, chunkBits: Int = 12): DataFrame = {
-    require(chunks * chunkBits <= 63,
-      s"signature ${chunks}x$chunkBits exceeds 63 bits")
     require(maxDist < chunks,
       s"pigeonhole needs maxDist < chunks: $maxDist >= $chunks misses pairs")
-    val coeffs = universalCoeffs(chunks * chunkBits, seed)
-    // token hashes bound to a column → the per-bit aggregates share it
-    val withSig = df
-      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"),
-        transform(TextFunctions.tokens(col(textCol)), t => polyHash(t)).as("__hv"))
-      .select(col("id"), simhashFromHashes(col("__hv"), coeffs).as("sig"))
-    val chunkMask = (1L << chunkBits) - 1
-    val chunked = withSig.select(col("id"), col("sig"),
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask).as("cval"))
-      }: _*)).as("cc"))
-      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
+    val chunked = simhashStage(df, idCol, textCol, seed, chunks, chunkBits)
     val groups = chunked.groupBy("chunk", "cval")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
@@ -376,6 +375,30 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Shared staging of the portable SimHash pipeline for one batch:
+    * (id, sig, chunk, cval) — one row per pigeonhole chunk, which is both
+    * the in-memory candidate index and the layout a signature STORE
+    * persists (bucketed by (chunk, cval), the candidate-join key). */
+  private[operators] def simhashStage(df: DataFrame, idCol: String,
+      textCol: String, seed: Long, chunks: Int, chunkBits: Int): DataFrame = {
+    require(chunks * chunkBits <= 63,
+      s"signature ${chunks}x$chunkBits exceeds 63 bits")
+    val coeffs = universalCoeffs(chunks * chunkBits, seed)
+    // token hashes bound to a column → the per-bit aggregates share it
+    val withSig = df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        transform(TextFunctions.tokens(col(textCol)), t => polyHash(t)).as("__hv"))
+      .select(col("id"), simhashFromHashes(col("__hv"), coeffs).as("sig"))
+    val chunkMask = (1L << chunkBits) - 1
+    withSig.select(col("id"), col("sig"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), c * chunkBits).bitwiseAND(chunkMask).as("cval"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
   }
 
   /** Benchmark decontamination: ids of `docs` sharing at least one word
@@ -480,6 +503,190 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  // --------------------------------------------------- incremental dedup
+  //
+  // A 100 TB pipeline ingests incrementally: recomputing all-corpus
+  // signatures per daily batch is O(corpus) work for O(batch) new
+  // information. The stores below persist the LSH index slice — ids and
+  // bucket keys only, never document text — bucketed on the candidate-join
+  // key, so ingesting a batch (a) computes signatures for the BATCH only,
+  // (b) reads back just the store buckets the batch touches, and
+  // (c) appends the batch's signatures for future ingests. Delta cost
+  // tracks the batch, not the corpus.
+
+  /** Parameters of a MinHash-LSH signature store. One value is shared by
+    * every ingest — signatures from different configs never compare. */
+  final case class MinhashConfig(shingleN: Int, bands: Int, rowsPerBand: Int,
+                                 threshold: Double, seed: Long = 42L,
+                                 maxBucket: Int = 1000, nStoreBuckets: Int = 32)
+
+  /** Persisted MinHash-LSH signature store for incremental near-dup
+    * detection. Two tables under `wh`:
+    *
+    *  - `<name>_mh_sig` (id, band, bucket), bucketed by (band, bucket) —
+    *    the LSH index. Bucketing co-locates the candidate join: the
+    *    store side is read bucket-aligned, no store-side shuffle, ever.
+    *  - `<name>_mh_set` (id, hset), bucketed by id — the distinct
+    *    shingle-hash sets the exact-Jaccard verification joins by id.
+    *
+    * [[ingest]] returns every verified pair with AT LEAST ONE endpoint in
+    * the batch. Equivalence contract (oracle-verified, q65): ingesting
+    * batches B1…Bn in order yields, across all ingests, exactly the pairs
+    * [[minhashPortablePairs]] finds on B1∪…∪Bn — each pair emitted once,
+    * at the ingest of its later endpoint — provided ids are unique across
+    * batches. Caveat, deliberate: `maxBucket` is evaluated against the
+    * bucket's store+batch size at ingest time, exactly like the
+    * full-corpus run — but a bucket that GROWS past the cap across later
+    * ingests keeps the pairs it emitted while under it, where a fresh
+    * full-corpus run would drop that bucket wholesale. The incremental
+    * history is the more useful semantics (pairs are never retracted);
+    * the equivalence oracle holds whenever no bucket crosses the cap
+    * between ingests. */
+  final class MinhashStore(wh: graft.sources.Warehouse, name: String,
+                           cfg: MinhashConfig) {
+    private val sigTable = s"${name}_mh_sig"
+    private val setTable = s"${name}_mh_set"
+
+    /** Near-dup pairs of `batch` against itself AND the store, then the
+      * batch's signatures are appended to the store. The returned frame
+      * is materialized (localCheckpoint) BEFORE the append — it must be:
+      * a lazy plan would re-read the store post-append and pair the
+      * batch against its own signatures. */
+    def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+      // batch staging materialized once — banded feeds candidate
+      // generation, the store append, and the newness filter; sets feeds
+      // verification and the set-store append. Batch-sized, ids+hashes.
+      val (bandedL, setsL) = minhashStage(batch, idCol, textCol,
+        cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.seed)
+      val banded = bandedL.localCheckpoint(true)
+      val sets = setsL.localCheckpoint(true)
+      // store rows for the buckets this batch touches: the batch's
+      // distinct bucket keys are batch-sized → broadcast left-semi, so
+      // the store scan filters in place with no shuffle on either side
+      val touched =
+        if (wh.exists(sigTable))
+          wh.readBucketed(sigTable).join(
+            broadcast(banded.select("band", "bucket").distinct()),
+            Seq("band", "bucket"), "left_semi")
+        else banded.limit(0)
+      val members = touched.unionByName(banded)
+      // cap on the TOTAL (store + batch) bucket size — same rule the
+      // full-corpus run applies to the whole bucket
+      val groups = members.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= cfg.maxBucket)
+      // old–old pairs in a touched bucket were already emitted when the
+      // later of the two docs was ingested (bucket membership is a pure
+      // function of the doc) — keep only pairs touching this batch.
+      // Newness resolves via two broadcast joins against the batch's id
+      // set (batch-sized) rather than flags inside the bucket lists, so
+      // the native IdPairs kernel stays allocation-free on non-matches.
+      val newIds = sets.select(col("id")).withColumn("__new", lit(true))
+      val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .join(broadcast(newIds.withColumnsRenamed(
+          Map("id" -> "id_a", "__new" -> "__na"))), Seq("id_a"), "left")
+        .join(broadcast(newIds.withColumnsRenamed(
+          Map("id" -> "id_b", "__new" -> "__nb"))), Seq("id_b"), "left")
+        .filter(coalesce(col("__na"), lit(false)) ||
+          coalesce(col("__nb"), lit(false)))
+        .select("id_a", "id_b")
+      // verification sets: batch ids resolve from the batch staging, old
+      // ids from the id-bucketed store (bucket-aligned read, no shuffle
+      // on the store side of the sort-merge join)
+      val allSets =
+        if (wh.exists(setTable)) wh.readBucketed(setTable).unionByName(sets)
+        else sets
+      val tagged = allSets.select(col("id").as("__tid"), col("hset").as("__sh"))
+      val pairs = candidates
+        .join(tagged, col("id_a") === col("__tid"))
+        .withColumnRenamed("__sh", "sh_a").drop("__tid")
+        .join(tagged, col("id_b") === col("__tid"))
+        .withColumnRenamed("__sh", "sh_b").drop("__tid")
+        .withColumn("jaccard", exactJaccardFromSets(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= cfg.threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(true) // BEFORE the append — see scaladoc
+      wh.appendBucketed(sigTable, banded, Seq("band", "bucket"), cfg.nStoreBuckets)
+      wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets)
+      pairs
+    }
+  }
+
+  /** Parameters of a SimHash signature store — see [[simhashPortablePairs]]
+    * for how to size `chunks`×`chunkBits` to the corpus. */
+  final case class SimhashConfig(maxDist: Int = 3, seed: Long = 42L,
+                                 maxBucket: Int = 10000, chunks: Int = 4,
+                                 chunkBits: Int = 12, nStoreBuckets: Int = 32)
+
+  /** Persisted SimHash store — the [[MinhashStore]] twin. One table,
+    * `<name>_sh_sig` (id, sig, chunk, cval) bucketed by (chunk, cval):
+    * the signature doubles as the verifier (Hamming distance), so no
+    * separate set table is needed. Same equivalence contract and
+    * cap caveat as [[MinhashStore]] (oracle-verified, q66). */
+  final class SimhashStore(wh: graft.sources.Warehouse, name: String,
+                           cfg: SimhashConfig) {
+    require(cfg.maxDist < cfg.chunks,
+      s"pigeonhole needs maxDist < chunks: ${cfg.maxDist} >= ${cfg.chunks}")
+    private val sigTable = s"${name}_sh_sig"
+
+    def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val chunked = simhashStage(batch, idCol, textCol,
+        cfg.seed, cfg.chunks, cfg.chunkBits).localCheckpoint(true)
+      val touched =
+        if (wh.exists(sigTable))
+          wh.readBucketed(sigTable).join(
+            broadcast(chunked.select("chunk", "cval").distinct()),
+            Seq("chunk", "cval"), "left_semi")
+        else chunked.limit(0)
+      val members = touched.unionByName(chunked)
+      val groups = members.groupBy("chunk", "cval")
+        .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+        .filter(size(col("ms")) >= 2 && size(col("ms")) <= cfg.maxBucket)
+      val pairExpr = graft.functions.expressions.ColumnBridge.column(
+        graft.functions.expressions.HammingPairs(
+          graft.functions.expressions.ColumnBridge.expression(col("ms")),
+          cfg.maxDist))
+      val newIds = chunked.select(col("id")).distinct()
+        .withColumn("__new", lit(true))
+      val pairs = groups.select(explode(pairExpr).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.hamming").as("hamming"))
+        .dropDuplicates("id_a", "id_b")
+        .join(broadcast(newIds.withColumnsRenamed(
+          Map("id" -> "id_a", "__new" -> "__na"))), Seq("id_a"), "left")
+        .join(broadcast(newIds.withColumnsRenamed(
+          Map("id" -> "id_b", "__new" -> "__nb"))), Seq("id_b"), "left")
+        .filter(coalesce(col("__na"), lit(false)) ||
+          coalesce(col("__nb"), lit(false)))
+        .select("id_a", "id_b", "hamming")
+        .localCheckpoint(true) // BEFORE the append — see MinhashStore
+      wh.appendBucketed(sigTable, chunked, Seq("chunk", "cval"), cfg.nStoreBuckets)
+      pairs
+    }
+  }
+
+  /** Incremental connected components: fold a NEW batch of pairs into an
+    * existing (id, comp) labeling without revisiting historical pairs.
+    * A previous labeling is a connectivity-preserving CONTRACTION of the
+    * old edge set — every old component is a star centred on its min id
+    * — so running CC over (labels-as-edges ∪ new pairs) yields exactly
+    * the components of (all historical pairs ∪ new pairs), at edge cost
+    * |V_old| + |E_new| instead of |E_old| + |E_new|. Star edges include
+    * each centre's self-edge, so ids whose component is untouched by the
+    * new batch keep appearing in the output with their old label.
+    * Convergence: old components have diameter ≤ 2, so rounds scale with
+    * how many old components the NEW pairs chain together, not with the
+    * historical graph (property-tested equal to the full recompute). */
+  def connectedComponentsIncremental(prevLabels: DataFrame, pairs: DataFrame,
+                                     aCol: String, bCol: String,
+                                     maxIter: Int = 50): DataFrame =
+    connectedComponents(
+      prevLabels.select(col("id").as("__src"), col("comp").as("__dst"))
+        .unionByName(pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))),
+      "__src", "__dst", maxIter)
 
   /** Native (i < j) id-combination kernel as a Column. */
   def idPairs(ids: Column): Column =

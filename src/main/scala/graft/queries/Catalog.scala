@@ -69,7 +69,8 @@ object Catalog {
 
   val defs: Seq[QueryDef] =
     RelationalQueries.defs ++ ChecksQueries.defs ++ LlmQueries.defs ++
-      SimilarityQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ MultimodalQueries.defs ++
+      CurationQueries.defs
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -16,6 +16,111 @@ import Catalog.QueryDef
 private[queries] object LlmQueries {
   import Catalog._
 
+  /** q34's full-corpus portable MinHash-LSH oracle, parameterized by an
+    * extra predicate on the final pair list so the incremental-store
+    * equivalence query (q65, CurationQueries) can restrict it to pairs
+    * touching the second batch. */
+  private[queries] def minhashOracle(extraWhere: String): String = {
+    val coeffs = Dedup.universalCoeffs(16, 7L)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hv, x -> ($a * x + $b) % 1000000007)) AS m$i"
+    }.mkString(",\n               ")
+    val bandArms = (0 until 8).map { bnd =>
+      val (r0, r1) = (bnd * 2, bnd * 2 + 1)
+      s"SELECT doc_id, $bnd AS band, m$r0::VARCHAR || '_' || m$r1::VARCHAR AS bucket FROM m"
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END) AS shingles
+               FROM tks),
+        nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        hs AS (SELECT doc_id, list_transform(shingles, s ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(s) + 1),
+                     i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+        m AS (SELECT doc_id,
+               $mins
+              FROM hs),
+        banded AS ($bandArms),
+        groups AS (SELECT band, bucket, list_sort(list(doc_id)) AS ids
+                   FROM banded GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= 1000),
+        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM groups,
+          unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
+        sv AS (SELECT doc_id, list_distinct(hv) AS s FROM hs),
+        j AS (SELECT c.id_a, c.id_b,
+                CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0.0
+                     THEN 0.0
+                     ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END AS jaccard
+              FROM cand c
+              JOIN sv a ON a.doc_id = c.id_a
+              JOIN sv b ON b.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5$extraWhere"""
+  }
+
+  /** q35's full-corpus portable SimHash oracle, parameterized like
+    * [[minhashOracle]] (q66 restricts it to second-batch pairs). */
+  private[queries] def simhashOracle(extraWhere: String): String = {
+    val coeffs = Dedup.universalCoeffs(48, 7L)
+    val bits = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"(CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ($a * x + $b) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n               + ")
+    val chunkArms = (0 until 4).map { c =>
+      s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 12}) & 4095 AS cval FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        nz AS (SELECT * FROM tks WHERE len(tk) > 0),
+        hs AS (SELECT doc_id, list_transform(tk, t ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(t) + 1),
+                     i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+        sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM hs),
+        chunked AS ($chunkArms),
+        groups AS (SELECT chunk, cval,
+                     list_sort(list({'id': doc_id, 'sig': sig})) AS ms
+                   FROM chunked GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= 10000),
+        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b,
+                        p.hamming AS hamming FROM groups,
+          unnest(flatten(list_transform(range(1, len(ms) + 1), i ->
+            list_transform(ms[i+1:], y ->
+              {'id_a': ms[i].id, 'id_b': y.id,
+               'hamming': bit_count(xor(ms[i].sig, y.sig))})))) AS t(p))
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM cand WHERE hamming <= 3$extraWhere"""
+  }
+
+  /** q64's oracle: connected components over the two-prefix-key pair
+    * graph. Shared verbatim by q67 (CurationQueries) — the incremental
+    * fold of the k2 pairs into the k1 labeling must reproduce exactly
+    * the full-recompute components. */
+  private[queries] val prefixKeyCcOracle: String = """
+        WITH RECURSIVE e0 AS (
+          SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+          JOIN documents b ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
+            AND a.doc_id < b.doc_id
+            AND length(a.text) > 0 AND length(b.text) > 0
+          UNION
+          SELECT a.doc_id, b.doc_id FROM documents a
+          JOIN documents b ON substr(a.text, 41, 40) = substr(b.text, 41, 40)
+            AND a.doc_id < b.doc_id
+            AND length(a.text) > 40 AND length(b.text) > 40),
+        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        cc AS (
+          SELECT src AS id, src AS comp FROM edges
+          UNION
+          SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
+        SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM cc GROUP BY id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ===== Text analysis: counts =====
@@ -177,23 +282,7 @@ private[queries] object LlmQueries {
         Dedup.connectedComponents(
           pairsBy("k1", 0).union(pairsBy("k2", 40)).distinct(), "id_a", "id_b")
       },
-      Some("""
-        WITH RECURSIVE e0 AS (
-          SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
-          JOIN documents b ON substr(a.text, 1, 40) = substr(b.text, 1, 40)
-            AND a.doc_id < b.doc_id
-            AND length(a.text) > 0 AND length(b.text) > 0
-          UNION
-          SELECT a.doc_id, b.doc_id FROM documents a
-          JOIN documents b ON substr(a.text, 41, 40) = substr(b.text, 41, 40)
-            AND a.doc_id < b.doc_id
-            AND length(a.text) > 40 AND length(b.text) > 40),
-        edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-        cc AS (
-          SELECT src AS id, src AS comp FROM edges
-          UNION
-          SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.id = e.src)
-        SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM cc GROUP BY id""")),
+      Some(prefixKeyCcOracle)),
 
     // ===== Dedup: exact (min-id keep) =====
     QueryDef("q19_dedup_exact",
@@ -253,87 +342,14 @@ private[queries] object LlmQueries {
       (s, dir) => Dedup.minhashPortablePairs(T.documents(s, dir),
         "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5, seed = 7L),
-      Some {
-        val coeffs = Dedup.universalCoeffs(16, 7L)
-        val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-          s"list_min(list_transform(hv, x -> ($a * x + $b) % 1000000007)) AS m$i"
-        }.mkString(",\n               ")
-        val bandArms = (0 until 8).map { bnd =>
-          val (r0, r1) = (bnd * 2, bnd * 2 + 1)
-          s"SELECT doc_id, $bnd AS band, m$r0::VARCHAR || '_' || m$r1::VARCHAR AS bucket FROM m"
-        }.mkString("\n          UNION ALL ")
-        s"""
-        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        sh AS (SELECT doc_id, list_distinct(
-                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
-                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
-                        i -> array_to_string(tk[i:i+2], ' '))
-                      ELSE [array_to_string(tk, ' ')] END) AS shingles
-               FROM tks),
-        nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
-        hs AS (SELECT doc_id, list_transform(shingles, s ->
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(s) + 1),
-                     i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
-        m AS (SELECT doc_id,
-               $mins
-              FROM hs),
-        banded AS ($bandArms),
-        groups AS (SELECT band, bucket, list_sort(list(doc_id)) AS ids
-                   FROM banded GROUP BY 1, 2
-                   HAVING count(*) >= 2 AND count(*) <= 1000),
-        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM groups,
-          unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
-            list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
-        sv AS (SELECT doc_id, list_distinct(hv) AS s FROM hs),
-        j AS (SELECT c.id_a, c.id_b,
-                CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0.0
-                     THEN 0.0
-                     ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END AS jaccard
-              FROM cand c
-              JOIN sv a ON a.doc_id = c.id_a
-              JOIN sv b ON b.doc_id = c.id_b)
-        SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""
-      }),
+      Some(minhashOracle(""))),
 
     // ===== Dedup: portable SimHash, oracle-verified end-to-end =====
     QueryDef("q35_simhash_pairs",
       (s, dir) => Dedup.simhashPortablePairs(T.documents(s, dir),
         "doc_id", "text", maxDist = 3, seed = 7L)
         .withColumn("hamming", col("hamming").cast("long")),
-      Some {
-        val coeffs = Dedup.universalCoeffs(48, 7L)
-        val bits = coeffs.zipWithIndex.map { case ((a, b), i) =>
-          s"(CASE WHEN list_sum(list_transform(hv, x -> CASE WHEN ($a * x + $b) % 1000000007 % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
-        }.mkString("\n               + ")
-        val chunkArms = (0 until 4).map { c =>
-          s"SELECT doc_id, sig, $c AS chunk, (sig >> ${c * 12}) & 4095 AS cval FROM sigs"
-        }.mkString("\n          UNION ALL ")
-        s"""
-        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        nz AS (SELECT * FROM tks WHERE len(tk) > 0),
-        hs AS (SELECT doc_id, list_transform(tk, t ->
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(t) + 1),
-                     i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
-        sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM hs),
-        chunked AS ($chunkArms),
-        groups AS (SELECT chunk, cval,
-                     list_sort(list({'id': doc_id, 'sig': sig})) AS ms
-                   FROM chunked GROUP BY 1, 2
-                   HAVING count(*) >= 2 AND count(*) <= 10000),
-        cand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b,
-                        p.hamming AS hamming FROM groups,
-          unnest(flatten(list_transform(range(1, len(ms) + 1), i ->
-            list_transform(ms[i+1:], y ->
-              {'id_a': ms[i].id, 'id_b': y.id,
-               'hamming': bit_count(xor(ms[i].sig, y.sig))})))) AS t(p))
-        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-        FROM cand WHERE hamming <= 3"""
-      }),
+      Some(simhashOracle(""))),
 
     // ===== F5/A3: strip_html + wordcount =====
     QueryDef("q30_strip_html",

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Warehouse
+
+/** Incremental dedup against persisted signature stores + the incremental
+  * connected-components fold. The load-bearing property everywhere:
+  * batch-wise ingestion is observationally equal to a full-corpus
+  * recompute — each pair emitted exactly once, at the ingest of its later
+  * endpoint. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWh(): Warehouse =
+    new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_incspec_").toString)
+
+  /** Synthetic corpus with planted near-dups: every third doc is a
+    * light mutation of its predecessor, so both sketches find pairs. */
+  private def corpus(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    var prev = ""
+    (0L until n).map { i =>
+      val text =
+        if (i % 3 == 2 && prev.nonEmpty) {
+          val toks = prev.split(" ").toVector
+          val j = rnd.nextInt(toks.size)
+          toks.updated(j, vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        } else Vector.fill(12 + rnd.nextInt(6))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      prev = text
+      (i, text)
+    }
+  }
+
+  private def pairKey(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("minhash store: batch ingests partition the full-corpus pairs") {
+    val cfg = Dedup.MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.5, seed = 7L)
+    val docs = corpus(60, seed = 1L).toDF("id", "text")
+    val full = pairKey(Dedup.minhashPortablePairs(docs, "id", "text",
+      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.threshold, cfg.seed,
+      cfg.maxBucket))
+    assert(full.nonEmpty, "corpus must plant at least one near-dup pair")
+
+    val store = new Dedup.MinhashStore(freshWh(), "t", cfg)
+    val b1 = docs.filter(col("id") < 40)
+    val b2 = docs.filter(col("id") >= 40)
+    val p1 = pairKey(store.ingest(b1, "id", "text"))
+    val p2 = pairKey(store.ingest(b2, "id", "text"))
+
+    val fullB1 = full.filter(p => p._1 < 40 && p._2 < 40)
+    val fullTouching2 = full.filter(p => p._1 >= 40 || p._2 >= 40)
+    assert(p1 === fullB1, "ingest 1 = full pairs within batch 1")
+    assert(p2 === fullTouching2, "ingest 2 = full pairs touching batch 2")
+    assert((p1 & p2) === Set.empty, "no pair emitted twice")
+  }
+
+  test("simhash store: batch ingests partition the full-corpus pairs") {
+    val cfg = Dedup.SimhashConfig(maxDist = 3, seed = 7L)
+    val docs = corpus(60, seed = 2L).toDF("id", "text")
+    val full = pairKey(Dedup.simhashPortablePairs(docs, "id", "text",
+      cfg.maxDist, cfg.seed, cfg.maxBucket, cfg.chunks, cfg.chunkBits))
+    assert(full.nonEmpty)
+
+    val store = new Dedup.SimhashStore(freshWh(), "t", cfg)
+    val p1 = pairKey(store.ingest(docs.filter(col("id") < 40), "id", "text"))
+    val p2 = pairKey(store.ingest(docs.filter(col("id") >= 40), "id", "text"))
+    assert(p1 === full.filter(p => p._1 < 40 && p._2 < 40))
+    assert(p2 === full.filter(p => p._1 >= 40 || p._2 >= 40))
+    assert((p1 & p2) === Set.empty)
+  }
+
+  test("minhash store: three sequential ingests reassemble the full run") {
+    val cfg = Dedup.MinhashConfig(shingleN = 2, bands = 8, rowsPerBand = 2,
+      threshold = 0.4, seed = 11L)
+    val docs = corpus(45, seed = 3L).toDF("id", "text")
+    val full = pairKey(Dedup.minhashPortablePairs(docs, "id", "text",
+      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.threshold, cfg.seed,
+      cfg.maxBucket))
+    val store = new Dedup.MinhashStore(freshWh(), "t", cfg)
+    // uneven batch sizes, ids NOT contiguous with ingest order (parity
+    // split) — order of arrival must not matter for the union
+    val union = pairKey(store.ingest(docs.filter(col("id") % 3 === 0), "id", "text")) ++
+      pairKey(store.ingest(docs.filter(col("id") % 3 === 1), "id", "text")) ++
+      pairKey(store.ingest(docs.filter(col("id") % 3 === 2), "id", "text"))
+    assert(union === full)
+  }
+
+  test("stores verify values, not just pair identity") {
+    val cfg = Dedup.MinhashConfig(shingleN = 3, bands = 4, rowsPerBand = 2,
+      threshold = 0.5, seed = 7L)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog")
+    ).toDF("id", "text")
+    val store = new Dedup.MinhashStore(freshWh(), "t", cfg)
+    store.ingest(docs.filter(col("id") === 1), "id", "text")
+    val p2 = store.ingest(docs.filter(col("id") > 1), "id", "text")
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(p2((1L, 2L)) === 1.0, "exact dup across batches, jaccard 1.0")
+    // (1,3): 5 common / 9 union hashed shingles — same as the batch spec
+    p2.get((1L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 9.0) < 1e-12))
+  }
+
+  test("incremental connected components equal the full recompute") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 25 + rnd.nextInt(30)
+      val edges = (1 to 2 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (old, fresh) = edges.splitAt(edges.size / 2)
+      if (old.nonEmpty && fresh.nonEmpty) {
+        val fullLabels = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        val prev = Dedup.connectedComponents(
+          old.toDF("id_a", "id_b"), "id_a", "id_b")
+        val inc = Dedup.connectedComponentsIncremental(prev,
+            fresh.toDF("id_a", "id_b"), "id_a", "id_b")
+          .as[(Long, Long)].collect().toMap
+        assert(inc === fullLabels, s"trial $trial, n=$n")
+      }
+    }
+  }
+
+  test("incremental CC keeps labels of components the new batch never touches") {
+    val prev = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(prev,
+        Seq((20L, 21L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("incremental CC merges two old components through one new edge") {
+    val prev = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    val inc = Dedup.connectedComponentsIncremental(prev,
+        Seq((2L, 12L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+}
