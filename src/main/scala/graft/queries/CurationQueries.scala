@@ -2,9 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Pipeline}
 import graft.sources.Warehouse
 import Catalog.QueryDef
+import Catalog.{duckToks, sqlList}
 
 /** Incremental-curation tier: the persisted-signature-store dedup paths
   * and the incremental connected-components fold. Each query exercises an
@@ -20,6 +21,114 @@ private[queries] object CurationQueries {
     * pipelines point the Warehouse at a persistent root instead. */
   private def scratchRoot(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** q68/q69's pipeline parameters — thresholds calibrated so every
+    * stage drops rows at sf0.01 (quality/repetition ~38%, decon 2 docs,
+    * near-dup the 3-shingle template families); minhash matches q34's
+    * seed so the oracle reuses its coefficient tables. */
+  private val CurateCfg = Pipeline.CurateConfig(
+    minQuality = 0.42, maxRepetition = 0.06, repN = 2, deconN = 5,
+    minhash = Dedup.MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.5, seed = 7L))
+
+  /** DuckDB mirror of the FULL curate pipeline as a CTE chain `base` →
+    * `kept`, assembled from the per-stage oracle fragments already
+    * verified one-by-one (q17 quality, q61 repetition, q62 redaction,
+    * q63 decontamination, q19 exact dedup, q34 minhash, q64 components).
+    * Emitted once; q68 selects the kept corpus off it, q69 the per-stage
+    * survivor counts. */
+  private val curateCtes: String = {
+    val mh = CurateCfg.minhash
+    require(mh.shingleN == 3 && CurateCfg.repN == 2,
+      "the SQL mirror hardwires 3-token shingles and bigram repetition")
+    val enList = sqlList(graft.functions.TextFunctions.stopwords("en"))
+    val qualityExpr =
+      """((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
+        |             + CASE WHEN ntok > 0 THEN hits / ntok ELSE 0.0 END)
+        |             + least(len / 500.0, 1.0)) / 3.0""".stripMargin
+    val repExpr =
+      """(CASE WHEN t2 > 0
+        |             THEN CAST(t2 - len(list_distinct(g2)) AS DOUBLE) / CAST(t2 AS DOUBLE)
+        |             ELSE 0.0 END)""".stripMargin
+    val fiveGram = "list_transform(range(1, greatest(len(tk) - 4, 0) + 1), " +
+      "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"
+    val polyHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, length(s) + 1), " +
+      "i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+    val coeffs = Dedup.universalCoeffs(mh.bands * mh.rowsPerBand, mh.seed)
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hv, x -> ($a * x + $b) % 1000000007)) AS m$i"
+    }.mkString(",\n               ")
+    val bandArms = (0 until mh.bands).map { bnd =>
+      val cols = (bnd * mh.rowsPerBand until (bnd + 1) * mh.rowsPerBand)
+        .map(i => s"m$i::VARCHAR")
+      s"SELECT id, $bnd AS band, ${cols.mkString(" || '_' || ")} AS bucket FROM cm"
+    }.mkString("\n          UNION ALL ")
+    val jacc = "CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0.0 THEN 0.0 " +
+      "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) " +
+      "/ CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END"
+    s"""base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id >= 25),
+        stg AS (SELECT id, text, $duckToks AS tk FROM base),
+        sc AS (SELECT id, text,
+            CAST(length(text) AS DOUBLE) AS len,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+            CAST(len(tk) AS DOUBLE) AS ntok,
+            CAST(len(list_filter(tk, t -> list_contains($enList, t))) AS DOUBLE) AS hits,
+            len(tk) - 1 AS t2,
+            list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+              i -> tk[i] || ' ' || tk[i+1]) AS g2
+          FROM stg),
+        qonly AS (SELECT id FROM sc WHERE $qualityExpr >= ${CurateCfg.minQuality}),
+        flt AS (SELECT id, text FROM sc
+          WHERE $qualityExpr >= ${CurateCfg.minQuality}
+            AND $repExpr <= ${CurateCfg.maxRepetition}),
+        red AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(text,
+            '${graft.functions.TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+            '${graft.functions.TextFunctions.Ipv4Re}', '<IP>', 'g'),
+            '${graft.functions.TextFunctions.PhoneRe}', '<PHONE>', 'g') AS text
+          FROM flt),
+        rg AS (SELECT id, $duckToks AS tk FROM red),
+        gr AS (SELECT id, unnest($fiveGram) AS g FROM rg),
+        ev AS (SELECT $duckToks AS tk FROM documents WHERE doc_id < 25),
+        eg AS (SELECT DISTINCT unnest($fiveGram) AS g FROM ev),
+        cont AS (SELECT DISTINCT gr.id FROM gr JOIN eg USING (g)),
+        dec AS (SELECT * FROM red WHERE id NOT IN (SELECT id FROM cont)),
+        ex AS (SELECT dec.id, dec.text FROM dec
+          JOIN (SELECT text AS kk, min(id) AS mid FROM dec GROUP BY 1) gx
+            ON dec.text = gx.kk AND dec.id = gx.mid),
+        ctks AS (SELECT id, $duckToks AS tk FROM ex),
+        csh AS (SELECT id, list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END) AS shingles
+               FROM ctks),
+        cnz AS (SELECT * FROM csh WHERE len(shingles) > 0),
+        chs AS (SELECT id, list_transform(shingles, s -> $polyHash) AS hv FROM cnz),
+        cm AS (SELECT id,
+               $mins
+              FROM chs),
+        cbanded AS ($bandArms),
+        cgroups AS (SELECT band, bucket, list_sort(list(id)) AS ids
+                   FROM cbanded GROUP BY 1, 2
+                   HAVING count(*) >= 2 AND count(*) <= ${mh.maxBucket}),
+        ccand AS (SELECT DISTINCT p.id_a AS id_a, p.id_b AS id_b FROM cgroups,
+          unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
+        csv AS (SELECT id, list_distinct(hv) AS s FROM chs),
+        mpairs AS (SELECT c.id_a, c.id_b FROM ccand c
+              JOIN csv a ON a.id = c.id_a
+              JOIN csv b ON b.id = c.id_b
+              WHERE ($jacc) >= ${mh.threshold}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM mpairs
+                  UNION SELECT id_b, id_a FROM mpairs),
+        ccr AS (SELECT src AS id, src AS comp FROM edges
+                UNION SELECT e.dst, ccr.comp FROM ccr JOIN edges e ON ccr.id = e.src),
+        lab AS (SELECT id, min(comp) AS comp FROM ccr GROUP BY id),
+        kept AS (SELECT ex.id, ex.text FROM ex
+                 WHERE ex.id NOT IN (SELECT id FROM lab WHERE comp < id))"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -73,5 +182,42 @@ private[queries] object CurationQueries {
           "id_a", "id_b")
       },
       Some(LlmQueries.prefixKeyCcOracle)),
+
+    // ===== Composed curation pipeline: quality → repetition → PII →
+    // decontamination → exact dedup → minhash+CC near-dedup, one kept
+    // corpus. Docs < 25 stand in for the benchmark suite (as in q63) =====
+    QueryDef("q68_curate",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        Pipeline.curate(d.filter(col("doc_id") >= 25), "doc_id", "text",
+            Some(d.filter(col("doc_id") < 25)), "text", CurateCfg)
+          .kept.select(col("id").as("doc_id"), col("text"))
+      },
+      Some(s"""
+        WITH RECURSIVE $curateCtes
+        SELECT id AS doc_id, text FROM kept""")),
+
+    // ===== Per-stage survivor accounting of the same pipeline run =====
+    QueryDef("q69_curate_stages",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val res = Pipeline.curate(d.filter(col("doc_id") >= 25), "doc_id",
+          "text", Some(d.filter(col("doc_id") < 25)), "text", CurateCfg,
+          withCounts = true)
+        val m = res.stageCounts.toMap
+        import s.implicits._
+        Seq((m("input"), m("quality"), m("repetition"), m("decontaminate"),
+          m("exact_dedup"), m("near_dedup")))
+          .toDF("n_input", "n_quality", "n_repetition", "n_decontaminate",
+            "n_exact", "n_kept")
+      },
+      Some(s"""
+        WITH RECURSIVE $curateCtes
+        SELECT (SELECT count(*) FROM base) AS n_input,
+               (SELECT count(*) FROM qonly) AS n_quality,
+               (SELECT count(*) FROM flt) AS n_repetition,
+               (SELECT count(*) FROM dec) AS n_decontaminate,
+               (SELECT count(*) FROM ex) AS n_exact,
+               (SELECT count(*) FROM kept) AS n_kept""")),
   )
 }

@@ -143,6 +143,60 @@ object ScaleProbe {
       s"(survivors after dedup: corpus - ${n - k})")
   }
 
+  /** Incremental-store probe: the claim under test is that ingest cost
+    * tracks the BATCH, not the corpus. Build a minhash signature store
+    * from the first 89% of the corpus, then time a 10% ingest and a 1%
+    * ingest against it, next to the full-corpus recompute — a 10× smaller
+    * batch should cost far closer to 10× less than to "the same"
+    * (the floor is reading back the touched store buckets + job
+    * overhead). Same sequence for the simhash store. */
+  private def incrProbe(spark: SparkSession, docsPath: String,
+                        whRoot: String): Unit = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    val cut89 = (n * 0.89).toLong
+    val cut99 = (n * 0.99).toLong
+    println(s"[probe] docs=$n store=$cut89 batch10=${cut99 - cut89} " +
+      s"batch1=${n - cut99}")
+
+    timedCount("minhash_full_corpus") {
+      Dedup.minhashPortablePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, seed = 7L)
+    }
+    val mh = new Dedup.MinhashStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/mh_${System.nanoTime()}"),
+      "probe", Dedup.MinhashConfig(3, 8, 2, 0.5, 7L))
+    timedCount("minhash_store_build(89%)") {
+      mh.ingest(docs.filter(col("doc_id") < cut89), "doc_id", "text")
+    }
+    timedCount("minhash_ingest(10%)") {
+      mh.ingest(docs.filter(col("doc_id") >= cut89 && col("doc_id") < cut99),
+        "doc_id", "text")
+    }
+    timedCount("minhash_ingest(1%)") {
+      mh.ingest(docs.filter(col("doc_id") >= cut99), "doc_id", "text")
+    }
+
+    timedCount("simhash_full_corpus") {
+      Dedup.simhashPortablePairs(docs, "doc_id", "text",
+        maxDist = 3, seed = 7L, chunkBits = 15)
+    }
+    val sh = new Dedup.SimhashStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/sh_${System.nanoTime()}"),
+      "probe", Dedup.SimhashConfig(maxDist = 3, seed = 7L, chunkBits = 15))
+    timedCount("simhash_store_build(89%)") {
+      sh.ingest(docs.filter(col("doc_id") < cut89), "doc_id", "text")
+    }
+    timedCount("simhash_ingest(10%)") {
+      sh.ingest(docs.filter(col("doc_id") >= cut89 && col("doc_id") < cut99),
+        "doc_id", "text")
+    }
+    timedCount("simhash_ingest(1%)") {
+      sh.ingest(docs.filter(col("doc_id") >= cut99), "doc_id", "text")
+    }
+  }
+
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
     * geometry — what the HammingPairs kernel iterates, counted without
     * materializing pairs (mirrors simhashPortablePairs's bucket keying
@@ -281,13 +335,15 @@ object ScaleProbe {
         ivfProbe(spark, embPath, whRoot)
       case "cc" :: docsPath :: Nil =>
         ccProbe(spark, docsPath)
+      case "incr" :: docsPath :: whRoot :: Nil =>
+        incrProbe(spark, docsPath, whRoot)
       case docsPath :: rest
-          if !Set("gen", "pairs", "ivf", "cc").contains(docsPath) =>
+          if !Set("gen", "pairs", "ivf", "cc", "incr").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
-          "<docs> [<emb>]")
+          "incr <docs> <whRoot> | <docs> [<emb>]")
     }
     spark.stop()
   }

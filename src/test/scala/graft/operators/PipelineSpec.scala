@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The composed curation pipeline: stage wiring, drop attribution, and
+  * the column contract (ids stable, text redacted, one doc per near-dup
+  * component). Per-stage math is covered by the operator specs; these
+  * tests plant one violation per stage and check exactly it is dropped. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one doc per fate: 1 kept; 2 low-quality (symbols, no stopwords);
+  // 3 repetitive (looped bigram); 4 contaminated (shares eval 5-gram);
+  // 5/6 exact dups (5 kept as min id); 7 near-dup of 1 (one word off);
+  // 8 carries PII (kept, redacted)
+  private val good1 = "the quick brown fox jumps over the lazy dog and " +
+    "that is a fine day in the sun with you it is true"
+  private val near7 = "the quick brown fox jumps over the lazy cat and " +
+    "that is a fine day in the sun with you it is true"
+  private val exact56 = "it is a truth universally acknowledged that a " +
+    "reader in possession of the text must be in want of it"
+  private val evalText = "to be or not to be that is the question and " +
+    "it is the point of it all in the end you see"
+  private val contam4 = "unrelated opening words here and then to be or " +
+    "not to be that is the question inside a doc of fair quality it is"
+  private val pii8 = "you can reach the team of the office at " +
+    "alice@example.com and that is the address of it in the file today"
+
+  private def docs = Seq(
+    (1L, good1),
+    (2L, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
+    (3L, Seq.fill(30)("buy now").mkString(" ")),
+    (4L, contam4),
+    (5L, exact56), (6L, exact56),
+    (7L, near7),
+    (8L, pii8)
+  ).toDF("doc_id", "text")
+
+  private def evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+
+  private val cfg = Pipeline.CurateConfig(
+    minQuality = 0.35, maxRepetition = 0.5, repN = 2, deconN = 5,
+    minhash = Dedup.MinhashConfig(shingleN = 3, bands = 16, rowsPerBand = 1,
+      threshold = 0.5, seed = 7L))
+
+  test("curate drops exactly the planted violations, keeps min ids") {
+    val res = Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", cfg, withCounts = true)
+    val kept = res.kept.select("id").as[Long].collect().sorted.toSeq
+    // 2 quality, 3 repetition, 4 decontamination, 6 exact-dup of 5,
+    // 7 near-dup of 1 → kept = 1, 5, 8
+    assert(kept === Seq(1L, 5L, 8L))
+    assert(res.stageCounts === Seq(
+      "input" -> 8L, "quality" -> 7L, "repetition" -> 6L,
+      "decontaminate" -> 5L, "exact_dedup" -> 4L, "near_dedup" -> 3L))
+  }
+
+  test("curate redacts PII in the kept text") {
+    val res = Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", cfg)
+    val t8 = res.kept.filter(col("id") === 8L)
+      .select("text").as[String].head()
+    assert(t8.contains("<EMAIL>") && !t8.contains("alice@example.com"))
+  }
+
+  test("curate without eval set skips decontamination only") {
+    val res = Pipeline.curate(docs, "doc_id", "text", None, "text", cfg,
+      withCounts = true)
+    val kept = res.kept.select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L, 8L))
+    assert(res.stageCounts.toMap.apply("decontaminate") === 6L)
+  }
+
+  test("stage counts are skipped by default (no extra jobs requested)") {
+    val res = Pipeline.curate(docs, "doc_id", "text", None, "text", cfg)
+    assert(res.stageCounts.isEmpty)
+  }
+}
