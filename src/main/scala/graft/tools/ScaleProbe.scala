@@ -123,24 +123,82 @@ object ScaleProbe {
   }
 
   /** Pairs → clusters at scale: minhash pairs over the corpus, then
-    * [[graft.operators.Dedup.connectedComponents]] (the edge
-    * localCheckpoint inside CC materializes the pair pipeline once;
-    * the reported time covers pairs + propagation to fixpoint). */
+    * [[graft.operators.Dedup.connectedComponents]] to fixpoint — plus
+    * the INCREMENTAL fold: labels from 90% of the pairs, the remaining
+    * 10% folded in via connectedComponentsIncremental, checked to land
+    * on the same clustering. */
   private def ccProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.Dedup
     val docs = spark.read.parquet(docsPath)
     println(s"[probe] docs = ${docs.count()}")
-    val comps = time("minhash pairs -> components") {
-      val pairs = graft.operators.Dedup.minhashPortablePairs(docs,
-        "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
-        threshold = 0.5, seed = 7L)
-      val cc = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .cache()
-      cc.count(); cc
+    val pairs = time("minhash pairs (materialize)") {
+      Dedup.minhashPortablePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, seed = 7L).localCheckpoint(true)
     }
-    val n = comps.count()
-    val k = comps.select("comp").distinct().count()
+    val full = time("cc full") {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
+    val n = full.count()
+    val k = full.select("comp").distinct().count()
     println(s"[probe] clustered_docs=$n clusters=$k " +
       s"(survivors after dedup: corpus - ${n - k})")
+    // incremental: hash-split the edge list 90/10, label the history,
+    // fold the delta — the delta cost is what a daily ingest pays
+    val split = pmod(xxhash64(col("id_a"), col("id_b")), lit(10))
+    val prev = time("cc history(90% of pairs)") {
+      Dedup.connectedComponents(pairs.filter(split < 9), "id_a", "id_b")
+    }
+    val inc = time("cc incremental(+10%)") {
+      val c = Dedup.connectedComponentsIncremental(prev,
+        pairs.filter(split === 9), "id_a", "id_b")
+      c.count(); c
+    }
+    println(s"[probe] cc clusters: full=$k " +
+      s"incremental=${inc.select("comp").distinct().count()}")
+  }
+
+  /** Streaming-surface throughput: stage a many-file backlog, drain it
+    * through [[graft.streaming.Streaming.runAvailableNow]] (the
+    * exactly-once foreachBatch warehouse sink) in `files/filesPerBatch`
+    * micro-batches, and compare against one direct batch append of the
+    * same data — the difference, divided by the batch count, is the
+    * per-micro-batch overhead of the streaming path. */
+  private def streamProbe(spark: SparkSession, root: String,
+                          nRows: Long): Unit = {
+    import graft.streaming.Streaming
+    val staging = s"$root/staging_backlog"
+    val df = spark.range(nRows).select(
+      col("id"),
+      date_format(date_add(lit("2026-01-01").cast("date"),
+        pmod(col("id"), lit(30)).cast("int")), "yyyy-MM-dd").as("date"),
+      pmod(col("id"), lit(97)).as("metric"))
+    time(s"stage backlog ($nRows rows, 64 files)") {
+      df.repartition(64).write.mode("overwrite").parquet(staging)
+    }
+    val schema = spark.read.parquet(staging).schema
+
+    val whB = new graft.sources.Warehouse(spark, s"$root/wh_batch")
+    val tB0 = System.nanoTime()
+    whB.append("events", spark.read.parquet(staging), "date")
+    val batchSecs = (System.nanoTime() - tB0) / 1e9
+    println(f"[probe] batch_append                 $batchSecs%8.2f s")
+
+    val whS = new graft.sources.Warehouse(spark, s"$root/wh_stream")
+    val tS0 = System.nanoTime()
+    Streaming.runAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 8)
+        .parquet(staging),
+      whS, "events", s"$root/ckpt", "date")
+    val streamSecs = (System.nanoTime() - tS0) / 1e9
+    val landed = whS.read("events")
+    val rows = landed.count()
+    val batches = landed.select("__batch_id").distinct().count()
+    println(f"[probe] stream_available_now        $streamSecs%8.2f s  " +
+      f"rows=$rows batches=$batches")
+    println(f"[probe] stream throughput = ${rows / streamSecs}%.0f rows/s, " +
+      f"per-batch overhead ≈ ${(streamSecs - batchSecs) / batches}%.2f s " +
+      f"(${streamSecs / batchSecs}%.1fx batch)")
   }
 
   /** Incremental-store probe: the claim under test is that ingest cost
@@ -337,13 +395,16 @@ object ScaleProbe {
         ccProbe(spark, docsPath)
       case "incr" :: docsPath :: whRoot :: Nil =>
         incrProbe(spark, docsPath, whRoot)
+      case "stream" :: root :: nRows :: Nil =>
+        streamProbe(spark, root, nRows.toLong)
       case docsPath :: rest
-          if !Set("gen", "pairs", "ivf", "cc", "incr").contains(docsPath) =>
+          if !Set("gen", "pairs", "ivf", "cc", "incr", "stream")
+            .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
-          "incr <docs> <whRoot> | <docs> [<emb>]")
+          "incr <docs> <whRoot> | stream <root> <nRows> | <docs> [<emb>]")
     }
     spark.stop()
   }
