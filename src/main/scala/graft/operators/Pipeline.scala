@@ -43,8 +43,8 @@ object Pipeline {
       maxRepetition: Double = 0.06,
       repN: Int = 2,
       deconN: Int = 5,
-      minhash: Dedup.MinhashConfig =
-        Dedup.MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+      minhash: MinhashConfig =
+        MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
           threshold = 0.5))
 
   /** `kept` is the curated corpus (id, text — text REDACTED);
@@ -79,8 +79,13 @@ object Pipeline {
           .as("__rep"))
     val qPass = col("__q") >= cfg.minQuality
     val rPass = col("__rep") <= cfg.maxRepetition
-    val redacted = scored.filter(qPass && rPass)
+    val redactedRaw = scored.filter(qPass && rPass)
       .select(col("id"), TextFunctions.redactPii(col("text")).as("text"))
+    // decontamination reads the redacted corpus TWICE (the n-gram side
+    // of the contamination join and the anti-join left side) — stage it
+    // first or the tokenize→score→redact chain runs twice per action
+    val redacted =
+      if (evalTexts.isDefined) stage(redactedRaw) else redactedRaw
     val decon = evalTexts match {
       case Some(ev) => redacted.join(
         Dedup.contaminatedIds(redacted, "id", "text", ev, evalTextCol,
@@ -103,15 +108,18 @@ object Pipeline {
     val counts =
       if (!withCounts) Nil
       else {
-        val nIn = base.count()
+        // one aggregate scan covers input + both filter stages; the
+        // decon count re-runs only the staged-redacted anti-join; the
+        // exact and kept counts read checkpointed frames
         val qr = scored.agg(
+          count(lit(1)).as("nin"),
           count(when(qPass, lit(1))).as("nq"),
           count(when(qPass && rPass, lit(1))).as("nr")).head()
         val nDec = decon.count()
         val nEx = exact.count()
         val nKept = kept.count()
-        Seq("input" -> nIn, "quality" -> qr.getLong(0),
-          "repetition" -> qr.getLong(1), "decontaminate" -> nDec,
+        Seq("input" -> qr.getLong(0), "quality" -> qr.getLong(1),
+          "repetition" -> qr.getLong(2), "decontaminate" -> nDec,
           "exact_dedup" -> nEx, "near_dedup" -> nKept)
       }
     CurateResult(kept, counts)

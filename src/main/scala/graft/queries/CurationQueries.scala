@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
-import graft.operators.{Dedup, Pipeline}
+import graft.operators.{Dedup, MinhashConfig, MinhashStore, Pipeline, SimhashConfig, SimhashStore}
 import graft.sources.Warehouse
 import Catalog.QueryDef
 import Catalog.{duckToks, sqlList}
@@ -28,7 +28,7 @@ private[queries] object CurationQueries {
     * seed so the oracle reuses its coefficient tables. */
   private val CurateCfg = Pipeline.CurateConfig(
     minQuality = 0.42, maxRepetition = 0.06, repN = 2, deconN = 5,
-    minhash = Dedup.MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+    minhash = MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
       threshold = 0.5, seed = 7L))
 
   /** DuckDB mirror of the FULL curate pipeline as a CTE chain `base` →
@@ -138,10 +138,10 @@ private[queries] object CurationQueries {
     QueryDef("q65_minhash_incremental",
       (s, dir) => {
         val d = T.documents(s, dir)
-        val store = new Dedup.MinhashStore(
+        val store = new MinhashStore(
           new Warehouse(s, scratchRoot("graft_q65_")), "inc",
-          Dedup.MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
-            threshold = 0.5, seed = 7L))
+          MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+            threshold = 0.5, seed = 7L, nStoreBuckets = 8))
         store.ingest(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         store.ingest(d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
       },
@@ -152,9 +152,9 @@ private[queries] object CurationQueries {
     QueryDef("q66_simhash_incremental",
       (s, dir) => {
         val d = T.documents(s, dir)
-        val store = new Dedup.SimhashStore(
+        val store = new SimhashStore(
           new Warehouse(s, scratchRoot("graft_q66_")), "inc",
-          Dedup.SimhashConfig(maxDist = 3, seed = 7L))
+          SimhashConfig(maxDist = 3, seed = 7L, nStoreBuckets = 8))
         store.ingest(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         store.ingest(d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
           .withColumn("hamming", col("hamming").cast("long"))

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.{MinhashConfig, MinhashStore, SimhashConfig, SimhashStore}
 
 /** Scale probe for the dedup/similarity family: measures wall time,
   * candidate volume, and result counts on synthetic corpora whose size
@@ -222,9 +223,9 @@ object ScaleProbe {
       Dedup.minhashPortablePairs(docs, "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, seed = 7L)
     }
-    val mh = new Dedup.MinhashStore(
+    val mh = new MinhashStore(
       new graft.sources.Warehouse(spark, s"$whRoot/mh_${System.nanoTime()}"),
-      "probe", Dedup.MinhashConfig(3, 8, 2, 0.5, 7L))
+      "probe", MinhashConfig(3, 8, 2, 0.5, 7L))
     timedCount("minhash_store_build(89%)") {
       mh.ingest(docs.filter(col("doc_id") < cut89), "doc_id", "text")
     }
@@ -240,9 +241,9 @@ object ScaleProbe {
       Dedup.simhashPortablePairs(docs, "doc_id", "text",
         maxDist = 3, seed = 7L, chunkBits = 15)
     }
-    val sh = new Dedup.SimhashStore(
+    val sh = new SimhashStore(
       new graft.sources.Warehouse(spark, s"$whRoot/sh_${System.nanoTime()}"),
-      "probe", Dedup.SimhashConfig(maxDist = 3, seed = 7L, chunkBits = 15))
+      "probe", SimhashConfig(maxDist = 3, seed = 7L, chunkBits = 15))
     timedCount("simhash_store_build(89%)") {
       sh.ingest(docs.filter(col("doc_id") < cut89), "doc_id", "text")
     }

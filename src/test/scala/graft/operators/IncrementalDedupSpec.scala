@@ -41,7 +41,7 @@ class IncrementalDedupSpec extends SparkSpec {
     df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
   test("minhash store: batch ingests partition the full-corpus pairs") {
-    val cfg = Dedup.MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+    val cfg = MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
       threshold = 0.5, seed = 7L)
     val docs = corpus(60, seed = 1L).toDF("id", "text")
     val full = pairKey(Dedup.minhashPortablePairs(docs, "id", "text",
@@ -49,7 +49,7 @@ class IncrementalDedupSpec extends SparkSpec {
       cfg.maxBucket))
     assert(full.nonEmpty, "corpus must plant at least one near-dup pair")
 
-    val store = new Dedup.MinhashStore(freshWh(), "t", cfg)
+    val store = new MinhashStore(freshWh(), "t", cfg)
     val b1 = docs.filter(col("id") < 40)
     val b2 = docs.filter(col("id") >= 40)
     val p1 = pairKey(store.ingest(b1, "id", "text"))
@@ -63,13 +63,13 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("simhash store: batch ingests partition the full-corpus pairs") {
-    val cfg = Dedup.SimhashConfig(maxDist = 3, seed = 7L)
+    val cfg = SimhashConfig(maxDist = 3, seed = 7L)
     val docs = corpus(60, seed = 2L).toDF("id", "text")
     val full = pairKey(Dedup.simhashPortablePairs(docs, "id", "text",
       cfg.maxDist, cfg.seed, cfg.maxBucket, cfg.chunks, cfg.chunkBits))
     assert(full.nonEmpty)
 
-    val store = new Dedup.SimhashStore(freshWh(), "t", cfg)
+    val store = new SimhashStore(freshWh(), "t", cfg)
     val p1 = pairKey(store.ingest(docs.filter(col("id") < 40), "id", "text"))
     val p2 = pairKey(store.ingest(docs.filter(col("id") >= 40), "id", "text"))
     assert(p1 === full.filter(p => p._1 < 40 && p._2 < 40))
@@ -78,13 +78,13 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("minhash store: three sequential ingests reassemble the full run") {
-    val cfg = Dedup.MinhashConfig(shingleN = 2, bands = 8, rowsPerBand = 2,
+    val cfg = MinhashConfig(shingleN = 2, bands = 8, rowsPerBand = 2,
       threshold = 0.4, seed = 11L)
     val docs = corpus(45, seed = 3L).toDF("id", "text")
     val full = pairKey(Dedup.minhashPortablePairs(docs, "id", "text",
       cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.threshold, cfg.seed,
       cfg.maxBucket))
-    val store = new Dedup.MinhashStore(freshWh(), "t", cfg)
+    val store = new MinhashStore(freshWh(), "t", cfg)
     // uneven batch sizes, ids NOT contiguous with ingest order (parity
     // split) — order of arrival must not matter for the union
     val union = pairKey(store.ingest(docs.filter(col("id") % 3 === 0), "id", "text")) ++
@@ -94,14 +94,14 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("stores verify values, not just pair identity") {
-    val cfg = Dedup.MinhashConfig(shingleN = 3, bands = 4, rowsPerBand = 2,
+    val cfg = MinhashConfig(shingleN = 3, bands = 4, rowsPerBand = 2,
       threshold = 0.5, seed = 7L)
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "the quick brown fox jumps over the sleepy dog")
     ).toDF("id", "text")
-    val store = new Dedup.MinhashStore(freshWh(), "t", cfg)
+    val store = new MinhashStore(freshWh(), "t", cfg)
     store.ingest(docs.filter(col("id") === 1), "id", "text")
     val p2 = store.ingest(docs.filter(col("id") > 1), "id", "text")
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap

@@ -41,7 +41,7 @@ class PipelineSpec extends SparkSpec {
 
   private val cfg = Pipeline.CurateConfig(
     minQuality = 0.35, maxRepetition = 0.5, repN = 2, deconN = 5,
-    minhash = Dedup.MinhashConfig(shingleN = 3, bands = 16, rowsPerBand = 1,
+    minhash = MinhashConfig(shingleN = 3, bands = 16, rowsPerBand = 1,
       threshold = 0.5, seed = 7L))
 
   test("curate drops exactly the planted violations, keeps min ids") {
