@@ -60,13 +60,16 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
       cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.seed)
     val banded = bandedL.localCheckpoint(true)
     val sets = setsL.localCheckpoint(true)
-    // store rows for the buckets this batch touches: the batch's
-    // distinct bucket keys are batch-sized → broadcast left-semi, so
-    // the store scan filters in place with no shuffle on either side
+    // store rows for the buckets this batch touches. No broadcast HINT
+    // on the batch's key set: a hard hint would OOM on a genuinely large
+    // ingest; AQE converts the semi join to broadcast at runtime when
+    // the key set is actually small (the common case), and the fallback
+    // sort-merge join is still store-shuffle-free — the sig table is
+    // bucketed on exactly these keys.
     val touched =
       if (wh.exists(sigTable))
         wh.readBucketed(sigTable).join(
-          broadcast(banded.select("band", "bucket").distinct()),
+          banded.select("band", "bucket").distinct(),
           Seq("band", "bucket"), "left_semi")
       else banded.limit(0)
     val members = touched.unionByName(banded)
@@ -78,9 +81,10 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     // old–old pairs in a touched bucket were already emitted when the
     // later of the two docs was ingested (bucket membership is a pure
     // function of the doc) — keep only pairs touching this batch.
-    // Newness resolves via two broadcast joins against the batch's id
-    // set (batch-sized) rather than flags inside the bucket lists, so
-    // the native IdPairs kernel stays allocation-free on non-matches.
+    // Newness resolves via two joins against the batch's id set rather
+    // than flags inside the bucket lists, so the native IdPairs kernel
+    // stays allocation-free on non-matches; AQE broadcasts the id set
+    // when it is small (no hard hint — batches can be arbitrarily big).
     val newIds = sets.select(col("id")).withColumn("__new", lit(true))
     // candidates materialized: they feed the verification join AND the
     // candidate-id set that prunes the set store below — and they are
@@ -88,10 +92,10 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     val candidates = groups.select(explode(Dedup.idPairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .join(broadcast(newIds.withColumnsRenamed(
-        Map("id" -> "id_a", "__new" -> "__na"))), Seq("id_a"), "left")
-      .join(broadcast(newIds.withColumnsRenamed(
-        Map("id" -> "id_b", "__new" -> "__nb"))), Seq("id_b"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
       .filter(coalesce(col("__na"), lit(false)) ||
         coalesce(col("__nb"), lit(false)))
       .select("id_a", "id_b")
@@ -102,14 +106,15 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     // set store every ingest (measured: a 1% batch cost as much as a
     // 10% batch at 1M docs, both dominated by the 990k-set shuffle);
     // with it, only candidate sets — batch-proportional — leave the
-    // scan. Broadcast is safe: candidate ids ≤ 2× candidate pairs.
+    // scan. AQE broadcasts the candidate-id set when small; huge
+    // candidate sets degrade to a sort-merge semi, never to an OOM.
     val candIds = candidates.select(col("id_a").as("id"))
       .union(candidates.select(col("id_b").as("id"))).distinct()
     val allSets =
       if (wh.exists(setTable)) wh.readBucketed(setTable).unionByName(sets)
       else sets
     val tagged = allSets
-      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .join(candIds, Seq("id"), "left_semi")
       .select(col("id").as("__tid"), col("hset").as("__sh"))
     val pairs = candidates
       .join(tagged, col("id_a") === col("__tid"))
@@ -146,10 +151,11 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
   def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val chunked = Dedup.simhashStage(batch, idCol, textCol,
       cfg.seed, cfg.chunks, cfg.chunkBits).localCheckpoint(true)
+    // no hard broadcast hint — see MinhashStore.ingest on AQE sizing
     val touched =
       if (wh.exists(sigTable))
         wh.readBucketed(sigTable).join(
-          broadcast(chunked.select("chunk", "cval").distinct()),
+          chunked.select("chunk", "cval").distinct(),
           Seq("chunk", "cval"), "left_semi")
       else chunked.limit(0)
     val members = touched.unionByName(chunked)
@@ -166,10 +172,10 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .join(broadcast(newIds.withColumnsRenamed(
-        Map("id" -> "id_a", "__new" -> "__na"))), Seq("id_a"), "left")
-      .join(broadcast(newIds.withColumnsRenamed(
-        Map("id" -> "id_b", "__new" -> "__nb"))), Seq("id_b"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
       .filter(coalesce(col("__na"), lit(false)) ||
         coalesce(col("__nb"), lit(false)))
       .select("id_a", "id_b", "hamming")
