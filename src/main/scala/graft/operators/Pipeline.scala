@@ -59,13 +59,15 @@ object Pipeline {
     * the survivor accounting (three extra jobs: one aggregate over the
     * scored scan, one count of the decontaminated set, one of the kept
     * set — the exact-dedup count is free off the checkpoint). */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
-             evalTexts: Option[DataFrame] = None,
-             evalTextCol: String = "text",
-             cfg: CurateConfig = CurateConfig(),
-             withCounts: Boolean = false,
-             stage: DataFrame => DataFrame = _.localCheckpoint(true))
-      : CurateResult = {
+  /** Stages 1–3 (quality + repetition filter, PII redaction,
+    * decontamination) as a (id, redacted text) frame — row-local against
+    * a static eval set, so shared verbatim by the batch [[curate]] and
+    * the incremental [[CurationStore]]. `scored` (with the pass flags)
+    * is returned alongside for the survivor accounting. */
+  private[operators] def preFilter(docs: DataFrame, idCol: String,
+      textCol: String, evalTexts: Option[DataFrame], evalTextCol: String,
+      cfg: CurateConfig, stage: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     // one tokenization feeds both scores (lambda-capture rule: tokens
     // bound to a column first, scores staged off it)
@@ -77,9 +79,9 @@ object Pipeline {
           .as("__q"),
         TextFunctions.duplicateNgramFraction(col("__toks"), cfg.repN)
           .as("__rep"))
-    val qPass = col("__q") >= cfg.minQuality
-    val rPass = col("__rep") <= cfg.maxRepetition
-    val redactedRaw = scored.filter(qPass && rPass)
+    val redactedRaw = scored
+      .filter(col("__q") >= cfg.minQuality &&
+        col("__rep") <= cfg.maxRepetition)
       .select(col("id"), TextFunctions.redactPii(col("text")).as("text"))
     // decontamination reads the redacted corpus TWICE (the n-gram side
     // of the contamination join and the anti-join left side) — stage it
@@ -93,6 +95,20 @@ object Pipeline {
         Seq("id"), "left_anti")
       case None => redacted
     }
+    (decon, scored)
+  }
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             evalTexts: Option[DataFrame] = None,
+             evalTextCol: String = "text",
+             cfg: CurateConfig = CurateConfig(),
+             withCounts: Boolean = false,
+             stage: DataFrame => DataFrame = _.localCheckpoint(true))
+      : CurateResult = {
+    val (decon, scored) =
+      preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+    val qPass = col("__q") >= cfg.minQuality
+    val rPass = col("__rep") <= cfg.maxRepetition
     val exact = stage(Dedup.exact(decon, "id", "text"))
     val mh = cfg.minhash
     val pairs = Dedup.minhashPortablePairs(exact, "id", "text",
@@ -123,5 +139,115 @@ object Pipeline {
           "exact_dedup" -> nEx, "near_dedup" -> nKept)
       }
     CurateResult(kept, counts)
+  }
+
+  /** One ingest's delta: `kept` = batch docs entering the curated corpus
+    * (id, redacted text); `retracted` = ids of PREVIOUSLY kept docs that
+    * lost their component-minimum status because the batch's pairs
+    * merged their component with a lower-id one. The curated corpus
+    * after n ingests is ∪ keptᵢ − ∪ retractedᵢ (retraction is monotone:
+    * component minima only decrease). */
+  final case class CurateDelta(kept: DataFrame, retracted: DataFrame)
+
+  /** Incremental curation — the production form of [[curate]]: per-batch
+    * ingest against persisted state instead of a full-corpus recompute.
+    * State under `root` (all ids + hashes + labels, never raw text
+    * beyond the redacted survivors' shingle hashes):
+    *
+    *  - an exact-dedup hash store (128-bit text hash pairs, bucketed) —
+    *    membership = "an identical doc was already kept";
+    *  - a [[MinhashStore]] over the exact survivors — near-dup pairs of
+    *    each batch against everything curated so far;
+    *  - the current (id, comp) component labels and the survivor id
+    *    list, updated by [[Dedup.connectedComponentsIncremental]].
+    *
+    * CONTRACT: batch ids strictly increase across ingests (enforced) —
+    * that makes "first ingested" and "min id" agree, so the kept set
+    * after any prefix of ingests equals [[curate]] on the union of those
+    * batches (oracle-verified, q70). Retractions are REAL under this
+    * contract: a new doc can bridge two earlier components, dethroning
+    * the higher-id component's winner — consumers must apply both halves
+    * of the delta. */
+  final class CurationStore(spark: org.apache.spark.sql.SparkSession,
+                            root: String, name: String,
+                            cfg: CurateConfig = CurateConfig(),
+                            evalTexts: Option[DataFrame] = None,
+                            evalTextCol: String = "text",
+                            stage: DataFrame => DataFrame =
+                              _.localCheckpoint(true)) {
+    private val wh = new graft.sources.Warehouse(spark, root)
+    private val mh = new MinhashStore(wh, s"${name}_cur", cfg.minhash)
+    private val exactTable = s"${name}_cur_exact"
+    private val labelsPath = s"$root/state/${name}_labels"
+    private val survivorsPath = s"$root/state/${name}_survivors"
+    private val maxIdPath = s"$root/state/${name}_maxid"
+
+    private def exists(p: String) = new java.io.File(p).exists()
+
+    def ingest(batch: DataFrame, idCol: String, textCol: String)
+        : CurateDelta = {
+      import spark.implicits._
+      // id-monotonicity guard — a violation would silently flip exact-
+      // dedup winners (store membership means "first ingested", the
+      // full-corpus semantics mean "min id"; the contract makes them agree)
+      val bounds = batch.agg(min(col(idCol)).cast("long"),
+        max(col(idCol)).cast("long")).head()
+      if (bounds.isNullAt(0)) // empty batch: nothing to do, state untouched
+        return CurateDelta(spark.emptyDataset[(Long, String)]
+          .toDF("id", "text"), spark.emptyDataset[Long].toDF("id"))
+      val prevMax = if (exists(maxIdPath))
+        spark.read.parquet(maxIdPath).head().getLong(0) else Long.MinValue
+      require(bounds.getLong(0) > prevMax,
+        s"batch ids must exceed all previously ingested ids " +
+          s"(batch min ${bounds.getLong(0)} <= store max $prevMax)")
+
+      val (decon, _) =
+        preFilter(batch, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+      // exact dedup vs the hash store: in-batch winner per 128-bit text
+      // hash, then membership anti-join (bucketed on the hash pair, so
+      // the store side never shuffles). Hash-only membership carries the
+      // same negligible collision odds as Dedup.exact(verify = false).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__h1", "__h2").orderBy(col("id"))
+      val batchWinners = decon
+        .withColumn("__h1", xxhash64(col("text")))
+        .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val fresh = stage(
+        if (wh.exists(exactTable))
+          batchWinners.join(wh.readBucketed(exactTable),
+            Seq("__h1", "__h2"), "left_anti")
+        else batchWinners)
+      val survivors = fresh.select("id", "text")
+      // near-dup pairs of the batch survivors vs everything curated
+      val pairs = mh.ingest(survivors, "id", "text")
+      val prevLabels =
+        if (exists(labelsPath)) spark.read.parquet(labelsPath)
+        else spark.emptyDataset[(Long, Long)].toDF("id", "comp")
+      val labels = Dedup.connectedComponentsIncremental(prevLabels, pairs,
+        "id_a", "id_b") // internally checkpointed — safe to overwrite below
+      val nowDropped = labels.filter(col("comp") < col("id")).select("id")
+      val prevDropped = prevLabels.filter(col("comp") < col("id")).select("id")
+      val oldSurvivors =
+        if (exists(survivorsPath)) spark.read.parquet(survivorsPath)
+        else spark.emptyDataset[Long].toDF("id")
+      // deltas materialized BEFORE the state writes below — their plans
+      // read the state paths this ingest is about to replace/extend
+      val kept = survivors
+        .join(nowDropped, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      val retracted = oldSurvivors
+        .join(nowDropped, Seq("id"), "left_semi")
+        .join(prevDropped, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      labels.write.mode("overwrite").parquet(labelsPath)
+      survivors.select("id").write.mode("append").parquet(survivorsPath)
+      wh.appendBucketed(exactTable, fresh.select("__h1", "__h2"),
+        Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
+      Seq(math.max(bounds.getLong(1), prevMax)).toDF("max_id")
+        .write.mode("overwrite").parquet(maxIdPath)
+      CurateDelta(kept, retracted)
+    }
   }
 }

@@ -219,5 +219,25 @@ private[queries] object CurationQueries {
                (SELECT count(*) FROM dec) AS n_decontaminate,
                (SELECT count(*) FROM ex) AS n_exact,
                (SELECT count(*) FROM kept) AS n_kept""")),
+
+    // ===== Incremental curation: two id-ordered ingests against a
+    // persisted CurationStore; ∪ kept − ∪ retracted must equal the
+    // full-corpus curate (same oracle as q68, ids only) =====
+    QueryDef("q70_curate_incremental",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val store = new Pipeline.CurationStore(s, scratchRoot("graft_q70_"),
+          "cur", CurateCfg, Some(d.filter(col("doc_id") < 25)), "text")
+        val r1 = store.ingest(
+          d.filter(col("doc_id") >= 25 && col("doc_id") < 250),
+          "doc_id", "text")
+        val r2 = store.ingest(d.filter(col("doc_id") >= 250), "doc_id", "text")
+        r1.kept.select("id").unionByName(r2.kept.select("id"))
+          .join(r1.retracted.unionByName(r2.retracted), Seq("id"), "left_anti")
+          .select(col("id").as("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $curateCtes
+        SELECT id AS doc_id FROM kept""")),
   )
 }

@@ -76,4 +76,53 @@ class PipelineSpec extends SparkSpec {
     val res = Pipeline.curate(docs, "doc_id", "text", None, "text", cfg)
     assert(res.stageCounts.isEmpty)
   }
+
+  // ------------------------------------------------- incremental curation
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_curstore_").toString
+
+  test("curation store: id-ordered ingests reproduce the batch curate") {
+    val store = new Pipeline.CurationStore(spark, freshRoot(), "t", cfg,
+      Some(evalSet), "text")
+    val r1 = store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    val r2 = store.ingest(docs.filter(col("doc_id") > 5), "doc_id", "text")
+    assert(r1.kept.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 5L))
+    // 6 = exact dup of stored 5; 7 = near-dup of stored 1; 8 kept
+    assert(r2.kept.select("id").as[Long].collect().sorted.toSeq === Seq(8L))
+    assert(r1.retracted.count() === 0 && r2.retracted.count() === 0)
+  }
+
+  test("curation store: a bridging doc retracts the dethroned winner") {
+    // A and B differ in 4 token positions (jaccard 0.2 — no pair);
+    // C sits between them, 2 positions from each (jaccard 0.5 with both)
+    val base = Vector("t01", "t02", "t03", "t04", "t05", "t06", "t07",
+      "t08", "t09", "t10", "t11", "t12", "t13", "t14", "t15", "t16",
+      "t17", "t18", "t19", "t20")
+    val a = base.mkString(" ")
+    val c = base.updated(4, "c05").updated(11, "c12").mkString(" ")
+    val b = base.updated(4, "c05").updated(11, "c12")
+      .updated(7, "b08").updated(15, "b16").mkString(" ")
+    val lax = cfg.copy(minQuality = 0.0, maxRepetition = 1.0)
+    val store = new Pipeline.CurationStore(spark, freshRoot(), "t", lax)
+    val r1 = store.ingest(Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(r1.kept.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    val r2 = store.ingest(Seq((3L, c)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // C pairs with both A and B -> one component {1,2,3}, min 1:
+    // C never enters, and B — kept in ingest 1 — is retracted
+    assert(r2.kept.count() === 0)
+    assert(r2.retracted.as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("curation store: rejects non-increasing batch ids, skips empty batches") {
+    val store = new Pipeline.CurationStore(spark, freshRoot(), "t", cfg)
+    store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      store.ingest(docs.filter(col("doc_id") === 3), "doc_id", "text")
+    }
+    val empty = store.ingest(docs.filter(col("doc_id") > 100), "doc_id", "text")
+    assert(empty.kept.count() === 0 && empty.retracted.count() === 0)
+  }
 }
