@@ -55,4 +55,48 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Deterministic TOKEN-BUDGET sample: take documents in salted-hash
+    * order until the cumulative token count reaches `budget` (a doc is
+    * kept iff its inclusive running total still fits). This is how a
+    * training mix is actually sized — "x billion tokens of this source"
+    * — and hash order makes the kept set a pure function of (ids, salt,
+    * budget): stable under replays, and growing the budget only ADDS
+    * documents, never swaps them.
+    *
+    * Scale: the global running sum is the two-phase prefix sum
+    * ([[Relational.prefixSum]]) over `buckets` coarse hash ranges — no
+    * single-partition window anywhere. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokensCol: String,
+                        budget: Long, salt: String = "",
+                        buckets: Int = 64): DataFrame = {
+    val withH = df.withColumn("__h", hashBucket(col(idCol), 1000000007, salt))
+    // bucket = coarse monotone prefix of the hash order (h·B / p)
+    val bucket = floor(col("__h") * buckets / lit(1000000007L))
+    Relational.prefixSum(withH, bucket, Seq(col("__h"), col(idCol)),
+        col(tokensCol).cast("long"), "__cum")
+      .filter(col("__cum") <= budget)
+      .drop("__h", "__cum")
+  }
+
+  /** Per-stratum QUOTA sample: [[stratifiedTopK]] with a per-stratum
+    * cap — the domain-mixing primitive ("20 docs of en, 10 of de, 5 of
+    * anything else"). Quotas are configuration-sized, so they compile to
+    * a literal CASE over the stratum value: no join, one shuffle on the
+    * strata. */
+  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+                  quotas: Seq[(String, Int)], defaultK: Int,
+                  salt: String = ""): DataFrame = {
+    val h = hashBucket(col(idCol), 1000000007, salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    val quota = quotas.foldLeft(Option.empty[Column]) {
+      case (acc, (value, k)) =>
+        val cond = col(strataCol) === value
+        Some(acc.fold(when(cond, lit(k)))(_.when(cond, lit(k))))
+    }.fold(lit(defaultK))(_.otherwise(lit(defaultK)))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
 }

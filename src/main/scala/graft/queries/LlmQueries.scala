@@ -437,6 +437,45 @@ private[queries] object LlmQueries {
           FROM h)
         WHERE rn <= 5""")),
 
+    // ===== training pipeline: token-budget sample (two-phase prefix
+    // sum in hash order — the "x tokens of this source" mix primitive) =====
+    QueryDef("q71_token_budget",
+      (s, dir) => graft.operators.Sampling.tokenBudgetSample(
+        T.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 10000L, salt = "v1"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS h
+          FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+        SELECT doc_id, n_tokens FROM c WHERE cum <= 10000""")),
+
+    // ===== training pipeline: per-stratum quota sample (domain mixing) =====
+    QueryDef("q72_quota_sample",
+      (s, dir) => graft.operators.Sampling.quotaSample(
+        T.documents(s, dir).select("doc_id", "lang"),
+        "lang", "doc_id", Seq("en" -> 20, "de" -> 10), defaultK = 5,
+        salt = "v1"),
+      Some("""
+        WITH h AS (SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+          FROM documents)
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+          FROM h)
+        WHERE rn <= CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 10 ELSE 5 END""")),
+
     // ===== W1/streaming-adjacent: gap-based sessionization =====
     QueryDef("q43_sessionize",
       (s, dir) => Relational.sessionize(T.events(s, dir), Seq("user_id"),
