@@ -131,6 +131,33 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
   }
 }
 
+/** Incremental IVF ANN corpus: the build/serve split of
+  * [[Similarity.ivfTopK]] with an APPENDABLE serve table. Cell
+  * assignment is per-vector against a frozen centroid set, so appending
+  * a batch is exactly `assignCells(batch) → bucketed append` — serve
+  * results over incrementally-built and all-at-once-built tables are
+  * identical (oracle-verified, q73). The cell-bucketed layout means the
+  * serve join reads the corpus bucket-aligned: no corpus-side shuffle.
+  *
+  * Centroids are the store's identity — append with a different
+  * centroid set and the index is silently wrong. Callers freeze them at
+  * store creation (train once on a representative sample; re-train =
+  * new store + rebuild), which is the standard IVF contract. */
+final class IvfStore(wh: graft.sources.Warehouse, name: String,
+                     centroids: DataFrame, nStoreBuckets: Int = 64) {
+  private val table = s"${name}_ivf"
+
+  def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
+    wh.appendBucketed(table,
+      Similarity.assignCells(batch, idCol, vecCol, centroids),
+      Seq("cell"), nStoreBuckets)
+
+  def serve(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+            nProbes: Int): DataFrame =
+    Similarity.ivfTopKAssigned(wh.readBucketed(table), queries, idCol,
+      vecCol, k, centroids, nProbes)
+}
+
 /** Parameters of a SimHash signature store — see [[simhashPortablePairs]]
   * for how to size `chunks`×`chunkBits` to the corpus. */
 final case class SimhashConfig(maxDist: Int = 3, seed: Long = 42L,

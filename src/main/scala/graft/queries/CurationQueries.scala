@@ -29,7 +29,7 @@ private[queries] object CurationQueries {
   private val CurateCfg = Pipeline.CurateConfig(
     minQuality = 0.42, maxRepetition = 0.06, repN = 2, deconN = 5,
     minhash = MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
-      threshold = 0.5, seed = 7L))
+      threshold = 0.5, seed = 7L, nStoreBuckets = 8))
 
   /** DuckDB mirror of the FULL curate pipeline as a CTE chain `base` →
     * `kept`, assembled from the per-stage oracle fragments already

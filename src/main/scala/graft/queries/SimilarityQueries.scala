@@ -12,6 +12,41 @@ import Catalog.QueryDef
 private[queries] object SimilarityQueries {
   import Catalog._
 
+  /** q23's oracle — also verifies q73, where the SAME corpus is built
+    * into the serve table by two incremental appends instead of one
+    * shot (assignment is per-vector, so the results must be identical). */
+  private val ivfOracle: String = {
+    val l2 = duckL2("e.embedding", "c.cvec")
+    val d = duckDot("qv", "cv")
+    val na = s"sqrt(${duckDot("qv", "qv")})"
+    val nb = s"sqrt(${duckDot("cv", "cv")})"
+    s"""
+        WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cell,
+                              embedding::DOUBLE[] AS cvec
+                       FROM embeddings WHERE vec_id < 16),
+        assigned AS (SELECT nbr_id, cv, cell FROM (
+            SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $l2, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1),
+        probed AS (SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY $l2, c.cell) AS rn
+            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8)
+          WHERE rn <= 2),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM assigned JOIN probed USING (cell)
+          WHERE nbr_id != query_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 5"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ===== Similarity: exact brute-force top-k =====
@@ -51,37 +86,28 @@ private[queries] object SimilarityQueries {
           "vec_id", "embedding", 5, cents, nProbes = 2)
           .withColumn("rank", col("rank").cast("long"))
       },
-      Some {
-        val l2 = duckL2("e.embedding", "c.cvec")
-        val d = duckDot("qv", "cv")
-        val na = s"sqrt(${duckDot("qv", "qv")})"
-        val nb = s"sqrt(${duckDot("cv", "cv")})"
-        s"""
-        WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cell,
-                              embedding::DOUBLE[] AS cvec
-                       FROM embeddings WHERE vec_id < 16),
-        assigned AS (SELECT nbr_id, cv, cell FROM (
-            SELECT e.vec_id AS nbr_id, e.embedding AS cv, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY $l2, c.cell) AS rn
-            FROM embeddings e CROSS JOIN cents c)
-          WHERE rn = 1),
-        probed AS (SELECT query_id, qv, cell FROM (
-            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY $l2, c.cell) AS rn
-            FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8)
-          WHERE rn <= 2),
-        scored AS (SELECT query_id, nbr_id,
-            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
-                 ELSE $d / ($na * $nb) END AS sim
-          FROM assigned JOIN probed USING (cell)
-          WHERE nbr_id != query_id)
-        SELECT query_id, nbr_id, sim, "rank" FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
-        WHERE "rank" <= 5"""
-      }),
+      Some(ivfOracle)),
+
+    // ===== Similarity: incrementally-built IVF serve table — two
+    // appends, identical serve results to the one-shot build (q23) =====
+    QueryDef("q73_ivf_incremental",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").cast("array<double>").as("cvec"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q73_").toString
+        val store = new graft.operators.IvfStore(
+          new graft.sources.Warehouse(s, root), "inc", cents,
+          nStoreBuckets = 8)
+        store.append(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        store.append(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        store.serve(e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nProbes = 2)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(ivfOracle)),
 
     // ===== Similarity: label-blocked embedding near-dup pairs =====
     QueryDef("q24_embedding_neardup",

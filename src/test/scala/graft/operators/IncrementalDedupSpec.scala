@@ -142,6 +142,27 @@ class IncrementalDedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("ivf store: incremental appends serve identically to a one-shot build") {
+    import org.apache.spark.sql.Row
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").cast("array<double>").as("cvec"))
+    val store = new IvfStore(freshWh(), "t", cents, nStoreBuckets = 4)
+    store.append(vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    store.append(vecs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val inc = store.serve(queries, "vec_id", "embedding", k = 5, nProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val oneShot = Similarity.ivfTopKAssigned(
+        Similarity.assignCells(vecs, "vec_id", "embedding", cents),
+        queries, "vec_id", "embedding", 5, cents, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(inc === oneShot && inc.nonEmpty)
+  }
+
   test("incremental CC merges two old components through one new edge") {
     val prev = Dedup.connectedComponents(
       Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id_a", "id_b"), "id_a", "id_b")
