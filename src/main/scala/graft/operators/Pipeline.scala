@@ -167,7 +167,18 @@ object Pipeline {
     * batches (oracle-verified, q70). Retractions are REAL under this
     * contract: a new doc can bridge two earlier components, dethroning
     * the higher-id component's winner — consumers must apply both halves
-    * of the delta. */
+    * of the delta.
+    *
+    * CRASH SEMANTICS: one ingest performs several state writes (hash
+    * store, signature store, labels, survivors, max-id marker — marker
+    * LAST) with no cross-table transaction; a crash mid-ingest leaves
+    * partial signatures that a blind re-ingest would duplicate. Plain
+    * parquet has no multi-table commit, so run each ingest under an
+    * external retry discipline that restores `root` from the previous
+    * snapshot before retrying (the marker tells you which ingests
+    * completed). A lakehouse table format would replace the snapshot
+    * with a transactional multi-table commit; the operator logic is
+    * unchanged either way. */
   final class CurationStore(spark: org.apache.spark.sql.SparkSession,
                             root: String, name: String,
                             cfg: CurateConfig = CurateConfig(),
