@@ -177,12 +177,7 @@ object Dedup {
             .cast("array<string>").cast("string")).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val groups = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketCandidates(banded, Seq("band", "bucket"), maxBucket)
     val sets = staged.select(col("id").as("__tid"), col("__sh"))
     candidates
       .join(sets, col("id_a") === col("__tid"))
@@ -243,12 +238,7 @@ object Dedup {
                            maxBucket: Int = 1000): DataFrame = {
     val (banded, sets) =
       minhashStage(df, idCol, textCol, shingleN, bands, rowsPerBand, seed)
-    val groups = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val candidates = groups.select(explode(idPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketCandidates(banded, Seq("band", "bucket"), maxBucket)
     // Verify over the HASHED shingle sets (arrays of longs), not the
     // string shingles: set intersection/union on fixed-width longs is far
     // cheaper than string equality, the join payload shrinks ~4×, and the
@@ -359,22 +349,13 @@ object Dedup {
     require(maxDist < chunks,
       s"pigeonhole needs maxDist < chunks: $maxDist >= $chunks misses pairs")
     val chunked = simhashStage(df, idCol, textCol, seed, chunks, chunkBits)
-    val groups = chunked.groupBy("chunk", "cval")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-    // native one-pass pair kernel: the composed transform/slice/filter
-    // form copies an O(n) struct array per element — O(n²) allocations
-    // per bucket, which melts down on near-identical-signature buckets;
-    // the kernel allocates only for matches (hammingPairsComposed is the
-    // executable spec it is parity-tested against)
-    val pairExpr = graft.functions.expressions.ColumnBridge.column(
-      graft.functions.expressions.HammingPairs(
-        graft.functions.expressions.ColumnBridge.expression(col("ms")),
-        maxDist))
-    groups.select(explode(pairExpr).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.hamming").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    // native one-pass pair kernel inside hammingCandidates: the composed
+    // transform/slice/filter form copies an O(n) struct array per element
+    // — O(n²) allocations per bucket, which melts down on
+    // near-identical-signature buckets; the kernel allocates only for
+    // matches (hammingPairsComposed is the executable spec it is
+    // parity-tested against)
+    hammingCandidates(chunked, Seq("chunk", "cval"), maxBucket, maxDist)
   }
 
   /** Shared staging of the portable SimHash pipeline for one batch:
@@ -524,6 +505,38 @@ object Dedup {
         .unionByName(pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))),
       "__src", "__dst", maxIter)
 
+  /** In-bucket candidate pairs from an (id, bucket-key…) index frame:
+    * group on the bucket key, cap, native pair kernel, cross-bucket
+    * dedup. ONE definition shared by the batch pair generators and
+    * [[MinhashStore]] — the store's "ingest equals full recompute"
+    * contract depends on this staying bit-identical on both paths. */
+  private[operators] def bucketCandidates(index: DataFrame,
+      keyCols: Seq[String], maxBucket: Int): DataFrame =
+    index.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(idPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+  /** The [[bucketCandidates]] twin for signature-carrying indexes
+    * (id, sig, bucket-key…): in-group Hamming kernel, verified pairs
+    * out. Shared by both simhash pair generators and [[SimhashStore]]. */
+  private[operators] def hammingCandidates(index: DataFrame,
+      keyCols: Seq[String], maxBucket: Int, maxDist: Int): DataFrame = {
+    val groups = index.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val pairExpr = graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.HammingPairs(
+        graft.functions.expressions.ColumnBridge.expression(col("ms")),
+        maxDist))
+    groups.select(explode(pairExpr).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Native (i < j) id-combination kernel as a Column. */
   def idPairs(ids: Column): Column =
     graft.functions.expressions.ColumnBridge.column(
@@ -577,16 +590,6 @@ object Dedup {
           shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("cval"))
       }: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
-    val groups = chunked.groupBy("chunk", "cval")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-    val pairExpr = graft.functions.expressions.ColumnBridge.column(
-      graft.functions.expressions.HammingPairs(
-        graft.functions.expressions.ColumnBridge.expression(col("ms")),
-        maxDist))
-    groups.select(explode(pairExpr).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.hamming").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    hammingCandidates(chunked, Seq("chunk", "cval"), maxBucket, maxDist)
   }
 }

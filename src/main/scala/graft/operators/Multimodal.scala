@@ -82,9 +82,14 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null || bytes.isEmpty) None
       else
+        // NonFatal, not just IOException: the stock readers throw
+        // unchecked exceptions on corrupt payloads (truncated GIF →
+        // ArrayIndexOutOfBounds, crafted headers → IllegalArgument /
+        // NegativeArraySize). One such payload in a 100 TB media table
+        // must fall back to the stub, not abort the job.
         try Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
 
     def dims(bytes: Array[Byte]): Option[(Int, Int)] =
       decode(bytes).map(i => (i.getWidth, i.getHeight))

@@ -36,6 +36,12 @@ import graft.functions.TextFunctions
   */
 object Pipeline {
 
+  /** The quality / repetition pass predicates over a scored frame —
+    * ONE definition, used both to filter (preFilter) and to account
+    * (curate's stage counts); a second copy could silently drift. */
+  private def qPass(cfg: CurateConfig) = col("__q") >= cfg.minQuality
+  private def rPass(cfg: CurateConfig) = col("__rep") <= cfg.maxRepetition
+
   /** Thresholds and sketch parameters for [[curate]]. Defaults match the
     * oracle-verified per-stage queries; tune per corpus. */
   final case class CurateConfig(
@@ -53,12 +59,6 @@ object Pipeline {
   final case class CurateResult(kept: DataFrame,
                                 stageCounts: Seq[(String, Long)])
 
-  /** Run the full curation pipeline over `docs`. Ids must be integral
-    * and unique (connected components requires integral labels).
-    * `evalTexts` enables the decontamination stage; `withCounts` adds
-    * the survivor accounting (three extra jobs: one aggregate over the
-    * scored scan, one count of the decontaminated set, one of the kept
-    * set — the exact-dedup count is free off the checkpoint). */
   /** Stages 1–3 (quality + repetition filter, PII redaction,
     * decontamination) as a (id, redacted text) frame — row-local against
     * a static eval set, so shared verbatim by the batch [[curate]] and
@@ -80,8 +80,7 @@ object Pipeline {
         TextFunctions.duplicateNgramFraction(col("__toks"), cfg.repN)
           .as("__rep"))
     val redactedRaw = scored
-      .filter(col("__q") >= cfg.minQuality &&
-        col("__rep") <= cfg.maxRepetition)
+      .filter(qPass(cfg) && rPass(cfg))
       .select(col("id"), TextFunctions.redactPii(col("text")).as("text"))
     // decontamination reads the redacted corpus TWICE (the n-gram side
     // of the contamination join and the anti-join left side) — stage it
@@ -98,6 +97,12 @@ object Pipeline {
     (decon, scored)
   }
 
+  /** Run the full curation pipeline over `docs`. Ids must be integral
+    * and unique (connected components requires integral labels).
+    * `evalTexts` enables the decontamination stage; `withCounts` adds
+    * the survivor accounting (three extra jobs: one aggregate over the
+    * scored scan, one count of the decontaminated set, one of the kept
+    * set — the exact-dedup count is free off the checkpoint). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              evalTexts: Option[DataFrame] = None,
              evalTextCol: String = "text",
@@ -107,8 +112,6 @@ object Pipeline {
       : CurateResult = {
     val (decon, scored) =
       preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
-    val qPass = col("__q") >= cfg.minQuality
-    val rPass = col("__rep") <= cfg.maxRepetition
     val exact = stage(Dedup.exact(decon, "id", "text"))
     val mh = cfg.minhash
     val pairs = Dedup.minhashPortablePairs(exact, "id", "text",
@@ -129,8 +132,8 @@ object Pipeline {
         // exact and kept counts read checkpointed frames
         val qr = scored.agg(
           count(lit(1)).as("nin"),
-          count(when(qPass, lit(1))).as("nq"),
-          count(when(qPass && rPass, lit(1))).as("nr")).head()
+          count(when(qPass(cfg), lit(1))).as("nq"),
+          count(when(qPass(cfg) && rPass(cfg), lit(1))).as("nr")).head()
         val nDec = decon.count()
         val nEx = exact.count()
         val nKept = kept.count()
@@ -198,6 +201,15 @@ object Pipeline {
     def ingest(batch: DataFrame, idCol: String, textCol: String)
         : CurateDelta = {
       import spark.implicits._
+      // integral ids required up front (connected components needs them
+      // later anyway) — without this check a string-id batch would cast
+      // its min to null below and silently no-op as "empty"
+      locally {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val dt = batch.schema(idCol).dataType
+        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+          s"CurationStore id column '$idCol' must be integral, got $dt")
+      }
       // id-monotonicity guard — a violation would silently flip exact-
       // dedup winners (store membership means "first ingested", the
       // full-corpus semantics mean "min id"; the contract makes them agree)

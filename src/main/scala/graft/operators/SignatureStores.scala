@@ -73,11 +73,6 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
           Seq("band", "bucket"), "left_semi")
       else banded.limit(0)
     val members = touched.unionByName(banded)
-    // cap on the TOTAL (store + batch) bucket size — same rule the
-    // full-corpus run applies to the whole bucket
-    val groups = members.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= cfg.maxBucket)
     // old–old pairs in a touched bucket were already emitted when the
     // later of the two docs was ingested (bucket membership is a pure
     // function of the doc) — keep only pairs touching this batch.
@@ -89,9 +84,10 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     // candidates materialized: they feed the verification join AND the
     // candidate-id set that prunes the set store below — and they are
     // small (bucket-cap-bounded, ∝ batch on realistic corpora)
-    val candidates = groups.select(explode(Dedup.idPairs(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // cap on the TOTAL (store + batch) bucket size — same rule, same
+    // shared helper, as the full-corpus run applies to the whole bucket
+    val candidates = Dedup.bucketCandidates(members,
+        Seq("band", "bucket"), cfg.maxBucket)
       .join(newIds.withColumnsRenamed(
         Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
       .join(newIds.withColumnsRenamed(
@@ -186,19 +182,10 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
           Seq("chunk", "cval"), "left_semi")
       else chunked.limit(0)
     val members = touched.unionByName(chunked)
-    val groups = members.groupBy("chunk", "cval")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= cfg.maxBucket)
-    val pairExpr = graft.functions.expressions.ColumnBridge.column(
-      graft.functions.expressions.HammingPairs(
-        graft.functions.expressions.ColumnBridge.expression(col("ms")),
-        cfg.maxDist))
     val newIds = chunked.select(col("id")).distinct()
       .withColumn("__new", lit(true))
-    val pairs = groups.select(explode(pairExpr).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.hamming").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = Dedup.hammingCandidates(members,
+        Seq("chunk", "cval"), cfg.maxBucket, cfg.maxDist)
       .join(newIds.withColumnsRenamed(
         Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
       .join(newIds.withColumnsRenamed(

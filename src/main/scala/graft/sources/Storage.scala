@@ -167,17 +167,47 @@ final class Warehouse(spark: SparkSession, root: String) {
     * This is the 100 TB answer for fact-to-fact joins that repeat every
     * run (e.g. current-vs-previous-period), where re-shuffling both
     * sides each time would dominate the job. Registered as an external
-    * table because bucket metadata lives in the catalog. */
+    * table because bucket metadata lives in the catalog — and since the
+    * default catalog is SESSION-scoped (in-memory, no metastore), the
+    * bucket spec is ALSO persisted next to the data (an `_`-prefixed
+    * file, invisible to parquet readers) so [[readBucketed]] can
+    * re-register the table in a fresh driver: a persisted store must
+    * survive the JVM that wrote it. */
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
-                     nBuckets: Int): Unit =
+                     nBuckets: Int): Unit = {
     df.write.mode(SaveMode.Append)
       .option("path", path(table))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(bucketedName(table))
+    val specFile = new java.io.File(path(table), "_graft_bucket_spec")
+    java.nio.file.Files.writeString(specFile.toPath,
+      s"$nBuckets\n${bucketCols.mkString(",")}\n")
+    ()
+  }
 
-  def readBucketed(table: String): DataFrame =
+  /** Read a bucketed table, re-registering it in the session catalog
+    * from the on-disk bucket spec when this session didn't write it
+    * (new driver, same warehouse root). */
+  def readBucketed(table: String): DataFrame = {
+    val name = bucketedName(table)
+    if (!spark.catalog.tableExists(name)) {
+      val dir = new java.io.File(path(table))
+      val spec = new java.io.File(dir, "_graft_bucket_spec")
+      require(dir.exists() && spec.exists(),
+        s"bucketed table $table not found at ${dir.getPath}")
+      val Array(n, cols) =
+        java.nio.file.Files.readString(spec.toPath).trim.split("\n")
+      val schema = spark.read.parquet(dir.getPath).schema.toDDL
+      val bucketCols = cols.split(",").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $name ($schema) USING parquet
+           |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols)
+           |INTO ${n.toInt} BUCKETS
+           |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+    }
     spark.table(bucketedName(table))
+  }
 
   private def bucketedName(table: String): String =
     "graft_" + java.lang.Long.toHexString(

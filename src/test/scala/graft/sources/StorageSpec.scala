@@ -127,6 +127,35 @@ class StorageSpec extends SparkSpec {
     assert(joined.count() === 1000)
   }
 
+  test("bucketed tables reopen after the catalog registration is lost") {
+    // a persisted signature store must survive the JVM that wrote it;
+    // simulate the fresh-driver case by dropping the session-catalog
+    // entry (the on-disk data + bucket spec are all a new session has)
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    wh.appendBucketed("reopen_b", (1 to 50).map(i => (i.toLong, i * 3.0))
+      .toDF("k", "v"), Seq("k"), 4)
+    val name = spark.catalog.listTables()
+      .filter(col("name").contains("reopen_b")).head().name
+    spark.sql(s"DROP TABLE $name") // external: data stays on disk
+    assert(!spark.catalog.tableExists(name))
+    val reopened = wh.readBucketed("reopen_b")
+    assert(reopened.count() === 50)
+    // the re-registered table still carries the bucket layout: joining
+    // two reopened tables stays exchange-free
+    wh.appendBucketed("reopen_c", (1 to 50).map(i => (i.toLong, s"d$i"))
+      .toDF("k", "name"), Seq("k"), 4)
+    val plan = spark.sessionState.executePlan(
+      reopened.join(wh.readBucketed("reopen_c"), "k").hint("merge")
+        .queryExecution.logical).executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"reopened bucketed join must not shuffle:\n$plan")
+    // appends keep working against the re-registered table
+    wh.appendBucketed("reopen_b", Seq((51L, 153.0)).toDF("k", "v"),
+      Seq("k"), 4)
+    assert(wh.readBucketed("reopen_b").count() === 51)
+  }
+
   test("queue: enqueue / drain deletes on read / re-enqueue") {
     val root = tmpRoot()
     val q = new QueueStore(spark, root)
