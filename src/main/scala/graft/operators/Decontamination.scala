@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{ngrams, tokens}
+
+/** Benchmark decontamination — keeping eval-set text out of the training
+  * corpus. Two granularities:
+  *
+  *  - [[contaminatedIds]]: ANY shared word n-gram flags the doc (the
+  *    strict pre-training hygiene rule);
+  *  - [[overlapStats]]: the FRACTION of each doc's distinct n-grams that
+  *    appear in the eval set, for threshold-based policies ("drop above
+  *    20% overlap, audit above 5%") and for contamination REPORTING —
+  *    a corpus-vs-benchmark overlap audit is table stakes before any
+  *    training run, and a boolean flag can't produce it.
+  *
+  * Scale shape (both): the eval side is distinct-projected (benchmark
+  * suites are small → usually broadcast), the doc side explodes to
+  * (id, gram) and collapses back to per-id rows — ids and grams only,
+  * no document text through any shuffle.
+  */
+object Decontamination {
+
+  /** Ids of `docs` sharing at least one word n-gram with the eval set.
+    * One left-semi equi-join on the n-gram string. */
+  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                      evalTexts: DataFrame, evalTextCol: String,
+                      n: Int): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(ngrams(col("__t"), n)).as("__g"))
+      .join(evalGrams(evalTexts, evalTextCol, n), Seq("__g"), "left_semi")
+      .select(idCol).distinct()
+
+  /** Per-document n-gram overlap with the eval set:
+    * (id, n_grams, n_hit, overlap_rate) where `n_grams` counts the doc's
+    * DISTINCT word n-grams, `n_hit` how many of those appear anywhere in
+    * the eval set, and `overlap_rate` = n_hit / n_grams. Documents with
+    * fewer than `n` tokens have no n-grams and report (0, 0, 0.0).
+    *
+    * One exchange: the grams explode feeds a left join against the
+    * (distinct, broadcastable) eval grams, then one groupBy id with
+    * partial aggregation; the gram-less docs re-enter via a left join
+    * from the id projection. */
+  def overlapStats(docs: DataFrame, idCol: String, textCol: String,
+                   evalTexts: DataFrame, evalTextCol: String,
+                   n: Int): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(array_distinct(ngrams(col("__t"), n))).as("__g"))
+    val perDoc = docGrams
+      .join(evalGrams(evalTexts, evalTextCol, n).withColumn("__hit", lit(1)),
+        Seq("__g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams").isNull || col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .as("overlap_rate"))
+  }
+
+  /** The distinct eval-side gram set (the shared build side above). */
+  private def evalGrams(evalTexts: DataFrame, evalTextCol: String,
+                        n: Int): DataFrame =
+    evalTexts
+      .select(tokens(col(evalTextCol)).as("__t"))
+      .select(explode(ngrams(col("__t"), n)).as("__g"))
+      .distinct()
+}

@@ -382,27 +382,6 @@ object Dedup {
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
   }
 
-  /** Benchmark decontamination: ids of `docs` sharing at least one word
-    * n-gram with the eval set — the standard pre-training hygiene
-    * filter against eval-set leakage. One left-semi equi-join on the
-    * n-gram string: the eval side is distinct-projected (benchmark
-    * suites are small → usually broadcast), the doc side explodes to
-    * (id, gram) and collapses back to distinct ids — ids only, no text
-    * through the shuffle. */
-  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
-                      evalTexts: DataFrame, evalTextCol: String,
-                      n: Int): DataFrame = {
-    import graft.functions.TextFunctions.{ngrams, tokens}
-    def grams(df: DataFrame, c: String) = df
-      .select(tokens(col(c)).as("__t"))
-      .select(explode(ngrams(col("__t"), n)).as("__g"))
-    docs
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), explode(ngrams(col("__t"), n)).as("__g"))
-      .join(grams(evalTexts, evalTextCol).distinct(), Seq("__g"), "left_semi")
-      .select(idCol).distinct()
-  }
-
   /** Connected components over an undirected pair list — the step that
     * turns near-dup PAIRS (minhash/simhash/jaccard output) into dedup
     * CLUSTERS (keep one doc per component). Min-label propagation with

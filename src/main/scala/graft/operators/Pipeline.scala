@@ -89,7 +89,7 @@ object Pipeline {
       if (evalTexts.isDefined) stage(redactedRaw) else redactedRaw
     val decon = evalTexts match {
       case Some(ev) => redacted.join(
-        Dedup.contaminatedIds(redacted, "id", "text", ev, evalTextCol,
+        Decontamination.contaminatedIds(redacted, "id", "text", ev, evalTextCol,
           cfg.deconN),
         Seq("id"), "left_anti")
       case None => redacted

@@ -70,7 +70,7 @@ object Catalog {
   val defs: Seq[QueryDef] =
     RelationalQueries.defs ++ ChecksQueries.defs ++ LlmQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      CurationQueries.defs
+      CurationQueries.defs ++ SequenceQueries.defs
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T, Url}
 import graft.functions.{CheckDsl, DateFunctions, HtmlFunctions, TextFunctions}
-import graft.operators.{Checks, Dedup, Lookup, Relational, Similarity}
+import graft.operators.{Checks, Decontamination, Dedup, Lookup, Relational, Similarity}
 import graft.operators.Checks.Spec
 import Catalog.QueryDef
 
@@ -247,7 +247,7 @@ private[queries] object LlmQueries {
       // later doc sharing a 5-gram with it
       (s, dir) => {
         val d = T.documents(s, dir)
-        Dedup.contaminatedIds(d.filter(col("doc_id") >= 25), "doc_id", "text",
+        Decontamination.contaminatedIds(d.filter(col("doc_id") >= 25), "doc_id", "text",
           d.filter(col("doc_id") < 25), "text", n = 5)
       },
       Some(s"""

@@ -130,7 +130,7 @@ class DedupSpec extends SparkSpec {
     // set; doc 4 shares nothing; doc 5 is empty; a 4-token doc can never
     // contribute a 5-gram
     val corpus = docs.union(Seq((6L, "too short for grams")).toDF("id", "text"))
-    val out = Dedup.contaminatedIds(corpus, "id", "text",
+    val out = Decontamination.contaminatedIds(corpus, "id", "text",
         evalSet, "text", n = 5)
       .as[Long].collect().sorted
     assert(out.toSeq === Seq(1L, 2L, 3L))
