@@ -154,6 +154,94 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
       vecCol, k, centroids, nProbes)
 }
 
+/** Parameters of a hyperplane-LSH embedding store. `planes` pins the
+  * hyperplane tables explicitly (they are the store's identity, like
+  * IVF centroids); otherwise they derive deterministically from
+  * (tables, bitsPerTable, dim, seed). */
+final case class EmbeddingLshConfig(threshold: Double, dim: Int,
+                                    tables: Int = 8, bitsPerTable: Int = 12,
+                                    seed: Long = 42L, maxBucket: Int = 10000,
+                                    nStoreBuckets: Int = 32,
+                                    planes: Option[Seq[Seq[Seq[Double]]]] = None)
+
+/** Persisted hyperplane-LSH store for incremental SEMANTIC near-dup
+  * detection — [[MinhashStore]] for embeddings. Two tables under `wh`:
+  *
+  *  - `<name>_el_sig` (id, tbl, sig) bucketed by (tbl, sig) — the LSH
+  *    index, read bucket-aligned at ingest (no store-side shuffle);
+  *  - `<name>_el_vec` (id, vec) bucketed by id — the vectors the exact
+  *    cosine verification re-joins, pruned to candidate ids first.
+  *
+  * Same equivalence contract as [[MinhashStore]] (oracle-verified,
+  * q78): batch-wise ingestion emits exactly the pairs
+  * [[Similarity.lshNearDupPairs]] finds on the union, each pair once,
+  * at the ingest of its later endpoint — and the same `maxBucket`
+  * growth caveat. The hyperplane tables are frozen at store creation:
+  * ingesting with a different config would band new vectors into an
+  * incompatible signature space. */
+final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
+                              cfg: EmbeddingLshConfig) {
+  private val sigTable = s"${name}_el_sig"
+  private val vecTable = s"${name}_el_vec"
+  private val planeTables = cfg.planes.getOrElse(
+    (0 until cfg.tables).map(t =>
+      graft.functions.VectorFunctions.randomPlanes(
+        cfg.bitsPerTable, cfg.dim, cfg.seed + t)))
+
+  def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
+    val banded = Similarity.hyperplaneBanded(batch, idCol, vecCol,
+      planeTables).localCheckpoint(true)
+    val vecs = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint(true)
+    // store rows for the buckets this batch touches; AQE sizes the semi
+    // join (no hard hint — see MinhashStore.ingest)
+    val touched =
+      if (wh.exists(sigTable))
+        wh.readBucketed(sigTable).join(
+          banded.select("tbl", "sig").distinct(),
+          Seq("tbl", "sig"), "left_semi")
+      else banded.limit(0)
+    val members = touched.unionByName(banded)
+    val newIds = vecs.select(col("id")).withColumn("__new", lit(true))
+    val candidates = Dedup.bucketCandidates(members,
+        Seq("tbl", "sig"), cfg.maxBucket)
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) ||
+        coalesce(col("__nb"), lit(false)))
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    // verification vectors: candidate-id-pruned BEFORE the join, norms
+    // once per id row (the MinhashStore set-table pattern — without the
+    // semi-filter every ingest would shuffle the whole vector store)
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val allVecs =
+      if (wh.exists(vecTable)) wh.readBucketed(vecTable).unionByName(vecs)
+      else vecs
+    val tagged = allVecs
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id").as("__tid"), col("vec").as("__tv"),
+        norm(col("vec")).as("__tn"))
+    val pairs = candidates
+      .join(tagged, col("id_a") === col("__tid"))
+      .select(col("id_a"), col("id_b"),
+        col("__tv").as("__va"), col("__tn").as("__na"))
+      .join(tagged, col("id_b") === col("__tid"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromParts(dot(col("__va"), col("__tv")),
+          col("__na"), col("__tn")).as("sim"))
+      .filter(col("sim") >= cfg.threshold)
+      .localCheckpoint(true) // BEFORE the appends — see MinhashStore
+    wh.appendBucketed(sigTable, banded, Seq("tbl", "sig"), cfg.nStoreBuckets)
+    wh.appendBucketed(vecTable, vecs, Seq("id"), cfg.nStoreBuckets)
+    pairs
+  }
+}
+
 /** Parameters of a SimHash signature store — see [[simhashPortablePairs]]
   * for how to size `chunks`×`chunkBits` to the corpus. */
 final case class SimhashConfig(maxDist: Int = 3, seed: Long = 42L,

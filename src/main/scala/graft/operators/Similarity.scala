@@ -68,14 +68,9 @@ object Similarity {
     val planeTables = planes.getOrElse(
       (0 until tables).map(t => randomPlanes(bitsPerTable, dim, seed + t)))
     require(planeTables.size == tables, s"need $tables plane tables")
-    def signed(df: DataFrame, id: String): DataFrame = {
-      val sigs = array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          hyperplaneSignature(col(vecCol), planeTables(t)).as("sig"))
-      }: _*)
-      df.select(col(idCol).as(id), explode(sigs).as("s"))
-        .select(col(id), col("s.tbl"), col("s.sig"))
-    }
+    def signed(df: DataFrame, id: String): DataFrame =
+      hyperplaneBanded(df, idCol, vecCol, planeTables)
+        .withColumnRenamed("id", id)
     val c = signed(corpus, "nbr_id")
     val q = signed(queries, "query_id")
     val cands = c.join(q, Seq("tbl", "sig"))
@@ -99,6 +94,56 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("sim"), asc("nbr_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rn").as("rank"))
+  }
+
+  /** (id, tbl, sig) hyperplane-LSH banding of a vector frame — the
+    * ids-only index slice shared by [[lshTopK]], [[lshNearDupPairs]] and
+    * the incremental [[EmbeddingLshStore]]: ~20 bytes per (vector,
+    * table), never the vectors themselves. */
+  private[operators] def hyperplaneBanded(df: DataFrame, idCol: String,
+      vecCol: String, planeTables: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sigs = array(planeTables.zipWithIndex.map { case (p, t) =>
+      struct(lit(t).as("tbl"), hyperplaneSignature(col(vecCol), p).as("sig"))
+    }: _*)
+    df.select(col(idCol).as("id"), explode(sigs).as("s"))
+      .select(col("id"), col("s.tbl"), col("s.sig"))
+  }
+
+  /** Semantic near-dup PAIRS over an embedding column — the
+    * [[Dedup.minhashPortablePairs]] analogue for vectors: candidates
+    * share a hyperplane-LSH bucket in at least one table, then exact
+    * cosine verifies at `threshold`. Output (id_a, id_b, sim),
+    * id_a < id_b, each pair once. Compose with
+    * [[Dedup.connectedComponents]] for semantic dedup clusters.
+    *
+    * Scale shape: banding carries (id, tbl, sig) only; the in-bucket
+    * pair kernel + `maxBucket` cap bound degenerate buckets (the
+    * all-zeros vector bucket, a template-embedding pile-up) exactly as
+    * the minhash/simhash generators do; vectors re-enter by id for the
+    * candidate-only verification join. */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int,
+                      tables: Int = 8, bitsPerTable: Int = 12,
+                      seed: Long = 42L,
+                      planes: Option[Seq[Seq[Seq[Double]]]] = None,
+                      maxBucket: Int = 10000): DataFrame = {
+    val planeTables = planes.getOrElse(
+      (0 until tables).map(t => randomPlanes(bitsPerTable, dim, seed + t)))
+    require(planeTables.size == tables, s"need $tables plane tables")
+    val banded = hyperplaneBanded(corpus, idCol, vecCol, planeTables)
+    val cands = Dedup.bucketCandidates(banded, Seq("tbl", "sig"), maxBucket)
+    // norms once per id row; merge hint — cands descends from an explode,
+    // so its stats are garbage (same rationale as lshTopK)
+    val v = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    cands.hint("merge")
+      .join(v, col("id_a") === col("__vid"))
+      .select(col("id_a"), col("id_b"), col("__v").as("__va"), col("__n").as("__na"))
+      .join(v, col("id_b") === col("__vid"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromParts(dot(col("__va"), col("__v")),
+          col("__na"), col("__n")).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid,

@@ -12,6 +12,55 @@ import Catalog.QueryDef
 private[queries] object SimilarityQueries {
   import Catalog._
 
+  /** q77/q78's hyperplane tables: 4 tables × 4 bits — sized so ~46% of
+    * the 0.35-cosine pairs in the 500-vector table share a bucket
+    * (8-bit tables catch almost none at this corpus size). Integer
+    * lattice planes, so the oracle reproduces the sign bits exactly. */
+  private val nearDupPlanes: Seq[Seq[Seq[Double]]] =
+    (0 until 4).map(t =>
+      graft.functions.VectorFunctions.latticePlanes(4, 64, 770L + t))
+
+  /** DuckDB mirror of [[graft.operators.Similarity.lshNearDupPairs]]
+    * over `nearDupPlanes` at threshold 0.35 — q78 restricts it to pairs
+    * with a second-batch (odd-id) endpoint, mirroring q65/q66. */
+  private def embPairsOracle(extraWhere: String): String = {
+    def planeList(p: Seq[Double]): String =
+      p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
+    def sigExpr(tbl: Seq[Seq[Double]]): String =
+      tbl.zipWithIndex.map { case (p, i) =>
+        val d = duckDot("embedding", planeList(p))
+        s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", "\n             + ", ")")
+    val sigCols = nearDupPlanes.zipWithIndex.map { case (tbl, t) =>
+      s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
+    val arms = nearDupPlanes.indices.map(t =>
+      s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
+      .mkString("\n          UNION ALL ")
+    val d = duckDot("va", "vb")
+    val na = s"sqrt(${duckDot("va", "va")})"
+    val nb = s"sqrt(${duckDot("vb", "vb")})"
+    s"""
+        WITH sigs AS (SELECT vec_id,
+            $sigCols
+          FROM embeddings),
+        b AS ($arms),
+        grp AS (SELECT tbl, sig, list_sort(list(vec_id)) AS ids FROM b
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+        cand AS (SELECT DISTINCT p.id_a, p.id_b FROM grp,
+          unnest(flatten(list_transform(range(1, len(ids) + 1), i ->
+            list_transform(ids[i+1:], y -> {'id_a': ids[i], 'id_b': y})))) AS t(p)),
+        scored AS (SELECT id_a, id_b,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM cand
+          JOIN (SELECT vec_id AS aid, embedding AS va FROM embeddings)
+            ON aid = id_a
+          JOIN (SELECT vec_id AS bid, embedding AS vb FROM embeddings)
+            ON bid = id_b)
+        SELECT id_a, id_b, sim FROM scored
+        WHERE sim >= 0.35$extraWhere"""
+  }
+
   /** q23's oracle — also verifies q73, where the SAME corpus is built
     * into the serve table by two incremental appends instead of one
     * shot (assignment is per-vector, so the results must be identical). */
@@ -178,5 +227,31 @@ private[queries] object SimilarityQueries {
                      ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
         WHERE "rank" <= 5"""
       }),
+
+    // ===== Similarity: semantic near-dup PAIRS via hyperplane LSH —
+    // bucket-blocked candidates, exact-cosine verify =====
+    QueryDef("q77_embedding_pairs",
+      (s, dir) => Similarity.lshNearDupPairs(T.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.35, dim = 64,
+        tables = 4, bitsPerTable = 4, planes = Some(nearDupPlanes)),
+      Some(embPairsOracle(""))),
+
+    // ===== Similarity: incremental semantic near-dup — batch-2 ingest
+    // against a batch-1 EmbeddingLshStore equals the full-corpus pairs
+    // restricted to pairs touching batch 2 (the q65 contract) =====
+    QueryDef("q78_embedding_incremental",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q78_").toString
+        val store = new graft.operators.EmbeddingLshStore(
+          new graft.sources.Warehouse(s, root), "inc",
+          graft.operators.EmbeddingLshConfig(threshold = 0.35, dim = 64,
+            tables = 4, bitsPerTable = 4, nStoreBuckets = 8,
+            planes = Some(nearDupPlanes)))
+        store.ingest(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        store.ingest(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      },
+      Some(embPairsOracle("\n          AND (id_a % 2 = 1 OR id_b % 2 = 1)"))),
   )
 }

@@ -163,6 +163,46 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc === oneShot && inc.nonEmpty)
   }
 
+  test("embedding store: batch ingests partition the full-corpus pairs") {
+    // vectors clustered around 4 directions so cosine near-dups exist
+    // across the batch split; deterministic jitter keeps it replayable
+    val vecs = (0L until 48L).map { i =>
+      val base = (i % 4).toInt
+      (i, Array.tabulate(8)(j =>
+        (math.cos(base + j) + 0.05 * math.sin(i * 7 + j)).toFloat))
+    }.toDF("id", "vec")
+    val cfg = EmbeddingLshConfig(threshold = 0.8, dim = 8,
+      tables = 4, bitsPerTable = 3, seed = 5L, nStoreBuckets = 4)
+    val full = pairKey(Similarity.lshNearDupPairs(vecs, "id", "vec",
+      cfg.threshold, cfg.dim, cfg.tables, cfg.bitsPerTable, cfg.seed))
+    assert(full.nonEmpty, "fixture must produce at least one pair")
+
+    val store = new EmbeddingLshStore(freshWh(), "t", cfg)
+    val p1 = pairKey(store.ingest(vecs.filter(col("id") < 30), "id", "vec"))
+    val p2 = pairKey(store.ingest(vecs.filter(col("id") >= 30), "id", "vec"))
+    assert(p1 === full.filter(p => p._1 < 30 && p._2 < 30))
+    assert(p2 === full.filter(p => p._1 >= 30 || p._2 >= 30))
+    assert((p1 ++ p2) === full && p1.intersect(p2).isEmpty)
+  }
+
+  test("embedding store: verified sims match the batch operator's values") {
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(6)(j => math.cos(i % 3 + j * 0.5).toFloat + i * 0f))
+    }.toDF("id", "vec")
+    val cfg = EmbeddingLshConfig(threshold = 0.9, dim = 6,
+      tables = 2, bitsPerTable = 2, seed = 3L, nStoreBuckets = 2)
+    def simMap(df: DataFrame) = df.select("id_a", "id_b", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val full = simMap(Similarity.lshNearDupPairs(vecs, "id", "vec",
+      cfg.threshold, cfg.dim, cfg.tables, cfg.bitsPerTable, cfg.seed))
+    val store = new EmbeddingLshStore(freshWh(), "t", cfg)
+    val inc =
+      simMap(store.ingest(vecs.filter(col("id") < 10), "id", "vec")) ++
+      simMap(store.ingest(vecs.filter(col("id") >= 10), "id", "vec"))
+    assert(inc === full && full.nonEmpty) // bit-equal cosines, not just ids
+  }
+
   test("incremental CC merges two old components through one new edge") {
     val prev = Dedup.connectedComponents(
       Seq((1L, 2L), (10L, 11L), (10L, 12L)).toDF("id_a", "id_b"), "id_a", "id_b")
