@@ -198,6 +198,16 @@ object Pipeline {
 
     private def exists(p: String) = new java.io.File(p).exists()
 
+    /** Highest id any COMPLETED ingest has seen (None before the first).
+      * The marker is the last write of an ingest, so this is also the
+      * "did that ingest finish?" signal the streaming wrapper
+      * ([[graft.streaming.Streaming.curateBatch]]) keys its redelivery
+      * skip on. */
+    def maxIngestedId: Option[Long] =
+      if (exists(maxIdPath))
+        Some(spark.read.parquet(maxIdPath).head().getLong(0))
+      else None
+
     def ingest(batch: DataFrame, idCol: String, textCol: String)
         : CurateDelta = {
       import spark.implicits._

@@ -138,6 +138,79 @@ object Streaming {
     ()
   }
 
+  /** Always-on incremental curation: each micro-batch of documents is one
+    * [[graft.operators.Pipeline.CurationStore.ingest]], and the resulting
+    * kept/retracted deltas land in two warehouse tables partitioned by
+    * `__batch_id` (replay anti-join reads only its own partition). The
+    * curated corpus at any time is `keptTable` minus `retractedTable`
+    * ids — exactly the batch contract, continuously maintained.
+    *
+    * The store's id-monotonicity contract transfers to the STREAM: docs
+    * must arrive in globally increasing id order across micro-batches
+    * (an ingest-time sequence number source satisfies this by
+    * construction; out-of-order ids fail fast in `ingest`).
+    *
+    * Replay semantics: foreachBatch is at-least-once, and the store's
+    * max-id marker is written LAST in an ingest — so a redelivered
+    * micro-batch whose ingest COMPLETED is detected (marker ≥ batch min
+    * id) and skipped; its deltas either landed before the crash or are
+    * re-derivable from the persisted label/survivor state. A crash
+    * mid-ingest leaves partial signature state the store itself cannot
+    * roll back (documented in [[graft.operators.Pipeline.CurationStore]]:
+    * plain parquet has no multi-table transaction) — run under the same
+    * snapshot-restore retry discipline as the batch form; a lakehouse
+    * table format would close the window with a transactional commit. */
+  def curationSink(docs: DataFrame,
+                   store: graft.operators.Pipeline.CurationStore,
+                   warehouse: graft.sources.Warehouse,
+                   keptTable: String, retractedTable: String,
+                   checkpoint: String, idCol: String, textCol: String,
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    trigger.fold(writer)(writer.trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curateBatch(store, warehouse, keptTable, retractedTable,
+          idCol, textCol)(batch.toDF(), batchId)
+      }
+      .start()
+  }
+
+  /** Cron-compatible catch-up form of [[curationSink]]: ingest every
+    * staged document batch currently available, then return. */
+  def runCurationAvailableNow(docs: DataFrame,
+                              store: graft.operators.Pipeline.CurationStore,
+                              warehouse: graft.sources.Warehouse,
+                              keptTable: String, retractedTable: String,
+                              checkpoint: String, idCol: String,
+                              textCol: String): Unit =
+    curationSink(docs, store, warehouse, keptTable, retractedTable,
+      checkpoint, idCol, textCol,
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      .awaitTermination()
+
+  /** The per-micro-batch body of [[curationSink]], exposed so the
+    * redelivery skip is directly testable. */
+  def curateBatch(store: graft.operators.Pipeline.CurationStore,
+                  warehouse: graft.sources.Warehouse,
+                  keptTable: String, retractedTable: String,
+                  idCol: String, textCol: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val minId = batch.agg(min(col(idCol)).cast("long")).head()
+    if (minId.isNullAt(0)) return // empty micro-batch
+    if (store.maxIngestedId.exists(_ >= minId.getLong(0))) return // redelivery
+    val delta = store.ingest(batch, idCol, textCol)
+    warehouse.idempotentAppend(keptTable,
+      delta.kept.withColumn("__batch_id", lit(batchId)),
+      keys = Seq("__batch_id"), partitionCol = "__batch_id")
+    warehouse.idempotentAppend(retractedTable,
+      delta.retracted.withColumn("__batch_id", lit(batchId)),
+      keys = Seq("__batch_id"), partitionCol = "__batch_id")
+    ()
+  }
+
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset
     * classifications) against the event stream. The static side is

@@ -263,4 +263,82 @@ class StreamingSpec extends SparkSpec {
         === Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  // ---------------------------------------------- streaming curation
+
+  // the PipelineSpec fixture, condensed: 1 kept; 2 low-quality; 5/6
+  // exact dups; 7 near-dup of 1; 8 kept with PII
+  private val curGood1 = "the quick brown fox jumps over the lazy dog and " +
+    "that is a fine day in the sun with you it is true"
+  private val curNear7 = "the quick brown fox jumps over the lazy cat and " +
+    "that is a fine day in the sun with you it is true"
+  private val curExact56 = "it is a truth universally acknowledged that a " +
+    "reader in possession of the text must be in want of it"
+  private val curPii8 = "you can reach the team of the office at " +
+    "alice@example.com and that is the address of it in the file today"
+  private val curDocs = Seq(
+    (1L, curGood1), (2L, "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
+    (5L, curExact56), (6L, curExact56), (7L, curNear7), (8L, curPii8))
+  private val curCfg = graft.operators.Pipeline.CurateConfig(
+    minQuality = 0.35, maxRepetition = 0.5, repN = 2, deconN = 5,
+    minhash = graft.operators.MinhashConfig(shingleN = 3, bands = 16,
+      rowsPerBand = 1, threshold = 0.5, seed = 7L))
+
+  test("curation catch-up: streamed micro-batches maintain the curated corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graft_curstream").toString
+    val wh = new graft.sources.Warehouse(spark, root)
+    val store = new graft.operators.Pipeline.CurationStore(
+      spark, s"$root/store", "t", curCfg)
+    val inDir = s"$root/in"
+    def stage(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    val schema = curDocs.toDF("doc_id", "text").schema
+    def catchUp(): Unit = Streaming.runCurationAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, wh, "cur_kept", "cur_retracted", s"$root/ckpt",
+      "doc_id", "text")
+    def corpus(): Seq[Long] = {
+      val kept = wh.read("cur_kept").select("id")
+      val ret = if (wh.exists("cur_retracted"))
+        wh.read("cur_retracted").select("id") else kept.limit(0)
+      kept.except(ret).as[Long].collect().sorted.toSeq
+    }
+
+    stage(curDocs.filter(_._1 <= 5)) // ids 1,2,5 — one micro-batch
+    catchUp()
+    assert(corpus() === Seq(1L, 5L))
+    stage(curDocs.filter(_._1 > 5)) // ids 6,7,8 — only THIS is new work
+    catchUp()
+    // 6 = exact dup of stored 5, 7 = near-dup of stored 1 → only 8 enters
+    assert(corpus() === Seq(1L, 5L, 8L))
+    // matches the one-shot batch curate over the union
+    val batch = graft.operators.Pipeline.curate(
+      curDocs.toDF("doc_id", "text"), "doc_id", "text", None, "text", curCfg)
+    assert(corpus() === batch.kept.select("id").as[Long].collect().sorted.toSeq)
+    // PII was redacted before anything persisted
+    val t8 = wh.read("cur_kept").filter(col("id") === 8L)
+      .select("text").as[String].head()
+    assert(t8.contains("<EMAIL>") && !t8.contains("alice@example.com"))
+  }
+
+  test("curateBatch: a redelivered micro-batch after a completed ingest is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_curreplay").toString
+    val wh = new graft.sources.Warehouse(spark, root)
+    val store = new graft.operators.Pipeline.CurationStore(
+      spark, s"$root/store", "t", curCfg)
+    val b1 = curDocs.filter(_._1 <= 5).toDF("doc_id", "text")
+    val run = Streaming.curateBatch(store, wh, "k", "r", "doc_id", "text") _
+    run(b1, 0L)
+    assert(wh.read("k").count() === 2)
+    // redelivery (same batch, same id) must neither crash on the store's
+    // monotonicity guard nor double-append
+    run(b1, 0L)
+    assert(wh.read("k").count() === 2)
+    // and the next real batch still lands
+    run(curDocs.filter(_._1 > 5).toDF("doc_id", "text"), 1L)
+    assert(wh.read("k").select("id").as[Long].collect().sorted
+      === Seq(1L, 5L, 8L))
+  }
 }
