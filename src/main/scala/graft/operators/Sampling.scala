@@ -79,6 +79,61 @@ object Sampling {
       .drop("__h", "__cum")
   }
 
+  /** Deterministic per-stratum FRACTION sample: keep a row iff its salted
+    * id-hash falls below the stratum's keep fraction — the rate-based
+    * sibling of [[quotaSample]] (fractions scale with the corpus, quotas
+    * don't). Pure function of (id, salt, fractions): replay-stable, and
+    * raising a fraction only ADDS documents. Fractions are
+    * configuration-sized → a literal CASE, no join, NO shuffle at all
+    * (this is the one sampler here that is embarrassingly parallel). */
+  def fractionSample(df: DataFrame, strataCol: String, idCol: String,
+                     fractions: Seq[(String, Double)], defaultFraction: Double,
+                     salt: String = ""): DataFrame = {
+    fractions.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1] for '$s': $f") }
+    // the raw rolling hash of a SHORT id string stays far below the
+    // modulus (≤ 31^len·c), so "h < f·p" would keep everything; one
+    // affine spreading step (a bijection on Z_p, exact in Long: h < p ≈
+    // 2^30, a ≈ 2^30 → h·a < 2^61) equidistributes the compare key over
+    // [0, p). Order-only consumers (topK/packing) don't need this —
+    // threshold compares do.
+    val h = pmod(
+      hashBucket(col(idCol), 1000000007, salt) * lit(1103515245L)
+        + lit(12345L), lit(1000000007L)).cast("double")
+    val frac = fractions.foldLeft(Option.empty[Column]) {
+      case (acc, (value, f)) =>
+        val cond = col(strataCol) === value
+        Some(acc.fold(when(cond, lit(f)))(_.when(cond, lit(f))))
+    }.fold(lit(defaultFraction))(_.otherwise(lit(defaultFraction)))
+    df.filter(h < frac * lit(1000000007.0))
+  }
+
+  /** Temperature-weighted keep fractions for [[fractionSample]] — the
+    * standard multilingual/domain rebalancing rule: stratum i with nᵢ of
+    * N docs gets target share nᵢ^α / Σ nⱼ^α of a `budget`-doc mix, i.e.
+    * keep fraction min(1, budget·shareᵢ/nᵢ). α < 1 flattens the mix
+    * (α=0 uniform across strata, α=1 natural); α=0.5 goes through
+    * `sqrt` (correctly rounded per IEEE-754, so any engine reproduces
+    * the fractions bit-for-bit — `pow` carries no such guarantee).
+    *
+    * Driver-side on the per-stratum COUNTS only (bounded control read:
+    * one row per language/domain); the returned literals then drive the
+    * shuffle-free sampler. */
+  def temperatureFractions(df: DataFrame, strataCol: String, alpha: Double,
+                           budget: Long): Seq[(String, Double)] = {
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    val counts = df.groupBy(col(strataCol)).count()
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1) // deterministic weight-sum order
+    val weights = counts.map { case (s, n) =>
+      (s, n, if (alpha == 0.5) math.sqrt(n.toDouble)
+             else math.pow(n.toDouble, alpha)) }
+    val z = weights.map(_._3).sum
+    weights.map { case (s, n, w) =>
+      s -> math.min(1.0, budget.toDouble * (w / z) / n.toDouble) }.toSeq
+  }
+
   /** Per-stratum QUOTA sample: [[stratifiedTopK]] with a per-stratum
     * cap — the domain-mixing primitive ("20 docs of en, 10 of de, 5 of
     * anything else"). Quotas are configuration-sized, so they compile to

@@ -280,5 +280,34 @@ private[queries] object CurationQueries {
         FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
         LEFT JOIN pd USING (doc_id)"""
       }),
+
+    // ===== curation → packing composition: the full story from raw docs
+    // to training sequences — the curated corpus (q68's shared run) laid
+    // end-to-end in salted-hash order and cut into 256-token sequences =====
+    QueryDef("q80_curate_pack",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        graft.operators.Sequences.packSequences(
+          curateShared(s, dir).kept.select(col("id").as("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256L, salt = "v1")
+      },
+      Some(s"""
+        WITH RECURSIVE $curateCtes,
+        t AS (SELECT id AS doc_id,
+            CAST(len($duckToks) AS BIGINT) AS n_tokens,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS h
+          FROM kept),
+        c AS (SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, n_tokens,
+               (cum - n_tokens) // 256 AS seq_id,
+               (cum - n_tokens) % 256 AS seq_offset
+        FROM c""")),
   )
 }

@@ -457,6 +457,27 @@ private[queries] object LlmQueries {
           FROM t)
         SELECT doc_id, n_tokens FROM c WHERE cum <= 10000""")),
 
+    // ===== training pipeline: per-stratum fraction sample — the
+    // shuffle-free rate-based mixing primitive; fractions are literals
+    // here, and Sampling.temperatureFractions derives them from corpus
+    // stats (driver-side bounded counts, spec-covered) =====
+    QueryDef("q79_fraction_sample",
+      (s, dir) => graft.operators.Sampling.fractionSample(
+        T.documents(s, dir).select("doc_id", "lang"),
+        "lang", "doc_id", Seq("en" -> 0.5, "de" -> 0.25),
+        defaultFraction = 0.1, salt = "v1"),
+      Some("""
+        WITH h AS (SELECT doc_id, lang,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
+                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
+              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+          FROM documents)
+        SELECT doc_id, lang FROM h
+        WHERE CAST((hv * 1103515245 + 12345) % 1000000007 AS DOUBLE) <
+          (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
+            * 1000000007.0""")),
+
     // ===== training pipeline: per-stratum quota sample (domain mixing) =====
     QueryDef("q72_quota_sample",
       (s, dir) => graft.operators.Sampling.quotaSample(

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{MinhashConfig, MinhashStore, SimhashConfig, SimhashStore}
+import graft.operators.{EmbeddingLshConfig, EmbeddingLshStore, MinhashConfig, MinhashStore, SimhashConfig, SimhashStore, Similarity}
 
 /** Scale probe for the dedup/similarity family: measures wall time,
   * candidate volume, and result counts on synthetic corpora whose size
@@ -256,6 +256,94 @@ object ScaleProbe {
     }
   }
 
+  /** Dup-structured random embeddings: coordinates are uniform hash
+    * noise (pairwise cosine of distinct bases concentrates at 0 ±1/√dim,
+    * so no phantom near-dups — the sin-lattice directions of
+    * [[synthEmbeddings]] would correlate ~10% of base PAIRS above 0.95
+    * and are only safe for top-1-cell probes); ids ≥ nBase are a random
+    * base plus small noise (cosine ≈ 0.99). */
+  def synthDupEmbeddings(spark: SparkSession, n: Long, dupRate: Double,
+                         dim: Int = 64): DataFrame = {
+    val nBase = (n * (1 - dupRate)).toLong
+    def coord(key: org.apache.spark.sql.Column,
+              j: org.apache.spark.sql.Column, scale: Double) =
+      (pmod(xxhash64(key, j), lit(2001L)).cast("double") / lit(1000.0)
+        - lit(1.0)) * lit(scale)
+    val baseKey = when(col("id") < nBase, col("id"))
+      .otherwise(pmod(xxhash64(col("id")), lit(nBase)))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (coord(baseKey, j, 1.0) +
+          when(col("id") < nBase, lit(0.0))
+            .otherwise(coord(col("id"), j, 0.12))).cast("float"))
+        .as("embedding"))
+  }
+
+  /** Embedding near-dup pairs: full-corpus recompute vs the persisted
+    * [[EmbeddingLshStore]] — the [[incrProbe]] claim (delta cost ∝
+    * batch) for the semantic tier. Geometry note: at 1M random vectors,
+    * 22-bit tables keep random bucket occupancy ~1 (candidates ≈
+    * C(n,2)·tables/2²² ≈ 1M), while a dup pair at cosine ≈ 0.99 still
+    * matches some table with ~0.88 probability across 8 tables —
+    * 12-bit tables (fine for the 500-vector query corpus) would drown
+    * a 1M corpus in ~10⁹ random-collision candidates. */
+  private def embIncrProbe(spark: SparkSession, whRoot: String,
+                           n: Long): Unit = {
+    val embPath = s"$whRoot/emb_dup_$n"
+    time(s"gen dup embeddings n=$n") {
+      synthDupEmbeddings(spark, n, 0.05)
+        .repartition(32).write.mode("overwrite").parquet(embPath)
+    }
+    val emb = spark.read.parquet(embPath)
+    val cut89 = (n * 0.89).toLong
+    val cut99 = (n * 0.99).toLong
+    val cfg = EmbeddingLshConfig(threshold = 0.9, dim = 64,
+      tables = 8, bitsPerTable = 22, seed = 11L, nStoreBuckets = 64)
+    val full = timedCount("emb_full_corpus") {
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        cfg.threshold, cfg.dim, cfg.tables, cfg.bitsPerTable, cfg.seed)
+    }
+    val store = new EmbeddingLshStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/el_${System.nanoTime()}"),
+      "probe", cfg)
+    val p1 = timedCount("emb_store_build(89%)") {
+      store.ingest(emb.filter(col("vec_id") < cut89), "vec_id", "embedding")
+    }
+    val p2 = timedCount("emb_ingest(10%)") {
+      store.ingest(emb.filter(col("vec_id") >= cut89 && col("vec_id") < cut99),
+        "vec_id", "embedding")
+    }
+    val p3 = timedCount("emb_ingest(1%)") {
+      store.ingest(emb.filter(col("vec_id") >= cut99), "vec_id", "embedding")
+    }
+    println(s"[probe] pair partition: $p1 + $p2 + $p3 = ${p1 + p2 + p3} " +
+      s"(full corpus: $full) planted=${n - (n * 0.95).toLong}")
+  }
+
+  /** Sequence shaping at corpus scale: both are linear (chunking is a
+    * row-local explode; packing is the two-phase prefix sum), so the
+    * numbers to watch are rows/s and that nothing shuffles more than
+    * the ids+counts. */
+  private def seqProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.Sequences
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    val chunks = timedCount(s"chunk(size=64,ov=16) n=$n") {
+      Sequences.chunkDocuments(docs, "doc_id", "text", 64, 16)
+    }
+    val counts = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val t0 = System.nanoTime()
+    val packed = Sequences.packSequences(counts, "doc_id", "n_tokens",
+      seqLen = 2048L, salt = "probe")
+    val nSeqs = packed.agg(max(col("seq_id"))).head().getLong(0) + 1
+    println(f"[probe] pack(seqLen=2048)              " +
+      f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+      f"docs=$n chunks=$chunks sequences=$nSeqs")
+  }
+
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
     * geometry — what the HammingPairs kernel iterates, counted without
     * materializing pairs (mirrors simhashPortablePairs's bucket keying
@@ -398,14 +486,19 @@ object ScaleProbe {
         incrProbe(spark, docsPath, whRoot)
       case "stream" :: root :: nRows :: Nil =>
         streamProbe(spark, root, nRows.toLong)
+      case "embincr" :: whRoot :: nVecs :: Nil =>
+        embIncrProbe(spark, whRoot, nVecs.toLong)
+      case "seq" :: docsPath :: Nil =>
+        seqProbe(spark, docsPath)
       case docsPath :: rest
-          if !Set("gen", "pairs", "ivf", "cc", "incr", "stream")
-            .contains(docsPath) =>
+          if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
+            "seq").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
-          "incr <docs> <whRoot> | stream <root> <nRows> | <docs> [<emb>]")
+          "incr <docs> <whRoot> | stream <root> <nRows> | " +
+          "embincr <whRoot> <nVecs> | seq <docs> | <docs> [<emb>]")
     }
     spark.stop()
   }

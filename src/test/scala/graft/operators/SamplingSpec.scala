@@ -78,4 +78,54 @@ class SamplingSpec extends SparkSpec {
         Seq("lang0" -> 5), 2, "s").select("id").as[Long].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("fractionSample keeps rows by salted hash threshold, replay-stable") {
+    val docs = (1L to 2000L).map(i => (i, s"lang${i % 4}")).toDF("id", "lang")
+    val out = Sampling.fractionSample(docs, "lang", "id",
+      Seq("lang0" -> 0.5, "lang1" -> 0.0), defaultFraction = 0.1, salt = "s")
+    val byLang = out.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // lang1 fraction 0 drops everything; rates land near the targets
+    assert(!byLang.contains("lang1"))
+    assert(byLang("lang0") > 200 && byLang("lang0") < 300) // 500 × 0.5 ± noise
+    assert(byLang("lang2") > 20 && byLang("lang2") < 80)   // 500 × 0.1 ± noise
+    // replay + repartition stability, and monotone in the fraction
+    val again = Sampling.fractionSample(docs.repartition(13), "lang", "id",
+      Seq("lang0" -> 0.5, "lang1" -> 0.0), 0.1, "s")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === out.select("id").as[Long].collect().sorted.toSeq)
+    val wider = Sampling.fractionSample(docs, "lang", "id",
+      Seq("lang0" -> 0.8, "lang1" -> 0.0), 0.1, "s")
+      .select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet.subsetOf(wider))
+  }
+
+  test("temperatureFractions flattens the mix as alpha decreases") {
+    // 900 en, 90 de, 10 xx
+    val docs = ((1L to 900L).map(i => (i, "en")) ++
+      (901L to 990L).map(i => (i, "de")) ++
+      (991L to 1000L).map(i => (i, "xx"))).toDF("id", "lang")
+    val natural = Sampling.temperatureFractions(docs, "lang", 1.0, 500).toMap
+    // α=1: every stratum keeps the same fraction (budget/N)
+    assert(natural.values.map(v => math.round(v * 1e9)).toSet.size === 1)
+    // budget 100 keeps every stratum below the 1.0 cap (xx: 0.74)
+    val flat = Sampling.temperatureFractions(docs, "lang", 0.5, 100).toMap
+    // α=0.5 upsamples the tail relative to the head
+    assert(flat("xx") > flat("de") && flat("de") > flat("en"))
+    // shares sum to the budget (uncapped strata)
+    val kept = flat.map { case (l, f) =>
+      f * Map("en" -> 900, "de" -> 90, "xx" -> 10)(l) }.sum
+    assert(math.abs(kept - 100.0) < 1e-6)
+    // a tiny budget caps nothing; a huge one caps everything at 1.0
+    val capped = Sampling.temperatureFractions(docs, "lang", 0.5, 10000).toMap
+    assert(capped.values.forall(_ === 1.0))
+    // feeding them to the sampler approximates the target mix: the tail
+    // stratum's kept COUNT comes out near the head's despite being 90×
+    // rarer in the corpus
+    val sampled = Sampling.fractionSample(docs, "lang", "id",
+        flat.toSeq, 0.0, "t").groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(sampled("xx") >= 4 && sampled("de") >= 10,
+      s"tail strata materially present in the mix: $sampled")
+  }
 }
