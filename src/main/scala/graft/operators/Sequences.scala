@@ -55,6 +55,40 @@ object Sequences {
         org.apache.spark.sql.functions.size(col("col")).as("n_tokens"))
   }
 
+  /** Block-level boilerplate removal — the CCNet/C4 "drop repeated
+    * paragraphs" rule for corpora without line structure: tile each
+    * document into NON-overlapping `blockSize`-token blocks
+    * ([[chunkDocuments]] with overlap 0), drop every block whose exact
+    * text occurs in at least `minDf` distinct documents, and reassemble
+    * the survivors in order. Documents left with no blocks (pure
+    * boilerplate) drop entirely. Output: (id, text).
+    *
+    * Known trade vs shingle dedup, deliberate: block tiling is
+    * OFFSET-SENSITIVE (the same boilerplate at a different token offset
+    * hashes into different blocks), which is what makes it one
+    * aggregation instead of an all-pairs problem — near-dup detection
+    * stays the sketch operators' job; this removes the exact repeated
+    * template mass cheaply. Two shuffles total: the block-text groupBy
+    * for document frequencies (partial-agg'd; hot blocks are by
+    * definition few, the anti-join build side stays small) and the
+    * per-doc reassembly groupBy. */
+  def dropRepeatedBlocks(docs: DataFrame, idCol: String, textCol: String,
+                         blockSize: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every block, got $minDf")
+    val blocks = chunkDocuments(docs, idCol, textCol, blockSize, overlap = 0)
+    val hot = blocks.groupBy("chunk_text")
+      .agg(count_distinct(col("id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("chunk_text")
+    blocks.join(hot, Seq("chunk_text"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("chunk_ix"), col("chunk_text"))))
+        .as("__bs"))
+      .select(col("id"),
+        array_join(transform(col("__bs"), b => b("chunk_text")), " ")
+          .as("text"))
+  }
+
   /** Concat-then-chunk sequence packing: lay all documents end-to-end in
     * salted-hash order (deterministic — the same order
     * [[Sampling.tokenBudgetSample]] uses) and cut the token stream into

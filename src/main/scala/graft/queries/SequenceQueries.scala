@@ -62,5 +62,25 @@ private[queries] object SequenceQueries {
                (cum - n_tokens) // 256 AS seq_id,
                (cum - n_tokens) % 256 AS seq_offset
         FROM c""")),
+
+    // ===== block-level boilerplate removal: drop 16-token blocks whose
+    // exact text recurs in >= 2 docs, reassemble the rest in order =====
+    QueryDef("q81_drop_boilerplate",
+      (s, dir) => Sequences.dropRepeatedBlocks(T.documents(s, dir),
+          "doc_id", "text", blockSize = 16, minDf = 2)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        nz AS (SELECT * FROM tk WHERE len(tk) > 0),
+        blocks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_ix,
+                          array_to_string(tk[k*16 + 1 : k*16 + 16], ' ') AS chunk_text
+                   FROM nz, unnest(range(0, (len(tk) - 1) // 16 + 1)) AS t(k)),
+        hot AS (SELECT chunk_text FROM blocks
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        keep AS (SELECT * FROM blocks
+                 WHERE chunk_text NOT IN (SELECT chunk_text FROM hot))
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY chunk_ix) AS text
+        FROM keep GROUP BY doc_id""")),
   )
 }

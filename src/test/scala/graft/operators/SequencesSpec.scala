@@ -49,6 +49,36 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("dropRepeatedBlocks removes corpus-repeated blocks, keeps order") {
+    // block size 3: doc 1 = [boiler][uniq1][boiler2], doc 2 = [boiler][uniq2],
+    // doc 3 = [boiler2][uniq3], doc 4 entirely boilerplate
+    val boiler = "cookie notice here"
+    val boiler2 = "all rights reserved"
+    val docs = Seq(
+      (1L, s"$boiler one two three $boiler2"),
+      (2L, s"$boiler four five six"),
+      (3L, s"$boiler2 seven eight nine"),
+      (4L, s"$boiler $boiler2")
+    ).toDF("id", "text")
+    val out = Sequences.dropRepeatedBlocks(docs, "id", "text",
+        blockSize = 3, minDf = 2)
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "one two three"),
+      (2L, "four five six"),
+      (3L, "seven eight nine")))
+  }
+
+  test("dropRepeatedBlocks leaves a corpus without repeats untouched") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "f g h i j")
+    ).toDF("id", "text")
+    val out = Sequences.dropRepeatedBlocks(docs, "id", "text", 3, 2)
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "a b c d e"), (2L, "f g h i j")))
+  }
+
   test("packSequences matches a driver-side replay of the same order") {
     val docs = (1L to 200L).map(i => (i, 1L + i % 7)).toDF("id", "n")
     val out = Sequences.packSequences(docs, "id", "n", seqLen = 10L,
