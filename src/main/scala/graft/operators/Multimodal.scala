@@ -91,8 +91,28 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes)))
         catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Width/height from the image HEADER via the format reader — no
+      * pixel decode, no BufferedImage allocation. Over a metadata pass
+      * on a 100 TB media table this is the difference between reading a
+      * few dozen header bytes per row and decoding every pixel. */
     def dims(bytes: Array[Byte]): Option[(Int, Int)] =
-      decode(bytes).map(i => (i.getWidth, i.getHeight))
+      if (bytes == null || bytes.isEmpty) None
+      else
+        try {
+          val stream = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(stream)
+            if (!readers.hasNext) None
+            else {
+              val r = readers.next()
+              try {
+                r.setInput(stream)
+                Some((r.getWidth(0), r.getHeight(0)))
+              } finally r.dispose()
+            }
+          } finally stream.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Decode → scale both dims by 1/factor (floor, min 1) → re-encode
       * PNG. None when the payload isn't a decodable image. */

@@ -208,7 +208,17 @@ object Pipeline {
         Some(spark.read.parquet(maxIdPath).head().getLong(0))
       else None
 
-    def ingest(batch: DataFrame, idCol: String, textCol: String)
+    /** `beforeCommit` runs with the materialized delta AFTER all delta
+      * computation but BEFORE any of this ingest's remaining state
+      * writes (labels, survivors, hash store, marker — the signature
+      * store was already extended by the pair step). A sink that
+      * persists the delta there is durable before the max-id marker, so
+      * "marker advanced" implies "delta landed" — the property the
+      * streaming wrapper's redelivery skip relies on. Failures inside
+      * `beforeCommit` abort the ingest like any other mid-ingest crash
+      * (snapshot-restore discipline, see class scaladoc). */
+    def ingest(batch: DataFrame, idCol: String, textCol: String,
+               beforeCommit: CurateDelta => Unit = _ => ())
         : CurateDelta = {
       import spark.implicits._
       // integral ids required up front (connected components needs them
@@ -274,6 +284,7 @@ object Pipeline {
         .join(nowDropped, Seq("id"), "left_semi")
         .join(prevDropped, Seq("id"), "left_anti")
         .localCheckpoint(true)
+      beforeCommit(CurateDelta(kept, retracted))
       labels.write.mode("overwrite").parquet(labelsPath)
       survivors.select("id").write.mode("append").parquet(survivorsPath)
       wh.appendBucketed(exactTable, fresh.select("__h1", "__h2"),

@@ -19,6 +19,17 @@ object Sampling {
     pmod(graft.functions.expressions.ColumnBridge.polyHash(
       concat(id.cast("string"), lit(salt))), lit(buckets.toLong))
 
+  /** Literal CASE over a stratum column — configuration-sized, so no
+    * join: the shared shape of the quota and fraction samplers. A null
+    * stratum matches no arm and takes the default. */
+  private def strataCase[A](strataCol: String, arms: Seq[(String, A)],
+                            default: A)(toLit: A => Column): Column =
+    arms.foldLeft(Option.empty[Column]) {
+      case (acc, (value, a)) =>
+        val cond = col(strataCol) === value
+        Some(acc.fold(when(cond, toLit(a)))(_.when(cond, toLit(a))))
+    }.fold(toLit(default))(_.otherwise(toLit(default)))
+
   /** Assign each row a named split by weight, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10) (weights sum ≤ the
     * bucket count; assignment by cumulative ranges over 1000 buckets). */
@@ -100,11 +111,7 @@ object Sampling {
     val h = pmod(
       hashBucket(col(idCol), 1000000007, salt) * lit(1103515245L)
         + lit(12345L), lit(1000000007L)).cast("double")
-    val frac = fractions.foldLeft(Option.empty[Column]) {
-      case (acc, (value, f)) =>
-        val cond = col(strataCol) === value
-        Some(acc.fold(when(cond, lit(f)))(_.when(cond, lit(f))))
-    }.fold(lit(defaultFraction))(_.otherwise(lit(defaultFraction)))
+    val frac = strataCase(strataCol, fractions, defaultFraction)(f => lit(f))
     df.filter(h < frac * lit(1000000007.0))
   }
 
@@ -122,7 +129,10 @@ object Sampling {
   def temperatureFractions(df: DataFrame, strataCol: String, alpha: Double,
                            budget: Long): Seq[(String, Double)] = {
     require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
-    val counts = df.groupBy(col(strataCol)).count()
+    // null strata are excluded from the weighting: they match no CASE
+    // arm in fractionSample and take its defaultFraction there
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).count()
       .collect()
       .map(r => (r.get(0).toString, r.getLong(1)))
       .sortBy(_._1) // deterministic weight-sum order
@@ -145,11 +155,7 @@ object Sampling {
     val h = hashBucket(col(idCol), 1000000007, salt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
-    val quota = quotas.foldLeft(Option.empty[Column]) {
-      case (acc, (value, k)) =>
-        val cond = col(strataCol) === value
-        Some(acc.fold(when(cond, lit(k)))(_.when(cond, lit(k))))
-    }.fold(lit(defaultK))(_.otherwise(lit(defaultK)))
+    val quota = strataCase(strataCol, quotas, defaultK)(k => lit(k))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= quota)
       .drop("__rn")

@@ -48,6 +48,21 @@ object Catalog {
   private[queries] val duckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** DuckDB mirror of the native PolyHash expression (rolling 31-hash
+    * mod 1e9+7) over an arbitrary string-valued SQL expression. ONE
+    * definition for every oracle — this fragment is parity-critical and
+    * used to be copy-pasted per query. */
+  private[queries] def duckPolyHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              list_transform(range(1, length($expr) + 1),
+       |                i -> CAST(ascii(substr($expr, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |              (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin
+
+  /** DuckDB mirror of Sampling.hashBucket(id, buckets, salt). */
+  private[queries] def duckHashBucket(idExpr: String, buckets: Long,
+                                      salt: String): String =
+    s"${duckPolyHash(s"$idExpr::VARCHAR || '$salt'")} % $buckets"
+
   /** DuckDB mirror of VectorFunctions.dot(a, b): left fold in index order
     * with 0.0 init — bit-identical to Spark's `aggregate`. */
   private[queries] def duckDot(a: String, b: String): String =

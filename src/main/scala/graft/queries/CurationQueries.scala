@@ -71,10 +71,7 @@ private[queries] object CurationQueries {
         |             ELSE 0.0 END)""".stripMargin
     val fiveGram = "list_transform(range(1, greatest(len(tk) - 4, 0) + 1), " +
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"
-    val polyHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(range(1, length(s) + 1), " +
-      "i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
-      "(a, b) -> (a * 31 + b) % 1000000007)"
+    val polyHash = Catalog.duckPolyHash("s")
     val coeffs = Dedup.universalCoeffs(mh.bands * mh.rowsPerBand, mh.seed)
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hv, x -> ($a * x + $b) % 1000000007)) AS m$i"
@@ -296,10 +293,7 @@ private[queries] object CurationQueries {
         WITH RECURSIVE $curateCtes,
         t AS (SELECT id AS doc_id,
             CAST(len($duckToks) AS BIGINT) AS n_tokens,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(id::VARCHAR || 'v1') + 1),
-                i -> CAST(ascii(substr(id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
-              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS h
+            ${Catalog.duckHashBucket("id", 1000000007L, "v1")} AS h
           FROM kept),
         c AS (SELECT doc_id, n_tokens,
             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id

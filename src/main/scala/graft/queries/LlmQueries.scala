@@ -39,10 +39,7 @@ private[queries] object LlmQueries {
                FROM tks),
         nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
         hs AS (SELECT doc_id, list_transform(shingles, s ->
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(s) + 1),
-                     i -> CAST(ascii(substr(s, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+                 ${duckPolyHash("s")}) AS hv FROM nz),
         m AS (SELECT doc_id,
                $mins
               FROM hs),
@@ -79,10 +76,7 @@ private[queries] object LlmQueries {
         WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
         nz AS (SELECT * FROM tks WHERE len(tk) > 0),
         hs AS (SELECT doc_id, list_transform(tk, t ->
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(t) + 1),
-                     i -> CAST(ascii(substr(t, CAST(i AS INTEGER), 1)) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007)) AS hv FROM nz),
+                 ${duckPolyHash("t")}) AS hv FROM nz),
         sigs AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM hs),
         chunked AS ($chunkArms),
         groups AS (SELECT chunk, cval,
@@ -404,12 +398,9 @@ private[queries] object LlmQueries {
           Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "v1")
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n")),
-      Some("""
+      Some(s"""
         WITH b AS (SELECT doc_id, lang,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
-                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
-              (a, x) -> (a * 31 + x) % 1000000007) % 100 AS bucket
+            ${duckHashBucket("doc_id", 100L, "v1")} AS bucket
           FROM documents)
         SELECT lang,
                CASE WHEN bucket < 80 THEN 'train'
@@ -424,12 +415,9 @@ private[queries] object LlmQueries {
           T.documents(s, dir).select("doc_id", "lang"), Seq("lang"),
           "doc_id", k = 5, salt = "v1")
         .select("lang", "doc_id"),
-      Some("""
+      Some(s"""
         WITH h AS (SELECT doc_id, lang,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
-                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
-              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+            ${duckHashBucket("doc_id", 1000000007L, "v1")} AS hv
           FROM documents)
         SELECT lang, doc_id FROM (
           SELECT lang, doc_id,
@@ -446,10 +434,7 @@ private[queries] object LlmQueries {
         "doc_id", "n_tokens", budget = 10000L, salt = "v1"),
       Some(s"""
         WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
-                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
-              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS h
+            ${duckHashBucket("doc_id", 1000000007L, "v1")} AS h
           FROM documents),
         c AS (SELECT doc_id, n_tokens,
             sum(n_tokens) OVER (ORDER BY h, doc_id
@@ -466,12 +451,9 @@ private[queries] object LlmQueries {
         T.documents(s, dir).select("doc_id", "lang"),
         "lang", "doc_id", Seq("en" -> 0.5, "de" -> 0.25),
         defaultFraction = 0.1, salt = "v1"),
-      Some("""
+      Some(s"""
         WITH h AS (SELECT doc_id, lang,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
-                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
-              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+            ${duckHashBucket("doc_id", 1000000007L, "v1")} AS hv
           FROM documents)
         SELECT doc_id, lang FROM h
         WHERE CAST((hv * 1103515245 + 12345) % 1000000007 AS DOUBLE) <
@@ -484,12 +466,9 @@ private[queries] object LlmQueries {
         T.documents(s, dir).select("doc_id", "lang"),
         "lang", "doc_id", Seq("en" -> 20, "de" -> 10), defaultK = 5,
         salt = "v1"),
-      Some("""
+      Some(s"""
         WITH h AS (SELECT doc_id, lang,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(range(1, length(doc_id::VARCHAR || 'v1') + 1),
-                i -> CAST(ascii(substr(doc_id::VARCHAR || 'v1', CAST(i AS INTEGER), 1)) AS BIGINT))),
-              (a, x) -> (a * 31 + x) % 1000000007) % 1000000007 AS hv
+            ${duckHashBucket("doc_id", 1000000007L, "v1")} AS hv
           FROM documents)
         SELECT doc_id, lang FROM (
           SELECT doc_id, lang,

@@ -28,16 +28,13 @@ private[queries] object MultimodalQueries {
             Dedup.polyHash(col("frame").cast("string")).as("frame_hash"),
             length(col("frame")).cast("long").as("frame_len"))
       },
-      Some("""
+      Some(s"""
         WITH f AS (SELECT doc_id,
             unnest(list_filter(range(0, CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS INTEGER)),
                    i -> i % 2 = 0)) AS frame_idx,
             text FROM documents)
         SELECT doc_id, frame_idx,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) + 1),
-              i -> CAST(ascii(substr(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64), CAST(i AS INTEGER), 1)) AS BIGINT))),
-            (a, b) -> (a * 31 + b) % 1000000007) AS frame_hash,
+          ${Catalog.duckPolyHash("substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)")} AS frame_hash,
           length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_len
         FROM f""")),
 

@@ -5,22 +5,13 @@ import graft.core.{Tables => T}
 import graft.functions.TextFunctions
 import graft.operators.Sequences
 import Catalog.QueryDef
-import Catalog.duckToks
+import Catalog.{duckHashBucket, duckToks}
 
 /** Sequence-shaping tier: retrieval chunking and training-sequence
   * packing over the curated corpus — the step between curation and a
   * training/indexing run. Oracle-parity rules live in [[Catalog]]'s
   * scaladoc. */
 private[queries] object SequenceQueries {
-
-  /** DuckDB mirror of Sampling.hashBucket(id, 1000000007, salt) — the
-    * portable rolling hash over doc_id||salt (same form q48/q49/q71
-    * inline). */
-  private def duckIdHash(salt: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, length(doc_id::VARCHAR || '$salt') + 1),
-       |        i -> CAST(ascii(substr(doc_id::VARCHAR || '$salt', CAST(i AS INTEGER), 1)) AS BIGINT))),
-       |      (a, x) -> (a * 31 + x) % 1000000007) % 1000000007""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -52,7 +43,7 @@ private[queries] object SequenceQueries {
         "doc_id", "n_tokens", seqLen = 256L, salt = "v1"),
       Some(s"""
         WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
-            ${duckIdHash("v1")} AS h
+            ${duckHashBucket("doc_id", 1000000007L, "v1")} AS h
           FROM documents),
         c AS (SELECT doc_id, n_tokens,
             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id

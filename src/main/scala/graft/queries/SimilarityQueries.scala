@@ -20,22 +20,32 @@ private[queries] object SimilarityQueries {
     (0 until 4).map(t =>
       graft.functions.VectorFunctions.latticePlanes(4, 64, 770L + t))
 
+  /** DuckDB mirror of one integer-lattice hyperplane table's sign-bit
+    * signature — ONE definition for both the q42 and q77/q78 oracles
+    * (the arithmetic must match the Spark kernel bit-for-bit; two
+    * copies of it could drift apart silently). */
+  private def sigExpr(tbl: Seq[Seq[Double]]): String = {
+    def planeList(p: Seq[Double]): String =
+      p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
+    tbl.zipWithIndex.map { case (p, i) =>
+      val d = duckDot("embedding", planeList(p))
+      s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n             + ", ")")
+  }
+  private def sigCtes(planes: Seq[Seq[Seq[Double]]]): (String, String) = {
+    val sigCols = planes.zipWithIndex.map { case (tbl, t) =>
+      s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
+    val arms = planes.indices.map(t =>
+      s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
+      .mkString("\n          UNION ALL ")
+    (sigCols, arms)
+  }
+
   /** DuckDB mirror of [[graft.operators.Similarity.lshNearDupPairs]]
     * over `nearDupPlanes` at threshold 0.35 — q78 restricts it to pairs
     * with a second-batch (odd-id) endpoint, mirroring q65/q66. */
   private def embPairsOracle(extraWhere: String): String = {
-    def planeList(p: Seq[Double]): String =
-      p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
-    def sigExpr(tbl: Seq[Seq[Double]]): String =
-      tbl.zipWithIndex.map { case (p, i) =>
-        val d = duckDot("embedding", planeList(p))
-        s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", "\n             + ", ")")
-    val sigCols = nearDupPlanes.zipWithIndex.map { case (tbl, t) =>
-      s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
-    val arms = nearDupPlanes.indices.map(t =>
-      s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
-      .mkString("\n          UNION ALL ")
+    val (sigCols, arms) = sigCtes(nearDupPlanes)
     val d = duckDot("va", "vb")
     val na = s"sqrt(${duckDot("va", "va")})"
     val nb = s"sqrt(${duckDot("vb", "vb")})"
@@ -191,18 +201,7 @@ private[queries] object SimilarityQueries {
           .withColumn("rank", col("rank").cast("long"))
       },
       Some {
-        def planeList(p: Seq[Double]): String =
-          p.map(v => s"${v.toLong}.0").mkString("([", ", ", "]::DOUBLE[])")
-        def sigExpr(tbl: Seq[Seq[Double]]): String =
-          tbl.zipWithIndex.map { case (p, i) =>
-            val d = duckDot("embedding", planeList(p))
-            s"(CASE WHEN $d >= 0.0 THEN ${1L << i} ELSE 0 END)"
-          }.mkString("(", "\n             + ", ")")
-        val sigCols = q42Planes.zipWithIndex.map { case (tbl, t) =>
-          s"${sigExpr(tbl)} AS sig$t" }.mkString(",\n            ")
-        val arms = (0 until 4).map(t =>
-          s"SELECT vec_id, $t AS tbl, sig$t AS sig FROM sigs")
-          .mkString("\n          UNION ALL ")
+        val (sigCols, arms) = sigCtes(q42Planes)
         val d = duckDot("qv", "cv")
         val na = s"sqrt(${duckDot("qv", "qv")})"
         val nb = s"sqrt(${duckDot("cv", "cv")})"

@@ -173,16 +173,28 @@ final class Warehouse(spark: SparkSession, root: String) {
     * file, invisible to parquet readers) so [[readBucketed]] can
     * re-register the table in a fresh driver: a persisted store must
     * survive the JVM that wrote it. */
+  /** Bucket-spec sidecar path — a SIBLING of the table directory, not a
+    * file inside it: the table-creation write clears a pre-existing
+    * location, so an in-dir spec could not be written before the data. */
+  private def bucketSpecFile(table: String) =
+    new java.io.File(s"$root/warehouse", s"_graft_bucket_spec_$table")
+
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
                      nBuckets: Int): Unit = {
+    // spec BEFORE data: it is pure config (idempotent re-write on every
+    // append), and the reverse order left a crash window where a store
+    // with data but no spec could never be reopened by a fresh driver.
+    // A crash after the spec but mid-data-write instead leaves a shell
+    // readBucketed reports accurately (see the data-file check there).
+    val spec = bucketSpecFile(table)
+    spec.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(spec.toPath,
+      s"$nBuckets\n${bucketCols.mkString(",")}\n")
     df.write.mode(SaveMode.Append)
       .option("path", path(table))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(bucketedName(table))
-    val specFile = new java.io.File(path(table), "_graft_bucket_spec")
-    java.nio.file.Files.writeString(specFile.toPath,
-      s"$nBuckets\n${bucketCols.mkString(",")}\n")
     ()
   }
 
@@ -193,9 +205,21 @@ final class Warehouse(spark: SparkSession, root: String) {
     val name = bucketedName(table)
     if (!spark.catalog.tableExists(name)) {
       val dir = new java.io.File(path(table))
-      val spec = new java.io.File(dir, "_graft_bucket_spec")
-      require(dir.exists() && spec.exists(),
-        s"bucketed table $table not found at ${dir.getPath}")
+      // sidecar spec (current layout), with fallback to the legacy
+      // in-dir location for stores written by earlier versions
+      val spec = Seq(bucketSpecFile(table),
+          new java.io.File(dir, "_graft_bucket_spec"))
+        .find(_.exists())
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucketed table $table not found at ${dir.getPath} (no bucket spec)"))
+      // spec with no data files = a write that crashed before any data
+      // landed (spec is written first) — report it as such, not as a
+      // schema-inference failure from an empty directory
+      require(Option(dir.listFiles()).exists(_.exists(f =>
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))),
+        s"bucketed table $table at ${dir.getPath} has a bucket spec but " +
+          "no data files (interrupted first write?) — restore from " +
+          "snapshot or delete the directory")
       val Array(n, cols) =
         java.nio.file.Files.readString(spec.toPath).trim.split("\n")
       val schema = spark.read.parquet(dir.getPath).schema.toDDL

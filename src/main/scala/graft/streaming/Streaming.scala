@@ -151,15 +151,18 @@ object Streaming {
     * construction; out-of-order ids fail fast in `ingest`).
     *
     * Replay semantics: foreachBatch is at-least-once, and the store's
-    * max-id marker is written LAST in an ingest — so a redelivered
-    * micro-batch whose ingest COMPLETED is detected (marker ≥ batch min
-    * id) and skipped; its deltas either landed before the crash or are
-    * re-derivable from the persisted label/survivor state. A crash
-    * mid-ingest leaves partial signature state the store itself cannot
-    * roll back (documented in [[graft.operators.Pipeline.CurationStore]]:
-    * plain parquet has no multi-table transaction) — run under the same
-    * snapshot-restore retry discipline as the batch form; a lakehouse
-    * table format would close the window with a transactional commit. */
+    * max-id marker is written LAST in an ingest — the delta appends run
+    * through `ingest`'s `beforeCommit` hook, so they are durable BEFORE
+    * the marker. A redelivered micro-batch whose ingest COMPLETED
+    * (marker ≥ batch min id) therefore skips safely: its deltas are
+    * guaranteed to have landed. A crash mid-ingest (including between
+    * the delta appends and the marker) leaves partial signature state
+    * the store itself cannot roll back (documented in
+    * [[graft.operators.Pipeline.CurationStore]]: plain parquet has no
+    * multi-table transaction) — run under the same snapshot-restore
+    * retry discipline as the batch form, with the delta tables included
+    * in the snapshot; a lakehouse table format would close the window
+    * with a transactional commit. */
   def curationSink(docs: DataFrame,
                    store: graft.operators.Pipeline.CurationStore,
                    warehouse: graft.sources.Warehouse,
@@ -192,22 +195,37 @@ object Streaming {
       .awaitTermination()
 
   /** The per-micro-batch body of [[curationSink]], exposed so the
-    * redelivery skip is directly testable. */
+    * redelivery skip is directly testable. The delta appends run via
+    * `ingest`'s `beforeCommit` hook — durable BEFORE the store's max-id
+    * marker — so the skip below ("marker already past this batch ⇒
+    * everything landed") is sound: a crash after the appends but before
+    * the marker redelivers into a normal retry under the store's
+    * snapshot-restore discipline, never into a skip that loses deltas. */
   def curateBatch(store: graft.operators.Pipeline.CurationStore,
                   warehouse: graft.sources.Warehouse,
                   keptTable: String, retractedTable: String,
                   idCol: String, textCol: String)
                  (batch: DataFrame, batchId: Long): Unit = {
+    // fail fast on a non-integral id column: the min-cast below would
+    // read null and silently skip EVERY batch (the store's own integral
+    // require sits past the empty-batch return and would never trip)
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = batch.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"curateBatch id column '$idCol' must be integral, got $dt")
+    }
     val minId = batch.agg(min(col(idCol)).cast("long")).head()
     if (minId.isNullAt(0)) return // empty micro-batch
     if (store.maxIngestedId.exists(_ >= minId.getLong(0))) return // redelivery
-    val delta = store.ingest(batch, idCol, textCol)
-    warehouse.idempotentAppend(keptTable,
-      delta.kept.withColumn("__batch_id", lit(batchId)),
-      keys = Seq("__batch_id"), partitionCol = "__batch_id")
-    warehouse.idempotentAppend(retractedTable,
-      delta.retracted.withColumn("__batch_id", lit(batchId)),
-      keys = Seq("__batch_id"), partitionCol = "__batch_id")
+    store.ingest(batch, idCol, textCol, beforeCommit = delta => {
+      warehouse.idempotentAppend(keptTable,
+        delta.kept.withColumn("__batch_id", lit(batchId)),
+        keys = Seq("__batch_id"), partitionCol = "__batch_id")
+      warehouse.idempotentAppend(retractedTable,
+        delta.retracted.withColumn("__batch_id", lit(batchId)),
+        keys = Seq("__batch_id"), partitionCol = "__batch_id")
+    })
     ()
   }
 

@@ -116,6 +116,20 @@ class PipelineSpec extends SparkSpec {
     assert(r2.retracted.as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("curation store: a failing beforeCommit aborts before any state write") {
+    val store = new Pipeline.CurationStore(spark, freshRoot(), "t", cfg)
+    store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    val maxBefore = store.maxIngestedId
+    intercept[RuntimeException] {
+      store.ingest(docs.filter(col("doc_id") > 5), "doc_id", "text",
+        beforeCommit = _ => throw new RuntimeException("sink failed"))
+    }
+    // marker unadvanced → the streaming wrapper's redelivery check will
+    // RETRY this batch instead of skipping it (deltas-before-marker is
+    // the property its skip relies on)
+    assert(store.maxIngestedId === maxBefore)
+  }
+
   test("curation store: rejects non-increasing batch ids, skips empty batches") {
     val store = new Pipeline.CurationStore(spark, freshRoot(), "t", cfg)
     store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")

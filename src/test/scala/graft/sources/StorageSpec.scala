@@ -156,6 +156,22 @@ class StorageSpec extends SparkSpec {
     assert(wh.readBucketed("reopen_b").count() === 51)
   }
 
+  test("bucketed read reports a spec-only shell (interrupted first write)") {
+    // the spec is written BEFORE the data, so a crash mid-first-write
+    // leaves spec-without-data; reopening must say so, not fail schema
+    // inference on an empty directory
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    val dir = new java.io.File(s"$root/warehouse/shell_t")
+    dir.mkdirs()
+    Files.writeString(
+      new java.io.File(dir, "_graft_bucket_spec").toPath, "4\nk\n")
+    val e = intercept[IllegalArgumentException] {
+      wh.readBucketed("shell_t")
+    }
+    assert(e.getMessage.contains("no data files"))
+  }
+
   test("queue: enqueue / drain deletes on read / re-enqueue") {
     val root = tmpRoot()
     val q = new QueueStore(spark, root)
