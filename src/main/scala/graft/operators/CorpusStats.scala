@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level token statistics feeding quality filters — signals that
+  * need a full-corpus aggregation, unlike the row-local scores in
+  * [[graft.functions.TextFunctions]].
+  */
+object CorpusStats {
+
+  /** Per-document RARE-TOKEN ratio: the fraction of a doc's distinct
+    * tokens whose corpus-wide document frequency is below `minDf`. A
+    * high ratio flags gibberish, OCR noise, and boilerplate-free spam —
+    * the model-free stand-in for a perplexity filter (a true LM score
+    * needs `log`, which is not correctly-rounded-portable across
+    * engines; counts and one final division are exact).
+    *
+    * Output: (id, n_distinct, n_rare, rare_ratio); zero-token docs
+    * report (0, 0, 0.0). Two shuffles: the (token → df) aggregation
+    * (partial-agg'd, vocabulary-sized output) and the per-doc
+    * re-aggregation of the token explode after the df join — tokens and
+    * ids only, never full text. */
+  def rareTokenRatio(docs: DataFrame, idCol: String, textCol: String,
+                     minDf: Long): DataFrame = {
+    val docToks = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"), explode(array_distinct(col("__t"))).as("__tok"))
+    val dfs = docToks.groupBy("__tok")
+      .agg(count(lit(1)).as("__df")) // one row per doc per distinct token
+    val perDoc = docToks
+      .join(dfs.filter(col("__df") < minDf).withColumn("__rare", lit(1)),
+        Seq("__tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_distinct"), count(col("__rare")).as("n_rare"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(col("n_distinct").isNull || col("n_distinct") === 0, lit(0.0))
+          .otherwise(col("n_rare").cast("double")
+            / col("n_distinct").cast("double"))
+          .as("rare_ratio"))
+  }
+}

@@ -73,5 +73,67 @@ private[queries] object SequenceQueries {
         SELECT doc_id,
                string_agg(chunk_text, ' ' ORDER BY chunk_ix) AS text
         FROM keep GROUP BY doc_id""")),
+
+    // ===== lexical retrieval: rational-idf BM25 top-k (the query-time
+    // complement of chunking; idf kept rational so both engines compute
+    // bit-identical scores — see Retrieval.bm25TopK) =====
+    QueryDef("q82_bm25_search",
+      (s, dir) => graft.operators.Retrieval.bm25TopK(T.documents(s, dir),
+          "doc_id", "text", queryTerms = Seq("table", "spark", "window"),
+          k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("rank", col("rank").cast("long")),
+      Some {
+        val terms = Seq("table", "spark", "window")
+        val dl = "CAST(len(tk) AS DOUBLE)"
+        def tf(t: String) =
+          s"CAST(len(list_filter(tk, t -> t = '$t')) AS DOUBLE)"
+        // mirrors the Scala expression tree EXACTLY (left-assoc +,*,/;
+        // k1+1 and 1-b written as the same driver-side arithmetic)
+        val score = terms.zipWithIndex.map { case (t, i) =>
+          s"""((${tf(t)} * (1.2 + 1.0) / (${tf(t)} + 1.2 * ((1.0 - 0.75)
+             |            + 0.75 * $dl / (sumdl / n))))
+             |            * (((n - df$i) + 0.5) / (df$i + 0.5)))""".stripMargin
+        }.mkString("(", "\n           + ", ")")
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(count(*) FILTER (list_contains(tk, '$t')) AS DOUBLE) AS df$i"
+        }.mkString(",\n               ")
+        s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(len(tk)) AS DOUBLE) AS sumdl,
+               $dfCols
+          FROM tk),
+        sc AS (SELECT doc_id, $score AS score FROM tk, st)
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM sc WHERE score > 0.0
+        QUALIFY rank <= 10"""
+      }),
+
+    // ===== corpus-stats quality signal: rare-token ratio (model-free
+    // perplexity stand-in — exact counts, no log) =====
+    QueryDef("q83_rare_tokens",
+      (s, dir) => graft.operators.CorpusStats.rareTokenRatio(
+          T.documents(s, dir), "doc_id", "text", minDf = 3L)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH dt AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS tok
+                    FROM documents),
+        dfs AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+        rare AS (SELECT tok FROM dfs WHERE df < 3),
+        pd AS (SELECT dt.doc_id, count(*) AS n_distinct,
+                      count(rare.tok) AS n_rare
+               FROM dt LEFT JOIN rare ON dt.tok = rare.tok
+               GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(pd.n_distinct, 0) AS n_distinct,
+               coalesce(pd.n_rare, 0) AS n_rare,
+               CASE WHEN pd.n_distinct IS NULL OR pd.n_distinct = 0 THEN 0.0
+                    ELSE pd.n_rare::DOUBLE / pd.n_distinct::DOUBLE
+               END AS rare_ratio
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN pd USING (doc_id)""")),
   )
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark engine spark cluster"),        // tf(spark)=2, short
+    (2L, "spark engine with a very long tail of extra words here now"),
+    (3L, "database engine only"),
+    (4L, "completely unrelated text"),
+    (5L, "")                                   // empty: never ranked
+  ).toDF("id", "text")
+
+  test("bm25TopK ranks by tf with length normalization, skips non-matches") {
+    val out = Retrieval.bm25TopK(docs, "id", "text", Seq("spark"), k = 10)
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    // doc 1: higher tf AND shorter → first; doc 2 matches once; 3/4/5 don't match
+    assert(out === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("bm25TopK multi-term scores sum per-term contributions") {
+    val out = Retrieval.bm25TopK(docs, "id", "text",
+      Seq("spark", "engine"), k = 10)
+    val ranked = out.select("id").as[Long].collect().toSeq
+    assert(ranked.head === 1L)           // matches both terms, short
+    assert(ranked.toSet === Set(1L, 2L, 3L)) // 3 matches "engine" only
+    // rarer term carries the larger idf: a doc matching only "spark"
+    // (df 2) must outscore one matching only "engine" (df 3) at equal tf
+    val scores = out.select("id", "score").as[(Long, Double)].collect().toMap
+    assert(scores(2L) > scores(3L))
+  }
+
+  test("bm25TopK replay-stable under repartition and caps at k") {
+    val many = (1L to 200L)
+      .map(i => (i, if (i % 3 == 0) s"term filler$i" else s"filler$i only"))
+      .toDF("id", "text")
+    val a = Retrieval.bm25TopK(many, "id", "text", Seq("term"), k = 7)
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    val b = Retrieval.bm25TopK(many.repartition(13), "id", "text",
+        Seq("term"), k = 7)
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(a === b && a.size === 7)
+    // equal scores tie-break by ascending id, deterministically
+    assert(a.map(_._1) === a.map(_._1).sorted)
+  }
+}
