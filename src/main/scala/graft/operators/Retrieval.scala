@@ -66,4 +66,29 @@ object Retrieval {
       .orderBy(desc("score"), col("id").asc)
     top.withColumn("rank", row_number().over(w))
   }
+
+  /** Reciprocal-rank fusion of a lexical and a semantic ranking — the
+    * standard hybrid-retrieval combiner: fused(d) = 1/(c + rank_a(d)) +
+    * 1/(c + rank_b(d)), missing side contributing 0. Takes RANK columns,
+    * not scores, so the two sides' score scales never need calibrating.
+    *
+    * Implemented as one full-outer join on id (both sides are top-k
+    * lists — bounded), NOT union + groupBy-sum: a grouped float sum
+    * accumulates in shuffle order, which would make the fused score
+    * nondeterministic in the last ulp across runs; the join form fixes
+    * the addition order. Output: (id, fused, rank), top `k`. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              c: Double = 60.0): DataFrame = {
+    val la = a.select(col("id"), col("rank").cast("double").as("__ra"))
+    val lb = b.select(col("id"), col("rank").cast("double").as("__rb"))
+    val fused = la.join(lb, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__rb")), lit(0.0))).as("fused"))
+      .orderBy(desc("fused"), col("id").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("fused"), col("id").asc)
+    fused.withColumn("rank", row_number().over(w))
+  }
 }

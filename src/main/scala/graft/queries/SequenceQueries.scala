@@ -112,6 +112,70 @@ private[queries] object SequenceQueries {
         QUALIFY rank <= 10"""
       }),
 
+    // ===== hybrid retrieval: reciprocal-rank fusion of the q82 lexical
+    // ranking with a brute-force semantic ranking (doc_id ≡ vec_id) =====
+    QueryDef("q84_hybrid_rrf",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val lex = graft.operators.Retrieval.bm25TopK(T.documents(s, dir),
+          "doc_id", "text", Seq("table", "spark", "window"), k = 10)
+        val sem = graft.operators.Similarity.bruteForceTopK(
+            e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+          .select(col("nbr_id").as("id"), col("rank"))
+        graft.operators.Retrieval.rrfFuse(
+            lex.select("id", "rank"), sem, k = 10)
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val terms = Seq("table", "spark", "window")
+        val dl = "CAST(len(tk) AS DOUBLE)"
+        def tf(t: String) =
+          s"CAST(len(list_filter(tk, t -> t = '$t')) AS DOUBLE)"
+        val score = terms.zipWithIndex.map { case (t, i) =>
+          s"""((${tf(t)} * (1.2 + 1.0) / (${tf(t)} + 1.2 * ((1.0 - 0.75)
+             |            + 0.75 * $dl / (sumdl / n))))
+             |            * (((n - df$i) + 0.5) / (df$i + 0.5)))""".stripMargin
+        }.mkString("(", "\n           + ", ")")
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(count(*) FILTER (list_contains(tk, '$t')) AS DOUBLE) AS df$i"
+        }.mkString(",\n               ")
+        val d = Catalog.duckDot("qv", "cv")
+        val na = s"sqrt(${Catalog.duckDot("qv", "qv")})"
+        val nb = s"sqrt(${Catalog.duckDot("cv", "cv")})"
+        s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(len(tk)) AS DOUBLE) AS sumdl,
+               $dfCols
+          FROM tk),
+        sc AS (SELECT doc_id, $score AS score FROM tk, st),
+        blex AS (SELECT doc_id AS id, rank FROM (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM sc WHERE score > 0.0) WHERE rank <= 10),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sem AS (SELECT nbr_id,
+              CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                   ELSE $d / ($na * $nb) END AS sim
+            FROM (SELECT vec_id AS nbr_id, embedding AS cv
+                  FROM embeddings WHERE vec_id != 0) c, q),
+        bsem AS (SELECT nbr_id AS id, rank FROM (
+            SELECT nbr_id,
+                   row_number() OVER (ORDER BY sim DESC, nbr_id) AS rank
+            FROM sem) WHERE rank <= 10),
+        f AS (SELECT id,
+                (coalesce(1.0 / (60.0 + CAST(blex.rank AS DOUBLE)), 0.0)
+                  + coalesce(1.0 / (60.0 + CAST(bsem.rank AS DOUBLE)), 0.0))
+                  AS fused
+              FROM blex FULL JOIN bsem USING (id))
+        SELECT id AS doc_id, fused,
+               CAST(row_number() OVER (ORDER BY fused DESC, id) AS BIGINT)
+                 AS rank
+        FROM f
+        QUALIFY rank <= 10"""
+      }),
+
     // ===== corpus-stats quality signal: rare-token ratio (model-free
     // perplexity stand-in — exact counts, no log) =====
     QueryDef("q83_rare_tokens",

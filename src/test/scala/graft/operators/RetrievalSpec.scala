@@ -33,6 +33,18 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(2L) > scores(3L))
   }
 
+  test("rrfFuse combines ranks, handles one-sided hits, caps at k") {
+    val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val sem = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(lex, sem, k = 3)
+      .select("id", "fused", "rank").as[(Long, Double, Int)].collect().toSeq
+    // 11 is in both lists → top; 10 (lex rank 1) and 13 (sem rank 2) follow
+    assert(out.map(_._1) === Seq(11L, 10L, 13L))
+    assert(out.head._2 === 1.0 / 61.0 + 1.0 / 62.0)
+    assert(out(1)._2 === 1.0 / 61.0) // one-sided: other side contributes 0
+    assert(out.map(_._3) === Seq(1, 2, 3))
+  }
+
   test("bm25TopK replay-stable under repartition and caps at k") {
     val many = (1L to 200L)
       .map(i => (i, if (i % 3 == 0) s"term filler$i" else s"filler$i only"))
