@@ -49,22 +49,109 @@ object Retrieval {
     val avgdl = stats.getDouble(1) / n
     val score = queryTerms.zipWithIndex.map { case (term, i) =>
       val df = stats.getDouble(2 + i)
-      val idf = (n - df + 0.5) / (df + 0.5)
-      val tf = tfOf(term)
-      (tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))) * lit(idf)
+      scoreTerm(tfOf(term), dl, n, df, avgdl, k1, b)
     }.reduce(_ + _)
-    // global top-k via orderBy+limit → TakeOrderedAndProject (per-
-    // partition top-k, k-row driver merge) — NOT an unpartitioned
-    // row_number window, which would sort every matching doc through
-    // one task. The rank window after the limit sees ≤ k rows.
-    val top = docs.select(col(idCol).as("id"), score.as("score"))
+    rankTopK(docs.select(col(idCol).as("id"), score.as("score")), k)
+  }
+
+  /** One term's BM25 contribution — ONE expression tree shared by the
+    * scan-time scorer and the [[Bm25Index]] serve path, so the
+    * incremental index reproduces one-shot scores bit-for-bit (the
+    * operand order of the float ops IS the contract here). */
+  private[operators] def scoreTerm(tf: Column, dl: Column, n: Double,
+                                   df: Double, avgdl: Double,
+                                   k1: Double, b: Double): Column = {
+    val idf = (n - df + 0.5) / (df + 0.5)
+    (tf * lit(k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))) * lit(idf)
+  }
+
+  /** Global top-k of a (id, score) frame via orderBy+limit →
+    * TakeOrderedAndProject (per-partition top-k, k-row driver merge) —
+    * NOT an unpartitioned row_number window, which would sort every
+    * matching doc through one task. The rank window after the limit
+    * sees ≤ k rows. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = scored
       .filter(col("score") > 0.0) // rank only docs matching ≥1 term
       .orderBy(desc("score"), col("id").asc)
       .limit(k)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("score"), col("id").asc)
     top.withColumn("rank", row_number().over(w))
+  }
+
+  /** Persisted, APPENDABLE BM25 index — the retrieval member of the
+    * incremental-store family (MinhashStore / EmbeddingLshStore /
+    * IvfStore): a corpus is indexed batch by batch, and [[search]] over
+    * the accumulated index reproduces [[Retrieval.bm25TopK]] over the
+    * union BIT-FOR-BIT (oracle-verified, q85), because document
+    * frequencies, N and Σdl accumulate as exact integers and the score
+    * expression tree is shared.
+    *
+    * Tables under `root`:
+    *  - `<name>_bm_post` (tok, id, tf), bucketed by tok — the postings;
+    *    a query touches only its terms' buckets;
+    *  - `<name>_bm_len` (id, dl), bucketed by id — length normalization;
+    *  - `state/<name>_bm_stats` — one (n, sumdl) row per append, summed
+    *    at serve (exact integer accumulation, no stored floats).
+    *
+    * Ids must be unique across appends (re-indexing a doc would
+    * double-count its postings — delete-and-reindex needs a table
+    * format with row-level deletes). */
+  final class Bm25Index(spark: org.apache.spark.sql.SparkSession,
+                        root: String, name: String,
+                        nStoreBuckets: Int = 32) {
+    private val wh = new graft.sources.Warehouse(spark, root)
+    private val postTable = s"${name}_bm_post"
+    private val lenTable = s"${name}_bm_len"
+    private val statsPath = s"$root/state/${name}_bm_stats"
+
+    def append(docs: DataFrame, idCol: String, textCol: String): Unit = {
+      // one tokenization feeds postings, lengths and the stats row
+      val toksed = docs.select(col(idCol).as("id"),
+          TextFunctions.tokens(col(textCol)).as("__t"))
+        .localCheckpoint(true)
+      val postings = toksed
+        .select(col("id"), explode(col("__t")).as("tok"))
+        .groupBy("tok", "id").agg(count(lit(1)).as("tf"))
+      wh.appendBucketed(postTable, postings, Seq("tok"), nStoreBuckets)
+      wh.appendBucketed(lenTable,
+        toksed.select(col("id"),
+          size(col("__t")).cast("long").as("dl")),
+        Seq("id"), nStoreBuckets)
+      toksed.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("sumdl"))
+        .write.mode("append").parquet(statsPath)
+    }
+
+    def search(queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      require(queryTerms.nonEmpty, "empty query")
+      val st = spark.read.parquet(statsPath)
+        .agg(sum("n"), sum("sumdl")).head()
+      val n = st.getLong(0).toDouble
+      val avgdl = st.getLong(1).toDouble / n
+      // postings restricted to the query's terms: with the tok-bucketed
+      // layout this reads the terms' buckets, not the corpus
+      val posts = wh.readBucketed(postTable)
+        .filter(col("tok").isin(queryTerms: _*))
+      // per-term document frequencies — bounded control read (≤ #terms)
+      val dfs = posts.groupBy("tok").agg(count(lit(1)).as("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      // one bounded pivot: per matching doc, each term's tf as a column
+      val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, col("tf"))).as(s"__tf$i") }
+      val perDoc = posts.groupBy("id").agg(tfCols.head, tfCols.tail: _*)
+      val dl = col("dl").cast("double")
+      val score = queryTerms.zipWithIndex.map { case (t, i) =>
+        scoreTerm(coalesce(col(s"__tf$i"), lit(0L)).cast("double"), dl,
+          n, dfs.getOrElse(t, 0.0), avgdl, k1, b)
+      }.reduce(_ + _)
+      rankTopK(
+        perDoc.join(wh.readBucketed(lenTable), Seq("id"))
+          .select(col("id"), score.as("score")), k)
+    }
   }
 
   /** Reciprocal-rank fusion of a lexical and a semantic ranking — the

@@ -13,6 +13,37 @@ import Catalog.{duckHashBucket, duckToks}
   * scaladoc. */
 private[queries] object SequenceQueries {
 
+  /** q82's oracle — shared VERBATIM by q85: serving an incrementally
+    * built Bm25Index must reproduce the one-shot ranking exactly.
+    * Mirrors the Scala expression tree precisely (left-assoc +,*,/;
+    * k1+1 and 1−b written as the same driver-side arithmetic). */
+  private val bm25Oracle: String = {
+    val terms = Seq("table", "spark", "window")
+    val dl = "CAST(len(tk) AS DOUBLE)"
+    def tf(t: String) =
+      s"CAST(len(list_filter(tk, t -> t = '$t')) AS DOUBLE)"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      s"""((${tf(t)} * (1.2 + 1.0) / (${tf(t)} + 1.2 * ((1.0 - 0.75)
+         |            + 0.75 * $dl / (sumdl / n))))
+         |            * (((n - df$i) + 0.5) / (df$i + 0.5)))""".stripMargin
+    }.mkString("(", "\n           + ", ")")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(count(*) FILTER (list_contains(tk, '$t')) AS DOUBLE) AS df$i"
+    }.mkString(",\n               ")
+    s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(len(tk)) AS DOUBLE) AS sumdl,
+               $dfCols
+          FROM tk),
+        sc AS (SELECT doc_id, $score AS score FROM tk, st)
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS rank
+        FROM sc WHERE score > 0.0
+        QUALIFY rank <= 10"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ===== retrieval chunking: fixed-size token windows w/ overlap =====
@@ -83,34 +114,25 @@ private[queries] object SequenceQueries {
           k = 10)
         .withColumnRenamed("id", "doc_id")
         .withColumn("rank", col("rank").cast("long")),
-      Some {
-        val terms = Seq("table", "spark", "window")
-        val dl = "CAST(len(tk) AS DOUBLE)"
-        def tf(t: String) =
-          s"CAST(len(list_filter(tk, t -> t = '$t')) AS DOUBLE)"
-        // mirrors the Scala expression tree EXACTLY (left-assoc +,*,/;
-        // k1+1 and 1-b written as the same driver-side arithmetic)
-        val score = terms.zipWithIndex.map { case (t, i) =>
-          s"""((${tf(t)} * (1.2 + 1.0) / (${tf(t)} + 1.2 * ((1.0 - 0.75)
-             |            + 0.75 * $dl / (sumdl / n))))
-             |            * (((n - df$i) + 0.5) / (df$i + 0.5)))""".stripMargin
-        }.mkString("(", "\n           + ", ")")
-        val dfCols = terms.zipWithIndex.map { case (t, i) =>
-          s"CAST(count(*) FILTER (list_contains(tk, '$t')) AS DOUBLE) AS df$i"
-        }.mkString(",\n               ")
-        s"""
-        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(len(tk)) AS DOUBLE) AS sumdl,
-               $dfCols
-          FROM tk),
-        sc AS (SELECT doc_id, $score AS score FROM tk, st)
-        SELECT doc_id, score,
-               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-                 AS rank
-        FROM sc WHERE score > 0.0
-        QUALIFY rank <= 10"""
-      }),
+      Some(bm25Oracle)),
+
+    // ===== incremental retrieval index: two id-parity appends into a
+    // persisted Bm25Index; search must equal the one-shot bm25TopK over
+    // the union — SAME oracle as q82 (dfs/N/Σdl accumulate exactly) =====
+    QueryDef("q85_bm25_incremental",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q85_").toString
+        val idx = new graft.operators.Retrieval.Bm25Index(s, root, "inc",
+          nStoreBuckets = 8)
+        idx.append(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        idx.append(d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        idx.search(Seq("table", "spark", "window"), k = 10)
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(bm25Oracle)),
 
     // ===== hybrid retrieval: reciprocal-rank fusion of the q82 lexical
     // ranking with a brute-force semantic ranking (doc_id ≡ vec_id) =====

@@ -33,6 +33,25 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(2L) > scores(3L))
   }
 
+  test("bm25 index: incremental appends serve the one-shot ranking bit-for-bit") {
+    val corpus = (1L to 60L).map { i =>
+      (i, if (i % 5 == 0) "spark engine cluster" else s"filler$i words here")
+    }.toDF("id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25spec_").toString
+    val idx = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    idx.append(corpus.filter(col("id") <= 40), "id", "text")
+    idx.append(corpus.filter(col("id") > 40), "id", "text")
+    val served = idx.search(Seq("spark", "engine"), k = 8)
+      .select("id", "score", "rank").as[(Long, Double, Int)]
+      .collect().toSeq
+    val oneShot = Retrieval.bm25TopK(corpus, "id", "text",
+        Seq("spark", "engine"), k = 8)
+      .select("id", "score", "rank").as[(Long, Double, Int)]
+      .collect().toSeq
+    assert(served === oneShot && served.nonEmpty) // scores bit-equal
+  }
+
   test("rrfFuse combines ranks, handles one-sided hits, caps at k") {
     val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val sem = Seq((11L, 1), (13L, 2)).toDF("id", "rank")
