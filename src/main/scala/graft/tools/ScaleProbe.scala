@@ -344,6 +344,37 @@ object ScaleProbe {
       f"docs=$n chunks=$chunks sequences=$nSeqs")
   }
 
+  /** BM25: one-shot scan scoring vs the persisted index — the index
+    * pays its cost at append (the postings explode + two bucketed
+    * writes); each query then reads only its terms' postings buckets
+    * instead of tokenizing the corpus. The crossover is a handful of
+    * queries; a serving workload is thousands. */
+  private def bm25Probe(spark: SparkSession, docsPath: String,
+                        whRoot: String): Unit = {
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet(docsPath)
+    println(s"[probe] docs = ${docs.count()}")
+    val terms = Seq("w1234", "w99876", "w500000") // hashed-vocab tokens
+    val oneShot = time("bm25 one-shot (3 terms)") {
+      Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 10).collect()
+    }
+    val idx = new Retrieval.Bm25Index(spark,
+      s"$whRoot/bm_${System.nanoTime()}", "probe", nStoreBuckets = 64)
+    time("bm25 index append (full)") {
+      idx.append(docs, "doc_id", "text")
+    }
+    val served = time("bm25 index search (3 terms)") {
+      idx.search(terms, k = 10).collect()
+    }
+    val s2 = time("bm25 index search (repeat)") {
+      idx.search(terms, k = 10).collect()
+    }
+    require(s2.length == served.length)
+    println(s"[probe] one-shot rows=${oneShot.length} " +
+      s"served rows=${served.length} " +
+      s"equal=${oneShot.map(_.toString).toSeq == served.map(_.toString).toSeq}")
+  }
+
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
     * geometry — what the HammingPairs kernel iterates, counted without
     * materializing pairs (mirrors simhashPortablePairs's bucket keying
@@ -490,15 +521,18 @@ object ScaleProbe {
         embIncrProbe(spark, whRoot, nVecs.toLong)
       case "seq" :: docsPath :: Nil =>
         seqProbe(spark, docsPath)
+      case "bm25" :: docsPath :: whRoot :: Nil =>
+        bm25Probe(spark, docsPath, whRoot)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
-            "seq").contains(docsPath) =>
+            "seq", "bm25").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
           "incr <docs> <whRoot> | stream <root> <nRows> | " +
-          "embincr <whRoot> <nVecs> | seq <docs> | <docs> [<emb>]")
+          "embincr <whRoot> <nVecs> | seq <docs> | bm25 <docs> <whRoot> | " +
+          "<docs> [<emb>]")
     }
     spark.stop()
   }

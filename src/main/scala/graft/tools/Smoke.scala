@@ -96,6 +96,38 @@ object Smoke {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         3, cents, 2)
     }
+    show("Similarity.lshNearDupPairs") {
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.35, dim = 64, tables = 4, bitsPerTable = 4)
+    }
+    show("Sequences.chunkDocuments(64/16)") {
+      graft.operators.Sequences.chunkDocuments(docs, "doc_id", "text", 64, 16)
+    }
+    show("Sequences.packSequences(256)") {
+      graft.operators.Sequences.packSequences(
+        docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 256L, "smoke")
+    }
+    show("Sequences.dropRepeatedBlocks(16, df>=2)") {
+      graft.operators.Sequences.dropRepeatedBlocks(docs, "doc_id", "text", 16, 2)
+    }
+    show("Decontamination.overlapStats(5-grams vs docs<25)") {
+      graft.operators.Decontamination.overlapStats(
+        docs.filter(col("doc_id") >= 25), "doc_id", "text",
+        docs.filter(col("doc_id") < 25), "text", 5)
+    }
+    show("CorpusStats.rareTokenRatio(df<3)") {
+      graft.operators.CorpusStats.rareTokenRatio(docs, "doc_id", "text", 3L)
+    }
+    show("Retrieval.bm25TopK + rrfFuse vs cosine") {
+      val lex = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("table", "spark"), 5)
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
+        .select(col("nbr_id").as("id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(lex.select("id", "rank"), sem, 5)
+    }
     spark.stop()
   }
 }
