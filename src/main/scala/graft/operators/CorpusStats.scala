@@ -27,13 +27,17 @@ object CorpusStats {
     val docToks = docs
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
       .select(col("id"), explode(array_distinct(col("__t"))).as("__tok"))
-    val dfs = docToks.groupBy("__tok")
-      .agg(count(lit(1)).as("__df")) // one row per doc per distinct token
+    // df via an unordered count window over the token partition, NOT a
+    // separate aggregate joined back: the join form evaluates the
+    // tokenize+explode subtree once per side — on a 120M-token corpus
+    // the heaviest stage would run twice. One explode, one exchange on
+    // token (the window), one on id (the rollup).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__tok")
     val perDoc = docToks
-      .join(dfs.filter(col("__df") < minDf).withColumn("__rare", lit(1)),
-        Seq("__tok"), "left")
+      .withColumn("__df", count(lit(1)).over(w)) // one row/doc/distinct tok
       .groupBy("id")
-      .agg(count(lit(1)).as("n_distinct"), count(col("__rare")).as("n_rare"))
+      .agg(count(lit(1)).as("n_distinct"),
+        count(when(col("__df") < minDf, lit(1))).as("n_rare"))
     docs.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),

@@ -36,6 +36,18 @@ import graft.functions.TextFunctions
   */
 object Pipeline {
 
+  /** Shared guard: curation ids must be integral (connected components
+    * needs integral labels, and a string id would make min-casts read
+    * null and silently no-op). One definition for the store AND the
+    * streaming wrapper so they can never disagree on accepted schemas. */
+  private[graft] def requireIntegralId(schema: org.apache.spark.sql.types.StructType,
+                                       idCol: String, context: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$context id column '$idCol' must be integral, got $dt")
+  }
+
   /** The quality / repetition pass predicates over a scored frame —
     * ONE definition, used both to filter (preFilter) and to account
     * (curate's stage counts); a second copy could silently drift. */
@@ -221,15 +233,7 @@ object Pipeline {
                beforeCommit: CurateDelta => Unit = _ => ())
         : CurateDelta = {
       import spark.implicits._
-      // integral ids required up front (connected components needs them
-      // later anyway) — without this check a string-id batch would cast
-      // its min to null below and silently no-op as "empty"
-      locally {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        val dt = batch.schema(idCol).dataType
-        require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-          s"CurationStore id column '$idCol' must be integral, got $dt")
-      }
+      Pipeline.requireIntegralId(batch.schema, idCol, "CurationStore")
       // id-monotonicity guard — a violation would silently flip exact-
       // dedup winners (store membership means "first ingested", the
       // full-corpus semantics mean "min id"; the contract makes them agree)

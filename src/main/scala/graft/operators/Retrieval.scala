@@ -39,13 +39,16 @@ object Retrieval {
     // one pass for N, Σdl, and every term's df — over the BOUND token
     // column (__t), tokenized once per row in a pruned scan
     val statCols = Seq(count(lit(1)).cast("double").as("n"),
-        sum(size(col("__t"))).cast("double").as("sumdl")) ++
+        coalesce(sum(size(col("__t"))), lit(0L)).cast("double").as("sumdl")) ++
       queryTerms.zipWithIndex.map { case (term, i) =>
         count(when(array_contains(col("__t"), term), lit(1)))
           .cast("double").as(s"df$i") }
     val stats = docs.select(toks.as("__t"))
       .agg(statCols.head, statCols.tail: _*).head()
     val n = stats.getDouble(0)
+    if (n == 0.0) // empty corpus: empty result, not an NPE on null Σdl
+      return docs.select(col(idCol).as("id"), lit(0.0).as("score"))
+        .withColumn("rank", lit(0)).limit(0)
     val avgdl = stats.getDouble(1) / n
     val score = queryTerms.zipWithIndex.map { case (term, i) =>
       val df = stats.getDouble(2 + i)
@@ -98,7 +101,16 @@ object Retrieval {
     *
     * Ids must be unique across appends (re-indexing a doc would
     * double-count its postings — delete-and-reindex needs a table
-    * format with row-level deletes). */
+    * format with row-level deletes).
+    *
+    * CRASH SEMANTICS (same discipline as the family's other stores —
+    * plain parquet has no multi-table transaction): one append performs
+    * three writes, stats LAST, so "this batch's stats row exists" means
+    * the append completed. A crash mid-append leaves postings without
+    * lengths/stats, which would silently skew df vs N at serve — run
+    * appends under an external retry that restores `root` from the
+    * previous snapshot before retrying; the stats row count tells you
+    * how many appends completed. */
   final class Bm25Index(spark: org.apache.spark.sql.SparkSession,
                         root: String, name: String,
                         nStoreBuckets: Int = 32) {
@@ -128,6 +140,8 @@ object Retrieval {
     def search(queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
       require(queryTerms.nonEmpty, "empty query")
+      require(new java.io.File(statsPath).exists(),
+        s"Bm25Index '$name' at $root has no appends — index before searching")
       val st = spark.read.parquet(statsPath)
         .agg(sum("n"), sum("sumdl")).head()
       val n = st.getLong(0).toDouble

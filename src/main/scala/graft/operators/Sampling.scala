@@ -100,7 +100,7 @@ object Sampling {
   def fractionSample(df: DataFrame, strataCol: String, idCol: String,
                      fractions: Seq[(String, Double)], defaultFraction: Double,
                      salt: String = ""): DataFrame = {
-    fractions.foreach { case (s, f) =>
+    (fractions :+ ("<default>" -> defaultFraction)).foreach { case (s, f) =>
       require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1] for '$s': $f") }
     // the raw rolling hash of a SHORT id string stays far below the
     // modulus (≤ 31^len·c), so "h < f·p" would keep everything; one

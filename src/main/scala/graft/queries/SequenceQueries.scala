@@ -13,11 +13,13 @@ import Catalog.{duckHashBucket, duckToks}
   * scaladoc. */
 private[queries] object SequenceQueries {
 
-  /** q82's oracle — shared VERBATIM by q85: serving an incrementally
-    * built Bm25Index must reproduce the one-shot ranking exactly.
-    * Mirrors the Scala expression tree precisely (left-assoc +,*,/;
-    * k1+1 and 1−b written as the same driver-side arithmetic). */
-  private val bm25Oracle: String = {
+  /** The BM25 scoring CTE chain `tk → st → sc` over the (table, spark,
+    * window) query — ONE definition of the parity-critical score SQL,
+    * shared by q82, q85 (verbatim — incremental serve must equal
+    * one-shot) and q84's lexical leg. Mirrors the Scala expression tree
+    * precisely (left-assoc +,*,/; k1+1 and 1−b written as the same
+    * driver-side arithmetic). */
+  private val bm25Ctes: String = {
     val terms = Seq("table", "spark", "window")
     val dl = "CAST(len(tk) AS DOUBLE)"
     def tf(t: String) =
@@ -30,19 +32,23 @@ private[queries] object SequenceQueries {
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(count(*) FILTER (list_contains(tk, '$t')) AS DOUBLE) AS df$i"
     }.mkString(",\n               ")
-    s"""
-        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+    s"""tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
         st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                CAST(sum(len(tk)) AS DOUBLE) AS sumdl,
                $dfCols
           FROM tk),
-        sc AS (SELECT doc_id, $score AS score FROM tk, st)
+        sc AS (SELECT doc_id, $score AS score FROM tk, st)"""
+  }
+
+  /** q82's oracle — shared VERBATIM by q85. */
+  private val bm25Oracle: String =
+    s"""
+        WITH $bm25Ctes
         SELECT doc_id, score,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
                  AS rank
         FROM sc WHERE score > 0.0
         QUALIFY rank <= 10"""
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -150,28 +156,11 @@ private[queries] object SequenceQueries {
           .withColumn("rank", col("rank").cast("long"))
       },
       Some {
-        val terms = Seq("table", "spark", "window")
-        val dl = "CAST(len(tk) AS DOUBLE)"
-        def tf(t: String) =
-          s"CAST(len(list_filter(tk, t -> t = '$t')) AS DOUBLE)"
-        val score = terms.zipWithIndex.map { case (t, i) =>
-          s"""((${tf(t)} * (1.2 + 1.0) / (${tf(t)} + 1.2 * ((1.0 - 0.75)
-             |            + 0.75 * $dl / (sumdl / n))))
-             |            * (((n - df$i) + 0.5) / (df$i + 0.5)))""".stripMargin
-        }.mkString("(", "\n           + ", ")")
-        val dfCols = terms.zipWithIndex.map { case (t, i) =>
-          s"CAST(count(*) FILTER (list_contains(tk, '$t')) AS DOUBLE) AS df$i"
-        }.mkString(",\n               ")
         val d = Catalog.duckDot("qv", "cv")
         val na = s"sqrt(${Catalog.duckDot("qv", "qv")})"
         val nb = s"sqrt(${Catalog.duckDot("cv", "cv")})"
         s"""
-        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(len(tk)) AS DOUBLE) AS sumdl,
-               $dfCols
-          FROM tk),
-        sc AS (SELECT doc_id, $score AS score FROM tk, st),
+        WITH $bm25Ctes,
         blex AS (SELECT doc_id AS id, rank FROM (
             SELECT doc_id, score,
                    row_number() OVER (ORDER BY score DESC, doc_id) AS rank

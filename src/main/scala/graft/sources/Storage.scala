@@ -181,15 +181,27 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
                      nBuckets: Int): Unit = {
-    // spec BEFORE data: it is pure config (idempotent re-write on every
-    // append), and the reverse order left a crash window where a store
-    // with data but no spec could never be reopened by a fresh driver.
-    // A crash after the spec but mid-data-write instead leaves a shell
-    // readBucketed reports accurately (see the data-file check there).
+    // spec BEFORE data: it is pure config, and the reverse order left a
+    // crash window where a store with data but no spec could never be
+    // reopened by a fresh driver. A crash after the spec but mid-data-
+    // write instead leaves a shell readBucketed reports accurately (see
+    // the data-file check there). An EXISTING spec is validated, never
+    // rewritten: overwriting it before a data write that then fails
+    // (e.g. a caller drifting to a different bucket count) would leave
+    // a sidecar describing a layout the files don't have.
     val spec = bucketSpecFile(table)
-    spec.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(spec.toPath,
-      s"$nBuckets\n${bucketCols.mkString(",")}\n")
+    val content = s"$nBuckets\n${bucketCols.mkString(",")}\n"
+    if (spec.exists()) {
+      val prev = java.nio.file.Files.readString(spec.toPath)
+      require(prev == content,
+        s"bucket layout mismatch for $table: store has " +
+          s"${prev.trim.replace("\n", " buckets on ")}, append requested " +
+          s"$nBuckets buckets on ${bucketCols.mkString(",")} — a bucketed " +
+          "table's layout is fixed at creation (re-bucket = new table)")
+    } else {
+      spec.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(spec.toPath, content)
+    }
     df.write.mode(SaveMode.Append)
       .option("path", path(table))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)

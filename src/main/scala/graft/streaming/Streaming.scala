@@ -209,12 +209,8 @@ object Streaming {
     // fail fast on a non-integral id column: the min-cast below would
     // read null and silently skip EVERY batch (the store's own integral
     // require sits past the empty-batch return and would never trip)
-    locally {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = batch.schema(idCol).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"curateBatch id column '$idCol' must be integral, got $dt")
-    }
+    graft.operators.Pipeline.requireIntegralId(batch.schema, idCol,
+      "curateBatch")
     val minId = batch.agg(min(col(idCol)).cast("long")).head()
     if (minId.isNullAt(0)) return // empty micro-batch
     if (store.maxIngestedId.exists(_ >= minId.getLong(0))) return // redelivery

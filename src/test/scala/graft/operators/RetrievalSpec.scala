@@ -33,6 +33,19 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(2L) > scores(3L))
   }
 
+  test("bm25TopK on an empty corpus returns empty; unappended index fails fast") {
+    val empty = docs.filter(col("id") < 0)
+    assert(Retrieval.bm25TopK(empty, "id", "text", Seq("spark"), 5)
+      .count() === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25empty_").toString
+    val idx = new Retrieval.Bm25Index(spark, root, "t")
+    val e = intercept[IllegalArgumentException] {
+      idx.search(Seq("spark"), 5)
+    }
+    assert(e.getMessage.contains("no appends"))
+  }
+
   test("bm25 index: incremental appends serve the one-shot ranking bit-for-bit") {
     val corpus = (1L to 60L).map { i =>
       (i, if (i % 5 == 0) "spark engine cluster" else s"filler$i words here")

@@ -156,6 +156,18 @@ class StorageSpec extends SparkSpec {
     assert(wh.readBucketed("reopen_b").count() === 51)
   }
 
+  test("bucketed append rejects a drifted bucket layout instead of corrupting the spec") {
+    val root = tmpRoot()
+    val wh = new Warehouse(spark, root)
+    wh.appendBucketed("drift_t", Seq((1L, "a")).toDF("k", "v"), Seq("k"), 4)
+    val e = intercept[IllegalArgumentException] {
+      wh.appendBucketed("drift_t", Seq((2L, "b")).toDF("k", "v"), Seq("k"), 8)
+    }
+    assert(e.getMessage.contains("bucket layout mismatch"))
+    // the original spec survives and the store still opens
+    assert(wh.readBucketed("drift_t").count() === 1)
+  }
+
   test("bucketed read reports a spec-only shell (interrupted first write)") {
     // the spec is written BEFORE the data, so a crash mid-first-write
     // leaves spec-without-data; reopening must say so, not fail schema
