@@ -119,7 +119,22 @@ object Retrieval {
     private val lenTable = s"${name}_bm_len"
     private val statsPath = s"$root/state/${name}_bm_stats"
 
-    def append(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    def append(docs: DataFrame, idCol: String, textCol: String): Unit =
+      appendOnce(docs, idCol, textCol, appendId = None)
+
+    /** Replay-safe append keyed on `appendId` (e.g. a streaming
+      * micro-batch id): the stats row carries the id and is written
+      * LAST, so a redelivered append whose previous attempt COMPLETED
+      * is detected and skipped. A crash mid-append still needs the
+      * snapshot-restore discipline from the class scaladoc — the skip
+      * only makes post-completion redelivery (the normal Structured
+      * Streaming restart case) a no-op. */
+    def appendOnce(docs: DataFrame, idCol: String, textCol: String,
+                   appendId: Option[Long]): Unit = {
+      if (appendId.isDefined && new java.io.File(statsPath).exists() &&
+          spark.read.parquet(statsPath)
+            .filter(col("append_id") === appendId.get).limit(1).count() > 0)
+        return // completed append redelivered
       // one tokenization feeds postings, lengths and the stats row
       val toksed = docs.select(col(idCol).as("id"),
           TextFunctions.tokens(col(textCol)).as("__t"))
@@ -134,6 +149,8 @@ object Retrieval {
         Seq("id"), nStoreBuckets)
       toksed.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("sumdl"))
+        .withColumn("append_id",
+          appendId.map(lit(_)).getOrElse(lit(null)).cast("long"))
         .write.mode("append").parquet(statsPath)
     }
 

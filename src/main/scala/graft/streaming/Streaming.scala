@@ -225,6 +225,36 @@ object Streaming {
     ()
   }
 
+  /** Always-on BM25 index maintenance: each micro-batch of documents is
+    * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on the
+    * micro-batch id — a redelivered batch whose append completed skips
+    * via the id-stamped stats marker; a crash mid-append inherits the
+    * index's documented snapshot-restore discipline. Ids must be unique
+    * across the whole stream (the index's own contract). */
+  def bm25IndexSink(docs: DataFrame,
+                    index: graft.operators.Retrieval.Bm25Index,
+                    checkpoint: String, idCol: String, textCol: String,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    trigger.fold(writer)(writer.trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        index.appendOnce(batch.toDF(), idCol, textCol, Some(batchId))
+      }
+      .start()
+  }
+
+  /** Cron-compatible catch-up form of [[bm25IndexSink]]. */
+  def runBm25IndexAvailableNow(docs: DataFrame,
+                               index: graft.operators.Retrieval.Bm25Index,
+                               checkpoint: String, idCol: String,
+                               textCol: String): Unit =
+    bm25IndexSink(docs, index, checkpoint, idCol, textCol,
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      .awaitTermination()
+
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset
     * classifications) against the event stream. The static side is

@@ -323,6 +323,36 @@ class StreamingSpec extends SparkSpec {
     assert(t8.contains("<EMAIL>") && !t8.contains("alice@example.com"))
   }
 
+  test("bm25 index catch-up: streamed appends serve the one-shot ranking") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bmstream").toString
+    val corpus = (1L to 40L).map { i =>
+      (i, if (i % 4 == 0) "spark engine cluster" else s"filler$i words")
+    }
+    val inDir = s"$root/in"
+    corpus.filter(_._1 <= 20).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    corpus.filter(_._1 > 20).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val idx = new graft.operators.Retrieval.Bm25Index(
+      spark, s"$root/idx", "t", nStoreBuckets = 2)
+    val schema = corpus.toDF("doc_id", "text").schema
+    Streaming.runBm25IndexAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      idx, s"$root/ckpt", "doc_id", "text")
+    val served = idx.search(Seq("spark"), k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    val oneShot = graft.operators.Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", Seq("spark"), 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(served === oneShot && served.nonEmpty)
+    // a replayed appendOnce with an already-completed id is a no-op
+    idx.appendOnce(corpus.take(5).toDF("doc_id", "text"), "doc_id", "text",
+      Some(0L))
+    assert(idx.search(Seq("spark"), k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq === oneShot)
+  }
+
   test("curateBatch: a redelivered micro-batch after a completed ingest is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_curreplay").toString
     val wh = new graft.sources.Warehouse(spark, root)
