@@ -71,4 +71,38 @@ object Decontamination {
       .select(tokens(col(evalTextCol)).as("__t"))
       .select(explode(ngrams(col("__t"), n)).as("__g"))
       .distinct()
+
+  /** Persisted inverted (gram → id) index for CONTINUOUS decontamination
+    * — benchmarks keep being released, and checking a new eval set must
+    * not rescan 100 TB of text: the corpus's n-gram postings are built
+    * once (appendable, batch by batch) into a gram-bucketed table, and
+    * each new benchmark check is one semi-join against the (small,
+    * distinct-projected) eval gram set. [[check]] over an incrementally
+    * built index equals [[contaminatedIds]] over the union of the
+    * appended batches (oracle-verified, q86): gram membership is a pure
+    * per-doc function, so batch-wise construction is exact, not
+    * approximate. Ids must be unique across appends (duplicate grams
+    * only cost space — `check` distincts ids — but re-appending a doc
+    * doubles its postings). */
+  final class GramIndex(spark: org.apache.spark.sql.SparkSession,
+                        root: String, name: String, n: Int,
+                        nStoreBuckets: Int = 32) {
+    private val wh = new graft.sources.Warehouse(spark, root)
+    private val gramTable = s"${name}_dc_gram"
+
+    def append(docs: DataFrame, idCol: String, textCol: String): Unit =
+      wh.appendBucketed(gramTable,
+        docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+          .select(col("id"),
+            explode(array_distinct(ngrams(col("__t"), n))).as("gram")),
+        Seq("gram"), nStoreBuckets)
+
+    /** Ids of indexed docs sharing ≥1 n-gram with `evalTexts` — the
+      * postings side is read bucket-aligned, ids only. */
+    def check(evalTexts: DataFrame, evalTextCol: String): DataFrame =
+      wh.readBucketed(gramTable)
+        .join(evalGrams(evalTexts, evalTextCol, n)
+          .withColumnRenamed("__g", "gram"), Seq("gram"), "left_semi")
+        .select("id").distinct()
+  }
 }

@@ -248,6 +248,22 @@ private[queries] object CurationQueries {
         WITH RECURSIVE $curateCtes
         SELECT id AS doc_id FROM kept""")),
 
+    // ===== continuous decontamination: a new benchmark checked against
+    // a persisted gram index (built in two id-parity appends) must flag
+    // exactly the docs the one-shot corpus scan flags (q63's oracle) =====
+    QueryDef("q86_decon_incremental",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val corpus = d.filter(col("doc_id") >= 25)
+        val idx = new Decontamination.GramIndex(s,
+          scratchRoot("graft_q86_"), "inc", n = 5, nStoreBuckets = 8)
+        idx.append(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        idx.append(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        idx.check(d.filter(col("doc_id") < 25), "text")
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(LlmQueries.deconOracle)),
+
     // ===== threshold-grade decontamination: per-doc fraction of distinct
     // 5-grams shared with the eval set (q63's boolean flag, graded) =====
     QueryDef("q76_contamination_rate",

@@ -93,6 +93,20 @@ private[queries] object LlmQueries {
         FROM cand WHERE hamming <= 3$extraWhere"""
   }
 
+  /** q63's oracle — shared VERBATIM by q86: checking a new eval set
+    * against an incrementally built GramIndex must equal the one-shot
+    * contaminatedIds scan. */
+  private[queries] val deconOracle: String = s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        g AS (SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(tk) - 4, 0) + 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                 tk[i+3] || ' ' || tk[i+4])) AS g
+          FROM tk),
+        eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)
+        SELECT DISTINCT d.doc_id FROM g d JOIN eg USING (g)
+        WHERE d.doc_id >= 25"""
+
   /** q64's oracle: connected components over the two-prefix-key pair
     * graph. Shared verbatim by q67 (CurationQueries) — the incremental
     * fold of the k2 pairs into the k1 labeling must reproduce exactly
@@ -244,16 +258,7 @@ private[queries] object LlmQueries {
         Decontamination.contaminatedIds(d.filter(col("doc_id") >= 25), "doc_id", "text",
           d.filter(col("doc_id") < 25), "text", n = 5)
       },
-      Some(s"""
-        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        g AS (SELECT doc_id, unnest(list_transform(
-            range(1, greatest(len(tk) - 4, 0) + 1),
-            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
-                 tk[i+3] || ' ' || tk[i+4])) AS g
-          FROM tk),
-        eg AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)
-        SELECT DISTINCT d.doc_id FROM g d JOIN eg USING (g)
-        WHERE d.doc_id >= 25""")),
+      Some(deconOracle)),
 
     // ===== Dedup: pair list → dedup clusters (connected components).
     // Two overlapping prefix keys chain components across hops, so the

@@ -38,6 +38,29 @@ class DecontaminationSpec extends SparkSpec {
     assert(out === ((1L, 3L, 1L, 1.0 / 3.0)))
   }
 
+  test("gram index: incremental appends check equal to the one-shot scan") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "no shared grams in this document at all friend"),
+      (3L, "the quick brown fox jumps elsewhere entirely now"),
+      (4L, "short one")
+    ).toDF("id", "text")
+    val ev = Seq("the quick brown fox jumps").toDF("text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gramidx_").toString
+    val idx = new Decontamination.GramIndex(spark, root, "t", n = 5,
+      nStoreBuckets = 2)
+    idx.append(docs.filter(col("id") <= 2), "id", "text")
+    idx.append(docs.filter(col("id") > 2), "id", "text")
+    val viaIndex = idx.check(ev, "text").as[Long].collect().sorted.toSeq
+    val oneShot = Decontamination.contaminatedIds(docs, "id", "text",
+      ev, "text", 5).as[Long].collect().sorted.toSeq
+    assert(viaIndex === oneShot && viaIndex === Seq(1L, 3L))
+    // a benchmark with no overlap flags nothing
+    assert(idx.check(Seq("zero overlap here with anything")
+      .toDF("text"), "text").count() === 0)
+  }
+
   test("thresholding overlapStats strictly widens contaminatedIds") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
