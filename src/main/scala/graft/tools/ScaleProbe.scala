@@ -375,6 +375,38 @@ object ScaleProbe {
       s"equal=${oneShot.map(_.toString).toSeq == served.map(_.toString).toSeq}")
   }
 
+  /** Continuous decontamination: one-shot corpus scan per benchmark vs
+    * the persisted gram index — the index pays the gram explode once;
+    * each new benchmark check then touches only its grams' buckets. */
+  private def gramProbe(spark: SparkSession, docsPath: String,
+                        whRoot: String): Unit = {
+    import graft.operators.Decontamination
+    val docs = spark.read.parquet(docsPath)
+    println(s"[probe] docs = ${docs.count()}")
+    // synthetic benchmark: 100 corpus docs verbatim → guaranteed overlap
+    val bench = docs.filter(col("doc_id") % 10007 === 0)
+      .select(col("text")).localCheckpoint(true)
+    val oneShot = timedCount("decon one-shot scan") {
+      Decontamination.contaminatedIds(docs, "doc_id", "text",
+        bench, "text", 5)
+    }
+    val idx = new Decontamination.GramIndex(spark,
+      s"$whRoot/gr_${System.nanoTime()}", "probe", n = 5,
+      nStoreBuckets = 64)
+    time("gram index append (full)") {
+      idx.append(docs, "doc_id", "text")
+    }
+    val viaIndex = timedCount("gram index check") {
+      idx.check(bench, "text")
+    }
+    val again = timedCount("gram index check (2nd benchmark)") {
+      idx.check(docs.filter(col("doc_id") % 9973 === 0)
+        .select(col("text")), "text")
+    }
+    println(s"[probe] one-shot=$oneShot via-index=$viaIndex " +
+      s"equal=${oneShot == viaIndex} second_check=$again")
+  }
+
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
     * geometry — what the HammingPairs kernel iterates, counted without
     * materializing pairs (mirrors simhashPortablePairs's bucket keying
@@ -523,16 +555,18 @@ object ScaleProbe {
         seqProbe(spark, docsPath)
       case "bm25" :: docsPath :: whRoot :: Nil =>
         bm25Probe(spark, docsPath, whRoot)
+      case "gram" :: docsPath :: whRoot :: Nil =>
+        gramProbe(spark, docsPath, whRoot)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
-            "seq", "bm25").contains(docsPath) =>
+            "seq", "bm25", "gram").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
           "incr <docs> <whRoot> | stream <root> <nRows> | " +
           "embincr <whRoot> <nVecs> | seq <docs> | bm25 <docs> <whRoot> | " +
-          "<docs> [<emb>]")
+          "gram <docs> <whRoot> | <docs> [<emb>]")
     }
     spark.stop()
   }
