@@ -260,6 +260,45 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact mean of a REFERENCE embedding set, folded in ascending-id
+    * order on the driver — the deterministic centroid for
+    * [[referenceSimilarity]]. Reference/seed corpora are eval-set-sized
+    * (bounded control read); the FIXED fold order is what makes the
+    * centroid reproducible across engines and partitionings — a
+    * distributed float sum would drift in the last ulp with shuffle
+    * order. */
+  def referenceCentroid(ref: DataFrame, idCol: String,
+                        vecCol: String): Seq[Double] = {
+    val rows = ref.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect()
+    require(rows.nonEmpty, "empty reference set")
+    val dim = rows.head.getSeq[Any](1).size
+    val sums = new Array[Double](dim)
+    rows.foreach { r =>
+      val v = r.getSeq[Any](1)
+      var j = 0
+      while (j < dim) {
+        sums(j) += v(j).asInstanceOf[Number].doubleValue(); j += 1 }
+    }
+    sums.map(_ / rows.length.toDouble).toSeq
+  }
+
+  /** Classifier-free QUALITY signal: each document's cosine similarity
+    * to the [[referenceCentroid]] of a trusted seed corpus — the
+    * "looks like the reference distribution" filter (the CCNet /
+    * quality-classifier idiom, without training a model). One narrow
+    * scan: the centroid and its norm enter as literals, so the score
+    * is a per-row column program with no join and no shuffle. */
+  def referenceSimilarity(docs: DataFrame, idCol: String, vecCol: String,
+                          centroid: Seq[Double]): DataFrame = {
+    val c = array(centroid.map(lit): _*)
+    // centroid norm folded driver-side in index order (mirrors dot)
+    val cn = math.sqrt(centroid.foldLeft(0.0)((a, v) => a + v * v))
+    docs.select(col(idCol).as("id"),
+      cosineFromParts(dot(col(vecCol), c), norm(col(vecCol)),
+        lit(cn)).as("ref_sim"))
+  }
+
   /** K-means-lite centroid training: sample to driver, run a few Lloyd
     * iterations. Centroid count and sample are tiny relative to corpus;
     * this is the standard IVF build step (train on sample, assign at

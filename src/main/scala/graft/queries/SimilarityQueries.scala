@@ -252,5 +252,33 @@ private[queries] object SimilarityQueries {
         store.ingest(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
       },
       Some(embPairsOracle("\n          AND (id_a % 2 = 1 OR id_b % 2 = 1)"))),
+
+    // ===== Similarity: classifier-free quality — cosine to the exact
+    // (fixed-fold-order) mean of a trusted reference set =====
+    QueryDef("q87_reference_quality",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cent = Similarity.referenceCentroid(
+          e.filter(col("vec_id") < 25), "vec_id", "embedding")
+        Similarity.referenceSimilarity(e, "vec_id", "embedding", cent)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some {
+        val d = duckDot("embedding", "c")
+        val na = s"sqrt(${duckDot("embedding", "embedding")})"
+        val cn = s"sqrt(${duckDot("c", "c")})"
+        s"""
+        WITH refs AS (SELECT list(embedding ORDER BY vec_id) AS vs,
+                             count(*) AS n
+                      FROM embeddings WHERE vec_id < 25),
+        cent AS (SELECT list_transform(range(1, 65), j ->
+            list_reduce(list_prepend(0.0, list_transform(vs, v -> v[j]::DOUBLE)),
+              (a, b) -> a + b) / CAST(n AS DOUBLE)) AS c
+          FROM refs)
+        SELECT vec_id,
+               CASE WHEN $na = 0.0 OR $cn = 0.0 THEN 0.0
+                    ELSE $d / ($na * $cn) END AS ref_sim
+        FROM embeddings, cent"""
+      }),
   )
 }

@@ -80,4 +80,28 @@ class SimilaritySpec extends SparkSpec {
       .select("nbr_id").as[Long].head()
     assert(ivf === 2L, "probing all cells recovers the exact neighbor")
   }
+
+  test("referenceSimilarity scores cosine to the exact reference mean") {
+    // reference = {(2,0), (4,0)} → centroid (3,0); probes along axes
+    val ref = Seq((1L, Array(2f, 0f)), (2L, Array(4f, 0f))).toDF("id", "v")
+    val cent = Similarity.referenceCentroid(ref, "id", "v")
+    assert(cent === Seq(3.0, 0.0))
+    val docs = Seq((10L, Array(5f, 0f)), (11L, Array(0f, 7f)),
+      (12L, Array(3f, 3f)), (13L, Array(0f, 0f))).toDF("id", "v")
+    val out = Similarity.referenceSimilarity(docs, "id", "v", cent)
+      .orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(out(0) === ((10L, 1.0)))            // parallel to centroid
+    assert(out(1) === ((11L, 0.0)))            // orthogonal
+    assert(math.abs(out(2)._2 - 1.0 / math.sqrt(2.0)) < 1e-12) // 45°
+    assert(out(3) === ((13L, 0.0)))            // zero vector guard
+  }
+
+  test("referenceCentroid is partitioning-independent (fixed fold order)") {
+    val ref = (1L to 100L).map(i =>
+      (i, Array.tabulate(4)(j => (math.sin(i * 3 + j) * 0.1).toFloat)))
+      .toDF("id", "v")
+    val a = Similarity.referenceCentroid(ref, "id", "v")
+    val b = Similarity.referenceCentroid(ref.repartition(13), "id", "v")
+    assert(a === b) // bit-equal despite different partitionings
+  }
 }
