@@ -120,21 +120,46 @@ object Retrieval {
     private val statsPath = s"$root/state/${name}_bm_stats"
 
     def append(docs: DataFrame, idCol: String, textCol: String): Unit =
-      appendOnce(docs, idCol, textCol, appendId = None)
+      appendOnce(docs, idCol, textCol, appendKey = None)
 
-    /** Replay-safe append keyed on `appendId` (e.g. a streaming
-      * micro-batch id): the stats row carries the id and is written
-      * LAST, so a redelivered append whose previous attempt COMPLETED
-      * is detected and skipped. A crash mid-append still needs the
-      * snapshot-restore discipline from the class scaladoc — the skip
-      * only makes post-completion redelivery (the normal Structured
-      * Streaming restart case) a no-op. */
+    /** Stats rows read with an EXPLICIT schema: rows written before the
+      * append_key marker existed (or by plain [[append]]) surface a
+      * null key instead of failing column resolution. */
+    private val statsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "n BIGINT, sumdl BIGINT, append_key STRING")
+    private def statsDf = spark.read.schema(statsSchema).parquet(statsPath)
+    // completed append keys, loaded ONCE per index handle then kept
+    // in-memory — an always-on sink appends one tiny stats file per
+    // micro-batch, and re-scanning all of them per batch would make the
+    // idempotence check grow with stream age. Single-writer assumption
+    // (one maintenance stream per index), same as the store family.
+    private var seenKeys: scala.collection.mutable.Set[String] = null
+
+    /** Replay-safe append keyed on `appendKey`: the stats row carries
+      * the key and is written LAST, so a redelivered append whose
+      * previous attempt COMPLETED is detected and skipped. The key must
+      * identify the batch GLOBALLY — the streaming sink uses
+      * (checkpoint path, batchId), so two streams feeding one index
+      * don't collide; resetting a checkpoint without resetting the
+      * index reuses old keys and will skip (not re-index) those
+      * batches. A crash mid-append still needs the snapshot-restore
+      * discipline from the class scaladoc — the skip only makes
+      * post-completion redelivery (the normal Structured Streaming
+      * restart case) a no-op. */
     def appendOnce(docs: DataFrame, idCol: String, textCol: String,
-                   appendId: Option[Long]): Unit = {
-      if (appendId.isDefined && new java.io.File(statsPath).exists() &&
-          spark.read.parquet(statsPath)
-            .filter(col("append_id") === appendId.get).limit(1).count() > 0)
-        return // completed append redelivered
+                   appendKey: Option[String]): Unit = {
+      if (appendKey.isDefined) {
+        if (seenKeys == null) {
+          val persisted: Seq[String] =
+            if (new java.io.File(statsPath).exists())
+              statsDf.select("append_key").filter(col("append_key").isNotNull)
+                .collect().map(_.getString(0)).toSeq
+            else Seq.empty
+          seenKeys = scala.collection.mutable.Set.empty[String] ++ persisted
+        }
+        if (seenKeys.contains(appendKey.get))
+          return // completed append redelivered
+      }
       // one tokenization feeds postings, lengths and the stats row
       val toksed = docs.select(col(idCol).as("id"),
           TextFunctions.tokens(col(textCol)).as("__t"))
@@ -149,9 +174,10 @@ object Retrieval {
         Seq("id"), nStoreBuckets)
       toksed.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("sumdl"))
-        .withColumn("append_id",
-          appendId.map(lit(_)).getOrElse(lit(null)).cast("long"))
+        .withColumn("append_key",
+          appendKey.map(lit(_)).getOrElse(lit(null)).cast("string"))
         .write.mode("append").parquet(statsPath)
+      appendKey.foreach(k => if (seenKeys != null) seenKeys += k)
     }
 
     def search(queryTerms: Seq[String], k: Int,
@@ -159,8 +185,7 @@ object Retrieval {
       require(queryTerms.nonEmpty, "empty query")
       require(new java.io.File(statsPath).exists(),
         s"Bm25Index '$name' at $root has no appends — index before searching")
-      val st = spark.read.parquet(statsPath)
-        .agg(sum("n"), sum("sumdl")).head()
+      val st = statsDf.agg(sum("n"), sum("sumdl")).head()
       val n = st.getLong(0).toDouble
       val avgdl = st.getLong(1).toDouble / n
       // postings restricted to the query's terms: with the tok-bucketed

@@ -267,8 +267,16 @@ object Similarity {
     * centroid reproducible across engines and partitionings — a
     * distributed float sum would drift in the last ulp with shuffle
     * order. */
-  def referenceCentroid(ref: DataFrame, idCol: String,
-                        vecCol: String): Seq[Double] = {
+  def referenceCentroid(ref: DataFrame, idCol: String, vecCol: String,
+                        maxRef: Int = 100000): Seq[Double] = {
+    // enforce the "bounded control read" the contract asserts — same
+    // discipline as bruteForceTopK's maxQueries: a caller pointing this
+    // at a million-doc seed corpus should sample it first, not OOM the
+    // driver
+    val refCount = ref.limit(maxRef + 1).count()
+    require(refCount <= maxRef,
+      s"reference set exceeds $maxRef vectors; sample it first " +
+        "(the centroid of a sample converges at tiny sizes)")
     val rows = ref.select(col(idCol), col(vecCol)).orderBy(col(idCol))
       .collect()
     require(rows.nonEmpty, "empty reference set")

@@ -226,11 +226,15 @@ object Streaming {
   }
 
   /** Always-on BM25 index maintenance: each micro-batch of documents is
-    * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on the
-    * micro-batch id — a redelivered batch whose append completed skips
-    * via the id-stamped stats marker; a crash mid-append inherits the
-    * index's documented snapshot-restore discipline. Ids must be unique
-    * across the whole stream (the index's own contract). */
+    * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on
+    * (checkpoint path, batchId) — globally unique across streams, so
+    * two streams feeding one index can't collide on bare batch ids; a
+    * redelivered batch whose append completed skips via the key-stamped
+    * stats marker. Resetting the checkpoint without resetting the index
+    * reuses old keys and SKIPS those batches (see appendOnce). A crash
+    * mid-append inherits the index's documented snapshot-restore
+    * discipline. Ids must be unique across the whole stream (the
+    * index's own contract). */
   def bm25IndexSink(docs: DataFrame,
                     index: graft.operators.Retrieval.Bm25Index,
                     checkpoint: String, idCol: String, textCol: String,
@@ -241,7 +245,8 @@ object Streaming {
       .outputMode("append")
     trigger.fold(writer)(writer.trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        index.appendOnce(batch.toDF(), idCol, textCol, Some(batchId))
+        index.appendOnce(batch.toDF(), idCol, textCol,
+          Some(s"$checkpoint#$batchId"))
       }
       .start()
   }

@@ -386,9 +386,12 @@ object ScaleProbe {
     // synthetic benchmark: 100 corpus docs verbatim → guaranteed overlap
     val bench = docs.filter(col("doc_id") % 10007 === 0)
       .select(col("text")).localCheckpoint(true)
-    val oneShot = timedCount("decon one-shot scan") {
+    // collect the actual id sets, not counts — equal cardinalities of
+    // DIFFERENT flagged docs must not print as equal
+    val oneShot = time("decon one-shot scan") {
       Decontamination.contaminatedIds(docs, "doc_id", "text",
-        bench, "text", 5)
+          bench, "text", 5)
+        .collect().map(_.getLong(0)).sorted.toSeq
     }
     val idx = new Decontamination.GramIndex(spark,
       s"$whRoot/gr_${System.nanoTime()}", "probe", n = 5,
@@ -396,15 +399,15 @@ object ScaleProbe {
     time("gram index append (full)") {
       idx.append(docs, "doc_id", "text")
     }
-    val viaIndex = timedCount("gram index check") {
-      idx.check(bench, "text")
+    val viaIndex = time("gram index check") {
+      idx.check(bench, "text").collect().map(_.getLong(0)).sorted.toSeq
     }
     val again = timedCount("gram index check (2nd benchmark)") {
       idx.check(docs.filter(col("doc_id") % 9973 === 0)
         .select(col("text")), "text")
     }
-    println(s"[probe] one-shot=$oneShot via-index=$viaIndex " +
-      s"equal=${oneShot == viaIndex} second_check=$again")
+    println(s"[probe] one-shot=${oneShot.size} via-index=${viaIndex.size} " +
+      s"ids_equal=${oneShot == viaIndex} second_check=$again")
   }
 
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk

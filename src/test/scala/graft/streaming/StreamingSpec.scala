@@ -346,9 +346,10 @@ class StreamingSpec extends SparkSpec {
         corpus.toDF("doc_id", "text"), "doc_id", "text", Seq("spark"), 5)
       .select("id", "score").as[(Long, Double)].collect().toSeq
     assert(served === oneShot && served.nonEmpty)
-    // a replayed appendOnce with an already-completed id is a no-op
+    // a replayed appendOnce with an already-completed key is a no-op
+    // (the sink keys batches as "<checkpoint>#<batchId>")
     idx.appendOnce(corpus.take(5).toDF("doc_id", "text"), "doc_id", "text",
-      Some(0L))
+      Some(s"$root/ckpt#0"))
     assert(idx.search(Seq("spark"), k = 5)
       .select("id", "score").as[(Long, Double)].collect().toSeq === oneShot)
   }
