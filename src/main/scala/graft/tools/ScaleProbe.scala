@@ -342,6 +342,11 @@ object ScaleProbe {
     println(f"[probe] pack(seqLen=2048)              " +
       f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
       f"docs=$n chunks=$chunks sequences=$nSeqs")
+    val survivors = timedCount("dropRepeatedBlocks(16, df>=2)") {
+      Sequences.dropRepeatedBlocks(docs, "doc_id", "text", 16, 2)
+    }
+    println(s"[probe] boilerplate: $n docs -> $survivors with >=1 " +
+      "surviving block (dup-family docs lose their repeated blocks)")
   }
 
   /** BM25: one-shot scan scoring vs the persisted index — the index
