@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Automated scale-anti-pattern sweep over EVERY declared query's
+  * physical plan: cartesian products, single-partition exchanges, and
+  * unbounded nested-loop joins are the three shapes that silently stop
+  * scaling at 100×. The manual per-round plan audit, as a tool.
+  *
+  * A finding is only a defect when the stage is UNBOUNDED — some plans
+  * funnel ≤ k rows through one partition by design (a top-k rank window
+  * after a LIMIT, a broadcast loop join against a one-row or
+  * buckets-count frame). Those sites are listed in [[allowed]] with
+  * their bound, so the lint stays a zero-tolerance gate: any NEW
+  * single-partition stage fails the sweep until justified here.
+  *
+  * Usage: sbt "runMain graft.tools.PlanLint [sfDir]" — exits nonzero on
+  * unallowed findings.
+  */
+object PlanLint {
+
+  /** (query, flag) pairs with a justified BOUNDED stage — per flag, so
+    * a justification for one pattern can't silently cover a different
+    * future one. Every entry documents WHY the stage cannot grow with
+    * the data. */
+  private val allowed: Map[(String, String), String] = Map(
+    // brute-force/ANN tiers: non-equi or conditionless join against a
+    // BROADCAST side that is bounded by contract (maxQueries require /
+    // one row per IVF cell)
+    ("q22_brute_topk", "NestedLoopJoin") ->
+      "broadcast query set, maxQueries-capped",
+    ("q37_media_ann", "NestedLoopJoin") ->
+      "broadcast query set, maxQueries-capped",
+    ("q23_ivf_topk", "NestedLoopJoin") ->
+      "broadcast centroid table, one row per cell",
+    ("q73_ivf_incremental", "NestedLoopJoin") ->
+      "broadcast centroid table, one row per cell",
+    // two-phase prefix sum: the bucket-offset side is a per-bucket
+    // aggregate (≤ `buckets` rows) joined via a broadcast loop
+    ("q51_cumulative", "NestedLoopJoin") ->
+      "offset join over ≤ buckets aggregate rows",
+    ("q71_token_budget", "NestedLoopJoin") ->
+      "offset join over ≤ buckets aggregate rows",
+    ("q75_pack_sequences", "NestedLoopJoin") ->
+      "offset join over ≤ buckets aggregate rows",
+    ("q80_curate_pack", "NestedLoopJoin") ->
+      "offset join over ≤ buckets aggregate rows",
+    // RRF fuses two ≤ k-row top-k lists — both join sides bounded
+    ("q84_hybrid_rrf", "NestedLoopJoin") ->
+      "full-outer of two ≤ k-row top-k lists",
+    // watermark scan: the high-water mark is a one-row scalar aggregate
+    // joined back (the documented driver-side control read shape)
+    ("q31_watermark_read", "SinglePartition") ->
+      "one-row watermark scalar aggregate",
+    ("q31_watermark_read", "NestedLoopJoin") ->
+      "one-row watermark scalar join",
+    // single-row whole-result aggregates by contract
+    ("q25_count_alert", "SinglePartition") ->
+      "whole-result aggregate is one row by contract",
+    ("q56_revenue_forecast", "SinglePartition") ->
+      "single-row regression aggregate",
+    ("q57_promo_revenue", "SinglePartition") ->
+      "single-row ratio aggregate"
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var unallowed = 0
+    var errs = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "SinglePartition" -> plan.contains("Exchange SinglePartition"),
+          "NestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin")
+        ).collect { case (f, true) => f }
+        flags.foreach { f =>
+          allowed.get((name, f)) match {
+            case Some(why) =>
+              println(s"[lint] $name: $f — ALLOWED ($why)")
+            case None =>
+              unallowed += 1
+              println(s"[lint] $name: $f — UNALLOWED")
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          errs += 1
+          println(s"[lint] $name FAILED to plan: ${e.getMessage}")
+      }
+    }
+    println(s"[lint] queries=${graft.SparkEntry.queries.size} " +
+      s"unallowed=$unallowed errors=$errs")
+    spark.stop()
+    if (unallowed + errs > 0) sys.exit(1)
+  }
+}
