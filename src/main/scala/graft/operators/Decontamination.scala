@@ -91,18 +91,22 @@ object Decontamination {
     private val gramTable = s"${name}_dc_gram"
 
     def append(docs: DataFrame, idCol: String, textCol: String): Unit =
-      wh.appendBucketed(gramTable,
-        docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-          .select(col("id"),
-            explode(array_distinct(ngrams(col("__t"), n))).as("gram")),
-        Seq("gram"), nStoreBuckets)
+      graft.sources.StoreTxn.transact(spark, root) {
+        wh.appendBucketed(gramTable,
+          docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+            .select(col("id"),
+              explode(array_distinct(ngrams(col("__t"), n))).as("gram")),
+          Seq("gram"), nStoreBuckets)
+      }
 
     /** Ids of indexed docs sharing ≥1 n-gram with `evalTexts` — the
       * postings side is read bucket-aligned, ids only. */
-    def check(evalTexts: DataFrame, evalTextCol: String): DataFrame =
+    def check(evalTexts: DataFrame, evalTextCol: String): DataFrame = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
       wh.readBucketed(gramTable)
         .join(evalGrams(evalTexts, evalTextCol, n)
           .withColumnRenamed("__g", "gram"), Seq("gram"), "left_semi")
         .select("id").distinct()
+    }
   }
 }

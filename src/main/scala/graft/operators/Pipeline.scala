@@ -185,15 +185,15 @@ object Pipeline {
     * of the delta.
     *
     * CRASH SEMANTICS: one ingest performs several state writes (hash
-    * store, signature store, labels, survivors, max-id marker — marker
-    * LAST) with no cross-table transaction; a crash mid-ingest leaves
-    * partial signatures that a blind re-ingest would duplicate. Plain
-    * parquet has no multi-table commit, so run each ingest under an
-    * external retry discipline that restores `root` from the previous
-    * snapshot before retrying (the marker tells you which ingests
-    * completed). A lakehouse table format would replace the snapshot
-    * with a transactional multi-table commit; the operator logic is
-    * unchanged either way. */
+    * store, signature store, labels, survivors, max-id marker) — all of
+    * them inside ONE [[graft.sources.StoreTxn]] transaction, including
+    * the embedded [[MinhashStore.ingest]] (which joins the enclosing
+    * transaction rather than committing its own). The component labels
+    * are written as a versioned state directory and the max-id marker
+    * rides in the commit record itself, so "marker advanced" IS "ingest
+    * committed". A crash anywhere mid-ingest rolls back on the next
+    * open and a blind retry converges — no external snapshot-restore
+    * discipline, no duplicated signatures. */
   final class CurationStore(spark: org.apache.spark.sql.SparkSession,
                             root: String, name: String,
                             cfg: CurateConfig = CurateConfig(),
@@ -202,33 +202,30 @@ object Pipeline {
                             stage: DataFrame => DataFrame =
                               _.localCheckpoint(true)) {
     private val wh = new graft.sources.Warehouse(spark, root)
+    private[graft] def storeRoot: String = root
     private val mh = new MinhashStore(wh, s"${name}_cur", cfg.minhash)
     private val exactTable = s"${name}_cur_exact"
-    private val labelsPath = s"$root/state/${name}_labels"
+    private val labelsState = s"${name}_labels"
     private val survivorsPath = s"$root/state/${name}_survivors"
-    private val maxIdPath = s"$root/state/${name}_maxid"
+    private val maxIdKey = s"${name}_maxid"
 
-    private def exists(p: String) = new java.io.File(p).exists()
-
-    /** Highest id any COMPLETED ingest has seen (None before the first).
-      * The marker is the last write of an ingest, so this is also the
-      * "did that ingest finish?" signal the streaming wrapper
+    /** Highest id any COMMITTED ingest has seen (None before the first).
+      * The marker lives in the transaction's commit record, so it is
+      * readable iff the WHOLE ingest published — the "did that ingest
+      * finish?" signal the streaming wrapper
       * ([[graft.streaming.Streaming.curateBatch]]) keys its redelivery
       * skip on. */
     def maxIngestedId: Option[Long] =
-      if (exists(maxIdPath))
-        Some(spark.read.parquet(maxIdPath).head().getLong(0))
-      else None
+      graft.sources.StoreTxn.getKv(root, maxIdKey).map(_.toLong)
 
     /** `beforeCommit` runs with the materialized delta AFTER all delta
-      * computation but BEFORE any of this ingest's remaining state
-      * writes (labels, survivors, hash store, marker — the signature
-      * store was already extended by the pair step). A sink that
-      * persists the delta there is durable before the max-id marker, so
+      * computation but BEFORE the ingest's transaction commits. A sink
+      * that persists the delta there is durable before the max-id
+      * marker publishes (the marker IS part of the commit record), so
       * "marker advanced" implies "delta landed" — the property the
       * streaming wrapper's redelivery skip relies on. Failures inside
-      * `beforeCommit` abort the ingest like any other mid-ingest crash
-      * (snapshot-restore discipline, see class scaladoc). */
+      * `beforeCommit` roll the whole ingest back like any other
+      * mid-ingest failure. */
     def ingest(batch: DataFrame, idCol: String, textCol: String,
                beforeCommit: CurateDelta => Unit = _ => ())
         : CurateDelta = {
@@ -242,12 +239,13 @@ object Pipeline {
       if (bounds.isNullAt(0)) // empty batch: nothing to do, state untouched
         return CurateDelta(spark.emptyDataset[(Long, String)]
           .toDF("id", "text"), spark.emptyDataset[Long].toDF("id"))
-      val prevMax = if (exists(maxIdPath))
-        spark.read.parquet(maxIdPath).head().getLong(0) else Long.MinValue
+      val prevMax = maxIngestedId.getOrElse(Long.MinValue)
       require(bounds.getLong(0) > prevMax,
         s"batch ids must exceed all previously ingested ids " +
           s"(batch min ${bounds.getLong(0)} <= store max $prevMax)")
 
+      graft.sources.StoreTxn.transact(spark, root) {
+      val txn = graft.sources.StoreTxn.current(root)
       val (decon, _) =
         preFilter(batch, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
       // exact dedup vs the hash store: in-batch winner per 128-bit text
@@ -267,17 +265,21 @@ object Pipeline {
             Seq("__h1", "__h2"), "left_anti")
         else batchWinners)
       val survivors = fresh.select("id", "text")
-      // near-dup pairs of the batch survivors vs everything curated
+      // near-dup pairs of the batch survivors vs everything curated —
+      // the embedded store's ingest JOINS this transaction
       val pairs = mh.ingest(survivors, "id", "text")
       val prevLabels =
-        if (exists(labelsPath)) spark.read.parquet(labelsPath)
-        else spark.emptyDataset[(Long, Long)].toDF("id", "comp")
+        graft.sources.StoreTxn.stateDir(root, labelsState) match {
+          case Some(p) => spark.read.parquet(p)
+          case None    => spark.emptyDataset[(Long, Long)].toDF("id", "comp")
+        }
       val labels = Dedup.connectedComponentsIncremental(prevLabels, pairs,
-        "id_a", "id_b") // internally checkpointed — safe to overwrite below
+        "id_a", "id_b") // internally checkpointed — safe to version below
       val nowDropped = labels.filter(col("comp") < col("id")).select("id")
       val prevDropped = prevLabels.filter(col("comp") < col("id")).select("id")
       val oldSurvivors =
-        if (exists(survivorsPath)) spark.read.parquet(survivorsPath)
+        if (new java.io.File(survivorsPath).exists())
+          spark.read.parquet(survivorsPath)
         else spark.emptyDataset[Long].toDF("id")
       // deltas materialized BEFORE the state writes below — their plans
       // read the state paths this ingest is about to replace/extend
@@ -289,13 +291,17 @@ object Pipeline {
         .join(prevDropped, Seq("id"), "left_anti")
         .localCheckpoint(true)
       beforeCommit(CurateDelta(kept, retracted))
-      labels.write.mode("overwrite").parquet(labelsPath)
+      // labels are overwrite-shaped → a fresh versioned directory the
+      // commit record publishes (an in-place overwrite could not be
+      // rolled back); survivors append under the transaction's snapshot
+      labels.write.parquet(txn.stateVersionDir(labelsState))
+      txn.touchPath(s"state/${name}_survivors")
       survivors.select("id").write.mode("append").parquet(survivorsPath)
       wh.appendBucketed(exactTable, fresh.select("__h1", "__h2"),
         Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
-      Seq(math.max(bounds.getLong(1), prevMax)).toDF("max_id")
-        .write.mode("overwrite").parquet(maxIdPath)
+      txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
       CurateDelta(kept, retracted)
+      }
     }
   }
 }

@@ -103,18 +103,18 @@ object Retrieval {
     * double-count its postings — delete-and-reindex needs a table
     * format with row-level deletes).
     *
-    * CRASH SEMANTICS (same discipline as the family's other stores —
-    * plain parquet has no multi-table transaction): one append performs
-    * three writes, stats LAST, so "this batch's stats row exists" means
-    * the append completed. A crash mid-append leaves postings without
-    * lengths/stats, which would silently skew df vs N at serve — run
-    * appends under an external retry that restores `root` from the
-    * previous snapshot before retrying; the stats row count tells you
-    * how many appends completed. */
+    * CRASH SEMANTICS: each append runs as one [[graft.sources.StoreTxn]]
+    * transaction — the three writes (postings, lengths, stats) publish
+    * atomically, and a crash anywhere mid-append rolls back on the next
+    * open ([[search]] heals a dead writer's partial append before
+    * reading), so a blind retry converges with no external snapshot.
+    * The stats row is still written last inside the transaction, so its
+    * count equals the number of committed appends. */
   final class Bm25Index(spark: org.apache.spark.sql.SparkSession,
                         root: String, name: String,
                         nStoreBuckets: Int = 32) {
     private val wh = new graft.sources.Warehouse(spark, root)
+    private[graft] def storeRoot: String = root
     private val postTable = s"${name}_bm_post"
     private val lenTable = s"${name}_bm_len"
     private val statsPath = s"$root/state/${name}_bm_stats"
@@ -142,14 +142,17 @@ object Retrieval {
       * (checkpoint path, batchId), so two streams feeding one index
       * don't collide; resetting a checkpoint without resetting the
       * index reuses old keys and will skip (not re-index) those
-      * batches. A crash mid-append still needs the snapshot-restore
-      * discipline from the class scaladoc — the skip only makes
-      * post-completion redelivery (the normal Structured Streaming
-      * restart case) a no-op. */
+      * batches. The stats row commits atomically with the postings
+      * (class scaladoc), so "key present" always means "batch fully
+      * indexed" — redelivery after a crash anywhere re-appends, after
+      * completion skips. */
     def appendOnce(docs: DataFrame, idCol: String, textCol: String,
                    appendKey: Option[String]): Unit = {
       if (appendKey.isDefined) {
         if (seenKeys == null) {
+          // heal a dead writer's partial append BEFORE trusting the
+          // stats rows as the completed-append record
+          graft.sources.StoreTxn.recoverIfIdle(spark, root)
           val persisted: Seq[String] =
             if (new java.io.File(statsPath).exists())
               statsDf.select("append_key").filter(col("append_key").isNotNull)
@@ -160,29 +163,35 @@ object Retrieval {
         if (seenKeys.contains(appendKey.get))
           return // completed append redelivered
       }
-      // one tokenization feeds postings, lengths and the stats row
-      val toksed = docs.select(col(idCol).as("id"),
-          TextFunctions.tokens(col(textCol)).as("__t"))
-        .localCheckpoint(true)
-      val postings = toksed
-        .select(col("id"), explode(col("__t")).as("tok"))
-        .groupBy("tok", "id").agg(count(lit(1)).as("tf"))
-      wh.appendBucketed(postTable, postings, Seq("tok"), nStoreBuckets)
-      wh.appendBucketed(lenTable,
-        toksed.select(col("id"),
-          size(col("__t")).cast("long").as("dl")),
-        Seq("id"), nStoreBuckets)
-      toksed.agg(count(lit(1)).as("n"),
-          coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("sumdl"))
-        .withColumn("append_key",
-          appendKey.map(lit(_)).getOrElse(lit(null)).cast("string"))
-        .write.mode("append").parquet(statsPath)
+      graft.sources.StoreTxn.transact(spark, root) {
+        // one tokenization feeds postings, lengths and the stats row
+        val toksed = docs.select(col(idCol).as("id"),
+            TextFunctions.tokens(col(textCol)).as("__t"))
+          .localCheckpoint(true)
+        val postings = toksed
+          .select(col("id"), explode(col("__t")).as("tok"))
+          .groupBy("tok", "id").agg(count(lit(1)).as("tf"))
+        wh.appendBucketed(postTable, postings, Seq("tok"), nStoreBuckets)
+        wh.appendBucketed(lenTable,
+          toksed.select(col("id"),
+            size(col("__t")).cast("long").as("dl")),
+          Seq("id"), nStoreBuckets)
+        graft.sources.StoreTxn.current(root)
+          .touchPath(s"state/${name}_bm_stats")
+        toksed.agg(count(lit(1)).as("n"),
+            coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("sumdl"))
+          .withColumn("append_key",
+            appendKey.map(lit(_)).getOrElse(lit(null)).cast("string"))
+          .write.mode("append").parquet(statsPath)
+      }
+      // only a COMMITTED append marks its key as seen
       appendKey.foreach(k => if (seenKeys != null) seenKeys += k)
     }
 
     def search(queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
       require(queryTerms.nonEmpty, "empty query")
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
       require(new java.io.File(statsPath).exists(),
         s"Bm25Index '$name' at $root has no appends — index before searching")
       val st = statsDf.agg(sum("n"), sum("sumdl")).head()

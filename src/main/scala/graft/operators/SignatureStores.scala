@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
 // (b) reads back just the store buckets the batch touches, and
 // (c) appends the batch's signatures for future ingests. Delta cost
 // tracks the batch, not the corpus.
+//
+// Every ingest here runs as one [[graft.sources.StoreTxn]] transaction:
+// the multi-table appends publish atomically, a crash mid-ingest rolls
+// back on the next open, and a blind retry converges — no external
+// snapshot-restore discipline. The root's writer lease enforces the
+// single-writer contract the stores always documented.
 
 /** Parameters of a MinHash-LSH signature store. One value is shared by
   * every ingest — signatures from different configs never compare. */
@@ -52,7 +58,8 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     * is materialized (localCheckpoint) BEFORE the append — it must be:
     * a lazy plan would re-read the store post-append and pair the
     * batch against its own signatures. */
-  def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+   graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
     // batch staging materialized once — banded feeds candidate
     // generation, the store append, and the newness filter; sets feeds
     // verification and the set-store append. Batch-sized, ids+hashes.
@@ -124,7 +131,7 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     wh.appendBucketed(sigTable, banded, Seq("band", "bucket"), cfg.nStoreBuckets)
     wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets)
     pairs
-  }
+   }
 }
 
 /** Incremental IVF ANN corpus: the build/serve split of
@@ -144,14 +151,18 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
   private val table = s"${name}_ivf"
 
   def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
-    wh.appendBucketed(table,
-      Similarity.assignCells(batch, idCol, vecCol, centroids),
-      Seq("cell"), nStoreBuckets)
+    graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+      wh.appendBucketed(table,
+        Similarity.assignCells(batch, idCol, vecCol, centroids),
+        Seq("cell"), nStoreBuckets)
+    }
 
   def serve(queries: DataFrame, idCol: String, vecCol: String, k: Int,
-            nProbes: Int): DataFrame =
+            nProbes: Int): DataFrame = {
+    graft.sources.StoreTxn.recoverIfIdle(queries.sparkSession, wh.root)
     Similarity.ivfTopKAssigned(wh.readBucketed(table), queries, idCol,
       vecCol, k, centroids, nProbes)
+  }
 }
 
 /** Parameters of a hyperplane-LSH embedding store. `planes` pins the
@@ -188,7 +199,8 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
       graft.functions.VectorFunctions.randomPlanes(
         cfg.bitsPerTable, cfg.dim, cfg.seed + t)))
 
-  def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+   graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
     import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
     val banded = Similarity.hyperplaneBanded(batch, idCol, vecCol,
       planeTables).localCheckpoint(true)
@@ -239,7 +251,7 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
     wh.appendBucketed(sigTable, banded, Seq("tbl", "sig"), cfg.nStoreBuckets)
     wh.appendBucketed(vecTable, vecs, Seq("id"), cfg.nStoreBuckets)
     pairs
-  }
+   }
 }
 
 /** Parameters of a SimHash signature store — see [[simhashPortablePairs]]
@@ -259,7 +271,8 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
     s"pigeonhole needs maxDist < chunks: ${cfg.maxDist} >= ${cfg.chunks}")
   private val sigTable = s"${name}_sh_sig"
 
-  def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+   graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
     val chunked = Dedup.simhashStage(batch, idCol, textCol,
       cfg.seed, cfg.chunks, cfg.chunkBits).localCheckpoint(true)
     // no hard broadcast hint — see MinhashStore.ingest on AQE sizing
@@ -284,6 +297,6 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
       .localCheckpoint(true) // BEFORE the append — see MinhashStore
     wh.appendBucketed(sigTable, chunked, Seq("chunk", "cval"), cfg.nStoreBuckets)
     pairs
-  }
+   }
 }
 

@@ -75,7 +75,11 @@ final class StagingStore(spark: SparkSession, root: String) {
     new java.io.File(path(collection)).exists()
 }
 
-final class Warehouse(spark: SparkSession, root: String) {
+final class Warehouse(spark: SparkSession, root0: String) {
+
+  /** Canonicalized so the catalog-name hash, the StoreTxn registry and
+    * the lease files all agree however the caller spelled the path. */
+  private[graft] val root: String = new java.io.File(root0).getCanonicalPath
 
   private def path(table: String) = s"$root/warehouse/$table"
 
@@ -181,6 +185,9 @@ final class Warehouse(spark: SparkSession, root: String) {
 
   def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
                      nBuckets: Int): Unit = {
+    // inside a store ingest, register the directory with the open
+    // transaction BEFORE anything (spec included) changes — write-ahead
+    StoreTxn.touchIfActive(root, s"warehouse/$table")
     // spec BEFORE data: it is pure config, and the reverse order left a
     // crash window where a store with data but no spec could never be
     // reopened by a fresh driver. A crash after the spec but mid-data-
@@ -246,9 +253,23 @@ final class Warehouse(spark: SparkSession, root: String) {
   }
 
   private def bucketedName(table: String): String =
+    Warehouse.bucketedName(root, table)
+}
+
+object Warehouse {
+  private[sources] def bucketedName(root: String, table: String): String =
     "graft_" + java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(root).toLong & 0xffffffffL) +
       "_" + table
+
+  /** Drop the session-catalog registration of a bucketed table whose
+    * files a [[StoreTxn]] undo removed — a registration pointing at a
+    * vanished location must not survive the rollback. */
+  private[sources] def dropCatalogEntry(spark: SparkSession, root: String,
+                                        table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketedName(root, table)}")
+    ()
+  }
 }
 
 /** Small state tables with queue semantics: the reference's retry queues

@@ -150,19 +150,17 @@ object Streaming {
     * (an ingest-time sequence number source satisfies this by
     * construction; out-of-order ids fail fast in `ingest`).
     *
-    * Replay semantics: foreachBatch is at-least-once, and the store's
-    * max-id marker is written LAST in an ingest — the delta appends run
-    * through `ingest`'s `beforeCommit` hook, so they are durable BEFORE
-    * the marker. A redelivered micro-batch whose ingest COMPLETED
-    * (marker ≥ batch min id) therefore skips safely: its deltas are
-    * guaranteed to have landed. A crash mid-ingest (including between
-    * the delta appends and the marker) leaves partial signature state
-    * the store itself cannot roll back (documented in
-    * [[graft.operators.Pipeline.CurationStore]]: plain parquet has no
-    * multi-table transaction) — run under the same snapshot-restore
-    * retry discipline as the batch form, with the delta tables included
-    * in the snapshot; a lakehouse table format would close the window
-    * with a transactional commit. */
+    * Replay semantics: foreachBatch is at-least-once; each ingest is one
+    * atomic [[graft.sources.StoreTxn]] transaction whose commit record
+    * carries the max-id marker, and the delta appends run through
+    * `ingest`'s `beforeCommit` hook — durable BEFORE the commit. A
+    * redelivered micro-batch whose ingest COMMITTED (marker ≥ batch min
+    * id) therefore skips safely; one that crashed mid-ingest rolls back
+    * on redelivery and re-ingests cleanly — no external snapshot.
+    *
+    * The sink holds the store root's maintenance lease from start to
+    * termination: a second sink on the same store fails fast instead of
+    * silently interleaving ingests. */
   def curationSink(docs: DataFrame,
                    store: graft.operators.Pipeline.CurationStore,
                    warehouse: graft.sources.Warehouse,
@@ -170,37 +168,82 @@ object Streaming {
                    checkpoint: String, idCol: String, textCol: String,
                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-    trigger.fold(writer)(writer.trigger)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        curateBatch(store, warehouse, keptTable, retractedTable,
-          idCol, textCol)(batch.toDF(), batchId)
-      }
-      .start()
+    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
+    startCurationSink(docs, store, warehouse, keptTable, retractedTable,
+      checkpoint, idCol, textCol, trigger, Some(lease))
   }
 
+  private def startCurationSink(docs: DataFrame,
+      store: graft.operators.Pipeline.CurationStore,
+      warehouse: graft.sources.Warehouse,
+      keptTable: String, retractedTable: String,
+      checkpoint: String, idCol: String, textCol: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger],
+      lease: Option[graft.sources.StoreTxn.SinkLease])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    try {
+      val writer = docs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+      val query = trigger.fold(writer)(writer.trigger)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          curateBatch(store, warehouse, keptTable, retractedTable,
+            idCol, textCol)(batch.toDF(), batchId)
+        }
+        .start()
+      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
+      query
+    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+
   /** Cron-compatible catch-up form of [[curationSink]]: ingest every
-    * staged document batch currently available, then return. */
+    * staged document batch currently available, then return. The lease
+    * is held for the run and released synchronously — back-to-back
+    * catch-ups never race a listener. */
   def runCurationAvailableNow(docs: DataFrame,
                               store: graft.operators.Pipeline.CurationStore,
                               warehouse: graft.sources.Warehouse,
                               keptTable: String, retractedTable: String,
                               checkpoint: String, idCol: String,
-                              textCol: String): Unit =
-    curationSink(docs, store, warehouse, keptTable, retractedTable,
-      checkpoint, idCol, textCol,
-      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+                              textCol: String): Unit = {
+    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
+    try startCurationSink(docs, store, warehouse, keptTable, retractedTable,
+        checkpoint, idCol, textCol,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
       .awaitTermination()
+    finally lease.release()
+  }
+
+  /** Release a sink's maintenance lease when its query terminates (for
+    * always-on sinks whose lifetime the caller owns). */
+  private def releaseOnTermination(spark: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      lease: graft.sources.StoreTxn.SinkLease): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          lease.release()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    // the query may have terminated before the listener registered
+    if (!query.isActive) lease.release()
+  }
 
   /** The per-micro-batch body of [[curationSink]], exposed so the
     * redelivery skip is directly testable. The delta appends run via
-    * `ingest`'s `beforeCommit` hook — durable BEFORE the store's max-id
-    * marker — so the skip below ("marker already past this batch ⇒
-    * everything landed") is sound: a crash after the appends but before
-    * the marker redelivers into a normal retry under the store's
-    * snapshot-restore discipline, never into a skip that loses deltas. */
+    * `ingest`'s `beforeCommit` hook — durable BEFORE the store's
+    * transaction (whose commit record carries the max-id marker)
+    * publishes — so the skip below ("marker already past this batch ⇒
+    * everything landed") is sound: a crash after the appends but
+    * before the commit redelivers into a clean retry (the transaction
+    * rolls back on reopen), never into a skip that loses deltas. */
   def curateBatch(store: graft.operators.Pipeline.CurationStore,
                   warehouse: graft.sources.Warehouse,
                   keptTable: String, retractedTable: String,
@@ -228,37 +271,60 @@ object Streaming {
   /** Always-on BM25 index maintenance: each micro-batch of documents is
     * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on
     * (checkpoint path, batchId) — globally unique across streams, so
-    * two streams feeding one index can't collide on bare batch ids; a
-    * redelivered batch whose append completed skips via the key-stamped
-    * stats marker. Resetting the checkpoint without resetting the index
-    * reuses old keys and SKIPS those batches (see appendOnce). A crash
-    * mid-append inherits the index's documented snapshot-restore
-    * discipline. Ids must be unique across the whole stream (the
-    * index's own contract). */
+    * two checkpoints feeding one index over time can't collide on bare
+    * batch ids; a redelivered batch whose append COMMITTED skips via
+    * the key-stamped stats marker, one that crashed mid-append rolls
+    * back and re-appends (the index's StoreTxn semantics). Resetting
+    * the checkpoint without resetting the index reuses old keys and
+    * SKIPS those batches (see appendOnce). Ids must be unique across
+    * the whole stream (the index's own contract).
+    *
+    * The sink holds the index root's maintenance lease from start to
+    * termination: a second concurrent sink on the same index fails
+    * fast instead of silently interleaving appends. */
   def bm25IndexSink(docs: DataFrame,
                     index: graft.operators.Retrieval.Bm25Index,
                     checkpoint: String, idCol: String, textCol: String,
                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-    trigger.fold(writer)(writer.trigger)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        index.appendOnce(batch.toDF(), idCol, textCol,
-          Some(s"$checkpoint#$batchId"))
-      }
-      .start()
+    val lease = graft.sources.StoreTxn.acquireSink(index.storeRoot)
+    startBm25Sink(docs, index, checkpoint, idCol, textCol, trigger,
+      Some(lease))
   }
 
-  /** Cron-compatible catch-up form of [[bm25IndexSink]]. */
+  private def startBm25Sink(docs: DataFrame,
+      index: graft.operators.Retrieval.Bm25Index,
+      checkpoint: String, idCol: String, textCol: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger],
+      lease: Option[graft.sources.StoreTxn.SinkLease])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    try {
+      val writer = docs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+      val query = trigger.fold(writer)(writer.trigger)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          index.appendOnce(batch.toDF(), idCol, textCol,
+            Some(s"$checkpoint#$batchId"))
+        }
+        .start()
+      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
+      query
+    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+
+  /** Cron-compatible catch-up form of [[bm25IndexSink]] — lease held
+    * for the run, released synchronously (back-to-back catch-ups never
+    * race a termination listener). */
   def runBm25IndexAvailableNow(docs: DataFrame,
                                index: graft.operators.Retrieval.Bm25Index,
                                checkpoint: String, idCol: String,
-                               textCol: String): Unit =
-    bm25IndexSink(docs, index, checkpoint, idCol, textCol,
-      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+                               textCol: String): Unit = {
+    val lease = graft.sources.StoreTxn.acquireSink(index.storeRoot)
+    try startBm25Sink(docs, index, checkpoint, idCol, textCol,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
       .awaitTermination()
+    finally lease.release()
+  }
 
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset

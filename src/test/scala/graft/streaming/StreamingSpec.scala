@@ -354,6 +354,42 @@ class StreamingSpec extends SparkSpec {
       .select("id", "score").as[(Long, Double)].collect().toSeq === oneShot)
   }
 
+  test("a second maintenance sink on the same index aborts with a clear error") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sinklease").toString
+    val corpus = (1L to 8L).map(i => (i, s"word$i text"))
+    val inDir = s"$root/in"
+    corpus.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val idx = new graft.operators.Retrieval.Bm25Index(
+      spark, s"$root/idx", "t", nStoreBuckets = 2)
+    val schema = corpus.toDF("doc_id", "text").schema
+    def stream() = spark.readStream.schema(schema).parquet(inDir)
+    // first sink holds the index root's maintenance lease...
+    val q1 = Streaming.bm25IndexSink(stream(), idx, s"$root/ckpt1",
+      "doc_id", "text")
+    try {
+      // ...so a second sink on the SAME index fails fast at start
+      val e = intercept[IllegalStateException] {
+        Streaming.bm25IndexSink(stream(), idx, s"$root/ckpt2",
+          "doc_id", "text")
+      }
+      assert(e.getMessage.contains("maintenance"), e.getMessage)
+    } finally { q1.processAllAvailable(); q1.stop() }
+    // once the first sink terminated (lease released via the
+    // termination listener — async, hence the bounded wait), a
+    // successor runs
+    val deadline = System.currentTimeMillis + 20000
+    def successor(): Unit =
+      try Streaming.runBm25IndexAvailableNow(
+        spark.readStream.schema(schema).parquet(inDir), idx, s"$root/ckpt1",
+        "doc_id", "text")
+      catch {
+        case _: IllegalStateException if System.currentTimeMillis < deadline =>
+          Thread.sleep(100); successor()
+      }
+    successor()
+    assert(idx.search(Seq("word3"), k = 3).count() === 1L)
+  }
+
   test("curateBatch: a redelivered micro-batch after a completed ingest is a no-op") {
     val root = java.nio.file.Files.createTempDirectory("graft_curreplay").toString
     val wh = new graft.sources.Warehouse(spark, root)
