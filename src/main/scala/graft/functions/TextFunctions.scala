@@ -29,9 +29,43 @@ object TextFunctions {
     trim(regexp_replace(noTags, "\\s+", " "))
   }
 
-  /** Whitespace tokens, lowercased, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  /** Session flag enabling script-aware tokenization engine-wide: set
+    * `spark.conf.set(ScriptAwareTokensKey, "true")` and EVERY operator
+    * that tokenizes — dedup shingles, decontamination n-grams, BM25,
+    * chunking/packing, quality scoring — picks it up through this one
+    * function, no per-operator parameter threading. The flag is read at
+    * PLAN-BUILD time (driver side), so a DataFrame keeps the tokenizer
+    * it was built with. */
+  val ScriptAwareTokensKey = "spark.graft.scriptAwareTokens"
+
+  private def scriptAware: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.conf.get(ScriptAwareTokensKey, "false").toBoolean)
+
+  /** Scripts written WITHOUT word delimiters, tokenized per codepoint
+    * (the standard CJK fallback — character n-grams then reconstruct
+    * locality for dedup/decon/BM25). Hangul is deliberately absent:
+    * Korean delimits words with spaces, so whitespace tokens are the
+    * better unit there. Java regex spells scripts `\p{IsHan}`; the
+    * DuckDB oracle mirrors with RE2's `\p{Han}` — same codepoint sets
+    * for the BMP content the fixtures use. */
+  val NoSpaceScriptClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}]"
+
+  /** Pad every no-space-script codepoint into its own whitespace-
+    * delimited token; Latin/Cyrillic/Hangul/digits pass through to the
+    * normal whitespace split. One extra codegen'd regexp_replace per
+    * row — only when the session flag is on. */
+  def expandNoSpaceScripts(text: Column): Column =
+    regexp_replace(text, s"($NoSpaceScriptClass)", " $1 ")
+
+  /** Whitespace tokens, lowercased, empties dropped. With
+    * [[ScriptAwareTokensKey]] set, CJK codepoints become standalone
+    * tokens first — without it a no-whitespace script degrades to one
+    * token per document and dedup/decon/BM25 go blind on it. */
+  def tokens(text: Column): Column = {
+    val base = if (scriptAware) expandNoSpaceScripts(text) else text
+    filter(split(lower(base), "\\s+"), t => length(t) > 0)
+  }
 
   /** The reference's wordcount: words of length>1 containing a letter
     * (xpath.py:226-231 + utilities/html.py HTML_STRIPPED_WORD). */

@@ -208,6 +208,55 @@ private[queries] object LlmQueries {
             (a, b) -> (a * 31 + b) % 1000000007) AS fp
         FROM documents""")),
 
+    // ===== Text analysis: script-aware (CJK) tokenization =====
+    // A mixed Latin/CJK corpus built deterministically from the
+    // documents table (a quarter each Chinese-, Japanese-, Korean-
+    // prefixed, a quarter untouched). With the session flag on, Han/
+    // Hiragana/Katakana codepoints tokenize standalone — without it a
+    // no-whitespace script collapses to ~1 token/doc and dedup/decon/
+    // BM25 go blind (VERDICT r5 "What's wrong" #2). Hangul stays
+    // whitespace-split (Korean delimits words with spaces) — the 한국어
+    // arm pins that choice. The oracle mirrors the padding replace with
+    // RE2 script classes.
+    QueryDef("q88_cjk_tokens",
+      (s, dir) => {
+        s.conf.set(TextFunctions.ScriptAwareTokensKey, "true")
+        try {
+          val prefix = when(col("doc_id") % 4 === 0, lit("機器學習是人工智能的分支 "))
+            .when(col("doc_id") % 4 === 1, lit("東京タワーへようこそ "))
+            .when(col("doc_id") % 4 === 2, lit("한국어 데이터 처리 "))
+            .otherwise(lit(""))
+          T.documents(s, dir)
+            .select(col("doc_id"), concat(prefix, col("text")).as("text"))
+            .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__t"))
+            .select(col("doc_id"),
+              size(col("__t")).cast("long").as("n_tokens"),
+              size(filter(col("__t"),
+                t => t.rlike(TextFunctions.NoSpaceScriptClass)))
+                .cast("long").as("cjk_tokens"),
+              array_join(slice(col("__t"), 1, 12), " ").as("head_tokens"))
+        } finally s.conf.set(TextFunctions.ScriptAwareTokensKey, "false")
+      },
+      Some("""
+        WITH mixed AS (SELECT doc_id,
+            (CASE WHEN doc_id % 4 = 0 THEN '機器學習是人工智能的分支 '
+                  WHEN doc_id % 4 = 1 THEN '東京タワーへようこそ '
+                  WHEN doc_id % 4 = 2 THEN '한국어 데이터 처리 '
+                  ELSE '' END) || text AS text
+          FROM documents),
+        tks AS (SELECT doc_id,
+            list_filter(string_split_regex(lower(
+              regexp_replace(text, '([\p{Han}\p{Hiragana}\p{Katakana}])',
+                             ' \1 ', 'g')), '\s+'),
+              t -> len(t) > 0) AS tk
+          FROM mixed)
+        SELECT doc_id,
+          len(tk) AS n_tokens,
+          len(list_filter(tk,
+            t -> regexp_matches(t, '[\p{Han}\p{Hiragana}\p{Katakana}]'))) AS cjk_tokens,
+          array_to_string(tk[1:12], ' ') AS head_tokens
+        FROM tks""")),
+
     // ===== Text analysis: Gopher-style repetition filter =====
     QueryDef("q61_repetition",
       (s, dir) => T.documents(s, dir)
