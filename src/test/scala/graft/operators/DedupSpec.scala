@@ -69,6 +69,30 @@ class DedupSpec extends SparkSpec {
     pairs.get((1L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 9.0) < 1e-12))
   }
 
+  test("script-aware tokens let CJK near-dups pair; whitespace tokens cannot") {
+    // two Chinese documents differing in ONE character — a textbook
+    // near-dup pair no whitespace tokenizer can see (each doc is a
+    // single token, a single shingle, Jaccard 0)
+    val cjk = Seq(
+      (1L, "機器學習是人工智能的一個分支領域它研究算法如何從數據中自動學習規律"),
+      (2L, "機器學習是人工智能的一個分支領域它研究算法如何從資料中自動學習規律")
+    ).toDF("id", "text")
+    val blind = Dedup.minhashPortablePairs(cjk, "id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 1, threshold = 0.5, seed = 7L)
+    assert(blind.count() === 0, "whitespace tokenization is blind to CJK near-dups")
+    spark.conf.set(graft.functions.TextFunctions.ScriptAwareTokensKey, "true")
+    try {
+      val pairs = Dedup.minhashPortablePairs(cjk, "id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 1, threshold = 0.5, seed = 7L)
+        .as[(Long, Long, Double)].collect()
+      assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+        "per-codepoint tokens make the pair visible")
+      assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0,
+        s"exact char-trigram Jaccard, got ${pairs.head._3}")
+    } finally
+      spark.conf.set(graft.functions.TextFunctions.ScriptAwareTokensKey, "false")
+  }
+
   test("portable simhash: identical docs distance 0, empty docs excluded") {
     val out = Dedup.simhashPortablePairs(docs, "id", "text", maxDist = 3, seed = 7L)
       .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
