@@ -75,37 +75,61 @@ object Decontamination {
   /** Persisted inverted (gram → id) index for CONTINUOUS decontamination
     * — benchmarks keep being released, and checking a new eval set must
     * not rescan 100 TB of text: the corpus's n-gram postings are built
-    * once (appendable, batch by batch) into a gram-bucketed table, and
-    * each new benchmark check is one semi-join against the (small,
-    * distinct-projected) eval gram set. [[check]] over an incrementally
-    * built index equals [[contaminatedIds]] over the union of the
-    * appended batches (oracle-verified, q86): gram membership is a pure
-    * per-doc function, so batch-wise construction is exact, not
-    * approximate. Ids must be unique across appends (duplicate grams
-    * only cost space — `check` distincts ids — but re-appending a doc
-    * doubles its postings). */
+    * once (appendable, batch by batch), and each new benchmark check is
+    * one semi-join against the (small, distinct-projected) eval gram
+    * set. [[check]] over an incrementally built index equals
+    * [[contaminatedIds]] over the union of the appended batches
+    * (oracle-verified, q86): gram membership is a pure per-doc
+    * function, so batch-wise construction is exact, not approximate.
+    * Ids must be unique across appends (duplicate grams only cost space
+    * — `check` distincts ids — but re-appending a doc doubles its
+    * postings).
+    *
+    * LAYOUT: postings are hash-PARTITIONED on a gram prefix
+    * (`gpfx = hash(gram) mod prefixPartitions`) and bucketed by gram
+    * inside each partition. A check collects the eval set's prefix set
+    * (bounded control read — ≤ prefixPartitions values) and filters the
+    * scan on it, so the catalog prunes whole partitions: a small eval
+    * set (a leaked-question spot check, one new benchmark task) reads a
+    * fraction of the postings instead of all of them, and a gram-dense
+    * suite degrades gracefully to today's full bucket-aligned scan —
+    * never worse. Bucketing stays so an over-broadcast-size eval side
+    * still joins shuffle-free on the postings side. Appends are
+    * StoreTxn transactions (crash ⇒ rollback, blind retry converges). */
   final class GramIndex(spark: org.apache.spark.sql.SparkSession,
                         root: String, name: String, n: Int,
-                        nStoreBuckets: Int = 32) {
+                        nStoreBuckets: Int = 32,
+                        prefixPartitions: Int = 64) {
     private val wh = new graft.sources.Warehouse(spark, root)
     private val gramTable = s"${name}_dc_gram"
 
+    private def gpfx(gram: org.apache.spark.sql.Column) =
+      pmod(xxhash64(gram), lit(prefixPartitions)).cast("int")
+
     def append(docs: DataFrame, idCol: String, textCol: String): Unit =
       graft.sources.StoreTxn.transact(spark, root) {
-        wh.appendBucketed(gramTable,
+        wh.appendPartitionedBucketed(gramTable,
           docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
             .select(col("id"),
-              explode(array_distinct(ngrams(col("__t"), n))).as("gram")),
-          Seq("gram"), nStoreBuckets)
+              explode(array_distinct(ngrams(col("__t"), n))).as("gram"))
+            .withColumn("gpfx", gpfx(col("gram"))),
+          "gpfx", Seq("gram"), nStoreBuckets)
       }
 
     /** Ids of indexed docs sharing ≥1 n-gram with `evalTexts` — the
-      * postings side is read bucket-aligned, ids only. */
+      * postings side is partition-pruned to the eval grams' prefixes,
+      * then read bucket-aligned, ids only. */
     def check(evalTexts: DataFrame, evalTextCol: String): DataFrame = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      // eval grams materialized once — they feed the prefix collect AND
+      // the semi join (eval sets are benchmark-sized)
+      val eg = evalGrams(evalTexts, evalTextCol, n)
+        .withColumnRenamed("__g", "gram").localCheckpoint(true)
+      val prefixes = eg.select(gpfx(col("gram")).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSeq
       wh.readBucketed(gramTable)
-        .join(evalGrams(evalTexts, evalTextCol, n)
-          .withColumnRenamed("__g", "gram"), Seq("gram"), "left_semi")
+        .filter(col("gpfx").isInCollection(prefixes))
+        .join(eg, Seq("gram"), "left_semi")
         .select("id").distinct()
     }
   }

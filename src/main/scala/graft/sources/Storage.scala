@@ -196,21 +196,33 @@ final class Warehouse(spark: SparkSession, root0: String) {
     // rewritten: overwriting it before a data write that then fails
     // (e.g. a caller drifting to a different bucket count) would leave
     // a sidecar describing a layout the files don't have.
-    val spec = bucketSpecFile(table)
-    val content = s"$nBuckets\n${bucketCols.mkString(",")}\n"
-    if (spec.exists()) {
-      val prev = java.nio.file.Files.readString(spec.toPath)
-      require(prev == content,
-        s"bucket layout mismatch for $table: store has " +
-          s"${prev.trim.replace("\n", " buckets on ")}, append requested " +
-          s"$nBuckets buckets on ${bucketCols.mkString(",")} — a bucketed " +
-          "table's layout is fixed at creation (re-bucket = new table)")
-    } else {
-      spec.getParentFile.mkdirs()
-      java.nio.file.Files.writeString(spec.toPath, content)
-    }
+    writeSpecValidated(table, s"$nBuckets\n${bucketCols.mkString(",")}\n")
     df.write.mode(SaveMode.Append)
       .option("path", path(table))
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(bucketedName(table))
+    ()
+  }
+
+  /** Bucketed append that ALSO hash-partitions the directory layout on
+    * `partitionCol`: the catalog prunes whole partitions when a read
+    * filters on it (an IN over collected key prefixes), while the
+    * bucket files inside each partition keep the shuffle-free
+    * sort-merge property on `bucketCols` (Spark groups same-bucket
+    * files ACROSS partition directories into one scan partition).
+    * File-count note for 100 TB: one append writes up to
+    * partitions×buckets files — size `nBuckets` down when adding a
+    * partition column (the two multiply). */
+  def appendPartitionedBucketed(table: String, df: DataFrame,
+                                partitionCol: String, bucketCols: Seq[String],
+                                nBuckets: Int): Unit = {
+    StoreTxn.touchIfActive(root, s"warehouse/$table")
+    writeSpecValidated(table,
+      s"$nBuckets\n${bucketCols.mkString(",")}\n$partitionCol\n")
+    df.write.mode(SaveMode.Append)
+      .option("path", path(table))
+      .partitionBy(partitionCol)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(bucketedName(table))
@@ -233,23 +245,50 @@ final class Warehouse(spark: SparkSession, root0: String) {
           s"bucketed table $table not found at ${dir.getPath} (no bucket spec)"))
       // spec with no data files = a write that crashed before any data
       // landed (spec is written first) — report it as such, not as a
-      // schema-inference failure from an empty directory
-      require(Option(dir.listFiles()).exists(_.exists(f =>
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))),
+      // schema-inference failure from an empty directory. Partitioned
+      // tables keep their data one level down, so look recursively.
+      def hasData(f: java.io.File): Boolean =
+        if (f.isDirectory) Option(f.listFiles()).exists(_.exists(hasData))
+        else !f.getName.startsWith("_") && !f.getName.startsWith(".")
+      require(hasData(dir),
         s"bucketed table $table at ${dir.getPath} has a bucket spec but " +
           "no data files (interrupted first write?) — restore from " +
           "snapshot or delete the directory")
-      val Array(n, cols) =
+      val lines =
         java.nio.file.Files.readString(spec.toPath).trim.split("\n")
+      val (n, cols, partCol) =
+        (lines(0), lines(1), if (lines.length > 2) Some(lines(2)) else None)
       val schema = spark.read.parquet(dir.getPath).schema.toDDL
       val bucketCols = cols.split(",").mkString(", ")
+      val partClause = partCol.fold("")(p => s"PARTITIONED BY ($p)\n")
       spark.sql(
         s"""CREATE TABLE $name ($schema) USING parquet
-           |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols)
+           |${partClause}CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols)
            |INTO ${n.toInt} BUCKETS
            |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+      // a freshly registered PARTITIONED table has an empty partition
+      // list in the catalog — discover the on-disk partitions
+      partCol.foreach(_ => spark.sql(s"MSCK REPAIR TABLE $name"))
     }
     spark.table(bucketedName(table))
+  }
+
+  /** Write the bucket-spec sidecar, or validate an existing one —
+    * never rewrite it (see [[appendBucketed]]'s ordering comment). */
+  private def writeSpecValidated(table: String, content: String): Unit = {
+    val spec = bucketSpecFile(table)
+    if (spec.exists()) {
+      val prev = java.nio.file.Files.readString(spec.toPath)
+      require(prev == content,
+        s"bucket layout mismatch for $table: store has " +
+          s"'${prev.trim.replace("\n", " / ")}', append requested " +
+          s"'${content.trim.replace("\n", " / ")}' — a bucketed table's " +
+          "layout is fixed at creation (re-bucket = new table)")
+    } else {
+      spec.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(spec.toPath, content)
+      ()
+    }
   }
 
   private def bucketedName(table: String): String =

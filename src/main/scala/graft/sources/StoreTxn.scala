@@ -242,15 +242,14 @@ object StoreTxn {
     private val kvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     /** Snapshot `rel` (root-relative) into the intent before its first
-      * write in this transaction. Idempotent per directory. */
+      * write in this transaction. Idempotent per directory. The listing
+      * is RECURSIVE (entry paths relative to the directory): partitioned
+      * tables write into `part=value` subdirectories, and a flat
+      * snapshot would silently keep a crashed append's files there. */
     def touchPath(rel: String): Unit = synchronized {
       if (!touched.contains(rel)) {
         val dir = new File(key, rel)
-        val snap = DirSnap(rel, dir.exists(),
-          if (dir.exists())
-            Option(dir.listFiles()).fold(Set.empty[String])(_.map(_.getName).toSet)
-          else Set.empty)
-        touched(rel) = snap
+        touched(rel) = DirSnap(rel, dir.exists(), listRecursive(dir))
         persistIntent()
         if (hooks.crashAfterTouches != Int.MaxValue) {
           hooks.crashAfterTouches -= 1
@@ -344,10 +343,25 @@ object StoreTxn {
     Commit(epoch, versions.result(), kv.result())
   }
 
+  /** Every entry (file or directory) under `dir`, as paths relative to
+    * it, '/'-separated. */
+  private def listRecursive(dir: File): Set[String] = {
+    if (!dir.exists()) return Set.empty
+    val base = dir.toPath
+    val out = Set.newBuilder[String]
+    def walk(f: File): Unit = Option(f.listFiles()).foreach(_.foreach { c =>
+      out += base.relativize(c.toPath).toString.replace(File.separatorChar, '/')
+      if (c.isDirectory) walk(c)
+    })
+    walk(dir)
+    out.result()
+  }
+
   /** Physical undo: restore every snapshotted directory to its
-    * snapshot (delete unknown top-level entries, recursively), drop
-    * directories — and their bucket-spec sidecar + catalog entry — that
-    * did not exist, and sweep this transaction's state versions. */
+    * recursive snapshot (delete entries the snapshot doesn't know,
+    * whole subtrees at a time), drop directories — and their
+    * bucket-spec sidecar + catalog entry — that did not exist, and
+    * sweep this transaction's state versions. */
   private def undo(spark: SparkSession, key: String, intent: Intent): Unit = {
     intent.dirs.foreach { snap =>
       val dir = new File(key, snap.rel)
@@ -358,9 +372,14 @@ object StoreTxn {
           rmrf(new File(key, s"warehouse/_graft_bucket_spec_$table"))
           Warehouse.dropCatalogEntry(spark, key, table)
         }
-      } else if (dir.exists())
-        Option(dir.listFiles()).foreach(_.foreach(f =>
-          if (!snap.names.contains(f.getName)) rmrf(f)))
+      } else if (dir.exists()) {
+        def sweep(f: File, rel: String): Unit =
+          if (!snap.names.contains(rel)) rmrf(f) // unknown subtree: all new
+          else if (f.isDirectory)
+            Option(f.listFiles()).foreach(_.foreach(c =>
+              sweep(c, s"$rel/${c.getName}")))
+        Option(dir.listFiles()).foreach(_.foreach(c => sweep(c, c.getName)))
+      }
     }
     intent.states.foreach { case (s, e) => rmrf(new File(key, s"state/$s/v$e")) }
   }

@@ -398,9 +398,11 @@ object ScaleProbe {
           bench, "text", 5)
         .collect().map(_.getLong(0)).sorted.toSeq
     }
+    // buckets×partitions multiply into the per-append file count —
+    // 16×64 = 1024 files per full-corpus append here
     val idx = new Decontamination.GramIndex(spark,
       s"$whRoot/gr_${System.nanoTime()}", "probe", n = 5,
-      nStoreBuckets = 64)
+      nStoreBuckets = 16, prefixPartitions = 64)
     time("gram index append (full)") {
       idx.append(docs, "doc_id", "text")
     }
@@ -411,8 +413,30 @@ object ScaleProbe {
       idx.check(docs.filter(col("doc_id") % 9973 === 0)
         .select(col("text")), "text")
     }
+    // single-question spot check — the pruning regime: ~8 grams hit ≤8
+    // of 64 prefix partitions, so the scan reads a fraction of the
+    // postings instead of all of them (a gram-dense benchmark above
+    // degrades to the full scan, never worse)
+    val snippet = bench.limit(1)
+      .select(array_join(slice(split(col("text"), "\\s+"), 1, 12), " ")
+        .as("text")).localCheckpoint(true)
+    val oneShotSnip = time("decon one-shot scan (single question)") {
+      Decontamination.contaminatedIds(docs, "doc_id", "text",
+          snippet, "text", 5)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val snipDf = idx.check(snippet, "text")
+    val viaIndexSnip = time("gram index check (single question, pruned)") {
+      snipDf.collect().map(_.getLong(0)).sorted.toSeq
+    }
+    val selectedPaths =
+      "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findAllMatchIn(snipDf.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).minOption.getOrElse(-1)
     println(s"[probe] one-shot=${oneShot.size} via-index=${viaIndex.size} " +
-      s"ids_equal=${oneShot == viaIndex} second_check=$again")
+      s"ids_equal=${oneShot == viaIndex} second_check=$again " +
+      s"snippet_ids_equal=${oneShotSnip == viaIndexSnip} " +
+      s"snippet_partitions_read=$selectedPaths/64")
   }
 
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
