@@ -26,11 +26,11 @@ final case class FetchResult(
   * fetchers ship to executors inside `mapPartitions` source stages
   * (SURVEY §2.11: HTTP fetch is a source-layer concern, never a UDF).
   *
-  * Production would add an `HttpFetcher` with a token-bucket rate limiter
-  * per partition (reference: 3 s between requests, 10 s between chunks,
-  * google_pagespeed.py:32-35) — this environment has no egress, so the
-  * shipped implementations are the fixture one (tests/e2e) and the
-  * failing one (error-path tests).
+  * Three implementations ship: [[HttpFetcher]] (production — real
+  * `java.net.http` transport with per-partition rate limiting, redirect
+  * chains, ttfb, 429 retry; integration-tested against an in-process
+  * HTTP server since this environment has no egress), [[FixtureFetcher]]
+  * (tests/e2e) and [[FailingFetcher]] (error-path tests).
   */
 trait Fetcher extends Serializable {
   def fetch(url: String, userAgent: String): FetchResult

@@ -62,9 +62,25 @@ object ModuleDebugger {
     }
   }
 
+  /** `--real-transport` routes every fetch through [[graft.sources.HttpFetcher]]
+    * against an in-process HTTP server replaying the synthetic pages,
+    * and every alert email through [[graft.plans.SmtpTransport]] against
+    * an in-process SMTP server — the full wire protocols, no egress.
+    * Configured URLs keep their real hostnames; a proxy fetcher rewrites
+    * them onto the local server (`/proxy?u=<original>`). */
+  private final class ProxyFetcher(base: String) extends Fetcher {
+    private val inner = new graft.sources.HttpFetcher(minIntervalMs = 0L)
+    override def fetch(url: String, userAgent: String): FetchResult =
+      inner.fetch(base + "/proxy?u=" +
+        java.net.URLEncoder.encode(url, "UTF-8"), userAgent)
+        .copy(url = url)
+  }
+
   def main(args: Array[String]): Unit = {
-    val configPath = args.headOption.getOrElse("config/demo.yaml")
-    val root = args.lift(1).getOrElse(
+    val realTransport = args.contains("--real-transport")
+    val pos = args.filterNot(_.startsWith("--"))
+    val configPath = pos.headOption.getOrElse("config/demo.yaml")
+    val root = pos.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_debug").toString)
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -83,11 +99,31 @@ object ModuleDebugger {
     val notifier = new graft.plans.Alerting.RecordingNotifier
     val outbox = scala.collection.mutable.ArrayBuffer
       .empty[graft.plans.Notifications.EmailMessage]
-    val transport = new graft.plans.Notifications.EmailTransport {
-      override def send(m: graft.plans.Notifications.EmailMessage): Unit =
-        outbox += m
-    }
-    val runner = new Runner(spark, config, root, new SyntheticFetcher, notifier,
+    val synth = new SyntheticFetcher
+    val (fetcher, transport, servers) =
+      if (realTransport) {
+        val http = new DevServers.MockHttpServer(req => {
+          val u = java.net.URLDecoder.decode(
+            req.query.stripPrefix("u="), "UTF-8")
+          val r = synth.fetch(u, "")
+          DevServers.HttpReply(r.status_code, r.headers, r.body)
+        })
+        val smtp = new DevServers.MockSmtpServer
+        println(s"real transports: http 127.0.0.1:${http.port}, " +
+          s"smtp 127.0.0.1:${smtp.port}")
+        (new ProxyFetcher(http.base): Fetcher,
+          new graft.plans.SmtpTransport(graft.plans.Notifications.SmtpConfig(
+            "127.0.0.1", smtp.port, "graft@example.com", "pw")):
+            graft.plans.Notifications.EmailTransport,
+          Some((http, smtp)))
+      } else
+        (synth: Fetcher,
+          new graft.plans.Notifications.EmailTransport {
+            override def send(m: graft.plans.Notifications.EmailMessage): Unit =
+              outbox += m
+          },
+          None)
+    val runner = new Runner(spark, config, root, fetcher, notifier,
       emailTransport = Some(transport))
     runner.runAllOnce()
 
@@ -116,11 +152,25 @@ object ModuleDebugger {
       println("alerting_log:")
       runner.warehouse.read("alerting_log").show(10, 44)
     }
-    println(s"dispatched emails: ${outbox.size}")
-    outbox.foreach { m =>
-      println(s"  to ${m.toEmail.mkString(",")} subject='${m.subject}' " +
-        s"attachment ${m.attachments.keys.mkString(",")}")
-      println(m.text.getOrElse("").linesIterator.map("    | " + _).mkString("\n"))
+    servers match {
+      case Some((http, smtp)) =>
+        import scala.jdk.CollectionConverters._
+        println(s"dispatched emails (over the wire): ${smtp.deliveries.size()}")
+        smtp.deliveries.asScala.foreach { d =>
+          val subject = d.data.linesIterator
+            .find(_.startsWith("Subject:")).getOrElse("Subject: ?")
+          println(s"  from ${d.from} to ${d.rcpts.mkString(",")} " +
+            s"auth=${d.authUser} $subject")
+        }
+        println(s"http fetches served: ${http.requests.size()}")
+        http.stop(); smtp.stop()
+      case None =>
+        println(s"dispatched emails: ${outbox.size}")
+        outbox.foreach { m =>
+          println(s"  to ${m.toEmail.mkString(",")} subject='${m.subject}' " +
+            s"attachment ${m.attachments.keys.mkString(",")}")
+          println(m.text.getOrElse("").linesIterator.map("    | " + _).mkString("\n"))
+        }
     }
     spark.stop()
   }
