@@ -17,8 +17,14 @@ object Retrieval {
     * idf range), and the variant is exactly portable: +,×,÷ are
     * correctly-rounded IEEE ops in every engine, while `ln` carries no
     * such guarantee — a DuckDB/JVM ulp disagreement would make scores
-    * engine-dependent. The standard log form is one `log(...)` wrap away
-    * if cross-engine bit-equality is not required.
+    * engine-dependent. `logIdf = true` selects the standard Robertson/
+    * Lucene form idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) — what
+    * users of mainstream search engines expect; single-term rankings
+    * are identical to the rational form (a positive monotone transform
+    * of a per-term constant), multi-term SCORES differ because the log
+    * compresses the ratio between rare- and common-term contributions
+    * (RetrievalSpec pins both properties). The oracle queries keep the
+    * rational default for bit-portability.
     *
     * Scale shape: corpus statistics (N, avg doc length, per-term df) are
     * ONE aggregation collapsed to a single row, read back as literals
@@ -30,7 +36,8 @@ object Retrieval {
     * into the scan projection. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = false): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     val toks = TextFunctions.tokens(col(textCol))
     val dl = size(toks).cast("double")
@@ -52,7 +59,7 @@ object Retrieval {
     val avgdl = stats.getDouble(1) / n
     val score = queryTerms.zipWithIndex.map { case (term, i) =>
       val df = stats.getDouble(2 + i)
-      scoreTerm(tfOf(term), dl, n, df, avgdl, k1, b)
+      scoreTerm(tfOf(term), dl, n, df, avgdl, k1, b, logIdf)
     }.reduce(_ + _)
     rankTopK(docs.select(col(idCol).as("id"), score.as("score")), k)
   }
@@ -63,8 +70,10 @@ object Retrieval {
     * operand order of the float ops IS the contract here). */
   private[operators] def scoreTerm(tf: Column, dl: Column, n: Double,
                                    df: Double, avgdl: Double,
-                                   k1: Double, b: Double): Column = {
-    val idf = (n - df + 0.5) / (df + 0.5)
+                                   k1: Double, b: Double,
+                                   logIdf: Boolean = false): Column = {
+    val rational = (n - df + 0.5) / (df + 0.5)
+    val idf = if (logIdf) math.log1p(rational) else rational
     (tf * lit(k1 + 1.0) /
       (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))) * lit(idf)
   }
@@ -189,7 +198,8 @@ object Retrieval {
     }
 
     def search(queryTerms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               logIdf: Boolean = false): DataFrame = {
       require(queryTerms.nonEmpty, "empty query")
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
       require(new java.io.File(statsPath).exists(),
@@ -211,7 +221,7 @@ object Retrieval {
       val dl = col("dl").cast("double")
       val score = queryTerms.zipWithIndex.map { case (t, i) =>
         scoreTerm(coalesce(col(s"__tf$i"), lit(0L)).cast("double"), dl,
-          n, dfs.getOrElse(t, 0.0), avgdl, k1, b)
+          n, dfs.getOrElse(t, 0.0), avgdl, k1, b, logIdf)
       }.reduce(_ + _)
       rankTopK(
         perDoc.join(wh.readBucketed(lenTable), Seq("id"))

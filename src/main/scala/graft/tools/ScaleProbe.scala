@@ -439,6 +439,38 @@ object ScaleProbe {
       s"snippet_partitions_read=$selectedPaths/64")
   }
 
+  /** Adversarial connected components: ONE corpus-wide near-dup
+    * template. A third of the edges attach directly to doc 0 (the
+    * template — a 3.3M-degree super-hub at n=10M), the rest attach
+    * uniformly below their source, so the whole graph is a single giant
+    * component. This is the worst join-skew shape LSH pair output can
+    * hand the labeler: after round 1 most nodes carry comp=0, making
+    * `__c1 = 0` one hot key through the pointer-jump self-join and
+    * `dst = 0` one hot key through the edges⋈labels join. The probe
+    * decides whether AQE's skew-join split absorbs it or the joins
+    * need explicit salting. */
+  private def ccGiantProbe(spark: SparkSession, n: Long,
+                           hub: Boolean): Unit = {
+    import graft.operators.Dedup
+    val attach = // uniform control: same giant component, no super-hub
+      if (hub) when(pmod(xxhash64(col("id")), lit(3)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(7)), col("id")))
+      else pmod(xxhash64(col("id"), lit(7)), col("id"))
+    val edges = spark.range(1, n).select(
+      col("id").as("id_a"), attach.as("id_b"))
+      .localCheckpoint(true)
+    println(s"[probe] edges=${edges.count()}, " +
+      s"hub degree=${edges.filter(col("id_b") === 0).count()}")
+    val labels = time(s"cc giant component ($n edges)") {
+      val l = Dedup.connectedComponents(edges, "id_a", "id_b")
+      l.count() // materialize inside the timer
+      l
+    }
+    val comps = labels.select("comp").distinct().count()
+    val size0 = labels.filter(col("comp") === 0).count()
+    println(s"[probe] components=$comps (must be 1), giant size=$size0")
+  }
+
   /** In-bucket comparison volume Σ C(bucket, 2) for the simhash chunk
     * geometry — what the HammingPairs kernel iterates, counted without
     * materializing pairs (mirrors simhashPortablePairs's bucket keying
@@ -589,6 +621,10 @@ object ScaleProbe {
         bm25Probe(spark, docsPath, whRoot)
       case "gram" :: docsPath :: whRoot :: Nil =>
         gramProbe(spark, docsPath, whRoot)
+      case "ccgiant" :: n :: Nil =>
+        ccGiantProbe(spark, n.toLong, hub = true)
+      case "ccgiant" :: n :: "uniform" :: Nil =>
+        ccGiantProbe(spark, n.toLong, hub = false) // skew-free control
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "bm25", "gram").contains(docsPath) =>

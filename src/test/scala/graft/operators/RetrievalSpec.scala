@@ -33,6 +33,43 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(2L) > scores(3L))
   }
 
+  test("logIdf: single-term ranks equal the rational form, multi-term scores compress") {
+    // single-term: the idf is one per-term constant, and ln(1+x) is a
+    // positive monotone transform of it — ranks must be identical
+    val rational = Retrieval.bm25TopK(docs, "id", "text", Seq("spark"), 10)
+      .select("id", "rank", "score").as[(Long, Int, Double)].collect().toSeq
+    val robertson = Retrieval.bm25TopK(docs, "id", "text", Seq("spark"), 10,
+        logIdf = true)
+      .select("id", "rank", "score").as[(Long, Int, Double)].collect().toSeq
+    assert(rational.map(r => (r._1, r._2)) === robertson.map(r => (r._1, r._2)))
+    // ...and each score is exactly the rational score rescaled by
+    // ln(1+idf)/idf (same tf/length part, different idf constant)
+    val n = 5.0; val df = 2.0
+    val idf = (n - df + 0.5) / (df + 0.5)
+    val scale = math.log1p(idf) / idf
+    rational.zip(robertson).foreach { case (r, l) =>
+      assert(math.abs(l._3 - r._3 * scale) < 1e-12) }
+    // multi-term: the log compresses the rare-vs-common idf ratio, so
+    // the two forms' score GAPS differ (documented, not a bug)
+    def gap(logIdf: Boolean) = {
+      val s = Retrieval.bm25TopK(docs, "id", "text", Seq("spark", "engine"),
+          10, logIdf = logIdf)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+      s(2L) / s(3L) // spark-only doc vs engine-only doc
+    }
+    assert(gap(logIdf = false) > gap(logIdf = true),
+      "rational idf spreads rare/common terms further apart than log idf")
+    // the index serve path accepts the same flag and agrees with the
+    // one-shot scorer
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25log_").toString
+    val idx = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    idx.append(docs, "id", "text")
+    val served = idx.search(Seq("spark"), 10, logIdf = true)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(served === robertson.map(r => (r._1, r._3)))
+  }
+
   test("bm25TopK on an empty corpus returns empty; unappended index fails fast") {
     val empty = docs.filter(col("id") < 0)
     assert(Retrieval.bm25TopK(empty, "id", "text", Seq("spark"), 5)
