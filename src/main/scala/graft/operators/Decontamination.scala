@@ -85,17 +85,24 @@ object Decontamination {
     * — `check` distincts ids — but re-appending a doc doubles its
     * postings).
     *
-    * LAYOUT: postings are hash-PARTITIONED on a gram prefix
-    * (`gpfx = hash(gram) mod prefixPartitions`) and bucketed by gram
-    * inside each partition. A check collects the eval set's prefix set
+    * LAYOUT: postings store the 64-bit gram HASH, not the gram string —
+    * membership flagging never needs the text back, and at warehouse
+    * scale the string is the table: ~35 bytes of 5-gram vs 8 of hash,
+    * a 4× cut in store size and every check's IO. The false-flag odds
+    * are (corpus grams × eval grams)/2⁶⁴ — ~5e-5 at 10¹⁰ corpus grams
+    * against a 10⁵-gram suite, and a false flag merely drops one doc
+    * (the same hash-membership trade [[Dedup.exact]] documents).
+    * Postings are hash-PARTITIONED on a prefix of that hash
+    * (`gpfx = ghash mod prefixPartitions`) and bucketed by it inside
+    * each partition. A check collects the eval set's prefix set
     * (bounded control read — ≤ prefixPartitions values) and filters the
     * scan on it, so the catalog prunes whole partitions: a small eval
     * set (a leaked-question spot check, one new benchmark task) reads a
     * fraction of the postings instead of all of them, and a gram-dense
-    * suite degrades gracefully to today's full bucket-aligned scan —
-    * never worse. Bucketing stays so an over-broadcast-size eval side
-    * still joins shuffle-free on the postings side. Appends are
-    * StoreTxn transactions (crash ⇒ rollback, blind retry converges). */
+    * suite degrades gracefully to the full bucket-aligned scan — never
+    * worse. Bucketing stays so an over-broadcast-size eval side still
+    * joins shuffle-free on the postings side. Appends are StoreTxn
+    * transactions (crash ⇒ rollback, blind retry converges). */
   final class GramIndex(spark: org.apache.spark.sql.SparkSession,
                         root: String, name: String, n: Int,
                         nStoreBuckets: Int = 32,
@@ -103,17 +110,18 @@ object Decontamination {
     private val wh = new graft.sources.Warehouse(spark, root)
     private val gramTable = s"${name}_dc_gram"
 
-    private def gpfx(gram: org.apache.spark.sql.Column) =
-      pmod(xxhash64(gram), lit(prefixPartitions)).cast("int")
+    private def gpfx(ghash: org.apache.spark.sql.Column) =
+      pmod(ghash, lit(prefixPartitions)).cast("int")
 
     def append(docs: DataFrame, idCol: String, textCol: String): Unit =
       graft.sources.StoreTxn.transact(spark, root) {
         wh.appendPartitionedBucketed(gramTable,
           docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
             .select(col("id"),
-              explode(array_distinct(ngrams(col("__t"), n))).as("gram"))
-            .withColumn("gpfx", gpfx(col("gram"))),
-          "gpfx", Seq("gram"), nStoreBuckets)
+              explode(array_distinct(ngrams(col("__t"), n))).as("__g"))
+            .select(col("id"), xxhash64(col("__g")).as("ghash"))
+            .withColumn("gpfx", gpfx(col("ghash"))),
+          "gpfx", Seq("ghash"), nStoreBuckets)
       }
 
     /** Ids of indexed docs sharing ≥1 n-gram with `evalTexts` — the
@@ -121,15 +129,15 @@ object Decontamination {
       * then read bucket-aligned, ids only. */
     def check(evalTexts: DataFrame, evalTextCol: String): DataFrame = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
-      // eval grams materialized once — they feed the prefix collect AND
-      // the semi join (eval sets are benchmark-sized)
+      // eval gram hashes materialized once — they feed the prefix
+      // collect AND the semi join (eval sets are benchmark-sized)
       val eg = evalGrams(evalTexts, evalTextCol, n)
-        .withColumnRenamed("__g", "gram").localCheckpoint(true)
-      val prefixes = eg.select(gpfx(col("gram")).as("p")).distinct()
+        .select(xxhash64(col("__g")).as("ghash")).localCheckpoint(true)
+      val prefixes = eg.select(gpfx(col("ghash")).as("p")).distinct()
         .collect().map(_.getInt(0)).toSeq
       wh.readBucketed(gramTable)
         .filter(col("gpfx").isInCollection(prefixes))
-        .join(eg, Seq("gram"), "left_semi")
+        .join(eg, Seq("ghash"), "left_semi")
         .select("id").distinct()
     }
   }

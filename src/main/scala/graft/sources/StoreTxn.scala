@@ -177,7 +177,14 @@ object StoreTxn {
             s"(lease ${lease.getPath}) — one maintenance writer per store root")
       return
     }
-    undo(spark, key, readIntent(intent))
+    val rec = readIntent(intent)
+    // the commit RECORD is the atomic point: an intent whose epoch the
+    // record already names belongs to a transaction that COMMITTED and
+    // crashed during cleanup (between the record rename and the intent
+    // delete) — roll FORWARD by clearing the intent; undoing here would
+    // delete committed data out from under the published record
+    if (rec.epoch > readCommit(commitFile(key)).epoch)
+      undo(spark, key, rec)
     Files.deleteIfExists(intent.toPath)
     if (!jvmSinkLeases.containsKey(key)) Files.deleteIfExists(lease.toPath)
     ()

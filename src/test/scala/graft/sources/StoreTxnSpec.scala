@@ -205,6 +205,23 @@ class StoreTxnSpec extends SparkSpec {
     assert(idx.search(Seq("a"), 1).count() === 1L)
   }
 
+  test("a crash BETWEEN commit publish and intent cleanup rolls forward") {
+    val docs = (1L to 10L).map(i => (i, s"alpha beta doc$i")).toDF("doc_id", "text")
+    val root = tmp("graft_txn_fwd_")
+    val idx = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    idx.append(docs, "doc_id", "text")
+    // simulate the crash window: the commit record (epoch 1) published,
+    // but the epoch-1 intent was never cleaned up — it snapshots the
+    // postings table as EMPTY, so a (wrong) undo would delete all of it
+    val intent = new java.io.File(root, "_txn/intent")
+    java.nio.file.Files.writeString(intent.toPath,
+      "epoch\t1\ndir\twarehouse/t_bm_post\t0\t\n")
+    val idx2 = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    assert(idx2.search(Seq("alpha"), k = 20).count() === 10L,
+      "recovery must roll a committed epoch FORWARD, not undo its data")
+    assert(!intent.exists(), "the dangling intent is cleared")
+  }
+
   test("nested store ingests commit as ONE epoch (curation + embedded minhash)") {
     val cfg = Pipeline.CurateConfig(minQuality = 0.0, maxRepetition = 1.0,
       minhash = MinhashConfig(shingleN = 3, bands = 4, rowsPerBand = 2,
