@@ -132,6 +132,65 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact duplicated-substring SPANS (the token-granular primitive of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" — the ExactSubstr policy): a token position is COVERED when
+    * the k-gram starting there occurs more than once in the corpus
+    * (across documents or repeated within one); maximal runs of covered
+    * positions are merged and reported as spans of ≥ `minSpan` tokens,
+    * as (id, span_start, span_end, span_tokens) with 0-based inclusive
+    * token indices. Callers drop or excise the spans — whole-doc dedup
+    * misses the memorization-relevant case of long shared passages
+    * inside otherwise distinct documents.
+    *
+    * Approximation contract (documented, deterministic): the suffix
+    * array finds substrings shared with ONE other occurrence; the k-gram
+    * chain merges ADJACENT covered positions, so consecutive grams
+    * matching *different* partners chain into one span. That over-merge
+    * is the standard distributed relaxation — every reported span is
+    * genuinely non-unique text at k-gram granularity, which is the
+    * removal-policy question.
+    *
+    * Scale shape: grams shuffle as (id, pos, 128-bit gram hash) — two
+    * independently seeded xxhash64s, same birthday-bound argument as
+    * [[exact]] — never the text. Duplication is decided by a partial
+    * (map-side combining) aggregate + left-semi join back on the SAME
+    * key, so the gram exchange is computed once and reused
+    * (ReusedExchange), and no boilerplate mega-gram is ever buffered
+    * raw the way a whole-group count window would. The island merge is
+    * one per-doc sort; its groupBy reuses the id partitioning. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minSpan: Int): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    require(minSpan >= k,
+      s"minSpan ($minSpan) below the gram size ($k) is unsatisfiable")
+    val grams = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        posexplode(TextFunctions.ngrams(col("__t"), k)).as(Seq("__p", "__g")))
+      .select(col("id"), col("__p"),
+        xxhash64(col("__g")).as("__h1"),
+        xxhash64(lit(0x9e3779b9L), col("__g")).as("__h2"))
+    val dupGrams = grams
+      .groupBy("__h1", "__h2").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("__h1", "__h2")
+    val covered = grams
+      .join(dupGrams, Seq("__h1", "__h2"), "left_semi")
+      .select("id", "__p")
+    val wid = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("__p")
+    covered
+      .withColumn("__island", col("__p") - row_number().over(wid))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) + lit(k - 1)).cast("long").as("span_end"),
+        (count(lit(1)) + lit(k - 1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select("id", "span_start", "span_end", "span_tokens")
+  }
+
   /** MinHash signature: per row, for each of `numHashes` seeded hash
     * functions take the min over the shingle set. Pure column program —
     * `transform` over a seeded xxhash64 of each shingle, `array_min`.

@@ -255,8 +255,13 @@ private[queries] object CurationQueries {
       (s, dir) => {
         val d = T.documents(s, dir)
         val corpus = d.filter(col("doc_id") >= 25)
+        // prefixPartitions sized to the sf-scale corpus like nStoreBuckets:
+        // partitions × buckets multiply into per-append file count, and 64
+        // partitions over a few-thousand-doc corpus is all file overhead
+        // (the 10M probe makes the same sizing call in the other direction)
         val idx = new Decontamination.GramIndex(s,
-          scratchRoot("graft_q86_"), "inc", n = 5, nStoreBuckets = 8)
+          scratchRoot("graft_q86_"), "inc", n = 5, nStoreBuckets = 8,
+          prefixPartitions = 8)
         idx.append(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         idx.append(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         idx.check(d.filter(col("doc_id") < 25), "text")

@@ -309,6 +309,38 @@ private[queries] object LlmQueries {
       },
       Some(deconOracle)),
 
+    // ===== Dedup: exact duplicated-substring spans (Lee et al. 2021
+    // ExactSubstr, token-granular) — positions whose 5-gram repeats
+    // anywhere in the corpus, merged into maximal runs, reported when
+    // the run covers >= 15 tokens. The oracle mirrors the island merge
+    // with the gaps-and-islands row_number trick on the gram STRING
+    // (the operator groups on a 128-bit gram hash; identical unless two
+    // distinct grams collide on both seeded xxhash64s) =====
+    QueryDef("q89_dup_spans",
+      (s, dir) => Dedup.duplicateSpans(T.documents(s, dir),
+          "doc_id", "text", k = 5, minSpan = 15)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        pg AS (SELECT doc_id, e.p AS p, e.g AS g FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(tk) - 4, 0) + 1),
+                i -> {'p': i - 1,
+                      'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           || ' ' || tk[i+3] || ' ' || tk[i+4]})) AS e
+            FROM tk)),
+        cov AS (SELECT doc_id, p FROM pg
+                QUALIFY count(*) OVER (PARTITION BY g) > 1),
+        runs AS (SELECT doc_id, p,
+            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM cov)
+        SELECT doc_id,
+          CAST(min(p) AS BIGINT) AS span_start,
+          CAST(max(p) + 4 AS BIGINT) AS span_end,
+          CAST(count(*) + 4 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_id, island
+        HAVING count(*) + 4 >= 15""")),
+
     // ===== Dedup: pair list → dedup clusters (connected components).
     // Two overlapping prefix keys chain components across hops, so the
     // fixpoint is exercised beyond single-key cliques =====

@@ -219,4 +219,35 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicateSpans: hand-checked interior shared passage, both docs") {
+    // 8-token passage s1..s8 shared at different offsets; k=3 covers the
+    // 6 gram-start positions fully inside it, so the merged span is
+    // 6 + (3-1) = 8 tokens at [3,10] in doc 1 and [2,9] in doc 2
+    val d = Seq(
+      (1L, "a1 a2 a3 s1 s2 s3 s4 s5 s6 s7 s8 b1 b2"),
+      (2L, "c1 c2 s1 s2 s3 s4 s5 s6 s7 s8 d1")
+    ).toDF("id", "text")
+    val out = Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 3L, 10L, 8L), (2L, 2L, 9L, 8L)))
+    // one token longer than the shared passage → filtered out
+    assert(Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 9).count() === 0)
+  }
+
+  test("duplicateSpans: within-doc repetition covers both occurrences") {
+    val d = Seq((1L, "x1 x2 x3 y x1 x2 x3")).toDF("id", "text")
+    val out = Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 2L, 3L), (1L, 4L, 6L, 3L)))
+  }
+
+  test("duplicateSpans: short and empty docs yield no spans; bad params fail fast") {
+    val d = Seq((1L, "one two"), (2L, ""), (3L, "one two")).toDF("id", "text")
+    // docs shorter than k have no grams at all
+    assert(Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 3).count() === 0)
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(d, "id", "text", k = 5, minSpan = 3)
+    }
+  }
 }
