@@ -341,6 +341,53 @@ private[queries] object LlmQueries {
         FROM runs GROUP BY doc_id, island
         HAVING count(*) + 4 >= 15""")),
 
+    // ===== Dedup: excise the q89 spans — drop the duplicated passages,
+    // keep each document's unique remainder (every doc keeps a row;
+    // n_removed = 0 when nothing was duplicated). The oracle re-derives
+    // the spans with q89's CTE chain, then mirrors the index-aware
+    // token filter (DuckDB lambda index i is 1-based, span positions
+    // 0-based, hence i - 1) =====
+    QueryDef("q90_excise_spans",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        Dedup.exciseSpans(d, "doc_id", "text",
+            Dedup.duplicateSpans(d, "doc_id", "text", k = 5, minSpan = 15))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        pg AS (SELECT doc_id, e.p AS p, e.g AS g FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(tk) - 4, 0) + 1),
+                i -> {'p': i - 1,
+                      'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           || ' ' || tk[i+3] || ' ' || tk[i+4]})) AS e
+            FROM tk)),
+        cov AS (SELECT doc_id, p FROM pg
+                QUALIFY count(*) OVER (PARTITION BY g) > 1),
+        runs AS (SELECT doc_id, p,
+            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM cov),
+        spans AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+          FROM runs GROUP BY doc_id, island
+          HAVING count(*) + 4 >= 15),
+        sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps
+               FROM spans GROUP BY doc_id),
+        j AS (SELECT t.doc_id, t.tk, p.sps
+              FROM tk t LEFT JOIN sp p USING (doc_id)),
+        k AS (SELECT doc_id, tk,
+                CASE WHEN sps IS NULL THEN tk
+                     ELSE list_filter(tk, (x, i) ->
+                       len(list_filter(sps, sp ->
+                         i - 1 >= sp.s AND i - 1 <= sp.e)) = 0)
+                END AS kept
+              FROM j)
+        SELECT doc_id,
+          -- array_to_string([]) is NULL in DuckDB, '' in Spark
+          coalesce(array_to_string(kept, ' '), '') AS text,
+          CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
+        FROM k""")),
+
     // ===== Dedup: pair list → dedup clusters (connected components).
     // Two overlapping prefix keys chain components across hops, so the
     // fixpoint is exercised beyond single-key cliques =====

@@ -349,6 +349,41 @@ object ScaleProbe {
       "surviving block (dup-family docs lose their repeated blocks)")
   }
 
+  /** Duplicated-substring spans + excision at a realistic dup rate: the
+    * grams relation is ~corpus-token-count rows, so what matters is that
+    * cost tracks the GRAM volume (two narrow exchanges) and never the
+    * pair space; the probe accounts spans and removed-token mass so a
+    * silent explosion (e.g. a boilerplate mega-gram chaining everything
+    * into one span) would show up in the numbers, not just the wall. */
+  private def spansProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    // two regimes: minSpan above the generator's 9-token shared-run cap
+    // (sparse — only hash-coincidence alignments fire) and below it
+    // (dense — every dup doc yields ~a span per inter-mutation run),
+    // so both the rare-span and the mass-excision paths get 1M-scale wall
+    // numbers and accounting
+    for (minSpan <- Seq(15, 8)) {
+      val t0 = System.nanoTime()
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+        k = 5, minSpan = minSpan).persist()
+      val a = spans.agg(count(lit(1)).as("c"),
+        coalesce(sum(col("span_tokens")), lit(0L)).as("t"),
+        countDistinct(col("id")).as("d")).head()
+      println(f"[probe] dup_spans(k=5,min=$minSpan%-2d)          " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"docs=$n spans=${a.getLong(0)} span_docs=${a.getLong(2)} " +
+        f"dup_tokens=${a.getLong(1)}")
+      val t1 = System.nanoTime()
+      val removed = Dedup.exciseSpans(docs, "doc_id", "text", spans)
+        .agg(coalesce(sum(col("n_removed")), lit(0L))).head().getLong(0)
+      println(f"[probe] excise_spans(min=$minSpan%-2d)           " +
+        f"${(System.nanoTime() - t1) / 1e9}%8.2f s  removed_tokens=$removed")
+      spans.unpersist()
+    }
+  }
+
   /** BM25: one-shot scan scoring vs the persisted index — the index
     * pays its cost at append (the postings explode + two bucketed
     * writes); each query then reads only its terms' postings buckets
@@ -617,6 +652,8 @@ object ScaleProbe {
         embIncrProbe(spark, whRoot, nVecs.toLong)
       case "seq" :: docsPath :: Nil =>
         seqProbe(spark, docsPath)
+      case "spans" :: docsPath :: Nil =>
+        spansProbe(spark, docsPath)
       case "bm25" :: docsPath :: whRoot :: Nil =>
         bm25Probe(spark, docsPath, whRoot)
       case "gram" :: docsPath :: whRoot :: Nil =>
@@ -627,13 +664,14 @@ object ScaleProbe {
         ccGiantProbe(spark, n.toLong, hub = false) // skew-free control
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
-            "seq", "bm25", "gram").contains(docsPath) =>
+            "seq", "spans", "bm25", "gram").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
           "incr <docs> <whRoot> | stream <root> <nRows> | " +
-          "embincr <whRoot> <nVecs> | seq <docs> | bm25 <docs> <whRoot> | " +
+          "embincr <whRoot> <nVecs> | seq <docs> | spans <docs> | " +
+          "bm25 <docs> <whRoot> | " +
           "gram <docs> <whRoot> | <docs> [<emb>]")
     }
     spark.stop()

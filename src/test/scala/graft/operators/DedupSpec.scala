@@ -242,6 +242,28 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 0L, 2L, 3L), (1L, 4L, 6L, 3L)))
   }
 
+  test("exciseSpans removes exactly the spanned tokens, keeps span-free docs") {
+    val d = Seq(
+      (1L, "a1 a2 a3 s1 s2 s3 s4 s5 s6 s7 s8 b1 b2"),
+      (2L, "c1 c2 s1 s2 s3 s4 s5 s6 s7 s8 d1"),
+      (3L, "untouched text stays put"),
+      (4L, "")
+    ).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 8)
+    val out = Dedup.exciseSpans(d, "id", "text", spans)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ("a1 a2 a3 b1 b2", 8L))
+    assert(out(2L) === ("c1 c2 d1", 8L))
+    assert(out(3L) === ("untouched text stays put", 0L))
+    assert(out(4L) === ("", 0L))
+    // a fully-covered doc keeps its (empty-text) row rather than vanishing
+    val twins = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4")).toDF("id", "text")
+    val wiped = Dedup.exciseSpans(twins, "id", "text",
+      Dedup.duplicateSpans(twins, "id", "text", k = 3, minSpan = 4))
+      .as[(Long, String, Long)].collect().toSet
+    assert(wiped === Set((1L, "", 4L), (2L, "", 4L)))
+  }
+
   test("duplicateSpans: short and empty docs yield no spans; bad params fail fast") {
     val d = Seq((1L, "one two"), (2L, ""), (3L, "one two")).toDF("id", "text")
     // docs shorter than k have no grams at all
