@@ -153,6 +153,20 @@ object TextFunctions {
     (alphaRatio + stopRatio + lengthTerm) / lit(3.0)
   }
 
+  /** Unicode canonicalization (NFC + simple per-codepoint lowercase +
+    * all-marks accent strip, in that order) — run it BEFORE any
+    * hash-keyed operator when a corpus mixes encodings or scripts:
+    * composed vs decomposed é, fullwidth/case variants of one word
+    * otherwise hash apart and silently halve dedup/decon/BM25 recall.
+    * Native codegen expression with an ASCII fast path; byte-for-byte
+    * equal to DuckDB `strip_accents(lower(nfc_normalize(s)))` (see
+    * [[graft.functions.expressions.NormalizeText]] for the portability
+    * contract — simple-mapping lowercase, `\p{M}` stripping). */
+  def normalizeText(text: Column, stripAccents: Boolean = true,
+                    lower: Boolean = true): Column =
+    graft.functions.expressions.ColumnBridge.normalizeText(
+      text, stripAccents, lower)
+
   /** Polynomial rolling-hash fingerprint of the whole text:
     * fold over character codes of acc*31 + code, mod 1e9+7. All
     * intermediate values stay < 2^35, so the arithmetic is portable to

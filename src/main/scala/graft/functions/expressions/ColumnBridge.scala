@@ -25,4 +25,8 @@ object ColumnBridge {
 
   /** The native rolling hash as a Column function. */
   def polyHash(c: Column): Column = column(PolyHash(expression(c)))
+
+  /** Unicode canonicalization as a Column function. */
+  def normalizeText(c: Column, stripAccents: Boolean, lower: Boolean): Column =
+    column(NormalizeText(expression(c), stripAccents, lower))
 }

@@ -16,6 +16,18 @@ import Catalog.QueryDef
 private[queries] object LlmQueries {
   import Catalog._
 
+  /** q91's fixture prefixes — ONE definition injected into both the
+    * Spark literals and the DuckDB SQL so the two engines normalize
+    * byte-identical input. Arms: composed accents + ß + case; the same
+    * words DECOMPOSED (e+U+0301 etc.); katakana pa/dakuten (ガ as
+    * か+U+3099); fullwidth ABC + Devanagari ki (क+matra U+0940, a
+    * SPACING mark). */
+  private[queries] val NormalizeArms: IndexedSeq[String] = IndexedSeq(
+    "CafÉ NAÏVE Straße ",
+    "Café naïve Strasse ",
+    "パーティー がガ ",
+    "ＡＢＣ की ")
+
   /** q34's full-corpus portable MinHash-LSH oracle, parameterized by an
     * extra predicate on the final pair list so the incremental-store
     * equivalence query (q65, CurationQueries) can restrict it to pairs
@@ -256,6 +268,40 @@ private[queries] object LlmQueries {
             t -> regexp_matches(t, '[\p{Han}\p{Hiragana}\p{Katakana}]'))) AS cjk_tokens,
           array_to_string(tk[1:12], ' ') AS head_tokens
         FROM tks""")),
+
+    // ===== Text analysis: Unicode canonicalization (NFC + simple
+    // lowercase + all-marks accent strip). The four prefix arms pin the
+    // portability corners: composed accents/ß/case, DECOMPOSED forms of
+    // the same words (must converge to identical bytes), katakana with
+    // dakuten (NFC must recompose, strip must drop the combining mark
+    // form), fullwidth + Devanagari spacing matra (\\p{M} not \\p{Mn}).
+    // Both engines receive byte-identical fixtures — the SQL is built
+    // from the same Scala constants =====
+    QueryDef("q91_normalize_text",
+      (s, dir) => {
+        val arms = NormalizeArms
+        val prefix = when(col("doc_id") % 4 === 0, lit(arms(0)))
+          .when(col("doc_id") % 4 === 1, lit(arms(1)))
+          .when(col("doc_id") % 4 === 2, lit(arms(2)))
+          .otherwise(lit(arms(3)))
+        T.documents(s, dir)
+          .select(col("doc_id"), concat(prefix, col("text")).as("t"))
+          .select(col("doc_id"),
+            TextFunctions.normalizeText(col("t")).as("norm_text"),
+            TextFunctions.normalizeText(col("t"), stripAccents = true,
+              lower = false).as("norm_keepcase"))
+      },
+      Some(s"""
+        WITH mixed AS (SELECT doc_id,
+            (CASE doc_id % 4 WHEN 0 THEN '${NormalizeArms(0)}'
+                             WHEN 1 THEN '${NormalizeArms(1)}'
+                             WHEN 2 THEN '${NormalizeArms(2)}'
+                             ELSE '${NormalizeArms(3)}' END) || text AS t
+          FROM documents)
+        SELECT doc_id,
+          strip_accents(lower(nfc_normalize(t))) AS norm_text,
+          strip_accents(nfc_normalize(t)) AS norm_keepcase
+        FROM mixed""")),
 
     // ===== Text analysis: Gopher-style repetition filter =====
     QueryDef("q61_repetition",
