@@ -64,6 +64,38 @@ object Decontamination {
           .as("overlap_rate"))
   }
 
+  /** WHERE a document overlaps the eval set — the surgical form of
+    * [[contaminatedIds]]: gram-start positions whose word n-gram appears
+    * anywhere in the eval set, merged gaps-and-islands into maximal
+    * spans of ≥ `minSpan` tokens (0-based inclusive token indices, like
+    * [[Dedup.duplicateSpans]]). Feed the spans to [[Dedup.exciseSpans]]
+    * to cut the leaked passage and KEEP the document — at pre-training
+    * scale, dropping every doc that quotes one benchmark question
+    * throws away real data volume; excising the quote does not. With
+    * `minSpan = n` every shared gram is reported, so
+    * `contaminationSpans(...).select("id").distinct` equals
+    * [[contaminatedIds]] (up to the documented 128-bit hash join).
+    *
+    * Scale shape: the doc side shuffles (id, pos, 128-bit gram hash) —
+    * never text; the eval side is distinct-projected and usually
+    * broadcast (benchmark suites are small), so the only full exchange
+    * is the per-doc island sort. */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         evalTexts: DataFrame, evalTextCol: String,
+                         n: Int, minSpan: Int): DataFrame = {
+    require(minSpan >= n,
+      s"minSpan ($minSpan) below the gram size ($n) is unsatisfiable")
+    val grams = Dedup.positionedGramHashes(docs, idCol, textCol, n)
+    val evalSide = Dedup.positionedGramHashes(
+        evalTexts.select(lit(0L).as("__eid"), col(evalTextCol)),
+        "__eid", evalTextCol, n)
+      .select("__h1", "__h2").distinct()
+    val covered = grams
+      .join(evalSide, Seq("__h1", "__h2"), "left_semi")
+      .select("id", "__p")
+    Dedup.coveredToSpans(covered, n, minSpan)
+  }
+
   /** The distinct eval-side gram set (the shared build side above). */
   private def evalGrams(evalTexts: DataFrame, evalTextCol: String,
                         n: Int): DataFrame =

@@ -169,14 +169,7 @@ object Dedup {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(minSpan >= k,
       s"minSpan ($minSpan) below the gram size ($k) is unsatisfiable")
-    val grams = df
-      .select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col("id"),
-        posexplode(TextFunctions.ngrams(col("__t"), k)).as(Seq("__p", "__g")))
-      .select(col("id"), col("__p"),
-        xxhash64(col("__g")).as("__h1"),
-        xxhash64(lit(0x9e3779b9L), col("__g")).as("__h2"))
+    val grams = positionedGramHashes(df, idCol, textCol, k)
     val dupGrams = grams
       .groupBy("__h1", "__h2").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
@@ -184,6 +177,16 @@ object Dedup {
     val covered = grams
       .join(dupGrams, Seq("__h1", "__h2"), "left_semi")
       .select("id", "__p")
+    coveredToSpans(covered, k, minSpan)
+  }
+
+  /** Shared island-merge tail of the span operators: covered gram-start
+    * positions (id, __p) → maximal-run spans ≥ minSpan tokens. One
+    * exchange on id; the gaps-and-islands groupBy reuses the window's
+    * partitioning. Also the gram/position projection head, so every
+    * span-family operator covers positions identically. */
+  private[operators] def coveredToSpans(covered: DataFrame, k: Int,
+                                        minSpan: Int): DataFrame = {
     val wid = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("__p")
     covered
@@ -195,6 +198,19 @@ object Dedup {
       .filter(col("span_tokens") >= minSpan)
       .select("id", "span_start", "span_end", "span_tokens")
   }
+
+  /** (id, gram-start position, 128-bit gram hash) projection shared by
+    * the span family. */
+  private[operators] def positionedGramHashes(df: DataFrame, idCol: String,
+                                              textCol: String,
+                                              k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"),
+        posexplode(TextFunctions.ngrams(col("__t"), k)).as(Seq("__p", "__g")))
+      .select(col("id"), col("__p"),
+        xxhash64(col("__g")).as("__h1"),
+        xxhash64(lit(0x9e3779b9L), col("__g")).as("__h2"))
 
   /** Apply a span table (normally [[duplicateSpans]] output) to the
     * corpus: drop the tokens inside each document's spans and reassemble

@@ -355,6 +355,40 @@ private[queries] object LlmQueries {
       },
       Some(deconOracle)),
 
+    // ===== Decontamination, surgical form: WHERE each corpus doc
+    // overlaps the eval set — maximal runs of eval-shared 5-grams as
+    // token spans (minSpan = n, so flagged ids match q63 exactly);
+    // excise these instead of dropping whole docs =====
+    QueryDef("q92_contamination_spans",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        Decontamination.contaminationSpans(
+            d.filter(col("doc_id") >= 25), "doc_id", "text",
+            d.filter(col("doc_id") < 25), "text", n = 5, minSpan = 5)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        pg AS (SELECT doc_id, e.p AS p, e.g AS g FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(tk) - 4, 0) + 1),
+                i -> {'p': i - 1,
+                      'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           || ' ' || tk[i+3] || ' ' || tk[i+4]})) AS e
+            FROM tk)),
+        eg AS (SELECT DISTINCT g FROM pg WHERE doc_id < 25),
+        cov AS (SELECT doc_id, p FROM pg
+                WHERE doc_id >= 25 AND g IN (SELECT g FROM eg)),
+        runs AS (SELECT doc_id, p,
+            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM cov)
+        SELECT doc_id,
+          CAST(min(p) AS BIGINT) AS span_start,
+          CAST(max(p) + 4 AS BIGINT) AS span_end,
+          CAST(count(*) + 4 AS BIGINT) AS span_tokens
+        FROM runs GROUP BY doc_id, island
+        HAVING count(*) + 4 >= 5""")),
+
     // ===== Dedup: exact duplicated-substring spans (Lee et al. 2021
     // ExactSubstr, token-granular) — positions whose 5-gram repeats
     // anywhere in the corpus, merged into maximal runs, reported when

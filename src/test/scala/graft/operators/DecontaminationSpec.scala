@@ -133,4 +133,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(flagged === rated)
     assert(flagged === Set(1L, 3L))
   }
+
+  test("contaminationSpans localizes the leak; excising it unflags the doc") {
+    // doc 1 quotes the whole eval question (tokens 2..7); doc 2 shares
+    // only its leading 3-gram; doc 3 is clean
+    val docs = Seq(
+      (1L, "intro words the quick brown fox jumps over and then more"),
+      (2L, "the quick brown dog naps"),
+      (3L, "completely unrelated text entirely here")
+    ).toDF("id", "text")
+    val spans = Decontamination.contaminationSpans(docs, "id", "text",
+      evalSet, "text", n = 3, minSpan = 3)
+    val got = spans.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 7L, 6L), (2L, 0L, 2L, 3L)))
+    // minSpan = n ⇒ flagged ids equal contaminatedIds
+    val flagged = Decontamination.contaminatedIds(docs, "id", "text",
+      evalSet, "text", 3).as[Long].collect().toSet
+    assert(spans.select("id").distinct().as[Long].collect().toSet === flagged)
+    // the surgical loop: excise the spans, re-check → nothing flagged
+    val cleaned = Dedup.exciseSpans(docs, "id", "text", spans)
+    assert(Decontamination.contaminatedIds(cleaned, "id", "text",
+      evalSet, "text", 3).count() === 0)
+    // and the clean doc's text survives untouched
+    val texts = cleaned.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(texts(3L) === "completely unrelated text entirely here")
+    assert(texts(1L) === "intro words and then more")
+  }
 }
