@@ -48,4 +48,56 @@ object CorpusStats {
             / col("n_distinct").cast("double"))
           .as("rare_ratio"))
   }
+
+  /** Top-`topV` corpus vocabulary by total token count, with document
+    * frequency — the seed for tokenizer training and the reference set
+    * for [[oovRate]]. Ties at the cut break by token (ascending), so
+    * the selected set is deterministic and engine-portable. Output:
+    * (tok, cnt, df), descending by cnt.
+    *
+    * One exchange (the token aggregate, map-side partial) feeding a
+    * TakeOrderedAndProject — per-partition top-V then a merge of V-row
+    * heaps, never a global sort of the vocabulary. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 topV: Int): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("df"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(topV)
+  }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary table
+    * (normally [[vocabulary]] output, or an external tokenizer's vocab):
+    * the fraction of the doc's tokens not in the vocab — the standard
+    * "will the tokenizer shred this document" signal. Output:
+    * (id, n_tokens, n_oov, oov_rate); zero-token docs report (0, 0, 0.0).
+    *
+    * The vocab side is `topV` rows — broadcast; the token explode
+    * aggregates straight back to ids, so the only full exchange is the
+    * per-doc rollup. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame, vocabTokCol: String = "tok"): DataFrame = {
+    val v = vocab.select(col(vocabTokCol).as("__vtok")).distinct()
+      .withColumn("__inv", lit(1))
+    val perDoc = docs
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .join(broadcast(v), col("__tok") === col("__vtok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__inv").isNull, lit(1))).as("n_oov"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens").isNull || col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double")
+            / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -210,5 +210,42 @@ private[queries] object SequenceQueries {
                END AS rare_ratio
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN pd USING (doc_id)""")),
+
+    // ===== corpus-stats: top-V vocabulary (tokenizer-training seed;
+    // deterministic tie-break at the cut by token asc) =====
+    QueryDef("q93_vocabulary",
+      (s, dir) => graft.operators.CorpusStats.vocabulary(
+        T.documents(s, dir), "doc_id", "text", topV = 200),
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
+        SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        FROM t GROUP BY tok
+        ORDER BY cnt DESC, tok ASC LIMIT 200""")),
+
+    // ===== corpus-stats quality signal: out-of-vocabulary rate against
+    // the q93 vocabulary ("will the tokenizer shred this doc") =====
+    QueryDef("q94_oov_rate",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        graft.operators.CorpusStats.oovRate(d, "doc_id", "text",
+            graft.operators.CorpusStats.vocabulary(d, "doc_id", "text", 200))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+        v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+              ORDER BY cnt DESC, tok ASC LIMIT 200),
+        pd AS (SELECT t.doc_id, count(*) AS n_tokens,
+                      count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov
+               FROM t LEFT JOIN v ON t.tok = v.tok
+               GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(pd.n_tokens, 0) AS n_tokens,
+               coalesce(pd.n_oov, 0) AS n_oov,
+               CASE WHEN pd.n_tokens IS NULL OR pd.n_tokens = 0 THEN 0.0
+                    ELSE pd.n_oov::DOUBLE / pd.n_tokens::DOUBLE
+               END AS oov_rate
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN pd USING (doc_id)""")),
   )
 }

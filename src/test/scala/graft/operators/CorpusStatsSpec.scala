@@ -28,4 +28,32 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].head()
     assert(out === ((1L, 3L, 0L, 0.0)))
   }
+
+  test("vocabulary: counts, dfs, and the deterministic tie-break at the cut") {
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb dd"),
+      (3L, "aa")
+    ).toDF("id", "text")
+    // counts: aa=4(df 3), bb=2(df 2), cc=1, dd=1 — topV=3 must break the
+    // cc/dd tie by token asc → cc in, dd out
+    val out = CorpusStats.vocabulary(docs, "id", "text", topV = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("aa", 4L, 3L), ("bb", 2L, 2L), ("cc", 1L, 1L)))
+  }
+
+  test("oovRate scores docs against the vocab; empty docs report zero") {
+    val docs = Seq(
+      (1L, "aa bb zz"),   // zz is OOV → 1/3
+      (2L, "aa aa"),      // fully in-vocab
+      (3L, "")
+    ).toDF("id", "text")
+    val vocab = Seq("aa", "bb").toDF("tok")
+    val out = CorpusStats.oovRate(docs, "id", "text", vocab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
 }
