@@ -61,6 +61,15 @@ object Pipeline {
       maxRepetition: Double = 0.06,
       repN: Int = 2,
       deconN: Int = 5,
+      // surgical decontamination: instead of DROPPING every doc that
+      // shares an eval n-gram (the default, strictest policy), EXCISE
+      // the overlapping token spans and keep the remainder — at corpus
+      // scale, a doc quoting one benchmark question is volume worth
+      // keeping. Docs whose text empties are dropped; untouched docs
+      // keep their exact bytes (no whitespace renormalization). Still a
+      // pure per-doc function of the static eval set, so the batch and
+      // incremental forms stay observationally equal.
+      surgicalDecon: Boolean = false,
       minhash: MinhashConfig =
         MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
           threshold = 0.5))
@@ -100,6 +109,21 @@ object Pipeline {
     val redacted =
       if (evalTexts.isDefined) stage(redactedRaw) else redactedRaw
     val decon = evalTexts match {
+      case Some(ev) if cfg.surgicalDecon =>
+        // minSpan = n: every shared gram is excised, so the REMOVED text
+        // is exactly what the drop policy would have flagged. Untouched
+        // docs bypass the excision (anti-join) so their bytes are
+        // identical to the non-surgical path's survivors.
+        val spans = Decontamination.contaminationSpans(redacted, "id",
+          "text", ev, evalTextCol, cfg.deconN, minSpan = cfg.deconN)
+        val spanIds = spans.select("id").distinct()
+        val excised = Dedup.exciseSpans(
+            redacted.join(spanIds, Seq("id"), "left_semi"), "id", "text",
+            spans)
+          .filter(length(col("text")) > 0)
+          .select("id", "text")
+        redacted.join(spanIds, Seq("id"), "left_anti")
+          .unionByName(excised)
       case Some(ev) => redacted.join(
         Decontamination.contaminatedIds(redacted, "id", "text", ev, evalTextCol,
           cfg.deconN),

@@ -56,7 +56,15 @@ private[queries] object CurationQueries {
     * q63 decontamination, q19 exact dedup, q34 minhash, q64 components).
     * Emitted once; q68 selects the kept corpus off it, q69 the per-stage
     * survivor counts. */
-  private val curateCtes: String = {
+  private val curateCtes: String = curateCtesFor(surgical = false)
+
+  /** The CTE chain with the decontamination stage in either policy:
+    * drop-the-doc (`dec` = anti-join on flagged ids) or surgical
+    * (`dec` = untouched docs plus excised survivors — the q92 island
+    * chain + the q90 index-aware token filter over the REDACTED text,
+    * emptied docs dropped). Everything downstream of `dec` is shared
+    * verbatim, which is the equivalence claim q95 pins. */
+  private def curateCtesFor(surgical: Boolean): String = {
     val mh = CurateCfg.minhash
     require(mh.shingleN == 3 && CurateCfg.repN == 2,
       "the SQL mirror hardwires 3-token shingles and bigram repetition")
@@ -105,11 +113,37 @@ private[queries] object CurationQueries {
             '${graft.functions.TextFunctions.PhoneRe}', '<PHONE>', 'g') AS text
           FROM flt),
         rg AS (SELECT id, $duckToks AS tk FROM red),
-        gr AS (SELECT id, unnest($fiveGram) AS g FROM rg),
         ev AS (SELECT $duckToks AS tk FROM documents WHERE doc_id < 25),
         eg AS (SELECT DISTINCT unnest($fiveGram) AS g FROM ev),
+        ${if (!surgical) s"""
+        gr AS (SELECT id, unnest($fiveGram) AS g FROM rg),
         cont AS (SELECT DISTINCT gr.id FROM gr JOIN eg USING (g)),
-        dec AS (SELECT * FROM red WHERE id NOT IN (SELECT id FROM cont)),
+        dec AS (SELECT * FROM red WHERE id NOT IN (SELECT id FROM cont)),"""
+    else s"""
+        pgx AS (SELECT id, e.p AS p, e.g AS g FROM (
+            SELECT id, unnest(list_transform(
+                range(1, greatest(len(tk) - 4, 0) + 1),
+                i -> {'p': i - 1,
+                      'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                           || ' ' || tk[i+3] || ' ' || tk[i+4]})) AS e
+            FROM rg)),
+        cov AS (SELECT id, p FROM pgx WHERE g IN (SELECT g FROM eg)),
+        rns AS (SELECT id, p,
+            p - row_number() OVER (PARTITION BY id ORDER BY p) AS island
+          FROM cov),
+        spn AS (SELECT id, min(p) AS s, max(p) + 4 AS e
+                FROM rns GROUP BY id, island),
+        spl AS (SELECT id, list({'s': s, 'e': e}) AS sps
+                FROM spn GROUP BY id),
+        exc AS (SELECT rg.id,
+                  coalesce(array_to_string(list_filter(rg.tk, (x, i) ->
+                    len(list_filter(spl.sps, sp ->
+                      i - 1 >= sp.s AND i - 1 <= sp.e)) = 0), ' '), '')
+                    AS text
+                FROM rg JOIN spl USING (id)),
+        dec AS (SELECT red.id, red.text FROM red
+                WHERE red.id NOT IN (SELECT id FROM spl)
+                UNION ALL SELECT id, text FROM exc WHERE length(text) > 0),"""}
         ex AS (SELECT dec.id, dec.text FROM dec
           JOIN (SELECT text AS kk, min(id) AS mid FROM dec GROUP BY 1) gx
             ON dec.text = gx.kk AND dec.id = gx.mid),
@@ -207,6 +241,22 @@ private[queries] object CurationQueries {
         .kept.select(col("id").as("doc_id"), col("text")),
       Some(s"""
         WITH RECURSIVE $curateCtes
+        SELECT id AS doc_id, text FROM kept""")),
+
+    // ===== The same pipeline under the SURGICAL decontamination policy:
+    // eval-overlap spans excised (emptied docs dropped), everything
+    // downstream identical — contaminated docs' unique remainders now
+    // survive into the kept corpus instead of vanishing =====
+    QueryDef("q95_curate_surgical",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        Pipeline.curate(d.filter(col("doc_id") >= 25), "doc_id", "text",
+            Some(d.filter(col("doc_id") < 25)), "text",
+            CurateCfg.copy(surgicalDecon = true))
+          .kept.select(col("id").as("doc_id"), col("text"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${curateCtesFor(surgical = true)}
         SELECT id AS doc_id, text FROM kept""")),
 
     // ===== Per-stage survivor accounting of the same pipeline run =====

@@ -355,16 +355,19 @@ object ScaleProbe {
     * pair space; the probe accounts spans and removed-token mass so a
     * silent explosion (e.g. a boilerplate mega-gram chaining everything
     * into one span) would show up in the numbers, not just the wall. */
-  private def spansProbe(spark: SparkSession, docsPath: String): Unit = {
+  private def spansProbe(spark: SparkSession, docsPath: String,
+                         minSpans: Seq[Int]): Unit = {
     import graft.operators.Dedup
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
-    // two regimes: minSpan above the generator's 9-token shared-run cap
-    // (sparse — only hash-coincidence alignments fire) and below it
-    // (dense — every dup doc yields ~a span per inter-mutation run),
-    // so both the rare-span and the mass-excision paths get 1M-scale wall
-    // numbers and accounting
-    for (minSpan <- Seq(15, 8)) {
+    // two regimes by default: minSpan above the generator's 9-token
+    // shared-run cap (sparse — only hash-coincidence alignments fire)
+    // and below it (dense — every dup doc yields ~a span per
+    // inter-mutation run), so both the rare-span and the mass-excision
+    // paths get scale wall numbers and accounting. At 10M the regimes'
+    // walls are within 10% (gram-bound), so a single regime suffices —
+    // two back-to-back runs hold ~2× the gram shuffle on disk.
+    for (minSpan <- minSpans) {
       val t0 = System.nanoTime()
       val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
         k = 5, minSpan = minSpan).persist()
@@ -652,8 +655,9 @@ object ScaleProbe {
         embIncrProbe(spark, whRoot, nVecs.toLong)
       case "seq" :: docsPath :: Nil =>
         seqProbe(spark, docsPath)
-      case "spans" :: docsPath :: Nil =>
-        spansProbe(spark, docsPath)
+      case "spans" :: docsPath :: rest if rest.forall(_.forall(_.isDigit)) =>
+        spansProbe(spark, docsPath,
+          if (rest.isEmpty) Seq(15, 8) else rest.map(_.toInt))
       case "bm25" :: docsPath :: whRoot :: Nil =>
         bm25Probe(spark, docsPath, whRoot)
       case "gram" :: docsPath :: whRoot :: Nil =>

@@ -77,6 +77,32 @@ class PipelineSpec extends SparkSpec {
     assert(res.stageCounts.isEmpty)
   }
 
+  test("surgical decon keeps the contaminated doc's remainder, drops emptied docs") {
+    // doc 9 is a verbatim copy of the eval text → fully covered → empties
+    val withCopy = docs.union(Seq((9L, evalText)).toDF("doc_id", "text"))
+    val res = Pipeline.curate(withCopy, "doc_id", "text", Some(evalSet),
+      "text", cfg.copy(surgicalDecon = true))
+    val kept = res.kept.as[(Long, String)].collect().toMap
+    // doc 4 now SURVIVES minus its leaked span ("to be ... question",
+    // tokens 6-15); doc 9 excises to empty and is dropped
+    assert(kept.keySet === Set(1L, 4L, 5L, 8L))
+    assert(kept(4L) === "unrelated opening words here and then " +
+      "inside a doc of fair quality it is")
+    // untouched docs keep their exact bytes (no token-rejoin drift)
+    assert(kept(1L) === good1)
+  }
+
+  test("surgical and drop policies agree when nothing is contaminated") {
+    val cleanEval = Seq((100L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    val a = Pipeline.curate(docs, "doc_id", "text", Some(cleanEval),
+      "text", cfg).kept.as[(Long, String)].collect().toSet
+    val b = Pipeline.curate(docs, "doc_id", "text", Some(cleanEval),
+      "text", cfg.copy(surgicalDecon = true))
+      .kept.as[(Long, String)].collect().toSet
+    assert(a === b)
+  }
+
   // ------------------------------------------------- incremental curation
 
   private def freshRoot(): String =
