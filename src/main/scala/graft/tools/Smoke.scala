@@ -112,6 +112,26 @@ object Smoke {
     show("Sequences.dropRepeatedBlocks(16, df>=2)") {
       graft.operators.Sequences.dropRepeatedBlocks(docs, "doc_id", "text", 16, 2)
     }
+    show("Dedup.duplicateSpans(k=5,min=15) + exciseSpans") {
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 5, 15)
+      Dedup.exciseSpans(docs, "doc_id", "text", spans)
+        .filter(col("n_removed") > 0)
+    }
+    show("Decontamination.contaminationSpans(vs docs<25)") {
+      graft.operators.Decontamination.contaminationSpans(
+        docs.filter(col("doc_id") >= 25), "doc_id", "text",
+        docs.filter(col("doc_id") < 25), "text", 5, 5)
+    }
+    show("CorpusStats.vocabulary(50) + oovRate") {
+      graft.operators.CorpusStats.oovRate(docs, "doc_id", "text",
+        graft.operators.CorpusStats.vocabulary(docs, "doc_id", "text", 50))
+    }
+    show("TextFunctions.normalizeText on mixed forms") {
+      spark.range(1).select(
+        TextFunctions.normalizeText(lit("CafÉ naïve Straße ＡＢ")).as("norm"),
+        TextFunctions.normalizeText(lit("CafÉ"), stripAccents = true,
+          lower = false).as("keepcase"))
+    }
     show("Decontamination.overlapStats(5-grams vs docs<25)") {
       graft.operators.Decontamination.overlapStats(
         docs.filter(col("doc_id") >= 25), "doc_id", "text",
