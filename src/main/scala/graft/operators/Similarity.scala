@@ -146,6 +146,34 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540): drop all but one
+    * member of every SEMANTIC near-duplicate cluster — pairs above the
+    * cosine threshold ([[lshNearDupPairs]]) chained into connected
+    * components, keeping the min-id member of each (the same
+    * representative rule the curation pipeline's lexical near-dedup
+    * uses, so the two tiers compose without a second convention).
+    * Returns the surviving `corpus` rows unchanged; rows in no pair are
+    * kept by construction.
+    *
+    * Scale shape is the constituents': ids-only LSH banding with a
+    * maxBucket cap, candidate-only exact-cosine verify, O(log diameter)
+    * pointer-jumping rounds on ids — no stage touches vectors except
+    * the capped verify join. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, dim: Int,
+                    tables: Int = 8, bitsPerTable: Int = 12,
+                    seed: Long = 42L,
+                    planes: Option[Seq[Seq[Seq[Double]]]] = None,
+                    maxBucket: Int = 10000): DataFrame = {
+    val pairs = lshNearDupPairs(corpus, idCol, vecCol, threshold, dim,
+      tables, bitsPerTable, seed, planes, maxBucket)
+    val labels = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b")
+    corpus.join(
+      labels.filter(col("comp") < col("id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid,
     * then for each query probe the `nProbes` nearest cells only.
     *

@@ -44,13 +44,14 @@ private[queries] object SimilarityQueries {
   /** DuckDB mirror of [[graft.operators.Similarity.lshNearDupPairs]]
     * over `nearDupPlanes` at threshold 0.35 — q78 restricts it to pairs
     * with a second-batch (odd-id) endpoint, mirroring q65/q66. */
-  private def embPairsOracle(extraWhere: String): String = {
+  /** The q77 CTE chain `sigs → … → scored`, shared by [[embPairsOracle]]
+    * and q96's cluster-keep tail. */
+  private def embPairsCtes: String = {
     val (sigCols, arms) = sigCtes(nearDupPlanes)
     val d = duckDot("va", "vb")
     val na = s"sqrt(${duckDot("va", "va")})"
     val nb = s"sqrt(${duckDot("vb", "vb")})"
-    s"""
-        WITH sigs AS (SELECT vec_id,
+    s"""sigs AS (SELECT vec_id,
             $sigCols
           FROM embeddings),
         b AS ($arms),
@@ -66,10 +67,14 @@ private[queries] object SimilarityQueries {
           JOIN (SELECT vec_id AS aid, embedding AS va FROM embeddings)
             ON aid = id_a
           JOIN (SELECT vec_id AS bid, embedding AS vb FROM embeddings)
-            ON bid = id_b)
+            ON bid = id_b)"""
+  }
+
+  private def embPairsOracle(extraWhere: String): String =
+    s"""
+        WITH $embPairsCtes
         SELECT id_a, id_b, sim FROM scored
         WHERE sim >= 0.35$extraWhere"""
-  }
 
   /** q23's oracle — also verifies q73, where the SAME corpus is built
     * into the serve table by two incremental appends instead of one
@@ -234,6 +239,26 @@ private[queries] object SimilarityQueries {
         "vec_id", "embedding", threshold = 0.35, dim = 64,
         tables = 4, bitsPerTable = 4, planes = Some(nearDupPlanes)),
       Some(embPairsOracle(""))),
+
+    // ===== Similarity: SemDedup — q77's pair graph chained into
+    // clusters, min-id representative kept per cluster (the embedding
+    // tier's analogue of the pipeline's lexical near-dedup stage) =====
+    QueryDef("q96_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(T.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.35, dim = 64,
+          tables = 4, bitsPerTable = 4, planes = Some(nearDupPlanes))
+        .select("vec_id"),
+      Some(s"""
+        WITH RECURSIVE $embPairsCtes,
+        pr AS (SELECT id_a, id_b FROM scored WHERE sim >= 0.35),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        ccr AS (SELECT src AS id, src AS comp FROM edges
+                UNION SELECT e.dst, ccr.comp FROM ccr
+                JOIN edges e ON ccr.id = e.src),
+        lab AS (SELECT id, min(comp) AS comp FROM ccr GROUP BY id)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM lab WHERE comp < id)""")),
 
     // ===== Similarity: incremental semantic near-dup — batch-2 ingest
     // against a batch-1 EmbeddingLshStore equals the full-corpus pairs

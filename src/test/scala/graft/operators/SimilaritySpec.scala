@@ -37,6 +37,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(2L), "the 0.99-cosine neighbor must be recalled")
   }
 
+  test("semanticDedup keeps one representative per cluster and all singletons") {
+    // chain 1≈2≈6 into ONE cluster via the transitive 2≈6 edge — only the
+    // min id (1) survives; 3, 4, 5 are in no pair and pass through
+    val chained = corpus.union(Seq(
+      (6L, Array(0.8f, 0.2f, 0.0f, 0.1f))).toDF("vec_id", "embedding"))
+    val kept = Similarity.semanticDedup(chained, "vec_id", "embedding",
+        threshold = 0.9, dim = 4, tables = 8, bitsPerTable = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L, 5L))
+    // threshold above every cosine → nothing clusters, corpus unchanged
+    val all = Similarity.semanticDedup(chained, "vec_id", "embedding",
+        threshold = 0.9999, dim = 4, tables = 8, bitsPerTable = 2)
+      .count()
+    assert(all === 6L)
+  }
+
   test("labelBlockedNearDup caps hot labels (bounded pair count)") {
     // one hot label with 20 identical vectors: uncapped all-pairs would
     // emit 190 pairs; cap 5 bounds it to C(5,2) = 10 from the 5 lowest ids
