@@ -70,6 +70,48 @@ object CorpusStats {
       .limit(topV)
   }
 
+  /** Token-share DRIFT between two corpora — the distribution-shift
+    * monitor for a continuously ingested corpus (is this week's crawl
+    * drifting from the reference mix?): for the `topV` tokens by
+    * combined count, each token's share of either corpus and the ratio
+    * share_a/share_b. Deliberately PER-TOKEN: a scalar divergence (KL,
+    * chi²) needs `log` or a cross-row float sum, neither of which is
+    * bit-portable across engines — the per-token table is exact (counts
+    * + single IEEE divisions per row), and the aggregate is the
+    * caller's policy anyway. `drift_ratio` is null when either count is
+    * zero (a token absent from one corpus has no finite ratio).
+    *
+    * Scale shape: one explode+aggregate per corpus (map-side partial,
+    * vocabulary-sized outputs), a full-outer join of the two count
+    * tables, totals as one-row broadcast scalars (the q31 watermark
+    * shape — bounded by contract), TakeOrdered for the cut. */
+  def tokenShareDrift(corpusA: DataFrame, corpusB: DataFrame,
+                      textCol: String, topV: Int): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    def counts(df: DataFrame, cntCol: String) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(cntCol))
+    val ca = counts(corpusA, "cnt_a")
+    val cb = counts(corpusB, "cnt_b")
+    ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .crossJoin(broadcast(ca.agg(sum(col("cnt_a")).as("__ta"))))
+      .crossJoin(broadcast(cb.agg(sum(col("cnt_b")).as("__tb"))))
+      .withColumn("share_a",
+        col("cnt_a").cast("double") / col("__ta").cast("double"))
+      .withColumn("share_b",
+        col("cnt_b").cast("double") / col("__tb").cast("double"))
+      .withColumn("drift_ratio",
+        when(col("cnt_a") === 0 || col("cnt_b") === 0,
+          lit(null).cast("double"))
+          .otherwise(col("share_a") / col("share_b")))
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("tok").asc)
+      .limit(topV)
+      .select("tok", "cnt_a", "cnt_b", "share_a", "share_b", "drift_ratio")
+  }
+
   /** Per-document out-of-vocabulary rate against a vocabulary table
     * (normally [[vocabulary]] output, or an external tokenizer's vocab):
     * the fraction of the doc's tokens not in the vocab — the standard

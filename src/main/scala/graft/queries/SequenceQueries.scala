@@ -247,5 +247,33 @@ private[queries] object SequenceQueries {
                END AS oov_rate
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN pd USING (doc_id)""")),
+
+    // ===== corpus-stats: token-share drift between two corpora (the
+    // even/odd doc-id split stands in for reference vs new-crawl) =====
+    QueryDef("q97_token_drift",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        graft.operators.CorpusStats.tokenShareDrift(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "text", topV = 200)
+      },
+      Some(s"""
+        WITH ta AS (SELECT unnest($duckToks) AS tok FROM documents
+                    WHERE doc_id % 2 = 0),
+        tb AS (SELECT unnest($duckToks) AS tok FROM documents
+               WHERE doc_id % 2 = 1),
+        ca AS (SELECT tok, count(*) AS cnt_a FROM ta GROUP BY tok),
+        cb AS (SELECT tok, count(*) AS cnt_b FROM tb GROUP BY tok),
+        j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+                coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        sh AS (SELECT tok, cnt_a, cnt_b,
+                cnt_a::DOUBLE / (SELECT count(*) FROM ta)::DOUBLE AS share_a,
+                cnt_b::DOUBLE / (SELECT count(*) FROM tb)::DOUBLE AS share_b
+              FROM j)
+        SELECT tok, cnt_a, cnt_b, share_a, share_b,
+          CASE WHEN cnt_a = 0 OR cnt_b = 0 THEN NULL
+               ELSE share_a / share_b END AS drift_ratio
+        FROM sh ORDER BY cnt_a + cnt_b DESC, tok ASC LIMIT 200""")),
   )
 }

@@ -60,7 +60,12 @@ object PlanLint {
     ("q56_revenue_forecast", "SinglePartition") ->
       "single-row regression aggregate",
     ("q57_promo_revenue", "SinglePartition") ->
-      "single-row ratio aggregate"
+      "single-row ratio aggregate",
+    // corpus totals as one-row broadcast scalars (the q31 shape)
+    ("q97_token_drift", "SinglePartition") ->
+      "two one-row corpus-total scalar aggregates",
+    ("q97_token_drift", "NestedLoopJoin") ->
+      "broadcast join of one-row corpus totals"
   )
 
   def main(args: Array[String]): Unit = {

@@ -42,6 +42,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out === Seq(("aa", 4L, 3L), ("bb", 2L, 2L), ("cc", 1L, 1L)))
   }
 
+  test("tokenShareDrift: hand-checked shares, null ratio for one-sided tokens") {
+    val a = Seq((1L, "aa aa bb"), (2L, "aa cc")).toDF("id", "text") // 5 tokens
+    val b = Seq((3L, "aa bb bb dd")).toDF("id", "text")             // 4 tokens
+    val out = CorpusStats.tokenShareDrift(a, b, "text", topV = 10)
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("aa") === (("aa", 3L, 1L, 3.0 / 5.0, 1.0 / 4.0,
+      Some((3.0 / 5.0) / (1.0 / 4.0)))))
+    assert(out("bb") === (("bb", 1L, 2L, 1.0 / 5.0, 2.0 / 4.0,
+      Some((1.0 / 5.0) / (2.0 / 4.0)))))
+    // cc only in A, dd only in B → no finite ratio
+    assert(out("cc")._6.isEmpty && out("dd")._6.isEmpty)
+    // the cut is deterministic: topV=2 keeps the combined-count leaders
+    val top2 = CorpusStats.tokenShareDrift(a, b, "text", topV = 2)
+      .select("tok").as[String].collect().toSet
+    assert(top2 === Set("aa", "bb"))
+  }
+
   test("oovRate scores docs against the vocab; empty docs report zero") {
     val docs = Seq(
       (1L, "aa bb zz"),   // zz is OOV → 1/3
