@@ -387,6 +387,36 @@ object ScaleProbe {
     }
   }
 
+  /** Vocabulary / OOV / drift over the probe corpus — unlike the tiny
+    * testdata vocabulary (31 tokens), the generator's hash tokens give
+    * ~9M DISTINCT keys over 120M occurrences, so the aggregations'
+    * map-side combine and the TakeOrdered cut face a realistic
+    * heavy-tailed vocabulary. */
+  private def vocabProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.CorpusStats
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    val t0 = System.nanoTime()
+    val voc = CorpusStats.vocabulary(docs, "doc_id", "text", topV = 1000)
+      .persist()
+    val vn = voc.count()
+    println(f"[probe] vocabulary(top 1000)           " +
+      f"${(System.nanoTime() - t0) / 1e9}%8.2f s  docs=$n rows=$vn")
+    val t1 = System.nanoTime()
+    val oovAvg = CorpusStats.oovRate(docs, "doc_id", "text", voc)
+      .agg(avg(col("oov_rate"))).head().getDouble(0)
+    println(f"[probe] oovRate vs top-1000            " +
+      f"${(System.nanoTime() - t1) / 1e9}%8.2f s  mean_oov=$oovAvg%.4f")
+    voc.unpersist()
+    val t2 = System.nanoTime()
+    val drift = CorpusStats.tokenShareDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text", topV = 1000)
+    val nNull = drift.filter(col("drift_ratio").isNull).count()
+    println(f"[probe] tokenShareDrift(top 1000)      " +
+      f"${(System.nanoTime() - t2) / 1e9}%8.2f s  one_sided=$nNull")
+  }
+
   /** BM25: one-shot scan scoring vs the persisted index — the index
     * pays its cost at append (the postings explode + two bucketed
     * writes); each query then reads only its terms' postings buckets
@@ -658,6 +688,8 @@ object ScaleProbe {
       case "spans" :: docsPath :: rest if rest.forall(_.forall(_.isDigit)) =>
         spansProbe(spark, docsPath,
           if (rest.isEmpty) Seq(15, 8) else rest.map(_.toInt))
+      case "vocab" :: docsPath :: Nil =>
+        vocabProbe(spark, docsPath)
       case "bm25" :: docsPath :: whRoot :: Nil =>
         bm25Probe(spark, docsPath, whRoot)
       case "gram" :: docsPath :: whRoot :: Nil =>
@@ -668,7 +700,7 @@ object ScaleProbe {
         ccGiantProbe(spark, n.toLong, hub = false) // skew-free control
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
-            "seq", "spans", "bm25", "gram").contains(docsPath) =>
+            "seq", "spans", "vocab", "bm25", "gram").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
