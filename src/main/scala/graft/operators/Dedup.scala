@@ -217,7 +217,10 @@ object Dedup {
     * the survivors in order — the EXCISE policy, which keeps a document's
     * unique remainder instead of dropping the whole document. Output
     * (id, text, n_removed); documents without spans pass through with
-    * n_removed = 0, and a fully-covered document keeps an empty-text row
+    * n_removed = 0 and their text BYTES UNCHANGED (excised documents are
+    * reassembled from tokens, i.e. single-space joined — but whitespace
+    * renormalization must never leak into the untouched bulk of the
+    * corpus), and a fully-covered document keeps an empty-text row
     * (silent row loss would corrupt id-keyed joins downstream — length
     * filtering is the caller's explicit next step).
     *
@@ -236,14 +239,16 @@ object Dedup {
       .agg(collect_list(struct(col(startCol).as("s"), col(endCol).as("e")))
         .as("__sp"))
     docs
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col(idCol).as("id"), col(textCol).as("__orig"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
       .join(sp, Seq("id"), "left")
       .withColumn("__kept",
         when(col("__sp").isNull, col("__t"))
           .otherwise(filter(col("__t"), (_, i) =>
             !exists(col("__sp"), s => i >= s("s") && i <= s("e")))))
       .select(col("id"),
-        array_join(col("__kept"), " ").as("text"),
+        when(col("__sp").isNull, col("__orig"))
+          .otherwise(array_join(col("__kept"), " ")).as("text"),
         (size(col("__t")) - size(col("__kept"))).cast("long").as("n_removed"))
   }
 

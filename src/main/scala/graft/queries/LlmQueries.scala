@@ -453,9 +453,11 @@ private[queries] object LlmQueries {
           HAVING count(*) + 4 >= 15),
         sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps
                FROM spans GROUP BY doc_id),
-        j AS (SELECT t.doc_id, t.tk, p.sps
-              FROM tk t LEFT JOIN sp p USING (doc_id)),
-        k AS (SELECT doc_id, tk,
+        j AS (SELECT t.doc_id, d.text AS orig, t.tk, p.sps
+              FROM tk t
+              JOIN documents d USING (doc_id)
+              LEFT JOIN sp p USING (doc_id)),
+        k AS (SELECT doc_id, orig, sps, tk,
                 CASE WHEN sps IS NULL THEN tk
                      ELSE list_filter(tk, (x, i) ->
                        len(list_filter(sps, sp ->
@@ -463,8 +465,10 @@ private[queries] object LlmQueries {
                 END AS kept
               FROM j)
         SELECT doc_id,
-          -- array_to_string([]) is NULL in DuckDB, '' in Spark
-          coalesce(array_to_string(kept, ' '), '') AS text,
+          -- untouched docs keep their bytes; excised docs are token-
+          -- rejoined (array_to_string([]) is NULL in DuckDB, '' in Spark)
+          CASE WHEN sps IS NULL THEN orig
+               ELSE coalesce(array_to_string(kept, ' '), '') END AS text,
           CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
         FROM k""")),
 

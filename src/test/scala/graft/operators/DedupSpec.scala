@@ -246,7 +246,7 @@ class DedupSpec extends SparkSpec {
     val d = Seq(
       (1L, "a1 a2 a3 s1 s2 s3 s4 s5 s6 s7 s8 b1 b2"),
       (2L, "c1 c2 s1 s2 s3 s4 s5 s6 s7 s8 d1"),
-      (3L, "untouched text stays put"),
+      (3L, "untouched  text\tstays   put"), // irregular whitespace
       (4L, "")
     ).toDF("id", "text")
     val spans = Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 8)
@@ -254,7 +254,8 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(out(1L) === ("a1 a2 a3 b1 b2", 8L))
     assert(out(2L) === ("c1 c2 d1", 8L))
-    assert(out(3L) === ("untouched text stays put", 0L))
+    // span-free docs keep their BYTES — no whitespace renormalization
+    assert(out(3L) === ("untouched  text\tstays   put", 0L))
     assert(out(4L) === ("", 0L))
     // a fully-covered doc keeps its (empty-text) row rather than vanishing
     val twins = Seq((1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4")).toDF("id", "text")
