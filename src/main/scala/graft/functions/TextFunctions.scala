@@ -42,6 +42,12 @@ object TextFunctions {
     org.apache.spark.sql.SparkSession.getActiveSession
       .exists(_.conf.get(ScriptAwareTokensKey, "false").toBoolean)
 
+  /** The session's current tokenizer mode, for persisted token-keyed
+    * stores to record in their parameter sidecar: rows written under
+    * one mode are invisible to lookups tokenized under the other, so
+    * the mode is store identity, not session preference. */
+  def scriptAwareEnabled: Boolean = scriptAware
+
   /** Scripts written WITHOUT word delimiters, tokenized per codepoint
     * (the standard CJK fallback — character n-grams then reconstruct
     * locality for dedup/decon/BM25). Hangul is deliberately absent:
@@ -65,6 +71,17 @@ object TextFunctions {
   def tokens(text: Column): Column = {
     val base = if (scriptAware) expandNoSpaceScripts(text) else text
     filter(split(lower(base), "\\s+"), t => length(t) > 0)
+  }
+
+  /** Case-preserving twin of [[tokens]]: same boundaries, same indices
+    * (no Unicode lowercase mapping creates or removes whitespace, so the
+    * two arrays are always position-aligned), original bytes. Operators
+    * that MATCH on [[tokens]] positions but REASSEMBLE text — span
+    * excision — must rebuild from this one, or every excised document
+    * comes back case-flattened. */
+  def rawTokens(text: Column): Column = {
+    val base = if (scriptAware) expandNoSpaceScripts(text) else text
+    filter(split(base, "\\s+"), t => length(t) > 0)
   }
 
   /** The reference's wordcount: words of length>1 containing a letter

@@ -142,11 +142,24 @@ object Decontamination {
     private val wh = new graft.sources.Warehouse(spark, root)
     private val gramTable = s"${name}_dc_gram"
 
+    // row-identity parameters: ghash is over n-grams, gpfx is mod
+    // prefixPartitions, and tokenization follows the session's
+    // script-aware flag — a handle with ANY of these drifted would
+    // silently miss contaminated ids (wrong prefixes pruned, wrong
+    // grams hashed), so every append records them and every append or
+    // check validates against the store's recorded values
+    private def storeParams: Seq[(String, String)] = Seq(
+      "n" -> n.toString,
+      "prefixPartitions" -> prefixPartitions.toString,
+      "scriptAwareTokens" ->
+        graft.functions.TextFunctions.scriptAwareEnabled.toString)
+
     private def gpfx(ghash: org.apache.spark.sql.Column) =
       pmod(ghash, lit(prefixPartitions)).cast("int")
 
     def append(docs: DataFrame, idCol: String, textCol: String): Unit =
       graft.sources.StoreTxn.transact(spark, root) {
+        wh.paramsSpecValidated(gramTable, storeParams)
         wh.appendPartitionedBucketed(gramTable,
           docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
             .select(col("id"),
@@ -161,6 +174,7 @@ object Decontamination {
       * then read bucket-aligned, ids only. */
     def check(evalTexts: DataFrame, evalTextCol: String): DataFrame = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      wh.paramsSpecValidated(gramTable, storeParams, writeIfAbsent = false)
       // eval gram hashes materialized once — they feed the prefix
       // collect AND the semi join (eval sets are benchmark-sized)
       val eg = evalGrams(evalTexts, evalTextCol, n)

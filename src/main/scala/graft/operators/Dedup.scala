@@ -238,9 +238,13 @@ object Dedup {
       .groupBy(col(spanIdCol).as("id"))
       .agg(collect_list(struct(col(startCol).as("s"), col(endCol).as("e")))
         .as("__sp"))
+    // span positions index into TextFunctions.tokens (lowercased — that
+    // is what duplicateSpans/contaminationSpans hashed), but the rebuild
+    // filters the position-aligned CASE-PRESERVING array: excised docs
+    // keep their surviving text's original case, not tokens()'s folding
     docs
       .select(col(idCol).as("id"), col(textCol).as("__orig"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
+        TextFunctions.rawTokens(col(textCol)).as("__t"))
       .join(sp, Seq("id"), "left")
       .withColumn("__kept",
         when(col("__sp").isNull, col("__t"))

@@ -114,8 +114,12 @@ object Pipeline {
         // is exactly what the drop policy would have flagged. Untouched
         // docs bypass the excision (anti-join) so their bytes are
         // identical to the non-surgical path's survivors.
-        val spans = Decontamination.contaminationSpans(redacted, "id",
-          "text", ev, evalTextCol, cfg.deconN, minSpan = cfg.deconN)
+        // the span plan (positioned gram hashes + eval semi-join +
+        // island-merge window) is read three times below — spanIds'
+        // semi-join, the excision span side, spanIds' anti-join — so
+        // stage it like `redacted`, or it re-executes per reference
+        val spans = stage(Decontamination.contaminationSpans(redacted, "id",
+          "text", ev, evalTextCol, cfg.deconN, minSpan = cfg.deconN))
         val spanIds = spans.select("id").distinct()
         val excised = Dedup.exciseSpans(
             redacted.join(spanIds, Seq("id"), "left_semi"), "id", "text",
@@ -255,6 +259,11 @@ object Pipeline {
         : CurateDelta = {
       import spark.implicits._
       Pipeline.requireIntegralId(batch.schema, idCol, "CurationStore")
+      // roll back any crashed prior ingest BEFORE the orphan scan below:
+      // its partial artifacts are legitimate rollback targets, not
+      // orphans, and must not trip the no-commit-record check on a
+      // blind retry
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
       // id-monotonicity guard — a violation would silently flip exact-
       // dedup winners (store membership means "first ingested", the
       // full-corpus semantics mean "min id"; the contract makes them agree)
@@ -263,7 +272,27 @@ object Pipeline {
       if (bounds.isNullAt(0)) // empty batch: nothing to do, state untouched
         return CurateDelta(spark.emptyDataset[(Long, String)]
           .toDF("id", "text"), spark.emptyDataset[Long].toDF("id"))
-      val prevMax = maxIngestedId.getOrElse(Long.MinValue)
+      val prevMax = maxIngestedId.getOrElse {
+        // no committed ingest on record — any existing store artifact
+        // is then an orphan: a pre-transactional (legacy) layout or a
+        // corrupted root. Trusting "never ingested" would re-append
+        // its exact hashes and signatures (the double-posting the
+        // marker exists to prevent) and reset every component label,
+        // so refuse instead of silently starting over on top of it.
+        val orphans = Seq(
+          survivorsPath,
+          s"$root/state/${name}_maxid",
+          s"$root/state/$labelsState",
+          s"$root/warehouse/$exactTable",
+          s"$root/warehouse/${name}_cur_mh_sig")
+          .filter(p => new java.io.File(p).exists())
+        require(orphans.isEmpty,
+          s"CurationStore '$name' at $root has store artifacts but no " +
+            s"committed ingest record (${orphans.mkString(", ")}) — a " +
+            "pre-transactional store cannot be ingested over; rebuild " +
+            "under a fresh root (or restore this one from snapshot)")
+        Long.MinValue
+      }
       require(bounds.getLong(0) > prevMax,
         s"batch ids must exceed all previously ingested ids " +
           s"(batch min ${bounds.getLong(0)} <= store max $prevMax)")

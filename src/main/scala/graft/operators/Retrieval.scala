@@ -173,6 +173,11 @@ object Retrieval {
           return // completed append redelivered
       }
       graft.sources.StoreTxn.transact(spark, root) {
+        // postings are keyed on tokens — the tokenizer mode is store
+        // identity (rows written under one mode are invisible to
+        // searches tokenized under the other), so record and validate
+        wh.paramsSpecValidated(postTable, Seq("scriptAwareTokens" ->
+          TextFunctions.scriptAwareEnabled.toString))
         // one tokenization feeds postings, lengths and the stats row
         val toksed = docs.select(col(idCol).as("id"),
             TextFunctions.tokens(col(textCol)).as("__t"))
@@ -202,6 +207,8 @@ object Retrieval {
                logIdf: Boolean = false): DataFrame = {
       require(queryTerms.nonEmpty, "empty query")
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      wh.paramsSpecValidated(postTable, Seq("scriptAwareTokens" ->
+        TextFunctions.scriptAwareEnabled.toString), writeIfAbsent = false)
       require(new java.io.File(statsPath).exists(),
         s"Bm25Index '$name' at $root has no appends — index before searching")
       val st = statsDf.agg(sum("n"), sum("sumdl")).head()

@@ -60,6 +60,15 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     * batch against its own signatures. */
   def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame =
    graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+    // signature-space identity: stored (band, bucket) rows are only
+    // comparable to batches hashed under the same geometry/seed and
+    // the same tokenizer mode — drift would silently band new docs
+    // into an incompatible space, so fail fast on it
+    wh.paramsSpecValidated(sigTable, Seq(
+      "shingleN" -> cfg.shingleN.toString, "bands" -> cfg.bands.toString,
+      "rowsPerBand" -> cfg.rowsPerBand.toString, "seed" -> cfg.seed.toString,
+      "scriptAwareTokens" ->
+        graft.functions.TextFunctions.scriptAwareEnabled.toString))
     // batch staging materialized once — banded feeds candidate
     // generation, the store append, and the newness filter; sets feeds
     // verification and the set-store append. Batch-sized, ids+hashes.
@@ -150,8 +159,29 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
                      centroids: DataFrame, nStoreBuckets: Int = 64) {
   private val table = s"${name}_ivf"
 
+  // the frozen-centroid contract, made self-enforcing: a fingerprint of
+  // the actual centroid values (bounded collect — one row per cell,
+  // the same control read assignCells performs) is recorded at first
+  // append and validated on every append and serve, so a handle built
+  // on a retrained centroid set fails fast instead of silently
+  // assigning cells the stored vectors were not bucketed under
+  private lazy val centroidFp: Long = {
+    val rows = centroids.select(col("cell").cast("int"),
+        col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).map(
+        java.lang.Double.doubleToLongBits)))
+      .sortBy(_._1)
+    scala.util.hashing.MurmurHash3
+      .orderedHash(rows.map(t =>
+        scala.util.hashing.MurmurHash3.orderedHash(t._2) ^ t._1))
+      .toLong & 0xffffffffL
+  }
+  private def storeParams = Seq("centroidFp" -> centroidFp.toString)
+
   def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
     graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+      wh.paramsSpecValidated(table, storeParams)
       wh.appendBucketed(table,
         Similarity.assignCells(batch, idCol, vecCol, centroids),
         Seq("cell"), nStoreBuckets)
@@ -160,6 +190,7 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
   def serve(queries: DataFrame, idCol: String, vecCol: String, k: Int,
             nProbes: Int): DataFrame = {
     graft.sources.StoreTxn.recoverIfIdle(queries.sparkSession, wh.root)
+    wh.paramsSpecValidated(table, storeParams, writeIfAbsent = false)
     Similarity.ivfTopKAssigned(wh.readBucketed(table), queries, idCol,
       vecCol, k, centroids, nProbes)
   }
@@ -199,8 +230,22 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
       graft.functions.VectorFunctions.randomPlanes(
         cfg.bitsPerTable, cfg.dim, cfg.seed + t)))
 
+  // the planes ARE the signature space (explicitly pinned or derived
+  // from dim/tables/bits/seed), so the sidecar records a fingerprint
+  // of their actual values — catching both config drift and a caller
+  // pinning different planes to the same store
+  private val planesFp: Long = {
+    val bits = planeTables.flatten.flatten
+      .map(java.lang.Double.doubleToLongBits)
+    scala.util.hashing.MurmurHash3.orderedHash(bits).toLong & 0xffffffffL
+  }
+
   def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
    graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+    wh.paramsSpecValidated(sigTable, Seq(
+      "dim" -> cfg.dim.toString, "tables" -> cfg.tables.toString,
+      "bitsPerTable" -> cfg.bitsPerTable.toString,
+      "planesFp" -> planesFp.toString))
     import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
     val banded = Similarity.hyperplaneBanded(batch, idCol, vecCol,
       planeTables).localCheckpoint(true)
@@ -273,6 +318,12 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
 
   def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame =
    graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+    // signature-space identity — see MinhashStore.ingest
+    wh.paramsSpecValidated(sigTable, Seq(
+      "seed" -> cfg.seed.toString, "chunks" -> cfg.chunks.toString,
+      "chunkBits" -> cfg.chunkBits.toString,
+      "scriptAwareTokens" ->
+        graft.functions.TextFunctions.scriptAwareEnabled.toString))
     val chunked = Dedup.simhashStage(batch, idCol, textCol,
       cfg.seed, cfg.chunks, cfg.chunkBits).localCheckpoint(true)
     // no hard broadcast hint — see MinhashStore.ingest on AQE sizing

@@ -38,22 +38,40 @@ import graft.plans.Notifications.{EmailMessage, EmailTransport, SmtpConfig}
 final class SmtpTransport(cfg: SmtpConfig, heloHost: String = "graft.local",
                           timeoutMs: Int = 30000) extends EmailTransport {
 
+  /** A raw JSSE SSLSocket does NOT verify that the peer certificate
+    * matches the host it dialed unless endpoint identification is
+    * switched on — without this, any CA-signed certificate for any
+    * name passes the handshake and AUTH LOGIN credentials go to a
+    * MITM. HTTPS-style rules (RFC 2818 wildcard matching) are the
+    * standard choice for SMTP-over-TLS clients. */
+  private def withHostnameVerification(
+      s: javax.net.ssl.SSLSocket): javax.net.ssl.SSLSocket = {
+    val p = s.getSSLParameters
+    p.setEndpointIdentificationAlgorithm("HTTPS")
+    s.setSSLParameters(p)
+    s
+  }
+
   override def send(message: EmailMessage): Unit = {
     require(message.toEmail.nonEmpty, "no recipients")
     val plain =
       if (cfg.encryption.contains("ssl"))
-        SSLSocketFactory.getDefault.createSocket(cfg.host, cfg.port)
+        withHostnameVerification(
+          SSLSocketFactory.getDefault.createSocket(cfg.host, cfg.port)
+            .asInstanceOf[javax.net.ssl.SSLSocket])
       else new Socket(cfg.host, cfg.port)
     plain.setSoTimeout(timeoutMs)
-    var socket = plain
+    var socket: Socket = plain
     try {
       var io = new SmtpIo(socket)
       io.expect(220)
       io.command(s"EHLO $heloHost", 250)
       if (cfg.encryption.contains("starttls")) {
         io.command("STARTTLS", 220)
-        socket = SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
-          .createSocket(socket, cfg.host, cfg.port, true)
+        socket = withHostnameVerification(
+          SSLSocketFactory.getDefault.asInstanceOf[SSLSocketFactory]
+            .createSocket(socket, cfg.host, cfg.port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket])
         io = new SmtpIo(socket)
         io.command(s"EHLO $heloHost", 250) // capabilities reset post-TLS
       }

@@ -48,6 +48,11 @@ object Catalog {
   private[queries] val duckToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
+  /** DuckDB mirror of TextFunctions.rawTokens — position-aligned with
+    * [[duckToks]] but case-preserving (excision rebuilds from this). */
+  private[queries] val duckRawToks =
+    "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+
   /** DuckDB mirror of the native PolyHash expression (rolling 31-hash
     * mod 1e9+7) over an arbitrary string-valued SQL expression. ONE
     * definition for every oracle — this fragment is parity-critical and

@@ -5,7 +5,7 @@ import graft.core.{Tables => T}
 import graft.operators.{Decontamination, Dedup, MinhashConfig, MinhashStore, Pipeline, SimhashConfig, SimhashStore}
 import graft.sources.Warehouse
 import Catalog.QueryDef
-import Catalog.{duckToks, sqlList}
+import Catalog.{duckToks, duckRawToks, sqlList}
 
 /** Incremental-curation tier: the persisted-signature-store dedup paths
   * and the incremental connected-components fold. Each query exercises an
@@ -112,7 +112,7 @@ private[queries] object CurationQueries {
             '${graft.functions.TextFunctions.Ipv4Re}', '<IP>', 'g'),
             '${graft.functions.TextFunctions.PhoneRe}', '<PHONE>', 'g') AS text
           FROM flt),
-        rg AS (SELECT id, $duckToks AS tk FROM red),
+        rg AS (SELECT id, $duckToks AS tk, $duckRawToks AS rk FROM red),
         ev AS (SELECT $duckToks AS tk FROM documents WHERE doc_id < 25),
         eg AS (SELECT DISTINCT unnest($fiveGram) AS g FROM ev),
         ${if (!surgical) s"""
@@ -135,8 +135,10 @@ private[queries] object CurationQueries {
                 FROM rns GROUP BY id, island),
         spl AS (SELECT id, list({'s': s, 'e': e}) AS sps
                 FROM spn GROUP BY id),
+        -- spans index the lowercased token stream; the rebuild filters
+        -- the position-aligned case-preserving array (rk)
         exc AS (SELECT rg.id,
-                  coalesce(array_to_string(list_filter(rg.tk, (x, i) ->
+                  coalesce(array_to_string(list_filter(rg.rk, (x, i) ->
                     len(list_filter(spl.sps, sp ->
                       i - 1 >= sp.s AND i - 1 <= sp.e)) = 0), ' '), '')
                     AS text

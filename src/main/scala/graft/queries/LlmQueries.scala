@@ -435,7 +435,8 @@ private[queries] object LlmQueries {
           .withColumnRenamed("id", "doc_id")
       },
       Some(s"""
-        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        WITH tk AS (SELECT doc_id, $duckToks AS tk, $duckRawToks AS rk
+                    FROM documents),
         pg AS (SELECT doc_id, e.p AS p, e.g AS g FROM (
             SELECT doc_id, unnest(list_transform(
                 range(1, greatest(len(tk) - 4, 0) + 1),
@@ -453,13 +454,16 @@ private[queries] object LlmQueries {
           HAVING count(*) + 4 >= 15),
         sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS sps
                FROM spans GROUP BY doc_id),
-        j AS (SELECT t.doc_id, d.text AS orig, t.tk, p.sps
+        j AS (SELECT t.doc_id, d.text AS orig, t.rk, p.sps
               FROM tk t
               JOIN documents d USING (doc_id)
               LEFT JOIN sp p USING (doc_id)),
-        k AS (SELECT doc_id, orig, sps, tk,
-                CASE WHEN sps IS NULL THEN tk
-                     ELSE list_filter(tk, (x, i) ->
+        -- spans index the LOWERCASED token stream; the rebuild filters
+        -- the position-aligned case-preserving array (rk), so surviving
+        -- text keeps its original case
+        k AS (SELECT doc_id, orig, sps, rk,
+                CASE WHEN sps IS NULL THEN rk
+                     ELSE list_filter(rk, (x, i) ->
                        len(list_filter(sps, sp ->
                          i - 1 >= sp.s AND i - 1 <= sp.e)) = 0)
                 END AS kept
@@ -469,7 +473,7 @@ private[queries] object LlmQueries {
           -- rejoined (array_to_string([]) is NULL in DuckDB, '' in Spark)
           CASE WHEN sps IS NULL THEN orig
                ELSE coalesce(array_to_string(kept, ' '), '') END AS text,
-          CAST(len(tk) - len(kept) AS BIGINT) AS n_removed
+          CAST(len(rk) - len(kept) AS BIGINT) AS n_removed
         FROM k""")),
 
     // ===== Dedup: pair list → dedup clusters (connected components).

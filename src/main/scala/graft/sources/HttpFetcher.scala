@@ -83,7 +83,13 @@ final class HttpFetcher(
     } else if (hop.status_code == 429 && retries429 < maxRetries429) {
       val retryAfter = hop.headers.collectFirst {
         case (k, v) if k.equalsIgnoreCase("retry-after") => v
-      }.flatMap(_.trim.toLongOption).map(_ * 1000L).getOrElse(minIntervalMs)
+      }.flatMap(_.trim.toLongOption)
+        // clamp to [0, max] BEFORE converting to millis: a header around
+        // 2^53 seconds overflows the *1000 to a negative Long, and a
+        // negative value (overflowed or sent literally) makes sleep
+        // throw — turning a retryable 429 into a transport error
+        .map(s => math.min(math.max(s, 0L), maxRetryAfterMs / 1000L) * 1000L)
+        .getOrElse(minIntervalMs)
       sleeper(math.min(retryAfter, maxRetryAfterMs))
       follow(url, userAgent, hops, retries429 + 1)
     } else {

@@ -70,9 +70,33 @@ final class JdbcStore(spark: SparkSession, url: String,
       case None => spark.read.jdbc(url, table, props)
     }
 
-  def exists(table: String): Boolean =
-    try { spark.read.jdbc(url, table, props).schema; true }
-    catch { case _: Exception => false }
+  /** True iff `table` exists — asked of the database's own catalog
+    * (DatabaseMetaData.getTables), NOT by probing a read and swallowing
+    * whatever it throws. The distinction is load-bearing for
+    * [[idempotentAppend]]: a transient connection error mistaken for
+    * "table absent" would skip the replay anti-join and double-write
+    * the batch, so anything other than a clean catalog answer
+    * PROPAGATES (fail closed). Identifier case is dialect-soup
+    * (Derby/Postgres fold differently), so the bare/UPPER/lower
+    * spellings are each tried. */
+  def exists(table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      val (schema, bare) = table.lastIndexOf('.') match {
+        case -1 => (null, table)
+        case i  => (table.substring(0, i), table.substring(i + 1))
+      }
+      val schemas =
+        if (schema == null) Seq(null)
+        else Seq(schema, schema.toUpperCase, schema.toLowerCase).distinct
+      schemas.exists(sv =>
+        Seq(bare, bare.toUpperCase, bare.toLowerCase).distinct.exists { t =>
+          val rs = md.getTables(null, sv, t, null)
+          try rs.next() finally rs.close()
+        })
+    } finally conn.close()
+  }
 
   /** Exactly-once append keyed on `keys`: drop rows whose key tuple
     * already exists in the sink. The sink read is PRUNED to the batch's

@@ -273,6 +273,36 @@ final class Warehouse(spark: SparkSession, root0: String) {
     spark.table(bucketedName(table))
   }
 
+  /** Write-or-validate a store-PARAMETERS sidecar. The bucket spec
+    * guards the physical layout; this guards the semantic one — values
+    * BAKED INTO the persisted rows (gram size, hash-prefix modulus,
+    * band geometry, plane seeds, the tokenizer flag). A handle opened
+    * with drifted values would not error: it would silently mis-prune
+    * or mis-band against rows written under the old values (e.g. a
+    * GramIndex reopened with a different `prefixPartitions` drops most
+    * contaminated ids from every check). Same never-rewrite discipline
+    * as the bucket spec. Write paths pass `writeIfAbsent = true`; read
+    * paths validate only — a store created before this sidecar existed
+    * must not get a READER's guess recorded as its truth. */
+  def paramsSpecValidated(table: String, params: Seq[(String, String)],
+                          writeIfAbsent: Boolean = true): Unit = {
+    val content =
+      params.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val spec = new java.io.File(s"$root/warehouse", s"_graft_params_$table")
+    if (spec.exists()) {
+      val prev = java.nio.file.Files.readString(spec.toPath)
+      require(prev == content,
+        s"store parameter mismatch for $table: store was written with " +
+          s"'${prev.trim.replace("\n", ", ")}', this handle has " +
+          s"'${content.trim.replace("\n", ", ")}' — these parameters are " +
+          "fixed at store creation (changing them = new store + rebuild)")
+    } else if (writeIfAbsent) {
+      spec.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(spec.toPath, content)
+      ()
+    }
+  }
+
   /** Write the bucket-spec sidecar, or validate an existing one —
     * never rewrite it (see [[appendBucketed]]'s ordering comment). */
   private def writeSpecValidated(table: String, content: String): Unit = {

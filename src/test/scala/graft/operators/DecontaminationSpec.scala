@@ -116,6 +116,21 @@ class DecontaminationSpec extends SparkSpec {
       nStoreBuckets = 2, prefixPartitions = 8)
     assert(idx2.check(ev, "text").as[Long].collect().toSeq === Seq(1L),
       "reopened partitioned index must serve the same answers")
+    // row-identity parameters are store identity: a handle with a
+    // drifted prefix modulus (would silently prune wrong partitions)
+    // or gram size (would hash different grams) must fail fast, on
+    // both the read and the write path
+    val drifted = new Decontamination.GramIndex(spark, root, "t", n = 3,
+      nStoreBuckets = 2, prefixPartitions = 4)
+    val e1 = intercept[IllegalArgumentException](drifted.check(ev, "text"))
+    assert(e1.getMessage.contains("parameter mismatch"))
+    val wrongN = new Decontamination.GramIndex(spark, root, "t", n = 5,
+      nStoreBuckets = 2, prefixPartitions = 8)
+    val e2 = intercept[IllegalArgumentException](
+      wrongN.append(docs.withColumn("id", col("id") + 10), "id", "text"))
+    assert(e2.getMessage.contains("parameter mismatch"))
+    // and the matching handle still works after the failed attempts
+    assert(idx2.check(ev, "text").as[Long].collect().toSeq === Seq(1L))
   }
 
   test("thresholding overlapStats strictly widens contaminatedIds") {

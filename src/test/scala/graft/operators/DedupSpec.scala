@@ -244,7 +244,9 @@ class DedupSpec extends SparkSpec {
 
   test("exciseSpans removes exactly the spanned tokens, keeps span-free docs") {
     val d = Seq(
-      (1L, "a1 a2 a3 s1 s2 s3 s4 s5 s6 s7 s8 b1 b2"),
+      // mixed case OUTSIDE the span: matching runs on lowercased tokens,
+      // but the kept remainder must come back with its case intact
+      (1L, "A1 a2 A3 s1 s2 s3 s4 s5 s6 s7 s8 B1 b2"),
       (2L, "c1 c2 s1 s2 s3 s4 s5 s6 s7 s8 d1"),
       (3L, "untouched  text\tstays   put"), // irregular whitespace
       (4L, "")
@@ -252,7 +254,7 @@ class DedupSpec extends SparkSpec {
     val spans = Dedup.duplicateSpans(d, "id", "text", k = 3, minSpan = 8)
     val out = Dedup.exciseSpans(d, "id", "text", spans)
       .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(out(1L) === ("a1 a2 a3 b1 b2", 8L))
+    assert(out(1L) === ("A1 a2 A3 B1 b2", 8L))
     assert(out(2L) === ("c1 c2 d1", 8L))
     // span-free docs keep their BYTES — no whitespace renormalization
     assert(out(3L) === ("untouched  text\tstays   put", 0L))

@@ -165,4 +165,22 @@ class PipelineSpec extends SparkSpec {
     val empty = store.ingest(docs.filter(col("doc_id") > 100), "doc_id", "text")
     assert(empty.kept.count() === 0 && empty.retracted.count() === 0)
   }
+
+  test("curation store: refuses a root with artifacts but no commit record") {
+    // a pre-transactional (legacy-layout) store looks exactly like
+    // this: data files present, nothing in the commit record — trusting
+    // "never ingested" would double-post its hashes and reset labels
+    val root = freshRoot()
+    val stray = new java.io.File(s"$root/state/t_survivors")
+    assert(stray.mkdirs())
+    val store = new Pipeline.CurationStore(spark, root, "t", cfg)
+    val e = intercept[IllegalArgumentException] {
+      store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("no committed ingest record"))
+    // a clean root (same handle config) still works
+    val ok = new Pipeline.CurationStore(spark, freshRoot(), "t", cfg)
+    ok.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    assert(ok.maxIngestedId.contains(5L))
+  }
 }
