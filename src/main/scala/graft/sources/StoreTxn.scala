@@ -256,7 +256,18 @@ object StoreTxn {
     def touchPath(rel: String): Unit = synchronized {
       if (!touched.contains(rel)) {
         val dir = new File(key, rel)
-        touched(rel) = DirSnap(rel, dir.exists(), listRecursive(dir))
+        val names = listRecursive(dir)
+        // the intent serializes names ','-joined on '\t'-separated
+        // lines — a partition value containing either (possible with
+        // string partition columns: `lang=a,b`) would deserialize into
+        // a DIFFERENT file set and make undo delete the wrong entries;
+        // refuse before the snapshot can be corrupted
+        names.find(n => n.exists(c => c == ',' || c == '\t' || c == '\n'))
+          .foreach(n => throw new IllegalArgumentException(
+            s"store path '$n' under $rel contains an intent-reserved " +
+              "character (comma/tab/newline) — use partition values " +
+              "without them"))
+        touched(rel) = DirSnap(rel, dir.exists(), names)
         persistIntent()
         if (hooks.crashAfterTouches != Int.MaxValue) {
           hooks.crashAfterTouches -= 1
@@ -377,6 +388,7 @@ object StoreTxn {
         if (snap.rel.startsWith("warehouse/")) {
           val table = snap.rel.stripPrefix("warehouse/")
           rmrf(new File(key, s"warehouse/_graft_bucket_spec_$table"))
+          rmrf(new File(key, s"warehouse/_graft_params_$table"))
           Warehouse.dropCatalogEntry(spark, key, table)
         }
       } else if (dir.exists()) {
