@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 G1 + many-core local mode: 32 concurrent parquet readers
+  // decompress through JNI (snappy/zstd), each briefly holding the
+  // GCLocker; a large allocation (Tungsten hash-map growth during a
+  // wide aggregation) that needs a GC retries only twice by default
+  // before throwing a SPURIOUS OutOfMemoryError while the heap is
+  // recoverable ("Retried waiting for GCLocker too often"). Raising
+  // the retry count is the documented mitigation until JDK 21's
+  // GCLocker rework; on a real cluster the same two flags belong in
+  // spark.executor.extraJavaOptions for JDK-17 executors.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

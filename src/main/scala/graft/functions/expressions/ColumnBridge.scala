@@ -29,4 +29,7 @@ object ColumnBridge {
   /** Unicode canonicalization as a Column function. */
   def normalizeText(c: Column, stripAccents: Boolean, lower: Boolean): Column =
     column(NormalizeText(expression(c), stripAccents, lower))
+
+  /** Native per-row token run-length count as a Column function. */
+  def tokenCounts(c: Column): Column = column(TokenCounts(expression(c)))
 }

@@ -55,20 +55,51 @@ object CorpusStats {
     * the selected set is deterministic and engine-portable. Output:
     * (tok, cnt, df), descending by cnt.
     *
-    * One exchange (the token aggregate, map-side partial) feeding a
-    * TakeOrderedAndProject — per-partition top-V then a merge of V-row
-    * heaps, never a global sort of the vocabulary. */
+    * The df aggregate does NOT use `count_distinct` (Spark's distinct
+    * rewrite goes through Expand — every exploded token row duplicated
+    * into the exchange) and does NOT shuffle (tok, id) pairs at all:
+    * per-document dedup is ROW-LOCAL. Each doc's token array is
+    * sorted and run-length encoded with higher-order functions
+    * (streaming codegen, no aggregation state), so what explodes is
+    * one (tok, per-doc count) entry per DISTINCT token per doc. The
+    * whole operator is then a single exchange — the tok rollup
+    * (sum → cnt, count → df) — plus a TakeOrderedAndProject
+    * (per-partition top-V heaps merged, never a global sort).
+    *
+    * Probed at 10M docs / 1.2B occurrences / 90M-token vocabulary
+    * (tools/ScaleProbe vocab). The earlier (tok, id) pre-aggregate
+    * form ran a 1.2B-distinct-key hash aggregate whose map-side
+    * partial combine recovers nothing on a near-unique key: two full
+    * exchanges of the exploded stream and 37M-key per-task hash
+    * states, which exhausted GC headroom under local[32]'s 0.25 GB/
+    * thread (first presenting as a SPURIOUS GCLocker OutOfMemoryError
+    * — see the GCLockerRetryAllocationCount note in build.sbt — then
+    * as genuine churn). The row-local form removes that aggregate
+    * entirely; at warehouse scale it halves shuffle IO and drops the
+    * heaviest per-task state. */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String,
                  topV: Int): DataFrame = {
     require(topV > 0, s"topV must be positive, got $topV")
     docs
-      .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy("tok")
-      .agg(count(lit(1)).as("cnt"), count_distinct(col("id")).as("df"))
+      .select(docTokenCounts(col(textCol)).as("__e"))
+      .select(explode(col("__e")).as("e"))
+      .groupBy(col("e.tok").as("tok"))
+      .agg(sum(col("e.c")).as("cnt"), count(lit(1)).as("df"))
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(topV)
   }
+
+  /** Row-local (tok → within-row count) entries for one document via
+    * the native [[graft.functions.expressions.TokenCounts]] kernel —
+    * no aggregation state, nothing shuffled, one compiled pass per
+    * row. (A composed higher-order form — array_sort + filter +
+    * transform — computes the same thing, but Spark lambda functions
+    * are interpreted; its ArraySort comparator dominated the 10M-doc
+    * probe's stacks.) */
+  private[operators] def docTokenCounts(
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.expressions.ColumnBridge.tokenCounts(
+      TextFunctions.tokens(text))
 
   /** Token-share DRIFT between two corpora — the distribution-shift
     * monitor for a continuously ingested corpus (is this week's crawl
@@ -81,24 +112,31 @@ object CorpusStats {
     * caller's policy anyway. `drift_ratio` is null when either count is
     * zero (a token absent from one corpus has no finite ratio).
     *
-    * Scale shape: one explode+aggregate per corpus (map-side partial,
-    * vocabulary-sized outputs), a full-outer join of the two count
-    * tables, totals as one-row broadcast scalars (the q31 watermark
-    * shape — bounded by contract), TakeOrdered for the cut. */
+    * Scale shape: one [[docTokenCounts]] explode+aggregate per corpus
+    * (row-local dedup feeding the tok rollup — the [[vocabulary]]
+    * plan, which is what survives the 10M probe), a full-outer join of
+    * the two count tables, totals as one-row broadcast scalars (the
+    * q31 watermark shape — bounded by contract). The totals
+    * deliberately do NOT re-run the count aggregates: `sum(size(
+    * tokens))` is a stateless streaming pass (no explode, no hash
+    * state) over each corpus producing the identical integer. */
   def tokenShareDrift(corpusA: DataFrame, corpusB: DataFrame,
                       textCol: String, topV: Int): DataFrame = {
     require(topV > 0, s"topV must be positive, got $topV")
     def counts(df: DataFrame, cntCol: String) = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as(cntCol))
+      .select(explode(docTokenCounts(col(textCol))).as("e"))
+      .groupBy(col("e.tok").as("tok")).agg(sum(col("e.c")).as(cntCol))
+    def total(df: DataFrame, totCol: String) = df
+      .agg(sum(size(TextFunctions.tokens(col(textCol))).cast("long"))
+        .as(totCol))
     val ca = counts(corpusA, "cnt_a")
     val cb = counts(corpusB, "cnt_b")
     ca.join(cb, Seq("tok"), "full_outer")
       .select(col("tok"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
-      .crossJoin(broadcast(ca.agg(sum(col("cnt_a")).as("__ta"))))
-      .crossJoin(broadcast(cb.agg(sum(col("cnt_b")).as("__tb"))))
+      .crossJoin(broadcast(total(corpusA, "__ta")))
+      .crossJoin(broadcast(total(corpusB, "__tb")))
       .withColumn("share_a",
         col("cnt_a").cast("double") / col("__ta").cast("double"))
       .withColumn("share_b",

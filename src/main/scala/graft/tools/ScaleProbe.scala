@@ -392,6 +392,64 @@ object ScaleProbe {
     * ~9M DISTINCT keys over 120M occurrences, so the aggregations'
     * map-side combine and the TakeOrdered cut face a realistic
     * heavy-tailed vocabulary. */
+  /** Bisection harness for the 10M vocabulary OOM: run one slice of
+    * the vocabulary plan at a time. */
+  private def vocabDiag(spark: SparkSession, docsPath: String,
+                        step: String): Unit = {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(docsPath)
+    val pairs = docs
+      .select(col("doc_id").as("id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok", "id").agg(count(lit(1)).as("__c"))
+    step match {
+      case "pairs" =>
+        println(s"[diag] pair agg rows = " + time("pairs")(pairs.count()))
+      case "toks" =>
+        val toks = pairs.groupBy("tok")
+          .agg(sum(col("__c")).as("cnt"), count(lit(1)).as("df"))
+        println(s"[diag] tok agg rows = " + time("toks")(toks.count()))
+      case "full" =>
+        val v = pairs.groupBy("tok")
+          .agg(sum(col("__c")).as("cnt"), count(lit(1)).as("df"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+        println(s"[diag] full rows = " + time("full")(v.count()))
+      case "part256" =>
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        val v = pairs.groupBy("tok")
+          .agg(sum(col("__c")).as("cnt"), count(lit(1)).as("df"))
+          .orderBy(col("cnt").desc, col("tok").asc).limit(1000)
+        println(s"[diag] part256 rows = " + time("part256")(v.count()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+  }
+
+  /** BPE learning at probe scale: the word-type aggregation is the
+    * only corpus-sized job; every merge round after it is
+    * O(|word types|) with a near-perfect map-side combine (the pair
+    * key space is the symbol alphabet squared). Reports the word-table
+    * build and the total/average merge-round wall separately so the
+    * two costs stay attributed. */
+  private def bpeProbe(spark: SparkSession, docsPath: String,
+                       nMerges: Int): Unit = {
+    import graft.operators.Bpe
+    val docs = spark.read.parquet(docsPath)
+    println(s"[probe] docs = ${docs.count()}")
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMerges(docs, "text", nMerges)
+    val rows = merges.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] bpe learnMerges($nMerges)          $wall%8.2f s  " +
+      f"merges=${rows.length} per_round=${wall / math.max(rows.length, 1)}%.2f s")
+    rows.take(5).foreach(r => println(s"[probe]   rank=${r.getInt(0)} " +
+      s"'${r.getString(1)}'+'${r.getString(2)}' cnt=${r.getLong(3)}"))
+    val t1 = System.nanoTime()
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+    val total = enc.agg(sum(col("n_tokens"))).head().getLong(0)
+    println(f"[probe] bpe encode (all docs)          " +
+      f"${(System.nanoTime() - t1) / 1e9}%8.2f s  total_tokens=$total")
+  }
+
   private def vocabProbe(spark: SparkSession, docsPath: String): Unit = {
     import graft.operators.CorpusStats
     val docs = spark.read.parquet(docsPath)
@@ -653,6 +711,18 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // the probe box runs 32 executor threads in ONE 8g JVM —
+      // 0.25 GB/core, far below any real executor sizing. With the
+      // default memory.fraction (0.6) a billion-key aggregate's
+      // tracked hash/sort state is allowed to claim 4.6g, leaving the
+      // garbage-heavy untracked side (parquet readers, token churn,
+      // shuffle buffers × 32 concurrent tasks) so little headroom
+      // that stages die nondeterministically in GC. Shrinking the
+      // tracked pool forces earlier (disk-backed, memory-safe) spills
+      // and keeps the probes deterministic; the cluster-side
+      // equivalent is provisioning ≥1 GB/core or lowering
+      // spark.memory.fraction on high-core executors.
+      .config("spark.memory.fraction", "0.4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id * 2)").collect() // JIT warmup
@@ -690,6 +760,11 @@ object ScaleProbe {
           if (rest.isEmpty) Seq(15, 8) else rest.map(_.toInt))
       case "vocab" :: docsPath :: Nil =>
         vocabProbe(spark, docsPath)
+      case "bpe" :: docsPath :: rest =>
+        bpeProbe(spark, docsPath,
+          if (rest.isEmpty) 30 else rest.head.toInt)
+      case "vocabdiag" :: docsPath :: step :: Nil =>
+        vocabDiag(spark, docsPath, step)
       case "bm25" :: docsPath :: whRoot :: Nil =>
         bm25Probe(spark, docsPath, whRoot)
       case "gram" :: docsPath :: whRoot :: Nil =>
