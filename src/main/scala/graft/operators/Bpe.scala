@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding tokenizer TRAINING and ENCODING as corpus
+  * operators — the step after [[CorpusStats.vocabulary]] in the
+  * tokenizer-training story: learn the merge table from the corpus,
+  * then tokenize with it (public algorithm: Sennrich, Haddow & Birch
+  * 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"; semantics match the reference subword-nmt implementation's
+  * greedy learner).
+  *
+  * Scale shape. Learning runs on the WORD-TYPE table — one corpus-wide
+  * aggregation builds (word, freq), and every merge round after that
+  * costs O(|word types|), independent of corpus size (the classic BPE
+  * training optimization). A round is: explode adjacent symbol pairs →
+  * aggregate — the pair key space is the (growing) symbol alphabet
+  * squared, a few thousand keys, so map-side combine collapses the
+  * explode almost completely and the argmax is a 1-row bounded control
+  * read (the q31-watermark idiom). The merge application is a single
+  * codegen'd string `replace` over the spaced symbol string — Spark
+  * and DuckDB share greedy left-to-right non-overlapping replace
+  * semantics, which is exactly BPE's merge rule, so the whole learner
+  * is oracle-expressible with zero UDFs.
+  *
+  * Symbol representation: a word is the single-space-joined string of
+  * its codepoints plus a final [[EndOfWord]] symbol, wrapped in
+  * sentinel spaces (" l o w </w> "). Pair patterns " l r " can then
+  * never match inside a symbol, and replacement keeps the invariant.
+  * Tokens come from [[TextFunctions.tokens]] (lowercased,
+  * whitespace/script-aware), so no symbol can contain whitespace.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (the subword-nmt convention). Appended
+    * as its OWN symbol; merges may absorb it ("t </w>" → "t</w>"). */
+  val EndOfWord = "</w>"
+
+  /** Hard cap on merge-table size: each learned merge is one driver
+    * round and one chained replace in [[encode]]. */
+  val MaxMerges = 4096
+
+  /** " c1 c2 … cn </w> " for one word column. */
+  private def spacedWord(w: Column): Column =
+    concat(lit(" "), array_join(regexp_extract_all(w, lit("."), lit(0)), " "),
+      lit(" " + EndOfWord + " "))
+
+  /** Adjacent symbol pairs of a spaced word string, as structs
+    * (lhs, rhs) — zip of the symbol array with its own tail. */
+  private def adjacentPairs(wstr: Column): Column = {
+    val a = split(trim(wstr), " ")
+    zip_with(slice(a, lit(1), size(a) - 1), slice(a, lit(2), size(a) - 1),
+      (l, r) => struct(l.as("lhs"), r.as("rhs")))
+  }
+
+  /** Learn `numMerges` BPE merges from the corpus. Output
+    * (rank, lhs, rhs, pair_cnt) ordered by rank 1..k — stops early
+    * (fewer rows) once no pair reaches `minPairCount`. Ties at the
+    * argmax break by (count desc, lhs asc, rhs asc), binary string
+    * order in both engines, so the learned table is deterministic and
+    * engine-portable.
+    *
+    * Each round persists the next word table and unpersists the
+    * PREVIOUS one only after the argmax job has materialized the
+    * current one, so no round recomputes the corpus aggregation and at
+    * most two vocabulary-sized tables are live at once. */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
+                  minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0 && numMerges <= MaxMerges,
+      s"numMerges must be in 1..$MaxMerges, got $numMerges")
+    require(minPairCount >= 1L,
+      s"minPairCount must be >= 1, got $minPairCount")
+    val spark = docs.sparkSession
+
+    val base = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(spacedWord(col("w")).as("wstr"), col("freq"))
+
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var cur = base.persist()
+    var parent: Option[DataFrame] = None
+    var k = 1
+    var done = false
+    while (k <= numMerges && !done) {
+      // 1-row bounded control read: the round's argmax pair
+      val best = cur
+        .select(explode(adjacentPairs(col("wstr"))).as("p"), col("freq"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      // that job materialized `cur`'s cache — its parent is now safe
+      // to drop without forcing any recompute
+      parent.foreach(_.unpersist())
+      parent = Some(cur)
+      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k, l, r, c))
+        cur = cur.select(
+          replace(col("wstr"), lit(s" $l $r "), lit(s" $l$r "))
+            .as("wstr"), col("freq")).persist()
+        k += 1
+      }
+    }
+    parent.foreach(_.unpersist())
+    cur.unpersist()
+
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** Encode documents with a learned merge table: apply the merges in
+    * rank order (the standard BPE encoder — identical to learning's
+    * replay because replace is greedy left-to-right). Output
+    * (id, n_tokens, enc) where `enc` is the space-joined BPE symbol
+    * sequence of the whole document and `n_tokens` counts its symbols
+    * (an unmerged [[EndOfWord]] counts as a symbol — document-level
+    * token budgeting wants the real sequence length).
+    *
+    * The document is encoded as ONE flat spaced string (words
+    * separated by their [[EndOfWord]] symbols), safe because learning
+    * can never produce a merge whose lhs is [[EndOfWord]] — enforced
+    * here with a require. The merge table is collected (bounded by
+    * [[MaxMerges]]) and applied as chained literal replaces — all
+    * codegen, corpus-scale work stays row-local with zero shuffles. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: DataFrame): DataFrame = {
+    val m = merges.select(col("rank").cast("int"), col("lhs"), col("rhs"))
+      .orderBy(col("rank").asc).limit(MaxMerges + 1).collect()
+    require(m.length <= MaxMerges,
+      s"merge table exceeds $MaxMerges rows")
+    require(m.forall(_.getString(1) != EndOfWord),
+      s"merge with lhs=$EndOfWord cannot come from learnMerges and " +
+        "would merge across word boundaries")
+    val e0 = concat(lit(" "),
+      array_join(transform(TextFunctions.tokens(col(textCol)),
+        w => concat(array_join(regexp_extract_all(w, lit("."), lit(0)), " "),
+          lit(" " + EndOfWord))), " "),
+      lit(" "))
+    val enc = trim(m.foldLeft(e0) { (c, row) =>
+      val (l, r) = (row.getString(1), row.getString(2))
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    })
+    docs.select(col(idCol).as("id"),
+      when(enc === "", lit(0L))
+        .otherwise(size(split(enc, " ")).cast("long")).as("n_tokens"),
+      enc.as("enc"))
+  }
+}

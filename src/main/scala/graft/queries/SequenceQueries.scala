@@ -275,5 +275,99 @@ private[queries] object SequenceQueries {
           CASE WHEN cnt_a = 0 OR cnt_b = 0 THEN NULL
                ELSE share_a / share_b END AS drift_ratio
         FROM sh ORDER BY cnt_a + cnt_b DESC, tok ASC LIMIT 200""")),
+
+    // ===== BPE tokenizer training: the merge table learned from the
+    // corpus (greedy pair argmax, the subword-nmt algorithm). The
+    // oracle UNROLLS the merge rounds — one (pairs, argmax, replace)
+    // CTE triple per round, MATERIALIZED so DuckDB's CTE inlining
+    // doesn't re-expand each round's word table exponentially. Both
+    // engines share greedy left-to-right non-overlapping `replace`,
+    // which IS BPE's merge rule =====
+    QueryDef("q98_bpe_merges",
+      (s, dir) => graft.operators.Bpe.learnMerges(
+        T.documents(s, dir), "text", numMerges = bpeK),
+      Some(s"""
+        WITH ${bpeMergeCtes(bpeK)}
+        SELECT rank, lhs, rhs, cnt AS pair_cnt
+        FROM (${(1 to bpeK).map(i =>
+          s"SELECT $i AS rank, lhs, rhs, cnt FROM b$i")
+            .mkString(" UNION ALL ")})
+        ORDER BY rank""")),
+
+    // ===== BPE encoding: tokenize documents with the learned table —
+    // chained literal replaces in rank order, row-local, zero
+    // shuffles. n_tokens is the real sequence length (an unmerged
+    // </w> is a symbol) =====
+    QueryDef("q99_bpe_encode",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        graft.operators.Bpe.encode(d, "doc_id", "text",
+            graft.operators.Bpe.learnMerges(d, "text", bpeK))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH ${bpeMergeCtes(bpeK)},
+        d0 AS (SELECT doc_id,
+          ' ' || coalesce(array_to_string(list_transform($duckToks, w ->
+              array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w>'),
+            ' '), '') || ' ' AS e
+          FROM documents),
+        ${(1 to bpeK).map(i =>
+          s"""d$i AS (SELECT doc_id, replace(e,
+             coalesce(' ' || (SELECT lhs FROM b$i) || ' ' ||
+                      (SELECT rhs FROM b$i) || ' ', chr(1)),
+             coalesce(' ' || (SELECT lhs FROM b$i) ||
+                      (SELECT rhs FROM b$i) || ' ', chr(1))) AS e
+             FROM d${i - 1})""").mkString(",\n        ")}
+        SELECT doc_id,
+          CASE WHEN trim(e) = '' THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(string_split(trim(e), ' ')) AS BIGINT)
+          END AS n_tokens,
+          trim(e) AS enc
+        FROM d$bpeK""")),
   )
+
+  /** Merge-round count for q98/q99 — small enough that the unrolled
+    * oracle stays readable, large enough to exercise multi-character
+    * merged symbols (rank 4+ merges merge MERGED symbols). `final` so
+    * it is a compile-time constant — `defs` above initializes before
+    * non-final vals declared below it would. */
+  private final val bpeK = 12
+
+  /** The unrolled BPE learner CTE chain w0, (p_i, b_i, w_i)*: w0 is
+    * the word-type table as spaced symbol strings; p_i the
+    * freq-weighted adjacent-pair counts; b_i the round's argmax (empty
+    * once every pair is below the min count — rounds after that pass
+    * through unchanged and emit no merge row); w_i the merge applied
+    * via sentinel-guarded replace. chr(1) coalesce makes the empty-b_i
+    * replace a no-op instead of NULLing the corpus. */
+  private def bpeMergeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""w0 AS MATERIALIZED (
+          SELECT ' ' || array_to_string(regexp_extract_all(tok, '.'), ' ')
+                 || ' </w> ' AS wstr,
+                 count(*) AS freq
+          FROM (SELECT unnest($duckToks) AS tok FROM documents)
+          GROUP BY 1)""")
+    for (i <- 1 to k) {
+      sb.append(s""",
+        p$i AS (SELECT a[i] AS lhs, a[i+1] AS rhs,
+                  CAST(sum(freq) AS BIGINT) AS cnt
+                FROM (SELECT string_split(trim(wstr), ' ') AS a, freq
+                      FROM w${i - 1}) t,
+                     unnest(range(1, len(a))) AS u(i)
+                GROUP BY 1, 2),
+        b$i AS MATERIALIZED (
+          SELECT lhs, rhs, cnt FROM p$i WHERE cnt >= 2
+          ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+        w$i AS MATERIALIZED (
+          SELECT replace(wstr,
+            coalesce(' ' || (SELECT lhs FROM b$i) || ' ' ||
+                     (SELECT rhs FROM b$i) || ' ', chr(1)),
+            coalesce(' ' || (SELECT lhs FROM b$i) ||
+                     (SELECT rhs FROM b$i) || ' ', chr(1))) AS wstr, freq
+          FROM w${i - 1})""")
+    }
+    sb.toString
+  }
 }

@@ -126,6 +126,10 @@ object Smoke {
       graft.operators.CorpusStats.oovRate(docs, "doc_id", "text",
         graft.operators.CorpusStats.vocabulary(docs, "doc_id", "text", 50))
     }
+    show("Bpe.learnMerges(8) + encode") {
+      graft.operators.Bpe.encode(docs, "doc_id", "text",
+        graft.operators.Bpe.learnMerges(docs, "text", 8))
+    }
     show("TextFunctions.normalizeText on mixed forms") {
       spark.range(1).select(
         TextFunctions.normalizeText(lit("CafÉ naïve Straße ＡＢ")).as("norm"),

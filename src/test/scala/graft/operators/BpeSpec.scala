@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE teaching corpus (Sennrich et al. 2016 §3.2 uses the
+  // same shape); word frequencies realized as repeated tokens so the
+  // word-type aggregation is exercised
+  private def classicCorpus = Seq(
+    (1L, Array.fill(5)("low").mkString(" ")),
+    (2L, Array.fill(2)("lower").mkString(" ")),
+    (3L, Array.fill(6)("newest").mkString(" ")),
+    (4L, Array.fill(3)("widest").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("learnMerges reproduces the hand-computed classic merge table") {
+    val m = Bpe.learnMerges(classicCorpus, "text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(m === Array(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L),
+      (6, "e", "w", 6L)))
+  }
+
+  test("within-word repeats count every adjacency and merge greedily") {
+    val d = Seq((1L, "aaa")).toDF("doc_id", "text")
+    // ' a a a </w> ': (a,a) has TWO adjacencies -> cnt 2; after the
+    // greedy left-to-right merge ' aa a </w> ' no pair reaches 2
+    val m = Bpe.learnMerges(d, "text", numMerges = 5, minPairCount = 2L)
+      .as[(Int, String, String, Long)].collect()
+    assert(m === Array((1, "a", "a", 2L)))
+  }
+
+  test("early stop: no merge emitted below minPairCount") {
+    val d = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(d, "text", 3, minPairCount = 2L).count() === 0L)
+  }
+
+  test("encode applies merges in rank order over whole documents") {
+    val merges = Bpe.learnMerges(classicCorpus, "text", 6)
+    val out = Bpe.encode(
+      Seq((1L, "lowest low"), (2L, ""), (3L, "unseen")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // lowest: e+s -> es+t -> est+</w> -> l+o -> lo+w => "low est</w>";
+    // low: l+o, lo+w, w+</w> never learned => "low </w>"
+    assert(out(1L) === (4L, "low est</w> low </w>"))
+    assert(out(2L) === (0L, ""))
+    // unseen word falls back to characters (plus learned e-merges if any)
+    assert(out(3L) === (7L, "u n s e e n </w>"))
+  }
+
+  test("encode refuses a merge table that crosses word boundaries") {
+    val bad = Seq((1, "</w>", "x")).toDF("rank", "lhs", "rhs")
+    intercept[IllegalArgumentException] {
+      Bpe.encode(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", bad)
+    }
+  }
+}
