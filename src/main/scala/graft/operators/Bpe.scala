@@ -62,10 +62,14 @@ object Bpe {
     * order in both engines, so the learned table is deterministic and
     * engine-portable.
     *
-    * Each round persists the next word table and unpersists the
-    * PREVIOUS one only after the argmax job has materialized the
-    * current one, so no round recomputes the corpus aggregation and at
-    * most two vocabulary-sized tables are live at once. */
+    * Each round's word table is localCheckpointed (the
+    * [[Dedup.connectedComponents]] iteration discipline): the plan
+    * truncates to the materialized blocks — without this, round k's
+    * logical plan NESTS round k−1's, and AQE's per-job plan-string
+    * rendering alone OOMs the driver by round ~25 (measured at 1M
+    * docs) — and the previous round's blocks are unpersisted as soon
+    * as the next round materializes, so at most two vocabulary-sized
+    * tables are ever live. */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   minPairCount: Long = 2L): DataFrame = {
     require(numMerges > 0 && numMerges <= MaxMerges,
@@ -73,6 +77,12 @@ object Bpe {
     require(minPairCount >= 1L,
       s"minPairCount must be >= 1, got $minPairCount")
     val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val mat = df.localCheckpoint(true)
+      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
 
     val base = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
@@ -81,8 +91,7 @@ object Bpe {
 
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
-    var cur = base.persist()
-    var parent: Option[DataFrame] = None
+    var (cur, prevIds) = checkpoint(base)
     var k = 1
     var done = false
     while (k <= numMerges && !done) {
@@ -93,23 +102,23 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(1).collect()
-      // that job materialized `cur`'s cache — its parent is now safe
-      // to drop without forcing any recompute
-      parent.foreach(_.unpersist())
-      parent = Some(cur)
       if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
       else {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((k, l, r, c))
-        cur = cur.select(
+        val (next, ids) = checkpoint(cur.select(
           replace(col("wstr"), lit(s" $l $r "), lit(s" $l$r "))
-            .as("wstr"), col("freq")).persist()
+            .as("wstr"), col("freq")))
+        prevIds.foreach(i =>
+          sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+        cur = next
+        prevIds = ids
         k += 1
       }
     }
-    parent.foreach(_.unpersist())
-    cur.unpersist()
+    prevIds.foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
 
     import spark.implicits._
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")

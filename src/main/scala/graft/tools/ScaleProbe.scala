@@ -473,6 +473,11 @@ object ScaleProbe {
     val nNull = drift.filter(col("drift_ratio").isNull).count()
     println(f"[probe] tokenShareDrift(top 1000)      " +
       f"${(System.nanoTime() - t2) / 1e9}%8.2f s  one_sided=$nNull")
+    val t3 = System.nanoTime()
+    val rareAvg = CorpusStats.rareTokenRatio(docs, "doc_id", "text", 3L)
+      .agg(avg(col("rare_ratio"))).head().getDouble(0)
+    println(f"[probe] rareTokenRatio(df<3)           " +
+      f"${(System.nanoTime() - t3) / 1e9}%8.2f s  mean_ratio=$rareAvg%.4f")
   }
 
   /** BM25: one-shot scan scoring vs the persisted index — the index
