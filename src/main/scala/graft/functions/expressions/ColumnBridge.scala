@@ -32,4 +32,10 @@ object ColumnBridge {
 
   /** Native per-row token run-length count as a Column function. */
   def tokenCounts(c: Column): Column = column(TokenCounts(expression(c)))
+
+  /** Ordered literal-replace chain (BPE merge application) as a Column
+    * function. */
+  def applyMerges(c: Column, patterns: Seq[String],
+                  replacements: Seq[String]): Column =
+    column(ApplyMerges(expression(c), patterns, replacements))
 }

@@ -9,8 +9,16 @@ import graft.functions.TextFunctions
   * tokenizer-training story: learn the merge table from the corpus,
   * then tokenize with it (public algorithm: Sennrich, Haddow & Birch
   * 2016, "Neural Machine Translation of Rare Words with Subword
-  * Units"; semantics match the reference subword-nmt implementation's
-  * greedy learner).
+  * Units").
+  *
+  * One DOCUMENTED divergence from the subword-nmt reference: a chain
+  * of 3+ repeats of the same pair inside one word ("a a a a" under
+  * merge (a,a)) merges alternately per rank here (→ "aa a aa a"),
+  * where subword-nmt's lookaround regex merges exhaustively
+  * (→ "aa aa"). This is inherent to engine-portable non-overlapping
+  * `replace` (RE2 — the DuckDB oracle's engine — has no lookbehind);
+  * learner, encoder, and oracle all share the exact same rule, so the
+  * system is self-consistent and hash-verified.
   *
   * Scale shape. Learning runs on the WORD-TYPE table — one corpus-wide
   * aggregation builds (word, freq), and every merge round after that
@@ -38,13 +46,24 @@ object Bpe {
     * as its OWN symbol; merges may absorb it ("t </w>" → "t</w>"). */
   val EndOfWord = "</w>"
 
-  /** Hard cap on merge-table size: each learned merge is one driver
-    * round and one chained replace in [[encode]]. */
-  val MaxMerges = 4096
+  /** Hard cap on merge-table size — bounds [[learnMerges]]' driver
+    * rounds and [[encode]]'s collected table (the native ApplyMerges
+    * kernel is one expression node regardless of table size, so the
+    * cap is a sanity bound on the bounded control read, not a plan
+    * depth limit; a full-depth spec exercises it). Sized for a real
+    * subword vocabulary. */
+  val MaxMerges = 65536
+
+  /** Codepoints of one word/symbol string. (?s) so Java's '.' keeps
+    * U+2028/U+2029/U+0085 — they survive ASCII-\s tokenization, and
+    * RE2's '.' (the oracle engine) already keeps them; without the
+    * flag the two engines would extract different symbol sequences. */
+  private def codepoints(w: Column): Column =
+    regexp_extract_all(w, lit("(?s)."), lit(0))
 
   /** " c1 c2 … cn </w> " for one word column. */
   private def spacedWord(w: Column): Column =
-    concat(lit(" "), array_join(regexp_extract_all(w, lit("."), lit(0)), " "),
+    concat(lit(" "), array_join(codepoints(w), " "),
       lit(" " + EndOfWord + " "))
 
   /** Adjacent symbol pairs of a spaced word string, as structs
@@ -78,15 +97,23 @@ object Bpe {
       s"minPairCount must be >= 1, got $minPairCount")
     val spark = docs.sparkSession
     val sc = spark.sparkContext
+    // set-diff of context-global persistent RDD ids — assumes no
+    // OTHER thread caches on this session mid-round (the same
+    // single-driver contract as connectedComponents' loop)
     def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val mat = df.localCheckpoint(true)
       (mat, sc.getPersistentRDDs.keySet.toSet -- before)
     }
 
+    // the word-type aggregate goes through the row-local TokenCounts
+    // kernel for the same reason CorpusStats.vocabulary does: a raw
+    // explode feeds a billion-row stream into a partial aggregate on a
+    // near-unique key (measured heap-fatal at 10M docs); per-doc
+    // counts explode one entry per distinct word per doc instead
     val base = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(explode(CorpusStats.docTokenCounts(col(textCol))).as("e"))
+      .groupBy(col("e.tok").as("w")).agg(sum(col("e.c")).as("freq"))
       .select(spacedWord(col("w")).as("wstr"), col("freq"))
 
     val merges = scala.collection.mutable.ArrayBuffer
@@ -132,30 +159,49 @@ object Bpe {
     * (an unmerged [[EndOfWord]] counts as a symbol — document-level
     * token budgeting wants the real sequence length).
     *
-    * The document is encoded as ONE flat spaced string (words
-    * separated by their [[EndOfWord]] symbols), safe because learning
-    * can never produce a merge whose lhs is [[EndOfWord]] — enforced
-    * here with a require. The merge table is collected (bounded by
-    * [[MaxMerges]]) and applied as chained literal replaces — all
-    * codegen, corpus-scale work stays row-local with zero shuffles. */
+    * The document is encoded as ONE flat spaced string with words
+    * separated by TWO spaces: merge patterns carry single interior
+    * spaces, so no pattern can span the double boundary, and a
+    * word-final match that consumes its trailing space still leaves
+    * the second boundary space as the next word's leading one — each
+    * word therefore encodes exactly as learning's per-word replay,
+    * independent of its neighbors. (A single-space boundary is NOT
+    * safe: consecutive occurrences of the same word-final pattern
+    * share the boundary space and the second occurrence is skipped.)
+    * Defense in depth, a require rejects merge tables whose lhs
+    * contains [[EndOfWord]] — learning cannot produce one (the marker
+    * is always word-final, so a marker-bearing symbol never has a
+    * right neighbor), and such a merge could fuse across words.
+    *
+    * The merge table is collected (bounded by [[MaxMerges]]) and
+    * applied by the native
+    * [[graft.functions.expressions.ApplyMerges]] kernel — one
+    * expression node holding the whole ordered table and looping in
+    * compiled code. (Folding into nested `replace(...)` calls is
+    * semantically identical but burns stack frames per merge in
+    * Column/Catalyst tree recursion — StackOverflowError below 512
+    * merges, measured — a non-starter for real tokenizer tables.)
+    * Corpus-scale work stays row-local with zero shuffles; a
+    * full-depth spec pins the cap. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: DataFrame): DataFrame = {
     val m = merges.select(col("rank").cast("int"), col("lhs"), col("rhs"))
       .orderBy(col("rank").asc).limit(MaxMerges + 1).collect()
     require(m.length <= MaxMerges,
       s"merge table exceeds $MaxMerges rows")
-    require(m.forall(_.getString(1) != EndOfWord),
-      s"merge with lhs=$EndOfWord cannot come from learnMerges and " +
-        "would merge across word boundaries")
+    require(m.forall(r => !r.getString(1).contains(EndOfWord)),
+      s"merge whose lhs contains $EndOfWord cannot come from " +
+        "learnMerges and could merge across word boundaries")
     val e0 = concat(lit(" "),
-      array_join(transform(TextFunctions.tokens(col(textCol)),
-        w => concat(array_join(regexp_extract_all(w, lit("."), lit(0)), " "),
-          lit(" " + EndOfWord))), " "),
+      array_join(transform(TextFunctions.tokens(
+        coalesce(col(textCol), lit(""))),
+        w => concat(array_join(codepoints(w), " "),
+          lit(" " + EndOfWord))), "  "),
       lit(" "))
-    val enc = trim(m.foldLeft(e0) { (c, row) =>
-      val (l, r) = (row.getString(1), row.getString(2))
-      replace(c, lit(s" $l $r "), lit(s" $l$r "))
-    })
+    val folded = graft.functions.expressions.ColumnBridge.applyMerges(e0,
+      m.map(row => s" ${row.getString(1)} ${row.getString(2)} ").toSeq,
+      m.map(row => s" ${row.getString(1)}${row.getString(2)} ").toSeq)
+    val enc = regexp_replace(trim(folded), " +", " ")
     docs.select(col(idCol).as("id"),
       when(enc === "", lit(0L))
         .otherwise(size(split(enc, " ")).cast("long")).as("n_tokens"),

@@ -53,14 +53,17 @@ object CorpusStats {
     * frequency — the seed for tokenizer training and the reference set
     * for [[oovRate]]. Ties at the cut break by token (ascending), so
     * the selected set is deterministic and engine-portable. Output:
-    * (tok, cnt, df), descending by cnt.
+    * (tok, cnt, df), descending by cnt. One input ROW is one document
+    * (the documents-table contract everywhere in this library): df
+    * counts rows containing the token — there is deliberately no id
+    * column and no cross-row dedup.
     *
     * The df aggregate does NOT use `count_distinct` (Spark's distinct
     * rewrite goes through Expand — every exploded token row duplicated
     * into the exchange) and does NOT shuffle (tok, id) pairs at all:
-    * per-document dedup is ROW-LOCAL. Each doc's token array is
-    * sorted and run-length encoded with higher-order functions
-    * (streaming codegen, no aggregation state), so what explodes is
+    * per-document dedup is ROW-LOCAL via the native
+    * [[graft.functions.expressions.TokenCounts]] kernel (one compiled
+    * pass per row, no aggregation state), so what explodes is
     * one (tok, per-doc count) entry per DISTINCT token per doc. The
     * whole operator is then a single exchange — the tok rollup
     * (sum → cnt, count → df) — plus a TakeOrderedAndProject
@@ -77,7 +80,7 @@ object CorpusStats {
     * as genuine churn). The row-local form removes that aggregate
     * entirely; at warehouse scale it halves shuffle IO and drops the
     * heaviest per-task state. */
-  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+  def vocabulary(docs: DataFrame, textCol: String,
                  topV: Int): DataFrame = {
     require(topV > 0, s"topV must be positive, got $topV")
     docs

@@ -215,11 +215,19 @@ private[queries] object SequenceQueries {
     // deterministic tie-break at the cut by token asc) =====
     QueryDef("q93_vocabulary",
       (s, dir) => graft.operators.CorpusStats.vocabulary(
-        T.documents(s, dir), "doc_id", "text", topV = 200),
+        T.documents(s, dir), "text", topV = 200),
       Some(s"""
-        WITH t AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents)
-        SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
-        FROM t GROUP BY tok
+        -- df counts ROWS containing the token (one row = one document,
+        -- the operator's contract): per-row-distinct unnest + count(*),
+        -- not count(DISTINCT doc_id)
+        WITH c AS (SELECT tok, count(*) AS cnt
+                   FROM (SELECT unnest($duckToks) AS tok FROM documents)
+                   GROUP BY tok),
+        f AS (SELECT tok, count(*) AS df
+              FROM (SELECT unnest(list_distinct($duckToks)) AS tok
+                    FROM documents)
+              GROUP BY tok)
+        SELECT c.tok, c.cnt, f.df FROM c JOIN f USING (tok)
         ORDER BY cnt DESC, tok ASC LIMIT 200""")),
 
     // ===== corpus-stats quality signal: out-of-vocabulary rate against
@@ -228,7 +236,7 @@ private[queries] object SequenceQueries {
       (s, dir) => {
         val d = T.documents(s, dir)
         graft.operators.CorpusStats.oovRate(d, "doc_id", "text",
-            graft.operators.CorpusStats.vocabulary(d, "doc_id", "text", 200))
+            graft.operators.CorpusStats.vocabulary(d, "text", 200))
           .withColumnRenamed("id", "doc_id")
       },
       Some(s"""
@@ -307,10 +315,14 @@ private[queries] object SequenceQueries {
       },
       Some(s"""
         WITH ${bpeMergeCtes(bpeK)},
+        -- words separated by TWO spaces: no merge pattern (single
+        -- interior spaces) can span a boundary, and a word-final match
+        -- consuming its trailing space leaves the second one for the
+        -- next word — mirrors Bpe.encode's isolation scheme
         d0 AS (SELECT doc_id,
           ' ' || coalesce(array_to_string(list_transform($duckToks, w ->
               array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w>'),
-            ' '), '') || ' ' AS e
+            '  '), '') || ' ' AS e
           FROM documents),
         ${(1 to bpeK).map(i =>
           s"""d$i AS (SELECT doc_id, replace(e,
@@ -318,13 +330,16 @@ private[queries] object SequenceQueries {
                       (SELECT rhs FROM b$i) || ' ', chr(1)),
              coalesce(' ' || (SELECT lhs FROM b$i) ||
                       (SELECT rhs FROM b$i) || ' ', chr(1))) AS e
-             FROM d${i - 1})""").mkString(",\n        ")}
+             FROM d${i - 1})""").mkString(",\n        ")},
+        dz AS (SELECT doc_id,
+                 regexp_replace(trim(e), ' +', ' ', 'g') AS enc
+               FROM d$bpeK)
         SELECT doc_id,
-          CASE WHEN trim(e) = '' THEN CAST(0 AS BIGINT)
-               ELSE CAST(len(string_split(trim(e), ' ')) AS BIGINT)
+          CASE WHEN enc = '' THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(string_split(enc, ' ')) AS BIGINT)
           END AS n_tokens,
-          trim(e) AS enc
-        FROM d$bpeK""")),
+          enc
+        FROM dz""")),
   )
 
   /** Merge-round count for q98/q99 — small enough that the unrolled

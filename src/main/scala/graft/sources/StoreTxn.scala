@@ -255,6 +255,13 @@ object StoreTxn {
       * snapshot would silently keep a crashed append's files there. */
     def touchPath(rel: String): Unit = synchronized {
       if (!touched.contains(rel)) {
+        // rel itself is a tab-separated FIELD on the intent line — a
+        // tab or newline in it breaks the line's arity on recovery and
+        // the undo would mis-parse the snapshot
+        if (rel.exists(c => c == '\t' || c == '\n'))
+          throw new IllegalArgumentException(
+            s"store path '$rel' contains an intent-reserved character " +
+              "(tab/newline)")
         val dir = new File(key, rel)
         val names = listRecursive(dir)
         // the intent serializes names ','-joined on '\t'-separated

@@ -455,7 +455,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
     val t0 = System.nanoTime()
-    val voc = CorpusStats.vocabulary(docs, "doc_id", "text", topV = 1000)
+    val voc = CorpusStats.vocabulary(docs, "text", topV = 1000)
       .persist()
     val vn = voc.count()
     println(f"[probe] vocabulary(top 1000)           " +

@@ -124,7 +124,7 @@ object Smoke {
     }
     show("CorpusStats.vocabulary(50) + oovRate") {
       graft.operators.CorpusStats.oovRate(docs, "doc_id", "text",
-        graft.operators.CorpusStats.vocabulary(docs, "doc_id", "text", 50))
+        graft.operators.CorpusStats.vocabulary(docs, "text", 50))
     }
     show("Bpe.learnMerges(8) + encode") {
       graft.operators.Bpe.encode(docs, "doc_id", "text",

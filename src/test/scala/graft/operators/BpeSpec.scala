@@ -56,9 +56,37 @@ class BpeSpec extends SparkSpec {
   }
 
   test("encode refuses a merge table that crosses word boundaries") {
-    val bad = Seq((1, "</w>", "x")).toDF("rank", "lhs", "rhs")
-    intercept[IllegalArgumentException] {
-      Bpe.encode(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", bad)
+    // both the exact marker and a marker-bearing lhs are rejected
+    for (lhs <- Seq("</w>", "t</w>")) {
+      val bad = Seq((1, lhs, "x")).toDF("rank", "lhs", "rhs")
+      intercept[IllegalArgumentException] {
+        Bpe.encode(Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text", bad)
+      }
     }
+  }
+
+  test("a word's encoding does not depend on its neighbors") {
+    val merges = Bpe.learnMerges(classicCorpus, "text", 6)
+    // "newest est": the word-final pattern " est </w> " fires for BOTH
+    // words — under a single-space word boundary the first match would
+    // consume the second word's leading space and skip it
+    val out = Bpe.encode(
+      Seq((1L, "newest est"), (2L, "est newest"), (3L, "est est est"))
+        .toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (4L, "n ew est</w> est</w>"))
+    assert(out(2L) === (4L, "est</w> n ew est</w>"))
+    assert(out(3L) === (3L, "est</w> est</w> est</w>"))
+  }
+
+  test("encode handles a full-depth merge table (MaxMerges chained replaces)") {
+    import spark.implicits._
+    // patterns that never match — this pins the plan depth the cap
+    // advertises (one nested Replace per merge), not the semantics
+    val deep = (1 to Bpe.MaxMerges).map(i => (i, s"x$i", s"y$i"))
+      .toDF("rank", "lhs", "rhs")
+    val out = Bpe.encode(Seq((1L, "plain words")).toDF("doc_id", "text"),
+      "doc_id", "text", deep).as[(Long, Long, String)].collect()
+    assert(out === Array((1L, 12L, "p l a i n </w> w o r d s </w>")))
   }
 }

@@ -37,7 +37,7 @@ class CorpusStatsSpec extends SparkSpec {
     ).toDF("id", "text")
     // counts: aa=4(df 3), bb=2(df 2), cc=1, dd=1 — topV=3 must break the
     // cc/dd tie by token asc → cc in, dd out
-    val out = CorpusStats.vocabulary(docs, "id", "text", topV = 3)
+    val out = CorpusStats.vocabulary(docs, "text", topV = 3)
       .as[(String, Long, Long)].collect().toSeq
     assert(out === Seq(("aa", 4L, 3L), ("bb", 2L, 2L), ("cc", 1L, 1L)))
   }
