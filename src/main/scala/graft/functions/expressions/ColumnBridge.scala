@@ -33,6 +33,9 @@ object ColumnBridge {
   /** Native per-row token run-length count as a Column function. */
   def tokenCounts(c: Column): Column = column(TokenCounts(expression(c)))
 
+  /** Native adjacent-token-pair extraction as a Column function. */
+  def tokenBigrams(c: Column): Column = column(TokenBigrams(expression(c)))
+
   /** Ordered literal-replace chain (BPE merge application) as a Column
     * function. */
   def applyMerges(c: Column, patterns: Seq[String],

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.expressions.ColumnBridge
+
+/** Model-based quality scoring for corpus curation — the tier between
+  * the row-local heuristics ([[graft.functions.TextFunctions]] quality
+  * score, repetition filter) and a trained neural scorer: signals
+  * derived from a LANGUAGE MODEL of the corpus itself, in this
+  * library's exact-arithmetic idiom (integer counts, a handful of
+  * IEEE-deterministic divisions at the end — no `log`, whose rounding
+  * is not bit-portable across engines; the same trade
+  * [[Retrieval.bm25TopK]] makes with its rational idf).
+  *
+  *  - [[bigramFluency]] is the perplexity-shaped signal: a bigram LM's
+  *    per-transition probability test, reported as the fraction of a
+  *    document's transitions that the corpus model finds plausible.
+  *    Gibberish, shuffled text, and OCR noise score low; natural prose
+  *    scores high — the decision a CCNet-style perplexity bucket makes,
+  *    with an integer cross-multiplication in place of the log.
+  *  - [[importanceScore]] / [[importanceSelect]] are the DSIR idiom
+  *    (data selection with importance resampling): score each pool
+  *    document by how much better it fits a TARGET corpus's hashed
+  *    n-gram distribution than the pool's own, then keep the best. The
+  *    published form ranks by Σ c_f·(log p_f − log q_f); this variant
+  *    ranks by the difference of expected feature masses — the same
+  *    "pull the pool toward the target distribution" selection
+  *    pressure, exactly computable from counts.
+  */
+object QualityModels {
+
+  /** Per-document bigram-LM fluency: the fraction of a doc's adjacent
+    * token transitions (t1 → t2) that are PLAUSIBLE under the corpus
+    * bigram model — seen at least `minCount` times AND carrying
+    * conditional probability ≥ 1/`ratioDen` (tested as the integer
+    * cross-multiplication `cnt(t1,t2) * ratioDen ≥ cnt(t1,·)`, exact).
+    * Output: (id, n_bigrams, n_fluent, fluency); docs with < 2 tokens
+    * report (0, 0, 0.0).
+    *
+    * Scale shape, mirroring [[CorpusStats.rareTokenRatio]]'s measured
+    * trade: the bigram stream is exploded ONCE (the native
+    * [[graft.functions.expressions.TokenBigrams]] kernel — row-local,
+    * compiled), and both model counts come from unordered count windows
+    * over it — partition by (t1,t2) for the transition count, by t1 for
+    * the context count — rather than aggregate-plus-join forms that
+    * would re-run the tokenize+explode subtree per side. The bigram
+    * count table is NOT broadcastable (distinct bigrams grow with the
+    * corpus, unlike [[importanceScore]]'s capped feature space), so the
+    * join alternative would shuffle the stream anyway. Cost: two
+    * exchanges of the (id, t1, t2) stream + the partially-aggregated id
+    * rollup; ids and tokens only, never document text. */
+  def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 2L, ratioDen: Long = 100L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(ratioDen >= 1, s"ratioDen must be >= 1, got $ratioDen")
+    val bg = docs
+      .select(col(idCol).as("id"),
+        explode(ColumnBridge.tokenBigrams(
+          TextFunctions.tokens(col(textCol)))).as("__b"))
+      .select(col("id"), col("__b.t1").as("__t1"), col("__b.t2").as("__t2"))
+    val wBg = Window.partitionBy("__t1", "__t2")
+    val wPre = Window.partitionBy("__t1")
+    val perDoc = bg
+      .withColumn("__cbg", count(lit(1)).over(wBg))
+      .withColumn("__cpre", count(lit(1)).over(wPre))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("__cbg") >= minCount &&
+          col("__cbg") * ratioDen >= col("__cpre"), lit(1))).as("n_fluent"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_fluent"), lit(0L)).as("n_fluent"),
+        when(col("n_bigrams").isNull || col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("n_fluent").cast("double")
+            / col("n_bigrams").cast("double"))
+          .as("fluency"))
+  }
+
+  /** The hashed n-gram feature stream (id, __f): one row per unigram
+    * and one per adjacent bigram, hashed into `numFeatures` buckets via
+    * the portable rolling hash. Row-local — explode-then-hash keeps
+    * every operator in whole-stage codegen (hashing inside a
+    * higher-order `transform` would interpret per element). */
+  private def featStream(docs: DataFrame, idCol: String, textCol: String,
+                         numFeatures: Int): DataFrame = {
+    def bucket(c: Column): Column =
+      pmod(ColumnBridge.polyHash(c), lit(numFeatures.toLong))
+    val toks = TextFunctions.tokens(col(textCol))
+    val uni = docs
+      .select(col(idCol).as("id"), explode(toks).as("__w"))
+      .select(col("id"), bucket(col("__w")).as("__f"))
+    val bi = docs
+      .select(col(idCol).as("id"),
+        explode(ColumnBridge.tokenBigrams(toks)).as("__b"))
+      .select(col("id"),
+        bucket(concat(col("__b.t1"), lit(" "), col("__b.t2"))).as("__f"))
+    uni.union(bi)
+  }
+
+  /** Exact total feature count (unigrams + bigrams) — one stateless
+    * streaming pass, no explode, no hash state (the
+    * [[CorpusStats.tokenShareDrift]] totals idiom). */
+  private def totalFeatures(docs: DataFrame, textCol: String): Long = {
+    val n = size(TextFunctions.tokens(col(textCol)))
+    docs.select((n.cast("long") + greatest(n - 1, lit(0)).cast("long"))
+        .as("__nf"))
+      .agg(coalesce(sum(col("__nf")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** DSIR-style importance score of each pool document against a
+    * TARGET corpus, over hashed word uni+bigram features (the feature
+    * map of Xie et al.'s data-selection recipe). For a doc with
+    * feature occurrences f_1..f_n:
+    *
+    *   score = (Σ cnt_target(f_i) / T  −  Σ cnt_pool(f_i) / P) / n
+    *
+    * with T, P the corpora's total feature counts — the difference
+    * between the doc's mean target-model and mean pool-model feature
+    * probability. Positive = looks more like the target than like the
+    * pool average; the ranking this induces is the selection pressure
+    * of DSIR's log-ratio weight, computed exactly (integer masses, two
+    * divisions and a subtraction in fixed IEEE order — a log-ratio
+    * would hash-diverge between engines in the last ulp). Output:
+    * (id, n_features, target_mass, raw_mass, score); zero-token docs
+    * score 0.0.
+    *
+    * Scale shape — and why this INVERTS [[CorpusStats.rareTokenRatio]]'s
+    * window choice: the feature space is CAPPED at `numFeatures`, so
+    * both count tables partial-aggregate down to ≤ numFeatures rows per
+    * task before their exchanges and broadcast back onto the stream.
+    * The pool stream therefore never shuffles on feature — its only
+    * exchange is the partially-aggregated id rollup. That costs one
+    * extra row-local tokenize pass (the pool stream is built for the
+    * count table and again for scoring) — compiled CPU, deliberately
+    * spent to avoid exchanging the occurrence stream (2×tokens rows at
+    * 100 TB) the way an uncapped-vocabulary window must. Totals are
+    * driver literals via one-row bounded reads. */
+  def importanceScore(pool: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, numFeatures: Int = 4096): DataFrame = {
+    require(numFeatures >= 2 && numFeatures <= (1 << 20),
+      s"numFeatures must be in [2, 2^20] (count tables must stay " +
+        s"broadcastable), got $numFeatures")
+    val tTot = totalFeatures(target, textCol)
+    val pTot = totalFeatures(pool, textCol)
+    require(tTot > 0, "target corpus has no tokens — nothing to match")
+    require(pTot > 0, "pool corpus has no tokens — nothing to score")
+    val tCounts = featStream(target, idCol, textCol, numFeatures)
+      .groupBy("__f").agg(count(lit(1)).as("__cnt_t"))
+    val pCounts = featStream(pool, idCol, textCol, numFeatures)
+      .groupBy("__f").agg(count(lit(1)).as("__cnt_p"))
+    val perDoc = featStream(pool, idCol, textCol, numFeatures)
+      .join(broadcast(tCounts), Seq("__f"), "left")
+      .join(broadcast(pCounts), Seq("__f"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(coalesce(col("__cnt_t"), lit(0L))).as("target_mass"),
+        sum(coalesce(col("__cnt_p"), lit(0L))).as("raw_mass"))
+    pool.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("target_mass"), lit(0L)).as("target_mass"),
+        coalesce(col("raw_mass"), lit(0L)).as("raw_mass"),
+        when(col("n_features").isNull || col("n_features") === 0, lit(0.0))
+          .otherwise((col("target_mass").cast("double") / lit(tTot.toDouble)
+            - col("raw_mass").cast("double") / lit(pTot.toDouble))
+            / col("n_features").cast("double"))
+          .as("score"))
+  }
+
+  /** Importance SELECTION: the top `n` pool documents by
+    * [[importanceScore]] (ties broken by id ascending — deterministic
+    * and engine-portable). This is the "keep the best-aligned slice"
+    * form of DSIR; for a sampled (rather than ranked) slice, compose
+    * the score with [[Sampling.fractionSample]] over score buckets.
+    * Output: (id, score, rank), rank 1-based.
+    *
+    * orderBy+limit → TakeOrderedAndProject (per-partition top-n heaps,
+    * n-row driver merge); the rank window runs on ≤ n rows — never an
+    * unpartitioned sort of the pool (the [[Retrieval]] rankTopK
+    * shape). */
+  def importanceSelect(pool: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, numFeatures: Int = 4096,
+                       n: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val top = importanceScore(pool, target, idCol, textCol, numFeatures)
+      .select(col("id"), col("score"))
+      .orderBy(desc("score"), col("id").asc)
+      .limit(n)
+    val w = Window.orderBy(desc("score"), col("id").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+}

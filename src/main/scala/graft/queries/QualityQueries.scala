@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.operators.QualityModels
+import Catalog.QueryDef
+import Catalog.{duckPolyHash, duckToks}
+
+/** Model-based quality tier: corpus-LM fluency and DSIR-style
+  * importance selection — the signals a curation pipeline uses where a
+  * perplexity bucket or a trained classifier would sit, kept in the
+  * library's exact-arithmetic idiom (see [[graft.operators.QualityModels]]).
+  * Oracle-parity rules live in [[Catalog]]'s scaladoc. */
+private[queries] object QualityQueries {
+
+  /** Hashed uni+bigram feature stream over `documents` — ONE definition
+    * of the parity-critical feature SQL, shared by q101/q102. The
+    * bigram string is materialized in a subquery BEFORE hashing:
+    * duckPolyHash's list_transform lambda binds `i`, so inlining an
+    * expression that references the outer unnest index `i` would be
+    * silently captured by the lambda variable (hash of the i-th char of
+    * the i-th bigram — depends only on token lengths; caught by the
+    * local oracle gate). */
+  private val featureCtes: String =
+    s"""tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        fs AS (
+          SELECT doc_id, ${duckPolyHash("tok")} % 4096 AS f
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+          UNION ALL
+          SELECT doc_id, ${duckPolyHash("bgs")} % 4096 AS f
+          FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bgs
+                FROM tk, unnest(range(1, len(tk))) AS u(i))),
+        tc AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_t
+               FROM fs WHERE doc_id % 3 = 0 GROUP BY 1),
+        pc AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_p
+               FROM fs GROUP BY 1),
+        tots AS (SELECT
+            CAST((SELECT count(*) FROM fs WHERE doc_id % 3 = 0) AS DOUBLE)
+              AS t_tot,
+            CAST((SELECT count(*) FROM fs) AS DOUBLE) AS p_tot),
+        pd AS (SELECT fs.doc_id, count(*) AS n_features,
+                      CAST(sum(coalesce(tc.cnt_t, 0)) AS BIGINT)
+                        AS target_mass,
+                      CAST(sum(coalesce(pc.cnt_p, 0)) AS BIGINT) AS raw_mass
+               FROM fs LEFT JOIN tc USING (f) LEFT JOIN pc USING (f)
+               GROUP BY 1),
+        scored AS (SELECT d.doc_id,
+               coalesce(pd.n_features, 0) AS n_features,
+               coalesce(pd.target_mass, 0) AS target_mass,
+               coalesce(pd.raw_mass, 0) AS raw_mass,
+               CASE WHEN pd.n_features IS NULL OR pd.n_features = 0 THEN 0.0
+                    ELSE (pd.target_mass::DOUBLE / t_tot
+                          - pd.raw_mass::DOUBLE / p_tot)
+                         / pd.n_features::DOUBLE
+               END AS score
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN pd USING (doc_id), tots)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== bigram-LM fluency: fraction of token transitions the corpus
+    // bigram model finds plausible (cnt >= 2 and conditional probability
+    // >= 1/100, tested as an integer cross-multiplication) =====
+    QueryDef("q100_bigram_fluency",
+      (s, dir) => QualityModels.bigramFluency(T.documents(s, dir),
+          "doc_id", "text", minCount = 2L, ratioDen = 100L)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        bg AS (SELECT doc_id, tk[i] AS t1, tk[i+1] AS t2
+               FROM tk, unnest(range(1, len(tk))) AS u(i)),
+        c AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cbg
+              FROM bg GROUP BY 1, 2),
+        p AS (SELECT t1, CAST(count(*) AS BIGINT) AS cpre
+              FROM bg GROUP BY 1),
+        pd AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                      count(CASE WHEN c.cbg >= 2 AND c.cbg * 100 >= p.cpre
+                                 THEN 1 END) AS n_fluent
+               FROM bg JOIN c USING (t1, t2) JOIN p USING (t1)
+               GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(pd.n_bigrams, 0) AS n_bigrams,
+               coalesce(pd.n_fluent, 0) AS n_fluent,
+               CASE WHEN pd.n_bigrams IS NULL OR pd.n_bigrams = 0 THEN 0.0
+                    ELSE pd.n_fluent::DOUBLE / pd.n_bigrams::DOUBLE
+               END AS fluency
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN pd USING (doc_id)""")),
+
+    // ===== DSIR-style importance score vs a target corpus (the
+    // doc_id % 3 = 0 slice stands in for the curated reference set) =====
+    QueryDef("q101_importance_score",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        QualityModels.importanceScore(d,
+            d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            numFeatures = 4096)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH $featureCtes
+        SELECT doc_id, n_features, target_mass, raw_mass, score
+        FROM scored""")),
+
+    // ===== DSIR importance selection: keep the 25 pool docs best
+    // aligned with the target distribution =====
+    QueryDef("q102_importance_select",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        QualityModels.importanceSelect(d,
+            d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+            numFeatures = 4096, n = 25)
+          .withColumnRenamed("id", "doc_id")
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(s"""
+        WITH $featureCtes
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 25""")),
+  )
+}
