@@ -39,15 +39,23 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.ts arrives as nanos-since-epoch (see load); expose it as a
-    * proper TimestampType column, truncated (losslessly) to microseconds. */
+  /** Expose events.ts as a proper session-zone TimestampType column
+    * regardless of how the generator encoded it: older testdata wrote
+    * TIMESTAMP(NANOS) (read as a raw long via nanosAsLong — values are
+    * exactly µs-precision, so the ns→µs truncation is lossless), newer
+    * testdata writes TIMESTAMP(MICROS) without the UTC flag, which Spark 4
+    * surfaces as TIMESTAMP_NTZ; with the session zone pinned to UTC the
+    * NTZ→LTZ cast is value-identity. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     val raw = load(spark, sfDir, "events")
-    // integer division — `/` would go through double and lose precision
-    // above 2^53 (epoch-nanos ≈ 1.7e18)
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      // integer division — `/` would go through double and lose precision
+      // above 2^53 (epoch-nanos ≈ 1.7e18)
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
