@@ -23,21 +23,38 @@ object Bench {
       // min of two reps: the first rep absorbs codegen compilation and
       // page-cache warmup, so drift between rounds is attributable to
       // plan changes rather than JIT/IO noise
+      var failed = 0
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every projection — count()
         // would let Catalyst skip computing the expressions under test
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += 1
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, failed == 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only a bounded tail of stdout, so the contract line
+    // must stay small: short keys (the qNN prefix is the query identity)
+    // and ms precision. The full names + ns-precision map goes to
+    // BENCH_FULL.json alongside, for cross-round per-query comparison.
+    def short(n: String): String = n.indexOf('_') match {
+      case -1 => n case i => n.substring(0, i)
+    }
+    val ok = results.filterNot(_._3)
+    val qs = ok.map { case (k, v, _) => f""""${short(k)}":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedList = results.filter(_._3).map(r => s""""${short(r._1)}"""")
+      .mkString("[", ",", "]")
+    val failedField = if (results.exists(_._3)) s""","failed":$failedList""" else ""
+    val full = results.map { case (k, v, f) =>
+      s""""$k":{"sec":$v,"failed":$f}""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"sf":"$sfDir","total":$total,"queries":$full}""" + "\n")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
