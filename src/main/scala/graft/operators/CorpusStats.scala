@@ -183,4 +183,73 @@ object CorpusStats {
             / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
+
+  /** Per-source reputation stats — the domain-level signal web-corpus
+    * curation acts on (C4/RefinedWeb-style recipes drop whole hosts, not
+    * single pages): a source whose pages are largely syndicated copies
+    * or low-quality boilerplate is spam regardless of any one page's
+    * score.
+    *
+    * Output per source:
+    *  - `n_docs`;
+    *  - `n_dup`: docs whose exact text appears ≥ 2 times ANYWHERE in
+    *    the corpus — syndication, not just intra-source dups — keyed on
+    *    the exact-dedup stage's 128-bit xxhash pair, so full text never
+    *    enters a shuffle;
+    *  - `mean_quality`: the floor(q·2^20) exact-integer mean of the
+    *    row-local [[TextFunctions.qualityScoreFromTokens]] score
+    *    (order-independent under any partitioning, hence
+    *    engine-portable — the same grid trick as
+    *    [[Clustering]]'s centroid update);
+    *  - `dup_share` = n_dup / n_docs.
+    *
+    * Two exchanges: the corpus-wide dup count (window on the hash pair —
+    * at warehouse scale this is the exact-dedup shuffle the pipeline
+    * already pays; run this off that stage's staged frame to share it)
+    * and the source rollup, which map-side-combines to one row per
+    * (task, source). */
+  def sourceStats(docs: DataFrame, idCol: String, textCol: String,
+                  srcCol: String, keyCol: Option[String] = None): DataFrame = {
+    val quant = Clustering.Quant
+    // the dup key defaults to the full text; pass a canonicalized key
+    // (normalized text, a content prefix, a stripped-boilerplate form)
+    // to count what the downstream dedup stage would actually collapse
+    val key = col(keyCol.getOrElse(textCol))
+    val base = docs
+      .select(col(srcCol).as("source"), key.as("__key"),
+        col(textCol).as("__text"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("source"),
+        xxhash64(col("__key")).as("__h1"),
+        xxhash64(lit(0x9e3779b9L), col("__key")).as("__h2"),
+        floor(TextFunctions.qualityScoreFromTokens(col("__text"),
+          col("__toks")) * lit(quant)).cast("long").as("__ql"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h1", "__h2")
+    base.withColumn("__cnt", count(lit(1)).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("__cnt") > 1, lit(1))).as("n_dup"),
+        (sum("__ql").cast("double") / lit(quant)
+          / count(lit(1)).cast("double")).as("mean_quality"))
+      .withColumn("dup_share",
+        col("n_dup").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /** Keep only documents from sources that pass the reputation gate:
+    * mean quality ≥ `minQuality` AND corpus-wide dup share ≤
+    * `maxDupShare`. The gate list is one row per source — a semi join
+    * on the source key (AQE broadcasts it when the source universe is
+    * small; at millions of hosts it is a plain shuffled semi join of
+    * (source) ids, never text). */
+  def sourceFilter(docs: DataFrame, idCol: String, textCol: String,
+                   srcCol: String, minQuality: Double,
+                   maxDupShare: Double,
+                   keyCol: Option[String] = None): DataFrame = {
+    val good = sourceStats(docs, idCol, textCol, srcCol, keyCol)
+      .filter(col("mean_quality") >= minQuality &&
+        col("dup_share") <= maxDupShare)
+      .select(col("source").as(srcCol))
+    docs.join(good, Seq(srcCol), "left_semi")
+  }
 }

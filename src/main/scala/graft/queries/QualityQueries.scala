@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
 import graft.operators.QualityModels
 import Catalog.QueryDef
-import Catalog.{duckPolyHash, duckToks}
+import Catalog.{duckPolyHash, duckToks, sqlList}
+import graft.functions.TextFunctions
 
 /** Model-based quality tier: corpus-LM fluency and DSIR-style
   * importance selection — the signals a curation pipeline uses where a
@@ -120,5 +121,68 @@ private[queries] object QualityQueries {
                  AS BIGINT) AS rank
         FROM scored
         QUALIFY rank <= 25""")),
+
+    // ===== source reputation: per-source doc counts, corpus-wide
+    // syndication share, and the floor(q·2^20) exact-integer mean of the
+    // row-local quality score (order-independent → engine-portable) =====
+    QueryDef("q106_source_stats",
+      (s, dir) => graft.operators.CorpusStats.sourceStats(
+        T.documents(s, dir)
+          .withColumn("__k", substring(col("text"), 1, 40)),
+        "doc_id", "text", "source", keyCol = Some("__k")),
+      Some(s"""
+        WITH $sourceStatCtes
+        SELECT source, count(*) AS n_docs,
+          count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup,
+          CAST(sum(CAST(floor(q * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / 1048576.0 / CAST(count(*) AS DOUBLE) AS mean_quality,
+          CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS dup_share
+        FROM c GROUP BY source""")),
+
+    // ===== source reputation gate: keep documents only from sources
+    // passing the mean-quality / dup-share thresholds (C4/RefinedWeb
+    // drop whole hosts, not single pages) =====
+    QueryDef("q107_source_filter",
+      (s, dir) => graft.operators.CorpusStats.sourceFilter(
+          T.documents(s, dir)
+            .withColumn("__k", substring(col("text"), 1, 40)),
+          "doc_id", "text", "source",
+          minQuality = 0.49, maxDupShare = 0.10, keyCol = Some("__k"))
+        .select("doc_id", "source"),
+      Some(s"""
+        WITH $sourceStatCtes
+        SELECT doc_id, source FROM documents
+        WHERE source IN (
+          SELECT source FROM c GROUP BY source
+          HAVING CAST(sum(CAST(floor(q * 1048576.0) AS BIGINT)) AS DOUBLE)
+                   / 1048576.0 / CAST(count(*) AS DOUBLE) >= 0.49
+             AND CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) <= 0.10)""")),
   )
+
+  /** DuckDB mirror of [[graft.operators.CorpusStats.sourceStats]]'s
+    * per-document stage: the q17 quality expression plus the corpus-wide
+    * exact-dup count window (partition by full text — the oracle may
+    * shuffle text; the Spark side keys the same count on the 128-bit
+    * hash pair). Shared by q106/q107 — the quality SQL is
+    * parity-critical and must not fork. */
+  private def sourceStatCtes: String =
+    s"""x AS (SELECT doc_id, source, text,
+            CAST(length(text) AS DOUBLE) AS len,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              AS alpha,
+            CAST(len($duckToks) AS DOUBLE) AS ntok,
+            CAST(len(list_filter($duckToks,
+              t -> list_contains(${sqlList(TextFunctions.stopwords("en"))}, t)))
+              AS DOUBLE) AS hits
+          FROM documents),
+        qd AS (SELECT doc_id, source, text,
+            ((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
+              + CASE WHEN ntok > 0 THEN hits / ntok ELSE 0.0 END)
+              + least(len / 500.0, 1.0)) / 3.0 AS q
+          FROM x),
+        c AS (SELECT source, q,
+                     count(*) OVER (PARTITION BY substr(text, 1, 40)) AS cnt
+              FROM qd)"""
 }

@@ -305,5 +305,85 @@ private[queries] object SimilarityQueries {
                     ELSE $d / ($na * $cn) END AS ref_sim
         FROM embeddings, cent"""
       }),
+
+    // ===== Clustering: deterministic Lloyd's k-means — the centroid
+    // TRAINER the IVF serving family consumes. Init = k smallest-id
+    // vectors; assign = NearestCell kernel; update = floor(x·2^20)
+    // exact-integer mean, so every centroid bit reproduces in DuckDB =====
+    QueryDef("q103_kmeans_assign",
+      (s, dir) => graft.operators.Clustering.kmeansAssign(
+        T.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2),
+      Some(s"""
+        WITH ${kmeansCtes(8, 2, 64)}
+        SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM afin""")),
+
+    // ===== Clustering: the trained centroids themselves, unnested to
+    // (cell, dim, component) so the oracle checks every trained bit =====
+    QueryDef("q104_kmeans_centroids",
+      (s, dir) => graft.operators.Clustering.kmeans(
+          T.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("j", "x"))),
+      Some(s"""
+        WITH ${kmeansCtes(8, 2, 64)}
+        SELECT CAST(cell AS INTEGER) AS cell, CAST(j - 1 AS INTEGER) AS j,
+               cvec[j] AS x
+        FROM c2, range(1, 65) r(j)""")),
+
+    // ===== Clustering: cluster-balanced (diversity) sample — up to m
+    // per trained cluster in salted-hash order, so a dominant mode
+    // contributes no more than a rare one =====
+    QueryDef("q105_cluster_sample",
+      (s, dir) => graft.operators.Clustering.clusterSample(
+        T.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2,
+        perCluster = 5, salt = "v1"),
+      Some(s"""
+        WITH ${kmeansCtes(8, 2, 64)},
+        h AS (SELECT id, cell,
+                ${duckHashBucket("id", 1000000007L, "v1")} AS hv
+              FROM afin)
+        SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM (
+          SELECT id, cell,
+                 row_number() OVER (PARTITION BY cell ORDER BY hv, id) AS rn
+          FROM h)
+        WHERE rn <= 5""")),
   )
+
+  /** DuckDB mirror of [[graft.operators.Clustering]]'s deterministic
+    * Lloyd's loop, unrolled: assignment = cross join + (l2, cell)
+    * row_number (the same left-to-right IEEE fold and smallest-cell tie
+    * rule as the NearestCell kernel); update = the same floor(x·2^20)
+    * exact-integer mean; empty cells inherit the previous centroid.
+    * `afin` is the final assignment over the trained `c$iters`. */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+        c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell,
+                      v AS cvec
+               FROM (SELECT id, v FROM vecs ORDER BY id LIMIT $k))"""
+    for (i <- 1 to iters) {
+      val p = s"c${i - 1}"
+      sb ++= s""",
+        a$i AS (SELECT id, v, cell FROM (
+            SELECT x.id, x.v, c.cell,
+                   row_number() OVER (PARTITION BY x.id
+                     ORDER BY ${duckL2("x.v", "c.cvec")}, c.cell) AS rn
+            FROM vecs x CROSS JOIN $p c) WHERE rn = 1),
+        u$i AS (SELECT cell, j,
+                CAST(sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS DOUBLE)
+                  / 1048576.0 / CAST(count(*) AS DOUBLE) AS x
+              FROM a$i, range(1, ${dim + 1}) r(j) GROUP BY cell, j),
+        c$i AS (SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+                FROM $p p LEFT JOIN (SELECT cell, list(x ORDER BY j) AS cvec
+                                     FROM u$i GROUP BY cell) n
+                  ON p.cell = n.cell)"""
+    }
+    sb ++= s""",
+        afin AS (SELECT id, cell FROM (
+            SELECT x.id, c.cell,
+                   row_number() OVER (PARTITION BY x.id
+                     ORDER BY ${duckL2("x.v", "c.cvec")}, c.cell) AS rn
+            FROM vecs x CROSS JOIN c$iters c) WHERE rn = 1)"""
+    sb.toString
+  }
 }

@@ -74,4 +74,53 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out(2L) === ((2L, 0L, 0.0)))
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
+
+  test("sourceStats counts corpus-wide dups per source, not intra-source") {
+    // the duplicated text spans BOTH sources: each source sees one dup
+    // member even though neither has an internal dup
+    val docs = Seq(
+      (1L, "the same syndicated story", "a"),
+      (2L, "the same syndicated story", "b"),
+      (3L, "an original piece of text", "a"),
+      (4L, "another original piece here", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceStats(docs, "doc_id", "text", "source")
+      .orderBy("source")
+      .select("source", "n_docs", "n_dup", "dup_share")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 2L, 1L, 0.5), ("b", 2L, 1L, 0.5)))
+  }
+
+  test("sourceStats mean_quality is the quantized mean of the row score") {
+    val docs = Seq((1L, "the and is of", "a"), (2L, "zzzz 123!!", "a"))
+      .toDF("doc_id", "text", "source")
+    val perDoc = docs.select(
+      org.apache.spark.sql.functions.floor(
+        graft.functions.TextFunctions.qualityScore(
+          org.apache.spark.sql.functions.col("text")) *
+          Clustering.Quant).cast("long"))
+      .as[Long].collect()
+    val expected = perDoc.sum.toDouble / Clustering.Quant / perDoc.length
+    val got = CorpusStats.sourceStats(docs, "doc_id", "text", "source")
+      .select("mean_quality").as[Double].head()
+    assert(got == expected)
+  }
+
+  test("sourceFilter keys dups on keyCol and drops failing sources") {
+    // source "spam" shares a 10-char prefix key across its docs →
+    // dup_share 1.0 → dropped; "ok" survives on both gates
+    val docs = Seq(
+      (1L, "identical0 tail one from the mill", "spam"),
+      (2L, "identical0 tail two from the mill", "spam"),
+      (3L, "the quick brown fox jumps over it", "ok"),
+      (4L, "the lazy dog sleeps in the shade!", "ok")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("k",
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("text"), 1, 10))
+    val kept = CorpusStats.sourceFilter(docs, "doc_id", "text", "source",
+        minQuality = 0.0, maxDupShare = 0.5, keyCol = Some("k"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(3L, 4L))
+  }
 }
