@@ -48,8 +48,11 @@ object Clustering {
     * the deliberate grid snap. */
   val Quant: Double = 1048576.0
 
-  private def centroidDf(spark: SparkSession,
-                         cents: Seq[(Int, Array[Double])]): DataFrame = {
+  /** Driver-side centroids → the (cell: int, cvec: array<double>) frame
+    * every IVF-family consumer takes. Public so trained centroids can be
+    * reused (assign/serve) without retraining. */
+  def centroidDf(spark: SparkSession,
+                 cents: Seq[(Int, Array[Double])]): DataFrame = {
     val rows = cents.map { case (c, v) => Row(c, v.toSeq) }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
@@ -137,4 +140,33 @@ object Clustering {
     Sampling.stratifiedTopK(
       kmeansAssign(vecs, idCol, vecCol, k, iters), Seq("cell"), idCol,
       perCluster, salt)
+
+  /** SemDedup in its published form (k-means blocks → exact
+    * within-block cosine → one representative per near-dup component):
+    * train k clusters, compute all exact-cosine pairs inside each
+    * cluster via [[Similarity.labelBlockedNearDup]] (per-block member
+    * cap — no uncapped all-pairs path), chain pairs into components,
+    * keep the min-id representative.
+    *
+    * The LSH-blocked sibling is [[Similarity.semanticDedup]]; this form
+    * trades LSH's tunable recall for paper-faithful cluster blocking —
+    * a pair is found only if both ends land in the SAME trained
+    * cluster, so k sets the recall/cost trade (larger k = smaller
+    * quadratic blocks, more missed boundary pairs). Within-block cost
+    * is Σ n_cell², so size k to the corpus (cells of ~10⁴–10⁵ vectors)
+    * and let `maxBlock` stop a degenerate centroid from recreating the
+    * cross join. */
+  def semanticDedupByCluster(vecs: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int, threshold: Double,
+                             maxBlock: Int = 10000): DataFrame = {
+    val assigned = kmeansAssign(vecs, idCol, vecCol, k, iters)
+    val labeled = vecs.join(assigned, Seq(idCol))
+    val pairs = Similarity.labelBlockedNearDup(labeled, "cell", idCol,
+      vecCol, threshold, maxBlock)
+    val labels = Dedup.connectedComponents(
+      pairs.select("id_a", "id_b"), "id_a", "id_b")
+    vecs.join(
+      labels.filter(col("comp") < col("id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
 }

@@ -238,10 +238,15 @@ object CorpusStats {
 
   /** Keep only documents from sources that pass the reputation gate:
     * mean quality ≥ `minQuality` AND corpus-wide dup share ≤
-    * `maxDupShare`. The gate list is one row per source — a semi join
-    * on the source key (AQE broadcasts it when the source universe is
-    * small; at millions of hosts it is a plain shuffled semi join of
-    * (source) ids, never text). */
+    * `maxDupShare`. The gate list is one row per source and is
+    * BROADCAST explicitly: left to AQE, the stats subtree's size
+    * estimate (a window over the whole corpus) blocks the broadcast and
+    * the docs — full text — shuffle on the source key instead (measured
+    * at 1M docs / 10k hosts: 40 s shuffled vs 3 s broadcast). A source
+    * universe is hosts, not pages — even a hundred million hosts of
+    * (source) ids is a few GB, and far past that the right move is
+    * writing the gate list once and bucket-joining, not shuffling the
+    * corpus. */
   def sourceFilter(docs: DataFrame, idCol: String, textCol: String,
                    srcCol: String, minQuality: Double,
                    maxDupShare: Double,
@@ -250,6 +255,6 @@ object CorpusStats {
       .filter(col("mean_quality") >= minQuality &&
         col("dup_share") <= maxDupShare)
       .select(col("source").as(srcCol))
-    docs.join(good, Seq(srcCol), "left_semi")
+    docs.join(broadcast(good), Seq(srcCol), "left_semi")
   }
 }

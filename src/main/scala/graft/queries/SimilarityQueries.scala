@@ -346,6 +346,41 @@ private[queries] object SimilarityQueries {
                  row_number() OVER (PARTITION BY cell ORDER BY hv, id) AS rn
           FROM h)
         WHERE rn <= 5""")),
+
+    // ===== Clustering: SemDedup in its published form — trained k-means
+    // blocks, exact within-block cosine, one representative kept per
+    // near-dup component (q96 is the LSH-blocked sibling) =====
+    QueryDef("q108_kmeans_dedup",
+      (s, dir) => graft.operators.Clustering.semanticDedupByCluster(
+          T.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2,
+          threshold = 0.35, maxBlock = 1000)
+        .select("vec_id"),
+      Some {
+        val d = duckDot("va", "vb")
+        val na = s"sqrt(${duckDot("va", "va")})"
+        val nb = s"sqrt(${duckDot("vb", "vb")})"
+        s"""
+        WITH RECURSIVE ${kmeansCtes(8, 2, 64)},
+        e AS (SELECT a.id AS vec_id, a.cell, v.embedding
+              FROM afin a JOIN embeddings v ON a.id = v.vec_id
+              QUALIFY row_number() OVER (PARTITION BY a.cell
+                                         ORDER BY a.id) <= 1000),
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM (SELECT cell, vec_id, embedding AS va FROM e) a
+               JOIN (SELECT cell, vec_id, embedding AS vb FROM e) b
+                 USING (cell)
+               WHERE a.vec_id < b.vec_id
+                 AND (CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                           ELSE $d / ($na * $nb) END) >= 0.35),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        ccr AS (SELECT src AS id, src AS comp FROM edges
+                UNION SELECT e2.dst, ccr.comp FROM ccr
+                JOIN edges e2 ON ccr.id = e2.src),
+        lab AS (SELECT id, min(comp) AS comp FROM ccr GROUP BY id)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM lab WHERE comp < id)"""
+      }),
   )
 
   /** DuckDB mirror of [[graft.operators.Clustering]]'s deterministic

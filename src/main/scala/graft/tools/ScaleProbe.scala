@@ -710,6 +710,56 @@ object ScaleProbe {
     }
   }
 
+  /** K-means training cost at corpus scale: per-iteration wall (one
+    * narrow NearestCell map + one (cell,dim) exact-integer aggregate),
+    * final-assign wall, and the trained clustering's size skew — the
+    * numbers that say whether centroid training belongs in-engine or
+    * stays a sampled offline step at 100 TB. */
+  private def kmeansProbe(spark: SparkSession, embPath: String, k: Int,
+                          iters: Int): Unit = {
+    import graft.operators.{Clustering, Similarity}
+    val e = spark.read.parquet(embPath)
+    val n = e.count()
+    println(s"[probe] kmeans corpus n=$n k=$k dim=64")
+    val c1 = time(s"train k=$k 1 iter") {
+      Clustering.kmeansCentroids(e, "vec_id", "embedding", k, 1)
+    }
+    val cN = time(s"train k=$k $iters iters") {
+      Clustering.kmeansCentroids(e, "vec_id", "embedding", k, iters)
+    }
+    val cdf = Clustering.centroidDf(spark, cN)
+    timedCount("final assign")(
+      Similarity.assignCells(e, "vec_id", "embedding", cdf))
+    val sizes = Similarity.assignCells(e, "vec_id", "embedding", cdf)
+      .groupBy("cell").count().agg(
+        min("count").as("min"), max("count").as("max"),
+        count(lit(1)).as("nonempty")).head()
+    println(s"[probe] cluster sizes min=${sizes.getLong(0)} " +
+      s"max=${sizes.getLong(1)} nonempty=${sizes.getLong(2)}/$k " +
+      s"(1-iter vs $iters-iter centroids moved: ${
+        c1.zip(cN).count { case ((_, a), (_, b)) => !a.sameElements(b) }})")
+  }
+
+  /** Source-reputation aggregation at corpus scale: the dup-count
+    * window (hash-pair exchange) + source rollup over synthetic hosts —
+    * confirms the stats stay two light exchanges when the source
+    * universe is 10k hosts over 1M docs. */
+  private def srcStatsProbe(spark: SparkSession, docsPath: String): Unit = {
+    val docs = spark.read.parquet(docsPath)
+      .withColumn("source",
+        concat(lit("host"), pmod(xxhash64(col("doc_id")), lit(10000L))))
+    val n = docs.count()
+    println(s"[probe] srcstats corpus n=$n hosts<=10000")
+    timedCount("sourceStats") {
+      graft.operators.CorpusStats.sourceStats(docs, "doc_id", "text",
+        "source")
+    }
+    timedCount("sourceFilter") {
+      graft.operators.CorpusStats.sourceFilter(docs, "doc_id", "text",
+        "source", minQuality = 0.2, maxDupShare = 0.5)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -778,6 +828,12 @@ object ScaleProbe {
         ccGiantProbe(spark, n.toLong, hub = true)
       case "ccgiant" :: n :: "uniform" :: Nil =>
         ccGiantProbe(spark, n.toLong, hub = false) // skew-free control
+      case "kmeans" :: embPath :: rest =>
+        val k = rest.headOption.map(_.toInt).getOrElse(256)
+        val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+        kmeansProbe(spark, embPath, k, iters)
+      case "srcstats" :: docsPath :: Nil =>
+        srcStatsProbe(spark, docsPath)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "bm25", "gram").contains(docsPath) =>

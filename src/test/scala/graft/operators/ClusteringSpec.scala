@@ -58,6 +58,18 @@ class ClusteringSpec extends SparkSpec {
     assert(a.map(_._2.toSeq) == b.map(_._2.toSeq))
   }
 
+  test("semanticDedupByCluster keeps one representative per near-dup set") {
+    // ids 0/1 are near-identical (cosine ~1), 2 is orthogonal-ish in the
+    // same mode, 3/4 form a second mode's near-dup pair
+    val df = vecs2d(
+      0L -> Seq(1.0, 0.01), 1L -> Seq(1.0, 0.011), 2L -> Seq(0.01, 1.0),
+      3L -> Seq(-1.0, -0.01), 4L -> Seq(-1.0, -0.012))
+    val kept = Clustering.semanticDedupByCluster(df, "id", "v", k = 2,
+        iters = 3, threshold = 0.99)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 2L, 3L))
+  }
+
   test("clusterSample caps every cluster and is replay-stable") {
     val df = vecs2d((0L until 60L).map(i =>
       i -> Seq(if (i < 50) 0.0 + (i % 3) * 0.01 else 10.0, 0.0)): _*)
