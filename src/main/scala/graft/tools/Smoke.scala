@@ -144,6 +144,23 @@ object Smoke {
     show("CorpusStats.rareTokenRatio(df<3)") {
       graft.operators.CorpusStats.rareTokenRatio(docs, "doc_id", "text", 3L)
     }
+    show("Clustering.kmeans(8) + clusterSample + SemDedup") {
+      val assigned = graft.operators.Clustering.kmeansAssign(
+        emb, "vec_id", "embedding", k = 8, iters = 2)
+      val sample = graft.operators.Clustering.clusterSample(
+        emb, "vec_id", "embedding", k = 8, iters = 2, perCluster = 2)
+      val kept = graft.operators.Clustering.semanticDedupByCluster(
+        emb, "vec_id", "embedding", k = 8, iters = 2, threshold = 0.35)
+      assigned.groupBy("cell").count()
+        .join(sample.groupBy("cell").count()
+          .withColumnRenamed("count", "sampled"), Seq("cell"))
+        .withColumn("kept_total", lit(kept.count()))
+    }
+    show("CorpusStats.sourceStats + sourceFilter") {
+      graft.operators.CorpusStats.sourceStats(
+        docs.withColumn("__k", substring(col("text"), 1, 40)),
+        "doc_id", "text", "source", keyCol = Some("__k"))
+    }
     show("Retrieval.bm25TopK + rrfFuse vs cosine") {
       val lex = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
         Seq("table", "spark"), 5)
