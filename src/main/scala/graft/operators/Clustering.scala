@@ -141,6 +141,29 @@ object Clustering {
       kmeansAssign(vecs, idCol, vecCol, k, iters), Seq("cell"), idCol,
       perCluster, salt)
 
+  /** Per-cluster size and within-cluster sum of squared distance — the
+    * k-selection ("elbow") signal. Each vector's l2²-to-centroid is
+    * floored onto the 2^-20 grid and summed as exact longs (the
+    * centroid-update trick), so the metric reproduces bit-identically
+    * in any engine. Output: (cell, n, wss). One narrow assign map + one
+    * k-row aggregation. Long-sum headroom: unit-scale vectors at dim
+    * 64 quantize to ~2^30 per row, so a single cell overflows only past
+    * ~2^33 (8·10⁹) members — size k so cells stay below that. */
+  def clusterInertia(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(vecs, idCol, vecCol, k, iters)
+    val cdf = centroidDf(vecs.sparkSession, cents)
+    val assigned = Similarity.assignCells(
+      vecs.select(col(idCol), col(vecCol)), idCol, vecCol, cdf)
+    assigned.join(broadcast(cdf), Seq("cell"))
+      .select(col("cell"),
+        floor(graft.functions.VectorFunctions.l2Sq(col("cv"), col("cvec"))
+          * lit(Quant)).cast("long").as("__d"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        (sum("__d").cast("double") / lit(Quant)).as("wss"))
+  }
+
   /** SemDedup in its published form (k-means blocks → exact
     * within-block cosine → one representative per near-dup component):
     * train k clusters, compute all exact-cosine pairs inside each

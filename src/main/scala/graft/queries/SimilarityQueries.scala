@@ -381,6 +381,58 @@ private[queries] object SimilarityQueries {
         SELECT vec_id FROM embeddings
         WHERE vec_id NOT IN (SELECT id FROM lab WHERE comp < id)"""
       }),
+
+    // ===== Clustering: IVF ANN over TRAINED centroids — the end-to-end
+    // "train → partition → serve" path (q23 serves over externally
+    // supplied centroids; this one trains them) =====
+    QueryDef("q109_ivf_trained",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = graft.operators.Clustering.kmeans(
+          e, "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 5, cents, nProbes = 2)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH ${kmeansCtes(8, 2, 64)},
+        probed AS (SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${duckL2("e.embedding", "c.cvec")}, c.cell)
+                     AS rn
+            FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 8)
+          WHERE rn <= 2),
+        scored AS (SELECT query_id, a.id AS nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM (SELECT id, cell, v AS cv FROM afin) a
+          JOIN probed USING (cell)
+          WHERE a.id != probed.query_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 5"""
+      }),
+
+    // ===== Clustering: within-cluster sum-of-squares (the elbow /
+    // k-selection signal), quantized-exact so every bit reproduces =====
+    QueryDef("q110_kmeans_inertia",
+      (s, dir) => graft.operators.Clustering.clusterInertia(
+        T.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2),
+      Some(s"""
+        WITH ${kmeansCtes(8, 2, 64)},
+        d AS (SELECT a.cell,
+                CAST(floor(${duckL2("a.v", "c.cvec")} * 1048576.0)
+                  AS BIGINT) AS dq
+              FROM afin a JOIN c2 c ON a.cell = c.cell)
+        SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n,
+               CAST(sum(dq) AS DOUBLE) / 1048576.0 AS wss
+        FROM d GROUP BY cell""")),
   )
 
   /** DuckDB mirror of [[graft.operators.Clustering]]'s deterministic
@@ -414,8 +466,8 @@ private[queries] object SimilarityQueries {
                   ON p.cell = n.cell)"""
     }
     sb ++= s""",
-        afin AS (SELECT id, cell FROM (
-            SELECT x.id, c.cell,
+        afin AS (SELECT id, v, cell FROM (
+            SELECT x.id, x.v, c.cell,
                    row_number() OVER (PARTITION BY x.id
                      ORDER BY ${duckL2("x.v", "c.cvec")}, c.cell) AS rn
             FROM vecs x CROSS JOIN c$iters c) WHERE rn = 1)"""

@@ -35,6 +35,8 @@ object PlanLint {
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
+    ("q109_ivf_trained", "NestedLoopJoin") ->
+      "broadcast centroid table, one row per trained cell (k-capped)",
     // two-phase prefix sum: the bucket-offset side is a per-bucket
     // aggregate (≤ `buckets` rows) joined via a broadcast loop
     ("q51_cumulative", "NestedLoopJoin") ->

@@ -58,6 +58,22 @@ class ClusteringSpec extends SparkSpec {
     assert(a.map(_._2.toSeq) == b.map(_._2.toSeq))
   }
 
+  test("clusterInertia is the quantized sum of l2^2 to the trained centroid") {
+    val df = vecs2d(0L -> Seq(1.0, 2.0), 1L -> Seq(3.0, 4.0))
+    val out = Clustering.clusterInertia(df, "id", "v", k = 1, iters = 1)
+      .select("cell", "n", "wss").as[(Int, Long, Double)].head()
+    val q = Clustering.Quant
+    // trained centroid after one iteration = quantized mean of both rows
+    val c = Seq(Seq(1.0, 3.0), Seq(2.0, 4.0)).map(xs =>
+      xs.map(x => math.floor(x * q).toLong).sum.toDouble / q / 2)
+    def l2(v: Seq[Double]) =
+      v.zip(c).foldLeft(0.0) { case (a, (x, cx)) =>
+        a + (x - cx) * (x - cx) }
+    val wss = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+      .map(v => math.floor(l2(v) * q).toLong).sum.toDouble / q
+    assert(out == ((0, 2L, wss)))
+  }
+
   test("semanticDedupByCluster keeps one representative per near-dup set") {
     // ids 0/1 are near-identical (cosine ~1), 2 is orthogonal-ish in the
     // same mode, 3/4 form a second mode's near-dup pair
