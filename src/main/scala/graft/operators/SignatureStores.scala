@@ -20,6 +20,68 @@ import org.apache.spark.sql.functions._
 // snapshot-restore discipline. The root's writer lease enforces the
 // single-writer contract the stores always documented.
 
+/** The shared ingest surface of the pair-emitting signature stores
+  * (MinHash / SimHash / embedding-LSH) — one transactional `ingest`
+  * plus the key-idempotent `ingestOnce` a streaming maintenance sink
+  * needs (the [[Retrieval.Bm25Index.appendOnce]] contract for pair
+  * stores):
+  *
+  *  - a COMPLETED ingest key skips on redelivery — the key is buffered
+  *    into the store's commit record, so "key visible" IS "ingest
+  *    published" (one kv line per ingest in the commit file; at one
+  *    micro-batch a minute that is ~0.5M short lines a year —
+  *    compaction, if ever needed, is a maintenance rewrite);
+  *  - a CRASHED ingest left no key, rolls back on the next open
+  *    (StoreTxn), and the redelivered batch re-ingests cleanly;
+  *  - `beforeCommit` runs on the materialized pairs INSIDE the
+  *    transaction, before it publishes — append the pairs delta to a
+  *    warehouse table there (keyed idempotent, curation-sink style)
+  *    and the delta is durable before the skip-key exists, so a crash
+  *    between the two redelivers into a retry, never a silent loss. */
+trait PairStore {
+  /** Canonical store root — the lease/transaction scope. */
+  def storeRoot: String
+  protected def ingestBody(batch: DataFrame, idCol: String,
+                           valueCol: String): DataFrame
+
+  /** Near-dup pairs of `batch` against itself and the store, then the
+    * batch's signatures enter the store — one atomic transaction. */
+  def ingest(batch: DataFrame, idCol: String, valueCol: String): DataFrame =
+    graft.sources.StoreTxn.transact(batch.sparkSession, storeRoot) {
+      ingestBody(batch, idCol, valueCol)
+    }
+
+  /** [[ingest]], skipped if `ingestKey` already committed. Returns None
+    * on a skip. Keys must be globally unique per logical batch (a
+    * streaming sink uses "<checkpoint>#<batchId>"). */
+  def ingestOnce(batch: DataFrame, idCol: String, valueCol: String,
+                 ingestKey: Option[String],
+                 beforeCommit: DataFrame => Unit = _ => ())
+      : Option[DataFrame] = {
+    val spark = batch.sparkSession
+    ingestKey.foreach { k =>
+      // the key rides a tab-separated commit-file line
+      require(!k.exists(c => c == '\t' || c == '\n'),
+        s"ingest key '$k' contains a commit-record-reserved character")
+      // heal a dead writer's partial ingest BEFORE trusting the commit
+      // record as the completed-ingest ledger
+      graft.sources.StoreTxn.recoverIfIdle(spark, storeRoot)
+    }
+    if (ingestKey.exists(k =>
+        graft.sources.StoreTxn.getKv(storeRoot, kvKey(k)).isDefined))
+      return None
+    Some(graft.sources.StoreTxn.transact(spark, storeRoot) {
+      val pairs = ingestBody(batch, idCol, valueCol)
+      beforeCommit(pairs)
+      ingestKey.foreach(k =>
+        graft.sources.StoreTxn.current(storeRoot).putKv(kvKey(k), "1"))
+      pairs
+    })
+  }
+
+  private def kvKey(k: String) = s"ingest_key:$k"
+}
+
 /** Parameters of a MinHash-LSH signature store. One value is shared by
   * every ingest — signatures from different configs never compare. */
 final case class MinhashConfig(shingleN: Int, bands: Int, rowsPerBand: Int,
@@ -49,17 +111,18 @@ final case class MinhashConfig(shingleN: Int, bands: Int, rowsPerBand: Int,
   * the equivalence oracle holds whenever no bucket crosses the cap
   * between ingests. */
 final class MinhashStore(wh: graft.sources.Warehouse, name: String,
-                         cfg: MinhashConfig) {
+                         cfg: MinhashConfig) extends PairStore {
   private val sigTable = s"${name}_mh_sig"
   private val setTable = s"${name}_mh_set"
+  def storeRoot: String = wh.root
 
   /** Near-dup pairs of `batch` against itself AND the store, then the
     * batch's signatures are appended to the store. The returned frame
     * is materialized (localCheckpoint) BEFORE the append — it must be:
     * a lazy plan would re-read the store post-append and pair the
     * batch against its own signatures. */
-  def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame =
-   graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+  protected def ingestBody(batch: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
     // signature-space identity: stored (band, bucket) rows are only
     // comparable to batches hashed under the same geometry/seed and
     // the same tokenizer mode — drift would silently band new docs
@@ -140,7 +203,7 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     wh.appendBucketed(sigTable, banded, Seq("band", "bucket"), cfg.nStoreBuckets)
     wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets)
     pairs
-   }
+  }
 }
 
 /** Incremental IVF ANN corpus: the build/serve split of
@@ -222,9 +285,10 @@ final case class EmbeddingLshConfig(threshold: Double, dim: Int,
   * ingesting with a different config would band new vectors into an
   * incompatible signature space. */
 final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
-                              cfg: EmbeddingLshConfig) {
+                              cfg: EmbeddingLshConfig) extends PairStore {
   private val sigTable = s"${name}_el_sig"
   private val vecTable = s"${name}_el_vec"
+  def storeRoot: String = wh.root
   private val planeTables = cfg.planes.getOrElse(
     (0 until cfg.tables).map(t =>
       graft.functions.VectorFunctions.randomPlanes(
@@ -240,8 +304,8 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
     scala.util.hashing.MurmurHash3.orderedHash(bits).toLong & 0xffffffffL
   }
 
-  def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
-   graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+  protected def ingestBody(batch: DataFrame, idCol: String,
+                           vecCol: String): DataFrame = {
     wh.paramsSpecValidated(sigTable, Seq(
       "dim" -> cfg.dim.toString, "tables" -> cfg.tables.toString,
       "bitsPerTable" -> cfg.bitsPerTable.toString,
@@ -296,7 +360,7 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
     wh.appendBucketed(sigTable, banded, Seq("tbl", "sig"), cfg.nStoreBuckets)
     wh.appendBucketed(vecTable, vecs, Seq("id"), cfg.nStoreBuckets)
     pairs
-   }
+  }
 }
 
 /** Parameters of a SimHash signature store — see [[simhashPortablePairs]]
@@ -311,13 +375,14 @@ final case class SimhashConfig(maxDist: Int = 3, seed: Long = 42L,
   * separate set table is needed. Same equivalence contract and
   * cap caveat as [[MinhashStore]] (oracle-verified, q66). */
 final class SimhashStore(wh: graft.sources.Warehouse, name: String,
-                         cfg: SimhashConfig) {
+                         cfg: SimhashConfig) extends PairStore {
   require(cfg.maxDist < cfg.chunks,
     s"pigeonhole needs maxDist < chunks: ${cfg.maxDist} >= ${cfg.chunks}")
   private val sigTable = s"${name}_sh_sig"
+  def storeRoot: String = wh.root
 
-  def ingest(batch: DataFrame, idCol: String, textCol: String): DataFrame =
-   graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
+  protected def ingestBody(batch: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
     // signature-space identity — see MinhashStore.ingest
     wh.paramsSpecValidated(sigTable, Seq(
       "seed" -> cfg.seed.toString, "chunks" -> cfg.chunks.toString,
@@ -348,6 +413,6 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
       .localCheckpoint(true) // BEFORE the append — see MinhashStore
     wh.appendBucketed(sigTable, chunked, Seq("chunk", "cval"), cfg.nStoreBuckets)
     pairs
-   }
+  }
 }
 

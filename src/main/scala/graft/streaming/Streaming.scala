@@ -268,6 +268,73 @@ object Streaming {
     ()
   }
 
+  /** Always-on near-dup pair-store maintenance — one sink for the whole
+    * signature-store family ([[graft.operators.MinhashStore]],
+    * [[graft.operators.SimhashStore]],
+    * [[graft.operators.EmbeddingLshStore]] — anything implementing
+    * [[graft.operators.PairStore]]): each micro-batch is one
+    * `ingestOnce` keyed on (checkpoint path, batchId), and the batch's
+    * verified pairs delta lands in `pairsTable` (partitioned by
+    * __batch_id, keyed idempotent) via the ingest's beforeCommit hook —
+    * durable BEFORE the store transaction publishes its skip key, so a
+    * crash between the two redelivers into a clean retry, never a
+    * silent pair loss (the curation-sink argument). The union of the
+    * delta partitions is exactly the incremental pair history the
+    * store's batch contract defines (q65/q66/q78).
+    *
+    * The sink holds the store root's maintenance lease from start to
+    * termination: a second sink on the same store fails fast. */
+  def nearDupSink(docs: DataFrame, store: graft.operators.PairStore,
+                  warehouse: graft.sources.Warehouse, pairsTable: String,
+                  checkpoint: String, idCol: String, valueCol: String,
+                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
+    startNearDupSink(docs, store, warehouse, pairsTable, checkpoint,
+      idCol, valueCol, trigger, Some(lease))
+  }
+
+  private def startNearDupSink(docs: DataFrame,
+      store: graft.operators.PairStore,
+      warehouse: graft.sources.Warehouse, pairsTable: String,
+      checkpoint: String, idCol: String, valueCol: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger],
+      lease: Option[graft.sources.StoreTxn.SinkLease])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    try {
+      val writer = docs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+      val query = trigger.fold(writer)(writer.trigger)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          store.ingestOnce(batch.toDF(), idCol, valueCol,
+            Some(s"$checkpoint#$batchId"),
+            beforeCommit = pairs =>
+              warehouse.idempotentAppend(pairsTable,
+                pairs.withColumn("__batch_id", lit(batchId)),
+                keys = Seq("__batch_id"), partitionCol = "__batch_id"))
+          ()
+        }
+        .start()
+      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
+      query
+    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+
+  /** Cron-compatible catch-up form of [[nearDupSink]] — lease held for
+    * the run, released synchronously. */
+  def runNearDupAvailableNow(docs: DataFrame,
+                             store: graft.operators.PairStore,
+                             warehouse: graft.sources.Warehouse,
+                             pairsTable: String, checkpoint: String,
+                             idCol: String, valueCol: String): Unit = {
+    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
+    try startNearDupSink(docs, store, warehouse, pairsTable, checkpoint,
+        idCol, valueCol,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
+      .awaitTermination()
+    finally lease.release()
+  }
+
   /** Always-on BM25 index maintenance: each micro-batch of documents is
     * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on
     * (checkpoint path, batchId) — globally unique across streams, so

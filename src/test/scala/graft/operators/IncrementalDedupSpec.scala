@@ -211,4 +211,43 @@ class IncrementalDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(inc === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
+
+  test("ingestOnce: completed keys skip; a crashed ingest retries cleanly") {
+    val cfg = MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.5, seed = 7L)
+    val docs = corpus(60, seed = 1L).toDF("id", "text")
+    val store = new MinhashStore(freshWh(), "t", cfg)
+    val b1 = docs.filter(col("id") < 40)
+    val b2 = docs.filter(col("id") >= 40)
+
+    var deltas = 0
+    val p1 = store.ingestOnce(b1, "id", "text", Some("k1"),
+      beforeCommit = _ => deltas += 1)
+    assert(p1.isDefined && deltas == 1)
+    // completed key redelivered → skip, no delta callback, no re-append
+    assert(store.ingestOnce(b1, "id", "text", Some("k1")).isEmpty)
+    assert(deltas == 1)
+
+    // crash MID-INGEST (after the first table snapshot, before commit):
+    // no key lands, so the redelivered batch re-ingests — and the pair
+    // history still partitions the full-corpus pairs exactly. The dead
+    // writer's lease must go stale before the retry (StoreTxnSpec's
+    // crashAndExpire discipline).
+    graft.sources.StoreTxn.leaseTtlMs = 250L
+    graft.sources.StoreTxn.hooks.crashAfterTouches = 1
+    try intercept[graft.sources.StoreTxn.SimulatedCrash] {
+      store.ingestOnce(b2, "id", "text", Some("k2"))
+    } finally graft.sources.StoreTxn.hooks.reset()
+    Thread.sleep(400)
+    val p2 =
+      try store.ingestOnce(b2, "id", "text", Some("k2"))
+      finally graft.sources.StoreTxn.leaseTtlMs = 60000L
+    assert(p2.isDefined)
+    val full = pairKey(Dedup.minhashPortablePairs(docs, "id", "text",
+      cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.threshold, cfg.seed,
+      cfg.maxBucket))
+    assert(pairKey(p1.get) ++ pairKey(p2.get) === full)
+    // and now k2 is a completed key too
+    assert(store.ingestOnce(b2, "id", "text", Some("k2")).isEmpty)
+  }
 }

@@ -408,4 +408,49 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("k").select("id").as[Long].collect().sorted
       === Seq(1L, 5L, 8L))
   }
+
+  test("near-dup catch-up: streamed pair deltas equal the one-shot pairs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndstream").toString
+    // two planted near-dup pairs, one within each half of the stream,
+    // plus one PAIR ACROSS the halves (5 vs 25) — the store must pair a
+    // later batch against persisted signatures, not just itself
+    val base = "the quick brown fox jumps over the lazy dog in the sun"
+    val corpus = (1L to 30L).map { i =>
+      val text =
+        if (i == 6L) base.replace("dog", "cat")
+        else if (i == 5L || i == 25L) base
+        else s"completely unrelated filler text number $i of the stream " +
+          s"with words w${i}a w${i}b w${i}c"
+      (i, text)
+    }
+    val cfg = graft.operators.MinhashConfig(shingleN = 3, bands = 16,
+      rowsPerBand = 1, threshold = 0.5, seed = 7L)
+    val inDir = s"$root/in"
+    corpus.filter(_._1 <= 15).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    corpus.filter(_._1 > 15).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val wh = new graft.sources.Warehouse(spark, s"$root/wh")
+    val store = new graft.operators.MinhashStore(
+      new graft.sources.Warehouse(spark, s"$root/store"), "t", cfg)
+    val schema = corpus.toDF("doc_id", "text").schema
+    Streaming.runNearDupAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, wh, "nd_pairs", s"$root/ckpt", "doc_id", "text")
+    val streamed = wh.read("nd_pairs").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val oneShot = graft.operators.Dedup.minhashPortablePairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", cfg.shingleN,
+        cfg.bands, cfg.rowsPerBand, cfg.threshold, cfg.seed, cfg.maxBucket)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot && streamed.nonEmpty)
+    assert(streamed.exists(p => p._1 == 5L && p._2 == 25L),
+      "must find the cross-batch pair against persisted signatures")
+    // a redelivered completed ingest key is a no-op (no new pairs, no
+    // duplicate signatures)
+    assert(store.ingestOnce(corpus.filter(_._1 <= 15).toDF("doc_id", "text"),
+      "doc_id", "text", Some(s"$root/ckpt#0")).isEmpty)
+    assert(wh.read("nd_pairs").count() === oneShot.size.toLong)
+  }
 }
