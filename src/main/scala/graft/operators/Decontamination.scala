@@ -138,9 +138,10 @@ object Decontamination {
   final class GramIndex(spark: org.apache.spark.sql.SparkSession,
                         root: String, name: String, n: Int,
                         nStoreBuckets: Int = 32,
-                        prefixPartitions: Int = 64) {
+                        prefixPartitions: Int = 64) extends AppendStore {
     private val wh = new graft.sources.Warehouse(spark, root)
     private val gramTable = s"${name}_dc_gram"
+    def storeRoot: String = wh.root
 
     // row-identity parameters: ghash is over n-grams, gpfx is mod
     // prefixPartitions, and tokenization follows the session's
@@ -157,17 +158,17 @@ object Decontamination {
     private def gpfx(ghash: org.apache.spark.sql.Column) =
       pmod(ghash, lit(prefixPartitions)).cast("int")
 
-    def append(docs: DataFrame, idCol: String, textCol: String): Unit =
-      graft.sources.StoreTxn.transact(spark, root) {
-        wh.paramsSpecValidated(gramTable, storeParams)
-        wh.appendPartitionedBucketed(gramTable,
-          docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-            .select(col("id"),
-              explode(array_distinct(ngrams(col("__t"), n))).as("__g"))
-            .select(col("id"), xxhash64(col("__g")).as("ghash"))
-            .withColumn("gpfx", gpfx(col("ghash"))),
-          "gpfx", Seq("ghash"), nStoreBuckets)
-      }
+    protected def appendBody(docs: DataFrame, idCol: String,
+                             textCol: String): Unit = {
+      wh.paramsSpecValidated(gramTable, storeParams)
+      wh.appendPartitionedBucketed(gramTable,
+        docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+          .select(col("id"),
+            explode(array_distinct(ngrams(col("__t"), n))).as("__g"))
+          .select(col("id"), xxhash64(col("__g")).as("ghash"))
+          .withColumn("gpfx", gpfx(col("ghash"))),
+        "gpfx", Seq("ghash"), nStoreBuckets)
+    }
 
     /** Ids of indexed docs sharing ≥1 n-gram with `evalTexts` — the
       * postings side is partition-pruned to the eval grams' prefixes,

@@ -59,26 +59,66 @@ trait PairStore {
                  beforeCommit: DataFrame => Unit = _ => ())
       : Option[DataFrame] = {
     val spark = batch.sparkSession
-    ingestKey.foreach { k =>
-      // the key rides a tab-separated commit-file line
-      require(!k.exists(c => c == '\t' || c == '\n'),
-        s"ingest key '$k' contains a commit-record-reserved character")
-      // heal a dead writer's partial ingest BEFORE trusting the commit
-      // record as the completed-ingest ledger
-      graft.sources.StoreTxn.recoverIfIdle(spark, storeRoot)
-    }
-    if (ingestKey.exists(k =>
-        graft.sources.StoreTxn.getKv(storeRoot, kvKey(k)).isDefined))
+    if (ingestKey.exists(IngestKeys.completed(spark, storeRoot, _)))
       return None
     Some(graft.sources.StoreTxn.transact(spark, storeRoot) {
       val pairs = ingestBody(batch, idCol, valueCol)
       beforeCommit(pairs)
-      ingestKey.foreach(k =>
-        graft.sources.StoreTxn.current(storeRoot).putKv(kvKey(k), "1"))
+      ingestKey.foreach(IngestKeys.record(storeRoot, _))
       pairs
     })
   }
+}
 
+/** The key-once sibling of [[PairStore]] for stores whose write path
+  * APPENDS without emitting a result ([[IvfStore]],
+  * [[Decontamination.GramIndex]]) — the same commit-record key ledger,
+  * so each store in the family gets an always-on streaming maintenance
+  * form with identical redelivery/crash semantics. */
+trait AppendStore {
+  /** Canonical store root — the lease/transaction scope. */
+  def storeRoot: String
+  protected def appendBody(batch: DataFrame, idCol: String,
+                           valueCol: String): Unit
+
+  /** Append one batch — one atomic transaction. */
+  def append(batch: DataFrame, idCol: String, valueCol: String): Unit =
+    graft.sources.StoreTxn.transact(batch.sparkSession, storeRoot) {
+      appendBody(batch, idCol, valueCol)
+    }
+
+  /** [[append]], skipped if `appendKey` already committed. Returns
+    * false on a skip. */
+  def appendOnce(batch: DataFrame, idCol: String, valueCol: String,
+                 appendKey: Option[String]): Boolean = {
+    val spark = batch.sparkSession
+    if (appendKey.exists(IngestKeys.completed(spark, storeRoot, _)))
+      return false
+    graft.sources.StoreTxn.transact(spark, storeRoot) {
+      appendBody(batch, idCol, valueCol)
+      appendKey.foreach(IngestKeys.record(storeRoot, _))
+    }
+    true
+  }
+}
+
+/** The store family's completed-write ledger: keys buffered into the
+  * root's StoreTxn commit record, so "key visible" ⇔ "write published"
+  * (one short kv line per key in the commit file; compaction, if a
+  * years-long stream ever needs it, is a maintenance rewrite). */
+private[operators] object IngestKeys {
+  def completed(spark: org.apache.spark.sql.SparkSession, root: String,
+                k: String): Boolean = {
+    // the key rides a tab-separated commit-file line
+    require(!k.exists(c => c == '\t' || c == '\n'),
+      s"ingest key '$k' contains a commit-record-reserved character")
+    // heal a dead writer's partial write BEFORE trusting the commit
+    // record as the completed-write ledger
+    graft.sources.StoreTxn.recoverIfIdle(spark, root)
+    graft.sources.StoreTxn.getKv(root, kvKey(k)).isDefined
+  }
+  def record(root: String, k: String): Unit =
+    graft.sources.StoreTxn.current(root).putKv(kvKey(k), "1")
   private def kvKey(k: String) = s"ingest_key:$k"
 }
 
@@ -219,7 +259,8 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
   * store creation (train once on a representative sample; re-train =
   * new store + rebuild), which is the standard IVF contract. */
 final class IvfStore(wh: graft.sources.Warehouse, name: String,
-                     centroids: DataFrame, nStoreBuckets: Int = 64) {
+                     centroids: DataFrame, nStoreBuckets: Int = 64)
+    extends AppendStore {
   private val table = s"${name}_ivf"
 
   // the frozen-centroid contract, made self-enforcing: a fingerprint of
@@ -241,14 +282,15 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
       .toLong & 0xffffffffL
   }
   private def storeParams = Seq("centroidFp" -> centroidFp.toString)
+  def storeRoot: String = wh.root
 
-  def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
-    graft.sources.StoreTxn.transact(batch.sparkSession, wh.root) {
-      wh.paramsSpecValidated(table, storeParams)
-      wh.appendBucketed(table,
-        Similarity.assignCells(batch, idCol, vecCol, centroids),
-        Seq("cell"), nStoreBuckets)
-    }
+  protected def appendBody(batch: DataFrame, idCol: String,
+                           vecCol: String): Unit = {
+    wh.paramsSpecValidated(table, storeParams)
+    wh.appendBucketed(table,
+      Similarity.assignCells(batch, idCol, vecCol, centroids),
+      Seq("cell"), nStoreBuckets)
+  }
 
   def serve(queries: DataFrame, idCol: String, vecCol: String, k: Int,
             nProbes: Int): DataFrame = {

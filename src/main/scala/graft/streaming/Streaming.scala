@@ -335,6 +335,56 @@ object Streaming {
     finally lease.release()
   }
 
+  /** Always-on maintenance for the append-shaped stores
+    * ([[graft.operators.IvfStore]],
+    * [[graft.operators.Decontamination.GramIndex]] — anything
+    * implementing [[graft.operators.AppendStore]]): each micro-batch is
+    * one `appendOnce` keyed on (checkpoint path, batchId) in the
+    * store's commit-record ledger — completed keys skip on redelivery,
+    * crashed appends roll back and re-run. The sink holds the store
+    * root's maintenance lease from start to termination. */
+  def appendStoreSink(docs: DataFrame, store: graft.operators.AppendStore,
+                      checkpoint: String, idCol: String, valueCol: String,
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
+    startAppendStoreSink(docs, store, checkpoint, idCol, valueCol, trigger,
+      Some(lease))
+  }
+
+  private def startAppendStoreSink(docs: DataFrame,
+      store: graft.operators.AppendStore,
+      checkpoint: String, idCol: String, valueCol: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger],
+      lease: Option[graft.sources.StoreTxn.SinkLease])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    try {
+      val writer = docs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+      val query = trigger.fold(writer)(writer.trigger)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          store.appendOnce(batch.toDF(), idCol, valueCol,
+            Some(s"$checkpoint#$batchId"))
+          ()
+        }
+        .start()
+      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
+      query
+    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+
+  /** Cron-compatible catch-up form of [[appendStoreSink]]. */
+  def runAppendStoreAvailableNow(docs: DataFrame,
+                                 store: graft.operators.AppendStore,
+                                 checkpoint: String, idCol: String,
+                                 valueCol: String): Unit = {
+    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
+    try startAppendStoreSink(docs, store, checkpoint, idCol, valueCol,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
+      .awaitTermination()
+    finally lease.release()
+  }
+
   /** Always-on BM25 index maintenance: each micro-batch of documents is
     * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on
     * (checkpoint path, batchId) — globally unique across streams, so

@@ -453,4 +453,78 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", Some(s"$root/ckpt#0")).isEmpty)
     assert(wh.read("nd_pairs").count() === oneShot.size.toLong)
   }
+
+  test("append-store catch-up: streamed IVF appends serve the one-shot results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(6)(j => math.cos(i % 4 + j * 0.5).toFloat))
+    }
+    val cents = vecs.take(4).map { case (i, v) =>
+      (i.toInt, v.map(_.toDouble).toSeq)
+    }.toDF("cell", "cvec")
+    val inDir = s"$root/in"
+    vecs.filter(_._1 < 20).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    vecs.filter(_._1 >= 20).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val store = new graft.operators.IvfStore(
+      new graft.sources.Warehouse(spark, s"$root/store"), "t", cents,
+      nStoreBuckets = 2)
+    val schema = vecs.toDF("vec_id", "embedding").schema
+    Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, s"$root/ckpt", "vec_id", "embedding")
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val served = results(store.serve(queries, "vec_id", "embedding",
+      k = 3, nProbes = 2))
+    // one-shot build over the same corpus
+    val oneShot = new graft.operators.IvfStore(
+      new graft.sources.Warehouse(spark, s"$root/oneshot"), "t", cents,
+      nStoreBuckets = 2)
+    oneShot.append(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(served === results(oneShot.serve(queries, "vec_id", "embedding",
+      k = 3, nProbes = 2)) && served.nonEmpty)
+    // a redelivered completed append key is a no-op (no duplicate rows)
+    assert(!store.appendOnce(vecs.filter(_._1 < 20).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Some(s"$root/ckpt#0")))
+    assert(served === results(store.serve(queries, "vec_id", "embedding",
+      k = 3, nProbes = 2)))
+  }
+
+  test("append-store catch-up: streamed gram-index appends check like one shot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_gramstream").toString
+    val leak = "alpha bravo charlie delta echo foxtrot golf"
+    val docs = (1L to 20L).map { i =>
+      (i, if (i == 4L || i == 17L) s"document $i contains the passage $leak"
+          else s"clean document $i about w${i}a w${i}b w${i}c w${i}d w${i}e")
+    }
+    val evalSet = Seq((100L, leak)).toDF("eid", "text")
+    val inDir = s"$root/in"
+    docs.filter(_._1 <= 10).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    docs.filter(_._1 > 10).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val idx = new graft.operators.Decontamination.GramIndex(
+      spark, s"$root/idx", "t", n = 5, nStoreBuckets = 2)
+    val schema = docs.toDF("doc_id", "text").schema
+    Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      idx, s"$root/ckpt", "doc_id", "text")
+    val flagged = idx.check(evalSet, "text").as[Long].collect().sorted.toSeq
+    assert(flagged === Seq(4L, 17L),
+      "both leaked docs flagged across micro-batches")
+    // redelivered completed key: no duplicate postings (a dup would not
+    // change the flagged id set, so assert on the postings row count)
+    val before = new graft.sources.Warehouse(spark, s"$root/idx")
+      .read("t_dc_gram").count()
+    assert(!idx.appendOnce(docs.filter(_._1 <= 10).toDF("doc_id", "text"),
+      "doc_id", "text", Some(s"$root/ckpt#0")))
+    assert(new graft.sources.Warehouse(spark, s"$root/idx")
+      .read("t_dc_gram").count() === before)
+  }
 }
