@@ -728,8 +728,13 @@ object ScaleProbe {
       Clustering.kmeansCentroids(e, "vec_id", "embedding", k, iters)
     }
     val cdf = Clustering.centroidDf(spark, cN)
-    timedCount("final assign")(
-      Similarity.assignCells(e, "vec_id", "embedding", cdf))
+    // a count() would PRUNE the assignment projection (narrow map, no
+    // referenced columns) and time a metadata row count — force full
+    // evaluation the way Bench does
+    time("final assign (noop write)") {
+      Similarity.assignCells(e, "vec_id", "embedding", cdf)
+        .write.format("noop").mode("overwrite").save()
+    }
     val sizes = Similarity.assignCells(e, "vec_id", "embedding", cdf)
       .groupBy("cell").count().agg(
         min("count").as("min"), max("count").as("max"),
