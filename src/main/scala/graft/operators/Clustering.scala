@@ -68,8 +68,13 @@ object Clustering {
       s"k=$k out of [1, 4096] — centroids are a driver-side control read")
     require(iters >= 0 && iters <= 1000, s"iters=$iters out of [0, 1000]")
     val spark = vecs.sparkSession
+    // null vectors never train: the assign kernel maps them to a null
+    // cell (dropped from updates) anyway, and a null in the init window
+    // would poison a centroid. Dimension mismatches still surface as
+    // null cells downstream — same contract as assignCells.
     val v = vecs.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
     // bounded control read: k rows. orderBy+limit is a TakeOrdered — no
     // global sort, no single-partition exchange.
     val init = v.orderBy(col("__id").asc).limit(k).collect()

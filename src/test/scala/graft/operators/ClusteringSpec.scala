@@ -50,6 +50,22 @@ class ClusteringSpec extends SparkSpec {
     assert(c2.forall(_._2.length == 2))
   }
 
+  test("null vectors neither poison init centroids nor join updates") {
+    val df = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, null.asInstanceOf[Seq[Double]]),
+      (2L, Seq(10.0, 10.0)), (3L, Seq(10.1, 10.0)))
+      .toDF("id", "v")
+    // id 1 (null) sits inside the k-smallest-id init window — it must
+    // be skipped, so init picks ids 0 and 2
+    val c = Clustering.kmeansCentroids(df, "id", "v", k = 2, iters = 2)
+    assert(c.size == 2 && c.forall(_._2.forall(x => !x.isNaN)))
+    val a = Clustering.kmeansAssign(df, "id", "v", 2, 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    assert(a(1L) == -1) // null vector → null cell, not a crash
+    assert(a(2L) == a(3L) && a(0L) != a(2L))
+  }
+
   test("training is deterministic across runs and repartitionings") {
     val df = vecs2d((0L until 40L).map(i =>
       i -> Seq((i % 7).toDouble, (i % 5).toDouble)): _*)
