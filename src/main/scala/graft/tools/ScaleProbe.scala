@@ -755,13 +755,17 @@ object ScaleProbe {
         concat(lit("host"), pmod(xxhash64(col("doc_id")), lit(10000L))))
     val n = docs.count()
     println(s"[probe] srcstats corpus n=$n hosts<=10000")
-    timedCount("sourceStats") {
+    // noop writes, not count(): a count over the aggregate would let
+    // the optimizer prune the quality/window expressions and time a
+    // skeleton (the kmeans-probe pitfall, BENCH_NOTES round 7)
+    time("sourceStats (noop write)") {
       graft.operators.CorpusStats.sourceStats(docs, "doc_id", "text",
-        "source")
+        "source").write.format("noop").mode("overwrite").save()
     }
-    timedCount("sourceFilter") {
+    time("sourceFilter (noop write)") {
       graft.operators.CorpusStats.sourceFilter(docs, "doc_id", "text",
         "source", minQuality = 0.2, maxDupShare = 0.5)
+        .write.format("noop").mode("overwrite").save()
     }
   }
 
