@@ -314,17 +314,52 @@ private[queries] object SequenceQueries {
           .withColumnRenamed("id", "doc_id")
       },
       Some(s"""
-        WITH ${bpeMergeCtes(bpeK)},
-        -- words separated by TWO spaces: no merge pattern (single
-        -- interior spaces) can span a boundary, and a word-final match
-        -- consuming its trailing space leaves the second one for the
-        -- next word — mirrors Bpe.encode's isolation scheme
+        WITH ${bpeEncodeCtes(bpeK)}
+        SELECT doc_id, n_tokens, enc FROM encoded""")),
+
+    // ===== tokenizer-aware packing: documents laid end-to-end into
+    // 256-token training sequences where a token is a REAL BPE token
+    // from the corpus-learned table, not a whitespace word — the
+    // composition an actual pretraining data loader runs =====
+    QueryDef("q111_pack_bpe",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val enc = graft.operators.Bpe.encode(d, "doc_id", "text",
+          graft.operators.Bpe.learnMerges(d, "text", bpeK))
+        Sequences.packSequences(
+          enc.select(col("id").as("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 256L, salt = "v1")
+      },
+      Some(s"""
+        WITH ${bpeEncodeCtes(bpeK)},
+        t AS (SELECT doc_id, n_tokens,
+            ${duckHashBucket("doc_id", 1000000007L, "v1")} AS h
+          FROM encoded),
+        c AS (SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, n_tokens,
+               (cum - n_tokens) // 256 AS seq_id,
+               (cum - n_tokens) % 256 AS seq_offset
+        FROM c""")),
+  )
+
+  /** [[bpeMergeCtes]] extended with the q99 encode chain, ending in
+    * `encoded(doc_id, n_tokens, enc)` — shared by q99 and q111 (the
+    * encode SQL is parity-critical and must not fork). Words separated
+    * by TWO spaces: no merge pattern (single interior spaces) can span
+    * a boundary, and a word-final match consuming its trailing space
+    * leaves the second one for the next word — mirrors Bpe.encode's
+    * isolation scheme. */
+  private def bpeEncodeCtes(k: Int): String =
+    s"""${bpeMergeCtes(k)},
         d0 AS (SELECT doc_id,
           ' ' || coalesce(array_to_string(list_transform($duckToks, w ->
               array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w>'),
             '  '), '') || ' ' AS e
           FROM documents),
-        ${(1 to bpeK).map(i =>
+        ${(1 to k).map(i =>
           s"""d$i AS (SELECT doc_id, replace(e,
              coalesce(' ' || (SELECT lhs FROM b$i) || ' ' ||
                       (SELECT rhs FROM b$i) || ' ', chr(1)),
@@ -333,14 +368,13 @@ private[queries] object SequenceQueries {
              FROM d${i - 1})""").mkString(",\n        ")},
         dz AS (SELECT doc_id,
                  regexp_replace(trim(e), ' +', ' ', 'g') AS enc
-               FROM d$bpeK)
-        SELECT doc_id,
+               FROM d$k),
+        encoded AS (SELECT doc_id,
           CASE WHEN enc = '' THEN CAST(0 AS BIGINT)
                ELSE CAST(len(string_split(enc, ' ')) AS BIGINT)
           END AS n_tokens,
           enc
-        FROM dz""")),
-  )
+          FROM dz)"""
 
   /** Merge-round count for q98/q99 — small enough that the unrolled
     * oracle stays readable, large enough to exercise multi-character

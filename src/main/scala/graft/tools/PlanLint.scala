@@ -47,6 +47,8 @@ object PlanLint {
       "offset join over ≤ buckets aggregate rows",
     ("q80_curate_pack", "NestedLoopJoin") ->
       "offset join over ≤ buckets aggregate rows",
+    ("q111_pack_bpe", "NestedLoopJoin") ->
+      "offset join over ≤ buckets aggregate rows",
     // RRF fuses two ≤ k-row top-k lists — both join sides bounded
     ("q84_hybrid_rrf", "NestedLoopJoin") ->
       "full-outer of two ≤ k-row top-k lists",
