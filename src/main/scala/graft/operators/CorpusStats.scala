@@ -236,6 +236,35 @@ object CorpusStats {
         col("n_dup").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** One-call corpus accounting — the numbers a dataset card leads
+    * with, as a single aggregation pass (one row out): doc count,
+    * empty-doc count, exact-distinct text count (the 128-bit hash pair
+    * — text never shuffles), total token count, mean tokens per doc
+    * (one double division of exact integers) and the quantized-exact
+    * mean quality score. Every figure is order-independent, so the
+    * whole report reproduces bit-identically in any engine. */
+  def corpusReport(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val quant = Clustering.Quant
+    docs
+      .select(col(textCol).as("__text"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(
+        xxhash64(col("__text")).as("__h1"),
+        xxhash64(lit(0x9e3779b9L), col("__text")).as("__h2"),
+        size(col("__toks")).cast("long").as("__nt"),
+        floor(TextFunctions.qualityScoreFromTokens(col("__text"),
+          col("__toks")) * lit(quant)).cast("long").as("__ql"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("__nt") === 0, lit(1))).as("n_empty"),
+        countDistinct(col("__h1"), col("__h2")).as("n_distinct"),
+        sum(col("__nt")).as("total_tokens"),
+        (sum("__ql").cast("double") / lit(quant)
+          / count(lit(1)).cast("double")).as("mean_quality"))
+      .withColumn("mean_tokens",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Keep only documents from sources that pass the reputation gate:
     * mean quality ≥ `minQuality` AND corpus-wide dup share ≤
     * `maxDupShare`. The gate list is one row per source and is

@@ -159,6 +159,41 @@ private[queries] object QualityQueries {
                    / 1048576.0 / CAST(count(*) AS DOUBLE) >= 0.49
              AND CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) <= 0.10)""")),
+  ) ++ reportDefs
+
+  /** q112 is appended to defs via ++ to keep the two source-reputation
+    * queries and the report adjacent in the file. */
+  private[queries] def reportDefs: Seq[QueryDef] = Seq(
+    // ===== corpus report: the dataset-card header numbers, one exact
+    // aggregation pass, every figure order-independent =====
+    QueryDef("q112_corpus_report",
+      (s, dir) => graft.operators.CorpusStats.corpusReport(
+        T.documents(s, dir), "doc_id", "text"),
+      Some(s"""
+        WITH x AS (SELECT text,
+            CAST(len($duckToks) AS BIGINT) AS ntok,
+            CAST(length(text) AS DOUBLE) AS len,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+              AS alpha,
+            CAST(len(list_filter($duckToks,
+              t -> list_contains(${sqlList(TextFunctions.stopwords("en"))}, t)))
+              AS DOUBLE) AS hits
+          FROM documents),
+        q AS (SELECT text, ntok,
+            ((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
+              + CASE WHEN ntok > 0 THEN hits / CAST(ntok AS DOUBLE)
+                     ELSE 0.0 END)
+              + least(len / 500.0, 1.0)) / 3.0 AS q
+          FROM x)
+        SELECT count(*) AS n_docs,
+          count(CASE WHEN ntok = 0 THEN 1 END) AS n_empty,
+          count(DISTINCT text) AS n_distinct,
+          CAST(sum(ntok) AS BIGINT) AS total_tokens,
+          CAST(sum(CAST(floor(q * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / 1048576.0 / CAST(count(*) AS DOUBLE) AS mean_quality,
+          CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            AS mean_tokens
+        FROM q""")),
   )
 
   /** DuckDB mirror of [[graft.operators.CorpusStats.sourceStats]]'s

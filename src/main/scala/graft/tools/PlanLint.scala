@@ -69,7 +69,9 @@ object PlanLint {
     ("q97_token_drift", "SinglePartition") ->
       "two one-row corpus-total scalar aggregates",
     ("q97_token_drift", "NestedLoopJoin") ->
-      "broadcast join of one-row corpus totals"
+      "broadcast join of one-row corpus totals",
+    ("q112_corpus_report", "SinglePartition") ->
+      "one-row corpus-total scalar aggregate (map-side partials)"
   )
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("corpusReport counts docs, empties, distinct texts and tokens") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "   "),
+      (4L, "delta echo")).toDF("doc_id", "text")
+    val r = CorpusStats.corpusReport(docs, "doc_id", "text")
+      .select("n_docs", "n_empty", "n_distinct", "total_tokens",
+        "mean_tokens")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r == ((4L, 1L, 3L, 8L, 2.0)))
+  }
+
   test("sourceFilter keys dups on keyCol and drops failing sources") {
     // source "spam" shares a 10-char prefix key across its docs →
     // dup_share 1.0 → dropped; "ok" survives on both gates
