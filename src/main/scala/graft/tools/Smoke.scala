@@ -161,6 +161,9 @@ object Smoke {
         docs.withColumn("__k", substring(col("text"), 1, 40)),
         "doc_id", "text", "source", keyCol = Some("__k"))
     }
+    show("CorpusStats.corpusReport") {
+      graft.operators.CorpusStats.corpusReport(docs, "doc_id", "text")
+    }
     show("Retrieval.bm25TopK + rrfFuse vs cosine") {
       val lex = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
         Seq("table", "spark"), 5)
