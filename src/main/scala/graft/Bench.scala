@@ -22,19 +22,22 @@ object Bench {
       .map { case (name, fn) =>
       // min of two reps: the first rep absorbs codegen compilation and
       // page-cache warmup, so drift between rounds is attributable to
-      // plan changes rather than JIT/IO noise
-      var failed = 0
-      val times = (1 to 2).map { _ =>
+      // plan changes rather than JIT/IO noise. The min is taken over
+      // SUCCESSFUL reps only — a rep that threw early would otherwise
+      // report its near-zero abort time as the query's wall.
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write forces full evaluation of every projection — count()
         // would let Catalyst skip computing the expressions under test
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += 1
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      (name, times.min, failed == 2)
+      (name, times.minOption.getOrElse(0.0), times.isEmpty)
     }
     // The driver keeps only a bounded tail of stdout, so the contract line
     // must stay small: short keys (the qNN prefix is the query identity)
@@ -43,18 +46,23 @@ object Bench {
     def short(n: String): String = n.indexOf('_') match {
       case -1 => n case i => n.substring(0, i)
     }
+    // machine-read output: Locale.ROOT so a comma-decimal default
+    // locale cannot render invalid JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ok = results.filterNot(_._3)
-    val qs = ok.map { case (k, v, _) => f""""${short(k)}":$v%.3f""" }
+    val qs = ok.map { case (k, v, _) => s""""${short(k)}":${ms(v)}""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedList = results.filter(_._3).map(r => s""""${short(r._1)}"""")
       .mkString("[", ",", "]")
     val failedField = if (results.exists(_._3)) s""","failed":$failedList""" else ""
     val full = results.map { case (k, v, f) =>
-      s""""$k":{"sec":$v,"failed":$f}""" }.mkString("{", ",", "}")
+      s""""$k":{"sec":${String.format(java.util.Locale.ROOT, "%.9f",
+        Double.box(v))},"failed":$f}""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"sf":"$sfDir","total":$total,"queries":$full}""" + "\n")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+      s"""{"sf":"$sfDir","total":${ms(total)},"queries":$full}""" + "\n")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,13 +68,15 @@ object Clustering {
       s"k=$k out of [1, 4096] — centroids are a driver-side control read")
     require(iters >= 0 && iters <= 1000, s"iters=$iters out of [0, 1000]")
     val spark = vecs.sparkSession
-    // null vectors never train: the assign kernel maps them to a null
-    // cell (dropped from updates) anyway, and a null in the init window
-    // would poison a centroid. Dimension mismatches still surface as
-    // null cells downstream — same contract as assignCells.
+    // null vectors and vectors with null ELEMENTS never train: the
+    // assign kernel maps both to a null cell, and either inside the
+    // init window would poison a centroid (a null element NPEs the
+    // driver-side unboxing). Dimension-mismatched vectors still
+    // surface as null cells downstream — same contract as assignCells
+    // — and are dropped from the update aggregation below.
     val v = vecs.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
     // bounded control read: k rows. orderBy+limit is a TakeOrdered — no
     // global sort, no single-partition exchange.
     val init = v.orderBy(col("__id").asc).limit(k).collect()
@@ -86,10 +88,14 @@ object Clustering {
     val dim = cents.head._2.length
     var it = 0
     while (it < iters) {
-      val assigned = Similarity.assignCells(v, "__id", "__v",
-        centroidDf(spark, cents))
-      // exact integer sums on the 2^-20 grid; ≤ k·dim rows out
+      // driver-side centroids go straight into the kernel — no
+      // parallelize + re-collect round trip per iteration
+      val assigned = Similarity.assignCellsMatrix(v, "__id", "__v", cents)
+      // exact integer sums on the 2^-20 grid; ≤ k·dim rows out. The
+      // null-cell group (dimension-mismatched vectors) must not reach
+      // the driver read — getInt on a null cell NPEs.
       val upd = assigned
+        .filter(col("cell").isNotNull)
         .select(col("cell"), posexplode(col("cv")).as(Seq("j", "x")))
         .groupBy("cell", "j")
         .agg(sum(floor(col("x") * lit(Quant)).cast("long")).as("s"),
@@ -189,12 +195,8 @@ object Clustering {
                              maxBlock: Int = 10000): DataFrame = {
     val assigned = kmeansAssign(vecs, idCol, vecCol, k, iters)
     val labeled = vecs.join(assigned, Seq(idCol))
-    val pairs = Similarity.labelBlockedNearDup(labeled, "cell", idCol,
-      vecCol, threshold, maxBlock)
-    val labels = Dedup.connectedComponents(
-      pairs.select("id_a", "id_b"), "id_a", "id_b")
-    vecs.join(
-      labels.filter(col("comp") < col("id")).select(col("id").as(idCol)),
-      Seq(idCol), "left_anti")
+    Similarity.keepRepresentatives(vecs, idCol,
+      Similarity.labelBlockedNearDup(labeled, "cell", idCol, vecCol,
+        threshold, maxBlock))
   }
 }

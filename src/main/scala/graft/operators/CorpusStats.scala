@@ -213,12 +213,15 @@ object CorpusStats {
     val quant = Clustering.Quant
     // the dup key defaults to the full text; pass a canonicalized key
     // (normalized text, a content prefix, a stripped-boilerplate form)
-    // to count what the downstream dedup stage would actually collapse
-    val key = col(keyCol.getOrElse(textCol))
+    // to count what the downstream dedup stage would actually collapse.
+    // Null text reads as the empty document: without the coalesce every
+    // null would share one xxhash64 seed value (dup_share inflated
+    // toward 1) while its null quality score silently left the mean.
+    val key = coalesce(col(keyCol.getOrElse(textCol)), lit(""))
     val base = docs
       .select(col(srcCol).as("source"), key.as("__key"),
-        col(textCol).as("__text"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+        coalesce(col(textCol), lit("")).as("__text"))
+      .withColumn("__toks", TextFunctions.tokens(col("__text")))
       .select(col("source"),
         xxhash64(col("__key")).as("__h1"),
         xxhash64(lit(0x9e3779b9L), col("__key")).as("__h2"),
@@ -247,8 +250,9 @@ object CorpusStats {
                    textCol: String): DataFrame = {
     val quant = Clustering.Quant
     docs
-      .select(col(textCol).as("__text"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+      // null text = the empty document (see sourceStats)
+      .select(coalesce(col(textCol), lit("")).as("__text"))
+      .withColumn("__toks", TextFunctions.tokens(col("__text")))
       .select(
         xxhash64(col("__text")).as("__h1"),
         xxhash64(lit(0x9e3779b9L), col("__text")).as("__h2"),

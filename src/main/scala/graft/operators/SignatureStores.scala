@@ -61,12 +61,20 @@ trait PairStore {
     val spark = batch.sparkSession
     if (ingestKey.exists(IngestKeys.completed(spark, storeRoot, _)))
       return None
-    Some(graft.sources.StoreTxn.transact(spark, storeRoot) {
-      val pairs = ingestBody(batch, idCol, valueCol)
-      beforeCommit(pairs)
-      ingestKey.foreach(IngestKeys.record(storeRoot, _))
-      pairs
-    })
+    graft.sources.StoreTxn.transact(spark, storeRoot) {
+      // re-check INSIDE the transaction (lease held): two overlapping
+      // direct callers with the same key could both pass the unlocked
+      // pre-check, and the loser must skip, not double-ingest
+      if (ingestKey.exists(k =>
+          graft.sources.StoreTxn.getKv(storeRoot, IngestKeys.kvKey(k))
+            .isDefined)) None
+      else {
+        val pairs = ingestBody(batch, idCol, valueCol)
+        beforeCommit(pairs)
+        ingestKey.foreach(IngestKeys.record(storeRoot, _))
+        Some(pairs)
+      }
+    }
   }
 }
 
@@ -95,10 +103,16 @@ trait AppendStore {
     if (appendKey.exists(IngestKeys.completed(spark, storeRoot, _)))
       return false
     graft.sources.StoreTxn.transact(spark, storeRoot) {
-      appendBody(batch, idCol, valueCol)
-      appendKey.foreach(IngestKeys.record(storeRoot, _))
+      // in-transaction re-check — see PairStore.ingestOnce
+      if (appendKey.exists(k =>
+          graft.sources.StoreTxn.getKv(storeRoot, IngestKeys.kvKey(k))
+            .isDefined)) false
+      else {
+        appendBody(batch, idCol, valueCol)
+        appendKey.foreach(IngestKeys.record(storeRoot, _))
+        true
+      }
     }
-    true
   }
 }
 
@@ -119,7 +133,7 @@ private[operators] object IngestKeys {
   }
   def record(root: String, k: String): Unit =
     graft.sources.StoreTxn.current(root).putKv(kvKey(k), "1")
-  private def kvKey(k: String) = s"ingest_key:$k"
+  def kvKey(k: String) = s"ingest_key:$k"
 }
 
 /** Parameters of a MinHash-LSH signature store. One value is shared by

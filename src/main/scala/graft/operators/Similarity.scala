@@ -165,8 +165,19 @@ object Similarity {
                     seed: Long = 42L,
                     planes: Option[Seq[Seq[Seq[Double]]]] = None,
                     maxBucket: Int = 10000): DataFrame = {
-    val pairs = lshNearDupPairs(corpus, idCol, vecCol, threshold, dim,
-      tables, bitsPerTable, seed, planes, maxBucket)
+    keepRepresentatives(corpus, idCol,
+      lshNearDupPairs(corpus, idCol, vecCol, threshold, dim,
+        tables, bitsPerTable, seed, planes, maxBucket))
+  }
+
+  /** One representative — the min-id member — per near-dup component of
+    * `pairs`; everything unpaired survives. The shared tail of both
+    * SemDedup variants ([[semanticDedup]],
+    * [[Clustering.semanticDedupByCluster]]): the representative rule is
+    * parity-critical against the recursive-CTE oracles (q96, q108) and
+    * must not fork. */
+  def keepRepresentatives(corpus: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
     val labels = Dedup.connectedComponents(
       pairs.select("id_a", "id_b"), "id_a", "id_b")
     corpus.join(
@@ -217,13 +228,26 @@ object Similarity {
     val rows = centroids.select(col("cell").cast("int"), col("cvec"))
       .collect().sortBy(_.getInt(0))
     require(rows.nonEmpty, "assignCells needs at least one centroid")
-    val cellIds = rows.map(_.getInt(0))
-    val dim = rows.head.getSeq[Any](1).size
-    val flat = new Array[Double](rows.length * dim)
+    assignCellsMatrix(corpus, idCol, vecCol,
+      rows.map(r => (r.getInt(0),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)))
+  }
+
+  /** [[assignCells]] from DRIVER-SIDE centroids (ascending cell order
+    * enforced here) — the path [[Clustering]] uses per training round,
+    * where the centroids never were a DataFrame and a parallelize +
+    * re-collect round trip per iteration would be a wasted job. */
+  def assignCellsMatrix(corpus: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Int, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty, "assignCells needs at least one centroid")
+    val sorted = cents.sortBy(_._1)
+    val cellIds = sorted.map(_._1).toArray
+    val dim = sorted.head._2.length
+    val flat = new Array[Double](sorted.size * dim)
     var i = 0
-    rows.foreach { r =>
-      r.getSeq[Any](1).foreach { v =>
-        flat(i) = v.asInstanceOf[Number].doubleValue(); i += 1 }
+    sorted.foreach { case (_, v) =>
+      require(v.length == dim, s"centroid dim ${v.length} != $dim")
+      System.arraycopy(v, 0, flat, i, dim); i += dim
     }
     import graft.functions.expressions.{ColumnBridge, NearestCell}
     corpus.select(col(idCol).as("nbr_id"),

@@ -167,19 +167,24 @@ object Streaming {
                    keptTable: String, retractedTable: String,
                    checkpoint: String, idCol: String, textCol: String,
                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
-    startCurationSink(docs, store, warehouse, keptTable, retractedTable,
-      checkpoint, idCol, textCol, trigger, Some(lease))
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    leasedSink(docs, store.storeRoot, checkpoint, trigger)(
+      curateBatch(store, warehouse, keptTable, retractedTable,
+        idCol, textCol))
 
-  private def startCurationSink(docs: DataFrame,
-      store: graft.operators.Pipeline.CurationStore,
-      warehouse: graft.sources.Warehouse,
-      keptTable: String, retractedTable: String,
-      checkpoint: String, idCol: String, textCol: String,
+  // ------------------------------------------ shared sink plumbing
+  //
+  // Every store-maintenance sink is the same scaffold: writeStream +
+  // checkpoint + foreachBatch over a per-batch body, a maintenance
+  // lease on the store root held from start to termination (released
+  // by listener on the always-on form, synchronously on the catch-up
+  // form), and lease release on a failed start. ONE implementation —
+  // a fix to the lease or listener logic must not need four edits.
+
+  private def startForeachBatch(docs: DataFrame, checkpoint: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger],
       lease: Option[graft.sources.StoreTxn.SinkLease])
+      (body: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     try {
       val writer = docs.writeStream
@@ -187,13 +192,35 @@ object Streaming {
         .outputMode("append")
       val query = trigger.fold(writer)(writer.trigger)
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          curateBatch(store, warehouse, keptTable, retractedTable,
-            idCol, textCol)(batch.toDF(), batchId)
+          body(batch.toDF(), batchId)
         }
         .start()
       lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
       query
     } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+
+  /** Always-on form: lease acquired here, released by the termination
+    * listener. */
+  private def leasedSink(docs: DataFrame, storeRoot: String,
+      checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger])
+      (body: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.sources.StoreTxn.acquireSink(storeRoot)
+    startForeachBatch(docs, checkpoint, trigger, Some(lease))(body)
+  }
+
+  /** Catch-up form: AvailableNow, lease held for the run and released
+    * synchronously — back-to-back catch-ups never race a listener. */
+  private def leasedAvailableNow(docs: DataFrame, storeRoot: String,
+      checkpoint: String)(body: (DataFrame, Long) => Unit): Unit = {
+    val lease = graft.sources.StoreTxn.acquireSink(storeRoot)
+    try startForeachBatch(docs, checkpoint,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)(
+        body)
+      .awaitTermination()
+    finally lease.release()
+  }
 
   /** Cron-compatible catch-up form of [[curationSink]]: ingest every
     * staged document batch currently available, then return. The lease
@@ -204,14 +231,10 @@ object Streaming {
                               warehouse: graft.sources.Warehouse,
                               keptTable: String, retractedTable: String,
                               checkpoint: String, idCol: String,
-                              textCol: String): Unit = {
-    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
-    try startCurationSink(docs, store, warehouse, keptTable, retractedTable,
-        checkpoint, idCol, textCol,
-        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
-      .awaitTermination()
-    finally lease.release()
-  }
+                              textCol: String): Unit =
+    leasedAvailableNow(docs, store.storeRoot, checkpoint)(
+      curateBatch(store, warehouse, keptTable, retractedTable,
+        idCol, textCol))
 
   /** Release a sink's maintenance lease when its query terminates (for
     * always-on sinks whose lifetime the caller owns). */
@@ -288,37 +311,23 @@ object Streaming {
                   warehouse: graft.sources.Warehouse, pairsTable: String,
                   checkpoint: String, idCol: String, valueCol: String,
                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
-    startNearDupSink(docs, store, warehouse, pairsTable, checkpoint,
-      idCol, valueCol, trigger, Some(lease))
-  }
-
-  private def startNearDupSink(docs: DataFrame,
-      store: graft.operators.PairStore,
-      warehouse: graft.sources.Warehouse, pairsTable: String,
-      checkpoint: String, idCol: String, valueCol: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger],
-      lease: Option[graft.sources.StoreTxn.SinkLease])
       : org.apache.spark.sql.streaming.StreamingQuery =
-    try {
-      val writer = docs.writeStream
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-      val query = trigger.fold(writer)(writer.trigger)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          store.ingestOnce(batch.toDF(), idCol, valueCol,
-            Some(s"$checkpoint#$batchId"),
-            beforeCommit = pairs =>
-              warehouse.idempotentAppend(pairsTable,
-                pairs.withColumn("__batch_id", lit(batchId)),
-                keys = Seq("__batch_id"), partitionCol = "__batch_id"))
-          ()
-        }
-        .start()
-      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
-      query
-    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+    leasedSink(docs, store.storeRoot, checkpoint, trigger)(
+      nearDupBatch(store, warehouse, pairsTable, checkpoint, idCol,
+        valueCol))
+
+  private def nearDupBatch(store: graft.operators.PairStore,
+      warehouse: graft.sources.Warehouse, pairsTable: String,
+      checkpoint: String, idCol: String, valueCol: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    store.ingestOnce(batch, idCol, valueCol,
+      Some(s"$checkpoint#$batchId"),
+      beforeCommit = pairs =>
+        warehouse.idempotentAppend(pairsTable,
+          pairs.withColumn("__batch_id", lit(batchId)),
+          keys = Seq("__batch_id"), partitionCol = "__batch_id"))
+    ()
+  }
 
   /** Cron-compatible catch-up form of [[nearDupSink]] — lease held for
     * the run, released synchronously. */
@@ -326,14 +335,10 @@ object Streaming {
                              store: graft.operators.PairStore,
                              warehouse: graft.sources.Warehouse,
                              pairsTable: String, checkpoint: String,
-                             idCol: String, valueCol: String): Unit = {
-    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
-    try startNearDupSink(docs, store, warehouse, pairsTable, checkpoint,
-        idCol, valueCol,
-        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
-      .awaitTermination()
-    finally lease.release()
-  }
+                             idCol: String, valueCol: String): Unit =
+    leasedAvailableNow(docs, store.storeRoot, checkpoint)(
+      nearDupBatch(store, warehouse, pairsTable, checkpoint, idCol,
+        valueCol))
 
   /** Always-on maintenance for the append-shaped stores
     * ([[graft.operators.IvfStore]],
@@ -346,44 +351,25 @@ object Streaming {
   def appendStoreSink(docs: DataFrame, store: graft.operators.AppendStore,
                       checkpoint: String, idCol: String, valueCol: String,
                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
-    startAppendStoreSink(docs, store, checkpoint, idCol, valueCol, trigger,
-      Some(lease))
-  }
-
-  private def startAppendStoreSink(docs: DataFrame,
-      store: graft.operators.AppendStore,
-      checkpoint: String, idCol: String, valueCol: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger],
-      lease: Option[graft.sources.StoreTxn.SinkLease])
       : org.apache.spark.sql.streaming.StreamingQuery =
-    try {
-      val writer = docs.writeStream
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-      val query = trigger.fold(writer)(writer.trigger)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          store.appendOnce(batch.toDF(), idCol, valueCol,
-            Some(s"$checkpoint#$batchId"))
-          ()
-        }
-        .start()
-      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
-      query
-    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+    leasedSink(docs, store.storeRoot, checkpoint, trigger) {
+      (batch, batchId) =>
+        store.appendOnce(batch, idCol, valueCol,
+          Some(s"$checkpoint#$batchId"))
+        ()
+    }
 
   /** Cron-compatible catch-up form of [[appendStoreSink]]. */
   def runAppendStoreAvailableNow(docs: DataFrame,
                                  store: graft.operators.AppendStore,
                                  checkpoint: String, idCol: String,
-                                 valueCol: String): Unit = {
-    val lease = graft.sources.StoreTxn.acquireSink(store.storeRoot)
-    try startAppendStoreSink(docs, store, checkpoint, idCol, valueCol,
-        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
-      .awaitTermination()
-    finally lease.release()
-  }
+                                 valueCol: String): Unit =
+    leasedAvailableNow(docs, store.storeRoot, checkpoint) {
+      (batch, batchId) =>
+        store.appendOnce(batch, idCol, valueCol,
+          Some(s"$checkpoint#$batchId"))
+        ()
+    }
 
   /** Always-on BM25 index maintenance: each micro-batch of documents is
     * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on
@@ -403,31 +389,12 @@ object Streaming {
                     index: graft.operators.Retrieval.Bm25Index,
                     checkpoint: String, idCol: String, textCol: String,
                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lease = graft.sources.StoreTxn.acquireSink(index.storeRoot)
-    startBm25Sink(docs, index, checkpoint, idCol, textCol, trigger,
-      Some(lease))
-  }
-
-  private def startBm25Sink(docs: DataFrame,
-      index: graft.operators.Retrieval.Bm25Index,
-      checkpoint: String, idCol: String, textCol: String,
-      trigger: Option[org.apache.spark.sql.streaming.Trigger],
-      lease: Option[graft.sources.StoreTxn.SinkLease])
       : org.apache.spark.sql.streaming.StreamingQuery =
-    try {
-      val writer = docs.writeStream
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-      val query = trigger.fold(writer)(writer.trigger)
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          index.appendOnce(batch.toDF(), idCol, textCol,
-            Some(s"$checkpoint#$batchId"))
-        }
-        .start()
-      lease.foreach(releaseOnTermination(docs.sparkSession, query, _))
-      query
-    } catch { case e: Throwable => lease.foreach(_.release()); throw e }
+    leasedSink(docs, index.storeRoot, checkpoint, trigger) {
+      (batch, batchId) =>
+        index.appendOnce(batch, idCol, textCol,
+          Some(s"$checkpoint#$batchId"))
+    }
 
   /** Cron-compatible catch-up form of [[bm25IndexSink]] — lease held
     * for the run, released synchronously (back-to-back catch-ups never
@@ -435,13 +402,12 @@ object Streaming {
   def runBm25IndexAvailableNow(docs: DataFrame,
                                index: graft.operators.Retrieval.Bm25Index,
                                checkpoint: String, idCol: String,
-                               textCol: String): Unit = {
-    val lease = graft.sources.StoreTxn.acquireSink(index.storeRoot)
-    try startBm25Sink(docs, index, checkpoint, idCol, textCol,
-        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()), None)
-      .awaitTermination()
-    finally lease.release()
-  }
+                               textCol: String): Unit =
+    leasedAvailableNow(docs, index.storeRoot, checkpoint) {
+      (batch, batchId) =>
+        index.appendOnce(batch, idCol, textCol,
+          Some(s"$checkpoint#$batchId"))
+    }
 
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset

@@ -845,15 +845,18 @@ object ScaleProbe {
         srcStatsProbe(spark, docsPath)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
-            "seq", "spans", "vocab", "bm25", "gram").contains(docsPath) =>
+            "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
+            "ccgiant", "kmeans", "srcstats").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
           "pairs <docs> <dupRate> | ivf <emb> <whRoot> | cc <docs> | " +
           "incr <docs> <whRoot> | stream <root> <nRows> | " +
           "embincr <whRoot> <nVecs> | seq <docs> | spans <docs> | " +
-          "bm25 <docs> <whRoot> | " +
-          "gram <docs> <whRoot> | <docs> [<emb>]")
+          "vocab <docs> | vocabdiag <docs> <step> | bpe <docs> [k] | " +
+          "bm25 <docs> <whRoot> | gram <docs> <whRoot> | ccgiant <n> " +
+          "[uniform] | kmeans <emb> [k iters] | srcstats <docs> | " +
+          "<docs> [<emb>]")
     }
     spark.stop()
   }
