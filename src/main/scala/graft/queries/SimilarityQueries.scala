@@ -433,6 +433,22 @@ private[queries] object SimilarityQueries {
         SELECT CAST(cell AS INTEGER) AS cell, count(*) AS n,
                CAST(sum(dq) AS DOUBLE) / 1048576.0 AS wss
         FROM d GROUP BY cell""")),
+
+    // ===== Clustering: train on a deterministic SAMPLE, assign the
+    // full corpus — THE 100 TB discipline (training cost ∝ sample,
+    // assignment one narrow map over everything) =====
+    QueryDef("q113_kmeans_sampled",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = graft.operators.Clustering.kmeans(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", k = 8, iters = 2)
+        Similarity.assignCells(e, "vec_id", "embedding", cents)
+          .select(col("nbr_id").as("vec_id"), col("cell"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes(8, 2, 64, trainWhere = "id % 2 = 0")}
+        SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM afin""")),
   )
 
   /** DuckDB mirror of [[graft.operators.Clustering]]'s deterministic
@@ -440,14 +456,18 @@ private[queries] object SimilarityQueries {
     * row_number (the same left-to-right IEEE fold and smallest-cell tie
     * rule as the NearestCell kernel); update = the same floor(x·2^20)
     * exact-integer mean; empty cells inherit the previous centroid.
-    * `afin` is the final assignment over the trained `c$iters`. */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    * `afin` is the final assignment of the FULL corpus over the trained
+    * `c$iters`; `trainWhere` restricts the TRAINING set only (the
+    * 100 TB path trains on a sample and assigns everything — q113). */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int,
+                         trainWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb ++= s"""vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                FROM embeddings),
+        tvecs AS (SELECT id, v FROM vecs WHERE $trainWhere),
         c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell,
                       v AS cvec
-               FROM (SELECT id, v FROM vecs ORDER BY id LIMIT $k))"""
+               FROM (SELECT id, v FROM tvecs ORDER BY id LIMIT $k))"""
     for (i <- 1 to iters) {
       val p = s"c${i - 1}"
       sb ++= s""",
@@ -455,7 +475,7 @@ private[queries] object SimilarityQueries {
             SELECT x.id, x.v, c.cell,
                    row_number() OVER (PARTITION BY x.id
                      ORDER BY ${duckL2("x.v", "c.cvec")}, c.cell) AS rn
-            FROM vecs x CROSS JOIN $p c) WHERE rn = 1),
+            FROM tvecs x CROSS JOIN $p c) WHERE rn = 1),
         u$i AS (SELECT cell, j,
                 CAST(sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS DOUBLE)
                   / 1048576.0 / CAST(count(*) AS DOUBLE) AS x
