@@ -89,6 +89,37 @@ object Sequences {
           .as("text"))
   }
 
+  /** Block-level KEEP-FIRST dedup — the Dolma/RefinedWeb exact-paragraph
+    * rule, complementing [[dropRepeatedBlocks]]: where that drops every
+    * copy of a frequent block (boilerplate removal), this keeps the
+    * FIRST occurrence in global (id, block_ix) order and drops only the
+    * later repeats — duplicated content survives exactly once in the
+    * corpus. Documents reduced to zero blocks drop entirely. Output:
+    * (id, text).
+    *
+    * One wide exchange: blocks shuffle by a 2×xxhash64 128-bit key (16
+    * bytes + ids through the wire, not the block text — same collision
+    * arithmetic as [[Dedup.exact]]), first-occurrence selection is a
+    * row_number in that same sort, and only surviving blocks carry text
+    * into the per-doc reassembly groupBy. */
+  def dedupBlocksKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                           blockSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = chunkDocuments(docs, idCol, textCol, blockSize, overlap = 0)
+      .withColumn("__h1", xxhash64(col("chunk_text")))
+      .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col("chunk_text")))
+    val w = Window.partitionBy(col("__h1"), col("__h2"))
+      .orderBy(col("id"), col("chunk_ix"))
+    blocks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("chunk_ix"), col("chunk_text"))))
+        .as("__bs"))
+      .select(col("id"),
+        array_join(transform(col("__bs"), b => b("chunk_text")), " ")
+          .as("text"))
+  }
+
   /** Concat-then-chunk sequence packing: lay all documents end-to-end in
     * salted-hash order (deterministic — the same order
     * [[Sampling.tokenBudgetSample]] uses) and cut the token stream into

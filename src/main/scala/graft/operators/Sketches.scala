@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Sketch-accelerated corpus statistics — the operators whose EXACT
+  * formulations stop scaling first. At 100 TB the killers are the
+  * full-keyspace shuffles: an exact `groupBy(token).count` moves every
+  * distinct token through the exchange (billions of keys for a web
+  * corpus) even though the consumer wanted only the few thousand heavy
+  * ones, and an exact `count_distinct` per group keeps a per-group hash
+  * set alive through the aggregation.
+  *
+  * Two tiers:
+  *  - [[heavyHitters]] is sketch-ACCELERATED but EXACT: a count-min
+  *    sketch (which only ever over-estimates, so it admits no false
+  *    negatives) prunes the shuffle down to candidate keys, and an exact
+  *    count over the survivors removes the false positives. Same result
+  *    as the naive groupBy — oracle-checkable — at a fraction of the
+  *    exchange volume.
+  *  - [[approxDistinct]] / [[mergeDistinctSketches]] are approximate by
+  *    contract (DataSketches HLL, ±~1% at lgK 12) and buy mergeability:
+  *    per-partition/per-day sketches union into any rollup without
+  *    re-scanning history — the incremental-distinct path an exact count
+  *    cannot offer.
+  */
+object Sketches {
+
+  /** Exact heavy hitters: every distinct `valueCol` whose row count ≥
+    * `threshold`, as (value, cnt) — identical to
+    * `groupBy(value).count.filter(_ ≥ threshold)`.
+    *
+    * Plan: pass 1 folds the corpus into ONE count-min sketch (map-side
+    * partial aggregation; the merged sketch is depth×width longs — a
+    * bounded single-row control read, ~d·(2e/eps) bytes, not data). Pass
+    * 2 re-scans, keeps only rows whose sketch estimate reaches the
+    * threshold (estimate ≥ true count always ⇒ every true heavy hitter
+    * survives), and exact-counts the survivors. The groupBy exchange
+    * carries only candidate rows: true heavy keys + false positives
+    * (≈ eps·N collision mass). With eps 1e-4 and a Zipf token table, the
+    * shuffle drops from |corpus| rows to the heavy tail only.
+    *
+    * The estimate probe is a broadcast closure over the immutable merged
+    * sketch — scalar, null-safe (nulls can't be heavy; the sketch agg
+    * skips them), off the codegen hot path by design (it guards the
+    * exchange, it doesn't sit in one). */
+  def heavyHitters(df: DataFrame, valueCol: String, threshold: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val spark = df.sparkSession
+    val bytes = df
+      .agg(count_min_sketch(col(valueCol).cast("string"),
+        lit(eps), lit(confidence), lit(seed)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val sketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val bc = spark.sparkContext.broadcast(sketch)
+    val pass = udf((v: String) =>
+      v != null && bc.value.estimateCount(v) >= threshold)
+    df.select(col(valueCol).cast("string").as("value"))
+      .filter(pass(col("value")))
+      .groupBy("value")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** Per-group approximate distinct count of `valueCol` via DataSketches
+    * HLL: (groupCols*, approx_distinct). Approximate by contract —
+    * relative error ≈ 1.04/√2^lgK (±1.6% at the default lgK 12) — in
+    * exchange for a fixed 2^lgK-byte state per group and mergeability.
+    * Rows with a null value are not counted (null is not a member). */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col(valueCol).cast("string"), lit(lgK)))
+        .as("approx_distinct"))
+
+  /** Per-group HLL sketches as reusable state: (groupCols*, hll) binary.
+    * Persist these per ingest batch/day; any later rollup is a
+    * [[mergeDistinctSketches]] over the stored rows — no history
+    * re-scan. */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol).cast("string"), lit(lgK)).as("hll"))
+
+  /** Union stored sketches up to a coarser grouping and estimate:
+    * (groupCols*, approx_distinct). Folding N batch sketches costs N
+    * fixed-size rows, not the N batches' raw data. */
+  def mergeDistinctSketches(sketches: DataFrame,
+                            groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) sketches.groupBy()
+      else sketches.groupBy(groupCols.map(col): _*)
+    grouped.agg(hll_sketch_estimate(hll_union_agg(col("hll")))
+      .as("approx_distinct"))
+  }
+}

@@ -90,7 +90,8 @@ object Catalog {
   val defs: Seq[QueryDef] =
     RelationalQueries.defs ++ ChecksQueries.defs ++ LlmQueries.defs ++
       SimilarityQueries.defs ++ MultimodalQueries.defs ++
-      CurationQueries.defs ++ SequenceQueries.defs ++ QualityQueries.defs
+      CurationQueries.defs ++ SequenceQueries.defs ++ QualityQueries.defs ++
+      ScaleQueries.defs
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.functions.TextFunctions
+import graft.operators.{RangeJoin, Sequences, Sharding, Sketches}
+import Catalog.QueryDef
+import Catalog.{duckHashBucket, duckPolyHash, duckToks}
+
+/** Scale-pattern tier: binned range joins (the equi-join rewrite of the
+  * inequality-join trap), keep-first block dedup, the deterministic
+  * shuffle/shard export a training loader consumes, and sketch-
+  * accelerated corpus statistics. Oracle-parity rules live in
+  * [[Catalog]]'s scaladoc. */
+private[queries] object ScaleQueries {
+
+  /** Epoch-day of a timestamp column — the integer range dimension both
+    * engines agree on exactly. */
+  private def epochDay(c: org.apache.spark.sql.Column) =
+    datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+
+  private def duckDay(expr: String) =
+    s"date_diff('day', DATE '1970-01-01', CAST($expr AS DATE))"
+
+  /** Urgent Q1-1995 orders as 7-day fulfilment windows [day, day+6]. */
+  private def orderWindows(s: org.apache.spark.sql.SparkSession, dir: String,
+                           keyAs: String, startAs: String, endAs: String) =
+    T.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1995-04-01"))
+      .select(col("o_orderkey").as(keyAs),
+        epochDay(col("o_orderdate")).as(startAs))
+      .withColumn(endAs, col(startAs) + 6)
+
+  private val duckWindows =
+    s"""SELECT o_orderkey, ${duckDay("o_orderdate")} AS sd
+       FROM orders
+       WHERE o_orderpriority = '1-URGENT'
+         AND o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o_orderdate < TIMESTAMP '1995-04-01'"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ===== binned range join, point-in-interval: lineitems shipped
+    // inside each urgent order's 7-day fulfilment window. The DuckDB
+    // oracle states the SAME join as a bare inequality join — the form
+    // Spark would execute as a nested loop and RangeJoin rewrites into
+    // a bin equi-join =====
+    QueryDef("q114_range_count",
+      (s, dir) => {
+        val points = T.lineitem(s, dir)
+          .select(col("l_orderkey"), epochDay(col("l_shipdate")).as("ship_day"))
+        RangeJoin.pointInInterval(points, "ship_day",
+            orderWindows(s, dir, "o_orderkey", "start_day", "end_day"),
+            "start_day", "end_day", binWidth = 7L)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_shipped"))
+      },
+      Some(s"""
+        WITH o AS ($duckWindows),
+        l AS (SELECT ${duckDay("l_shipdate")} AS pd FROM lineitem)
+        SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped
+        FROM o JOIN l ON l.pd BETWEEN o.sd AND o.sd + 6
+        GROUP BY 1""")),
+
+    // ===== binned range join, interval overlap: pairs of urgent orders
+    // whose fulfilment weeks overlap (a < b), with the shared day count =====
+    QueryDef("q115_overlap_pairs",
+      (s, dir) => {
+        val a = orderWindows(s, dir, "a_key", "a_start", "a_end")
+        val b = orderWindows(s, dir, "b_key", "b_start", "b_end")
+        RangeJoin.intervalOverlap(a, "a_start", "a_end",
+            b, "b_start", "b_end", binWidth = 7L)
+          .filter(col("a_key") < col("b_key"))
+          .select(col("a_key"), col("b_key"),
+            (least(col("a_end"), col("b_end"))
+              - greatest(col("a_start"), col("b_start")) + 1L)
+              .as("overlap_days"))
+      },
+      Some(s"""
+        WITH o AS ($duckWindows)
+        SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+               least(a.sd + 6, b.sd + 6) - greatest(a.sd, b.sd) + 1
+                 AS overlap_days
+        FROM o a JOIN o b
+          ON a.sd <= b.sd + 6 AND b.sd <= a.sd + 6
+         AND a.o_orderkey < b.o_orderkey""")),
+
+    // ===== keep-first block dedup: later exact repeats of a 16-token
+    // block drop, the first (doc_id, block_ix) occurrence survives =====
+    QueryDef("q116_dedup_blocks_first",
+      (s, dir) => Sequences.dedupBlocksKeepFirst(T.documents(s, dir),
+          "doc_id", "text", blockSize = 16)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        nz AS (SELECT * FROM tk WHERE len(tk) > 0),
+        blocks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_ix,
+                          array_to_string(tk[k*16 + 1 : k*16 + 16], ' ') AS chunk_text
+                   FROM nz, unnest(range(0, (len(tk) - 1) // 16 + 1)) AS t(k)),
+        keep AS (SELECT * FROM blocks
+                 QUALIFY row_number() OVER (PARTITION BY chunk_text
+                   ORDER BY doc_id, chunk_ix) = 1)
+        SELECT doc_id,
+               string_agg(chunk_text, ' ' ORDER BY chunk_ix) AS text
+        FROM keep GROUP BY doc_id""")),
+
+    // ===== deterministic shuffle + shard assignment: the reproducible
+    // global permutation a training loader replays =====
+    QueryDef("q117_shuffle_shards",
+      (s, dir) => Sharding.shuffleShards(
+        T.documents(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", numShards = 8, salt = "ep0"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+            ${duckPolyHash("doc_id::VARCHAR || 'ep0'")} AS h
+          FROM documents)
+        SELECT doc_id, n_tokens, h % 8 AS shard,
+               CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                 AS BIGINT) - 1 AS shard_pos
+        FROM t""")),
+
+    // ===== shard manifest: per-shard row and token totals (epoch
+    // accounting for the loader) =====
+    QueryDef("q118_shard_manifest",
+      (s, dir) => Sharding.shardManifest(
+        Sharding.shuffleShards(
+          T.documents(s, dir).select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "doc_id", numShards = 8, salt = "ep0"),
+        "n_tokens"),
+      Some(s"""
+        WITH t AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+            ${duckPolyHash("doc_id::VARCHAR || 'ep0'")} AS h
+          FROM documents)
+        SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(n_tokens) AS BIGINT) AS total_weight
+        FROM t GROUP BY 1""")),
+
+    // ===== sketch-accelerated EXACT heavy hitters: tokens with ≥ 100
+    // occurrences — the count-min prefilter prunes the exchange, the
+    // exact recount makes the result oracle-identical to the naive
+    // groupBy the SQL states =====
+    QueryDef("q119_heavy_hitters",
+      (s, dir) => Sketches.heavyHitters(
+        T.documents(s, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok")),
+        "tok", threshold = 100L, eps = 1e-3),
+      Some(s"""
+        SELECT tok AS value, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest($duckToks) AS tok FROM documents)
+        GROUP BY 1 HAVING count(*) >= 100""")),
+
+    // ===== mergeable approximate distinct: per-language HLL token
+    // cardinality. Approximate BY CONTRACT (±1.6% at lgK 12) — no SQL
+    // oracle; the driver records the rows-only check and SketchesSpec
+    // asserts the error bound and sketch-merge associativity =====
+    QueryDef("q120_approx_distinct",
+      (s, dir) => Sketches.approxDistinct(
+        T.documents(s, dir)
+          .select(col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("tok")),
+        Seq("lang"), "tok"),
+      None),
+  )
+}

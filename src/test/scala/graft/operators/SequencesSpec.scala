@@ -112,4 +112,36 @@ class SequencesSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("dedupBlocksKeepFirst keeps the first occurrence, drops repeats") {
+    // block size 2: doc 1 = [a b][c d], doc 2 = [a b][e f], doc 3 = [c d]
+    // → doc 1 keeps both (first everywhere), doc 2 loses "a b", doc 3
+    // drops entirely (its only block repeats doc 1's)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "c d")
+    ).toDF("id", "text")
+    val out = Sequences.dedupBlocksKeepFirst(docs, "id", "text", blockSize = 2)
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "a b c d"), (2L, "e f")))
+  }
+
+  test("dedupBlocksKeepFirst keeps in-doc order and dedupes within a doc too") {
+    // the same block twice INSIDE one doc: second occurrence drops
+    val docs = Seq((5L, "x y x y z w")).toDF("id", "text")
+    val out = Sequences.dedupBlocksKeepFirst(docs, "id", "text", blockSize = 2)
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((5L, "x y z w")))
+  }
+
+  test("dedupBlocksKeepFirst differs from dropRepeatedBlocks on the first copy") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("id", "text")
+    val keepFirst = Sequences.dedupBlocksKeepFirst(docs, "id", "text", 2)
+      .as[(Long, String)].collect().toSeq
+    val dropAll = Sequences.dropRepeatedBlocks(docs, "id", "text", 2, minDf = 2)
+      .as[(Long, String)].collect().toSeq
+    assert(keepFirst === Seq((1L, "a b")))  // survivor: exactly one copy
+    assert(dropAll === Seq.empty)           // boilerplate rule: all copies go
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish token stream: token t_i appears ~1000/i times. */
+  private def tokens = {
+    val rows = for {
+      i <- 1 to 60
+      _ <- 1 to (1000 / i)
+    } yield s"tok$i"
+    rows.toDF("tok")
+  }
+
+  test("heavyHitters equals the exact groupBy at every threshold") {
+    for (t <- Seq(1L, 40L, 100L, 500L, 2000L)) {
+      val got = Sketches.heavyHitters(tokens, "tok", t, eps = 1e-3)
+        .as[(String, Long)].collect().toMap
+      val want = tokens.groupBy("tok").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= t).as[(String, Long)].collect().toMap
+      assert(got === want, s"threshold=$t")
+    }
+  }
+
+  test("heavyHitters survives an adversarially tight sketch (wide eps)") {
+    // eps 0.5 → width 6: massive collision mass, every key may pass the
+    // prefilter — the exact recount must still produce the exact answer
+    val got = Sketches.heavyHitters(tokens, "tok", 200L, eps = 0.5)
+      .as[(String, Long)].collect().toMap
+    val want = tokens.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 200L).as[(String, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("heavyHitters ignores nulls") {
+    val withNulls = tokens.union(Seq.fill(500)(null: String).toDF("tok"))
+    val got = Sketches.heavyHitters(withNulls, "tok", 300L, eps = 1e-3)
+      .as[(String, Long)].collect().toMap
+    assert(!got.contains(null) && got("tok1") === 1000L)
+  }
+
+  test("approxDistinct is within the HLL error bound and exact-adjacent on small groups") {
+    val df = (0 until 10000).map(i => (s"g${i % 3}", s"v${i % (500 * (i % 3 + 1))}"))
+      .toDF("g", "v")
+    val approx = Sketches.approxDistinct(df, Seq("g"), "v")
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("g").agg(count_distinct(col("v")).as("d"))
+      .as[(String, Long)].collect().toMap
+    for ((g, e) <- exact) {
+      val a = approx(g).toDouble
+      assert(math.abs(a - e) / e <= 0.05, s"group $g: approx $a vs exact $e")
+    }
+  }
+
+  test("batch sketches merged == one-shot sketch estimate") {
+    val df = (0 until 5000).map(i => (s"g${i % 2}", s"v${i % 700}", i % 4))
+      .toDF("g", "v", "batch")
+    // per-batch sketches, then union up to the group level
+    val perBatch = Sketches.distinctSketches(df, Seq("g", "batch"), "v")
+    val merged = Sketches.mergeDistinctSketches(perBatch, Seq("g"))
+      .as[(String, Long)].collect().toMap
+    val oneShot = Sketches.approxDistinct(df, Seq("g"), "v")
+      .as[(String, Long)].collect().toMap
+    assert(merged === oneShot)
+  }
+
+  test("global merge (no group columns) estimates the corpus cardinality") {
+    val df = (0 until 3000).map(i => (s"b${i % 5}", s"v${i % 421}")).toDF("b", "v")
+    val est = Sketches.mergeDistinctSketches(
+      Sketches.distinctSketches(df, Seq("b"), "v"), Seq.empty)
+      .as[Long].head()
+    assert(math.abs(est.toDouble - 421.0) / 421.0 <= 0.05)
+  }
+}
