@@ -769,6 +769,97 @@ object ScaleProbe {
     }
   }
 
+  /** Binned range-join cost at corpus scale: n points vs n/50 intervals
+    * over a shared integer domain, bin width = the typical interval
+    * length. The number that matters is WALL vs the nested-loop
+    * alternative Spark would otherwise pick (quadratic — not even run
+    * here past 1e5×1e5; the probe reports the equi-join's wall and its
+    * match count, which at these densities already exceeds what a
+    * nested loop could scan in hours). */
+  private def rangeProbe(spark: SparkSession, n: Long): Unit = {
+    val domain = n * 10L       // avg point spacing 10 units
+    val ivLen = 500L           // ~50 points per interval
+    val nIv = n / 50L
+    val points = spark.range(n).select(col("id").as("pid"),
+      pmod(xxhash64(col("id")), lit(domain)).as("p"))
+    val ivs = spark.range(nIv).select(col("id").as("iid"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(domain)).as("s"))
+      .withColumn("e", col("s") + ivLen)
+    println(s"[probe] range corpus points=$n intervals=$nIv domain=$domain len=$ivLen")
+    time("pointInInterval (noop)") {
+      graft.operators.RangeJoin.pointInInterval(points, "p", ivs, "s", "e",
+        binWidth = ivLen).write.format("noop").mode("overwrite").save()
+    }
+    timedCount("pointInInterval matches") {
+      graft.operators.RangeJoin.pointInInterval(points, "p", ivs, "s", "e",
+        binWidth = ivLen)
+    }
+    val a = ivs.select(col("iid").as("a_id"), col("s").as("a_s"), col("e").as("a_e"))
+    val b = ivs.select(col("iid").as("b_id"), col("s").as("b_s"), col("e").as("b_e"))
+    timedCount("intervalOverlap pairs") {
+      graft.operators.RangeJoin.intervalOverlap(a, "a_s", "a_e",
+        b, "b_s", "b_e", binWidth = ivLen)
+        .filter(col("a_id") < col("b_id"))
+    }
+  }
+
+  /** Shuffle-shard export at corpus scale: the permutation assign (row-
+    * local hash), the per-shard position sort, and the manifest rollup.
+    * numShards sized so a shard ≈ n/1024 rows — the knob a 100 TB run
+    * turns up to keep per-shard sorts executor-sized. */
+  private def shardProbe(spark: SparkSession, docsPath: String): Unit = {
+    val docs = spark.read.parquet(docsPath)
+      .select(col("doc_id"), (length(col("text")) / 6).cast("long").as("w"))
+    val n = docs.count()
+    println(s"[probe] shard corpus n=$n numShards=1024")
+    time("shuffleShards (noop)") {
+      graft.operators.Sharding.shuffleShards(docs, "doc_id", 1024, "ep0")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val sh = graft.operators.Sharding.shuffleShards(docs, "doc_id", 1024, "ep0")
+    val m = time("manifest") {
+      graft.operators.Sharding.shardManifest(sh, "w")
+        .agg(count(lit(1)).as("shards"), min("n_rows"), max("n_rows")).head()
+    }
+    println(s"[probe] shards=${m.getLong(0)} rows/shard " +
+      s"min=${m.getLong(1)} max=${m.getLong(2)}")
+  }
+
+  /** Sketch-vs-exact heavy hitters over a log-uniform (Zipf-tail) token
+    * stream: nTok rows over a ~1M-type vocabulary, threshold set so the
+    * heavy set is a few thousand types. Reports the exact groupBy's
+    * wall (full-keyspace exchange) against the count-min path's wall
+    * plus its candidate-type count — the number that says how much
+    * exchange the prefilter actually saved. */
+  private def hhProbe(spark: SparkSession, nTok: Long): Unit = {
+    // log-uniform (Zipf s≈1) over a ~1e8 vocabulary: a handful of very
+    // heavy types AND a tens-of-millions-types unique tail — the web-
+    // corpus shape where an exact groupBy still shuffles a huge keyspace
+    // AFTER map-side partial aggregation (the tail keys don't combine)
+    val vocabLn = 18.4207 // ln(1e8)
+    val toks = spark.range(nTok).select(
+      concat(lit("z"), floor(exp(
+        (pmod(xxhash64(col("id")), lit(1000000000L)).cast("double") / 1e9)
+          * vocabLn)).cast("long").cast("string")).as("tok"))
+    val threshold = math.max(nTok / 1200L, 10L)
+    println(s"[probe] hh corpus tokens=$nTok vocab~1e8 threshold=$threshold")
+    val exact = timedCount("exact groupBy HH") {
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= threshold)
+    }
+    val sketched = timedCount("count-min prefiltered HH") {
+      graft.operators.Sketches.heavyHitters(toks, "tok", threshold, eps = 1e-4)
+    }
+    assert(exact == sketched, s"exact $exact != sketched $sketched")
+    timedCount("distinct candidate types") {
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    }
+    timedCount("approxDistinct (1 group)") {
+      graft.operators.Sketches.approxDistinct(
+        toks.withColumn("g", lit(0)), Seq("g"), "tok")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -843,10 +934,16 @@ object ScaleProbe {
         kmeansProbe(spark, embPath, k, iters)
       case "srcstats" :: docsPath :: Nil =>
         srcStatsProbe(spark, docsPath)
+      case "range" :: n :: Nil =>
+        rangeProbe(spark, n.toLong)
+      case "shard" :: docsPath :: Nil =>
+        shardProbe(spark, docsPath)
+      case "hh" :: nTok :: Nil =>
+        hhProbe(spark, nTok.toLong)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
@@ -856,7 +953,7 @@ object ScaleProbe {
           "vocab <docs> | vocabdiag <docs> <step> | bpe <docs> [k] | " +
           "bm25 <docs> <whRoot> | gram <docs> <whRoot> | ccgiant <n> " +
           "[uniform] | kmeans <emb> [k iters] | srcstats <docs> | " +
-          "<docs> [<emb>]")
+          "range <n> | shard <docs> | hh <nTok> | <docs> [<emb>]")
     }
     spark.stop()
   }
