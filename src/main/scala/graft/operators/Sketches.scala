@@ -77,6 +77,35 @@ object Sketches {
         hll_sketch_agg(col(valueCol).cast("string"), lit(lgK)))
         .as("approx_distinct"))
 
+  /** Per-group EXACT quantiles via linear interpolation (the
+    * quantile_cont definition both Spark's `percentile` and DuckDB
+    * share): (groupCols*, <name per requested p>). Exact percentile
+    * buffers each group's values — correct at any scale where a single
+    * group's values fit an executor (TPC-H-ish groups), and the oracle
+    * form for [[approxQuantiles]]. */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile required")
+    val aggs = ps.map { case (name, p) =>
+      percentile(col(valueCol), lit(p)).as(name)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The 100 TB quantile path: `percentile_approx` (Greenwald-Khanna
+    * style) — bounded sketch state per group, mergeable partials, rank
+    * error ≤ 1/accuracy. Same output shape as [[quantiles]]; approximate
+    * by contract (SketchesSpec pins the error bound). */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      ps: Seq[(String, Double)],
+                      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile required")
+    val aggs = ps.map { case (name, p) =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy)).as(name)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group HLL sketches as reusable state: (groupCols*, hll) binary.
     * Persist these per ingest batch/day; any later rollup is a
     * [[mergeDistinctSketches]] over the stored rows — no history

@@ -153,6 +153,21 @@ private[queries] object ScaleQueries {
         FROM (SELECT unnest($duckToks) AS tok FROM documents)
         GROUP BY 1 HAVING count(*) >= 100""")),
 
+    // ===== exact per-group quantiles (linear interpolation — the
+    // quantile_cont definition both engines share); the approximate
+    // mergeable path is approxQuantiles, error-bound-pinned in
+    // SketchesSpec =====
+    QueryDef("q121_quantiles",
+      (s, dir) => Sketches.quantiles(T.lineitem(s, dir),
+        Seq("l_returnflag"), "l_quantity",
+        Seq(("p25", 0.25), ("median", 0.5), ("p75", 0.75))),
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS median,
+               quantile_cont(l_quantity, 0.75) AS p75
+        FROM lineitem GROUP BY 1""")),
+
     // ===== mergeable approximate distinct: per-language HLL token
     // cardinality. Approximate BY CONTRACT (±1.6% at lgK 12) — no SQL
     // oracle; the driver records the rows-only check and SketchesSpec

@@ -67,6 +67,29 @@ class SketchesSpec extends SparkSpec {
     assert(merged === oneShot)
   }
 
+  test("quantiles interpolates exactly; approxQuantiles lands within rank error") {
+    // 1..1001 in one group: p25 = 251, median = 501, p75 = 751 (exact
+    // interpolation indices: p*(n-1) integral by construction)
+    val df = (1 to 1001).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val ex = Sketches.quantiles(df, Seq("g"), "v",
+      Seq(("p25", 0.25), ("median", 0.5), ("p75", 0.75)))
+      .as[(String, Double, Double, Double)].head()
+    assert(ex === (("g", 251.0, 501.0, 751.0)))
+    val ap = Sketches.approxQuantiles(df, Seq("g"), "v",
+      Seq(("median", 0.5)), accuracy = 100)
+      .as[(String, Double)].head()
+    // rank error <= n/accuracy ≈ 10 ranks → value within ±11
+    assert(math.abs(ap._2 - 501.0) <= 11.0, s"approx median ${ap._2}")
+  }
+
+  test("quantiles interpolates between adjacent values on fractional ranks") {
+    // 4 values: median index 1.5 → (20+30)/2
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 30.0), ("g", 40.0)).toDF("g", "v")
+    val m = Sketches.quantiles(df, Seq("g"), "v", Seq(("median", 0.5)))
+      .as[(String, Double)].head()
+    assert(m._2 === 25.0)
+  }
+
   test("global merge (no group columns) estimates the corpus cardinality") {
     val df = (0 until 3000).map(i => (s"b${i % 5}", s"v${i % 421}")).toDF("b", "v")
     val est = Sketches.mergeDistinctSketches(
