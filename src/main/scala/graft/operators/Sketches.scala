@@ -126,4 +126,71 @@ object Sketches {
     grouped.agg(hll_sketch_estimate(hll_union_agg(col("hll")))
       .as("approx_distinct"))
   }
+
+  /** Persisted, APPENDABLE distinct-count store — the cardinality member
+    * of the incremental-store family: each batch folds into one
+    * per-group HLL sketch row, and [[estimate]] over the accumulated
+    * rows carries the same ±1.04/√2^lgK guarantee as the one-shot
+    * [[approxDistinct]] over the union (bit-equal while the sketches
+    * are still in exact coupon range — SketchesSpec; once in dense HLL
+    * mode the union's estimate may differ from the one-shot's by a
+    * fraction of the error bound, which DistinctStoreSpec pins against
+    * the EXACT count). Serve cost is #appends × #groups fixed-size rows, never
+    * the batches' raw data: the incremental "distinct tokens per
+    * source, corpus to date" a 100 TB ingest cannot afford to re-scan
+    * for.
+    *
+    * The [[AppendStore]] idCol slot carries the GROUP column (the store
+    * counts values per group); both column names and lgK are store
+    * identity — recorded in the transaction ledger on first append and
+    * validated on every later one, so sketches of different geometry
+    * or meaning never merge.
+    *
+    * CRASH SEMANTICS: appends are single-table [[graft.sources
+    * .StoreTxn]] transactions with the family's commit-record key
+    * ledger — [[AppendStore.appendOnce]] redelivery skips completed
+    * appends, a mid-append crash rolls back on the next open, and
+    * [[graft.streaming.Streaming.appendStoreSink]] gives it the same
+    * exactly-once streaming maintenance as IvfStore/GramIndex. */
+  final class DistinctStore(spark: SparkSession, root0: String,
+                            name: String, lgK: Int = 12) extends AppendStore {
+    private val root = new java.io.File(root0).getCanonicalPath
+    def storeRoot: String = root
+    private val rel = s"state/${name}_hll_sk"
+    private val skPath = s"$root/$rel"
+
+    override protected def appendBody(batch: DataFrame, groupCol: String,
+                                      valueCol: String): Unit = {
+      val txn = graft.sources.StoreTxn.current(root)
+      // store identity: first append fixes (groupCol, valueCol, lgK)
+      val want = s"$groupCol,$valueCol,$lgK"
+      graft.sources.StoreTxn.getKv(root, s"param:$name:distinct") match {
+        case Some(have) => require(have == want,
+          s"DistinctStore '$name' was created with ($have), got ($want)")
+        case None => txn.putKv(s"param:$name:distinct", want)
+      }
+      txn.touchPath(rel)
+      distinctSketches(batch, Seq(groupCol), valueCol, lgK)
+        .write.mode("append").parquet(skPath)
+    }
+
+    /** Per-group estimate over everything appended so far:
+      * (groupCol, approx_distinct). */
+    def estimate(): DataFrame = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      val param = graft.sources.StoreTxn.getKv(root, s"param:$name:distinct")
+      require(param.isDefined && new java.io.File(skPath).exists(),
+        s"DistinctStore '$name' at $root has no appends — append before estimating")
+      mergeDistinctSketches(spark.read.parquet(skPath),
+        Seq(param.get.split(',')(0)))
+    }
+
+    /** Whole-store estimate: one (approx_distinct) row. */
+    def estimateTotal(): DataFrame = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      require(new java.io.File(skPath).exists(),
+        s"DistinctStore '$name' at $root has no appends — append before estimating")
+      mergeDistinctSketches(spark.read.parquet(skPath), Seq.empty)
+    }
+  }
 }

@@ -179,5 +179,24 @@ private[queries] object ScaleQueries {
             explode(TextFunctions.tokens(col("text"))).as("tok")),
         Seq("lang"), "tok"),
       None),
+
+    // ===== incremental distinct: two parity-split appends into a
+    // persisted DistinctStore, served from the accumulated per-batch
+    // sketches — approximate by contract (rows-only check; the
+    // exact-truth error bound and crash/replay semantics are pinned in
+    // DistinctStoreSpec) =====
+    QueryDef("q122_distinct_incremental",
+      (s, dir) => {
+        val toks = T.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            explode(TextFunctions.tokens(col("text"))).as("tok"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q122_").toString
+        val store = new Sketches.DistinctStore(s, root, "inc")
+        store.append(toks.filter(col("doc_id") % 2 === 0), "lang", "tok")
+        store.append(toks.filter(col("doc_id") % 2 === 1), "lang", "tok")
+        store.estimate()
+      },
+      None),
   )
 }

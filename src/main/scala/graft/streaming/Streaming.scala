@@ -342,7 +342,8 @@ object Streaming {
 
   /** Always-on maintenance for the append-shaped stores
     * ([[graft.operators.IvfStore]],
-    * [[graft.operators.Decontamination.GramIndex]] — anything
+    * [[graft.operators.Decontamination.GramIndex]],
+    * [[graft.operators.Sketches.DistinctStore]] — anything
     * implementing [[graft.operators.AppendStore]]): each micro-batch is
     * one `appendOnce` keyed on (checkpoint path, batchId) in the
     * store's commit-record ledger — completed keys skip on redelivery,

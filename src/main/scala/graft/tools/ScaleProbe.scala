@@ -860,6 +860,36 @@ object ScaleProbe {
     }
   }
 
+  /** Incremental-distinct cost at corpus scale: a DistinctStore fed in
+    * 10 batches vs re-sketching the whole history per refresh — the
+    * family's ingest-∝-batch claim for cardinality tracking. Groups =
+    * 1000 sources, values = the hh probe's fat-tailed token stream. */
+  private def distincrProbe(spark: SparkSession, nTok: Long,
+                            root: String): Unit = {
+    val vocabLn = 18.4207 // ln(1e8)
+    def toks(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      concat(lit("s"), pmod(xxhash64(col("id"), lit(3L)), lit(1000L))
+        .cast("string")).as("g"),
+      concat(lit("z"), floor(exp(
+        (pmod(xxhash64(col("id")), lit(1000000000L)).cast("double") / 1e9)
+          * vocabLn)).cast("long").cast("string")).as("tok"))
+    println(s"[probe] distincr tokens=$nTok groups=1000 batches=10")
+    val store = new graft.operators.Sketches.DistinctStore(spark, root, "p")
+    val step = nTok / 10
+    time("10-batch history ingest") {
+      (0 until 10).foreach(i =>
+        store.append(toks(i * step, (i + 1) * step), "g", "tok"))
+    }
+    time("1 more batch (the daily cost)") {
+      store.append(toks(nTok, nTok + step), "g", "tok")
+    }
+    timedCount("estimate (serve)") { store.estimate() }
+    timedCount("one-shot recompute") {
+      graft.operators.Sketches.approxDistinct(
+        toks(0, nTok + step), Seq("g"), "tok")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -940,10 +970,12 @@ object ScaleProbe {
         shardProbe(spark, docsPath)
       case "hh" :: nTok :: Nil =>
         hhProbe(spark, nTok.toLong)
+      case "distincr" :: nTok :: root :: Nil =>
+        distincrProbe(spark, nTok.toLong, root)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
@@ -953,7 +985,7 @@ object ScaleProbe {
           "vocab <docs> | vocabdiag <docs> <step> | bpe <docs> [k] | " +
           "bm25 <docs> <whRoot> | gram <docs> <whRoot> | ccgiant <n> " +
           "[uniform] | kmeans <emb> [k iters] | srcstats <docs> | " +
-          "range <n> | shard <docs> | hh <nTok> | <docs> [<emb>]")
+          "range <n> | shard <docs> | hh <nTok> | distincr <nTok> <root> | <docs> [<emb>]")
     }
     spark.stop()
   }

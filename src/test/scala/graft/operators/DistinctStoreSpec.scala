@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DistinctStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Int, hi: Int) =
+    (lo until hi).map(i => (s"g${i % 3}", s"v${i % 700}")).toDF("g", "v")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Incremental estimates are judged against the EXACT distinct count
+    * (±2%, well inside the lgK-12 bound) — in dense HLL mode the union
+    * of batch sketches is NOT bit-identical to a one-shot sketch (both
+    * are estimators of the same truth), so truth is the referee. */
+  private def assertClose(got: Map[String, Long], df: org.apache.spark.sql.DataFrame): Unit = {
+    val exact = df.groupBy("g").agg(count_distinct(col("v")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet === exact.keySet)
+    for ((g, e) <- exact)
+      assert(math.abs(got(g).toDouble - e) / e <= 0.02,
+        s"group $g: estimate ${got(g)} vs exact $e")
+  }
+
+  test("incremental estimate tracks the exact union cardinality") {
+    val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
+    store.append(rows(0, 2000), "g", "v")
+    store.append(rows(2000, 3500), "g", "v")
+    store.append(rows(3500, 5000), "g", "v")
+    assertClose(store.estimate().as[(String, Long)].collect().toMap,
+      rows(0, 5000))
+    // estimate is a pure fold of the stored rows: replay-stable
+    val again = store.estimate().as[(String, Long)].collect().toMap
+    assert(again === store.estimate().as[(String, Long)].collect().toMap)
+    val total = store.estimateTotal().as[Long].head()
+    val exactTotal = rows(0, 5000).agg(count_distinct(col("v"))).as[Long].head()
+    assert(math.abs(total.toDouble - exactTotal) / exactTotal <= 0.02)
+  }
+
+  test("store identity: a different column pair or lgK is rejected") {
+    val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
+    store.append(rows(0, 100), "g", "v")
+    intercept[IllegalArgumentException] {
+      store.append(rows(0, 100).withColumnRenamed("v", "w"), "g", "w")
+    }
+    val other = new Sketches.DistinctStore(spark, store.storeRoot, "d",
+      lgK = 14)
+    intercept[IllegalArgumentException] { other.append(rows(0, 100), "g", "v") }
+  }
+
+  test("estimate before any append fails fast") {
+    val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
+    intercept[IllegalArgumentException] { store.estimate() }
+  }
+
+  test("completed append key redelivered is a no-op; crash mid-append retries clean") {
+    val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
+    assert(store.appendOnce(rows(0, 1000), "g", "v", Some("k1")))
+    assert(!store.appendOnce(rows(0, 1000), "g", "v", Some("k1")))
+    // crash after the sketch-table touch, before commit: no key lands,
+    // rollback on the (post-lease-expiry) retry, blind retry converges
+    graft.sources.StoreTxn.leaseTtlMs = 250L
+    graft.sources.StoreTxn.hooks.crashAfterTouches = 1
+    try intercept[graft.sources.StoreTxn.SimulatedCrash] {
+      store.appendOnce(rows(1000, 2000), "g", "v", Some("k2"))
+    } finally graft.sources.StoreTxn.hooks.reset()
+    Thread.sleep(400)
+    try assert(store.appendOnce(rows(1000, 2000), "g", "v", Some("k2")))
+    finally graft.sources.StoreTxn.leaseTtlMs = 60000L
+    assert(!store.appendOnce(rows(1000, 2000), "g", "v", Some("k2")))
+    assertClose(store.estimate().as[(String, Long)].collect().toMap,
+      rows(0, 2000))
+  }
+
+  test("streamed maintenance (appendStoreSink catch-up) equals one-shot") {
+    val root = tmp("graft_ds_stream_")
+    val inDir = s"$root/in"
+    rows(0, 1500).coalesce(1).write.mode("append").parquet(inDir)
+    rows(1500, 3000).coalesce(1).write.mode("append").parquet(inDir)
+    val store = new Sketches.DistinctStore(spark, s"$root/store", "d")
+    graft.streaming.Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(rows(0, 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      store, s"$root/ckpt", "g", "v")
+    val inc = store.estimate().as[(String, Long)].collect().toMap
+    assert(inc.nonEmpty)
+    assertClose(inc, rows(0, 3000))
+  }
+}
