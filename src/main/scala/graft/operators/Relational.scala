@@ -50,6 +50,57 @@ object Relational {
       .drop("__rn")
   }
 
+  /** As-of JOIN between two tables (pandas merge_asof / Flink temporal
+    * join): every left row picks up the single right row with the
+    * greatest rightTs ≤ leftTs (strict: < leftTs) for the same keys —
+    * null-filled when no right row precedes it. Output = left's columns
+    * + right's non-key columns (including rightTs, the match's
+    * timestamp). Column names must not collide outside `keys`; the two
+    * ts columns must share a type.
+    *
+    * Implemented as the union-window idiom, NOT a join: tag both
+    * inputs, union, and per key carry the last non-null right value
+    * forward in (ts, side) order — ONE exchange on `keys` and one
+    * per-key sort, where the join formulation is either a range join
+    * (interval work the caller shouldn't need) or a row-multiplying
+    * equi-join + filter. At equal timestamps the side tag orders the
+    * right row before (non-strict) or after (strict) the left row, which
+    * IS the ≤ vs < semantic. Right rows should be unique per
+    * (keys, rightTs) — with duplicates the forward-fill keeps an
+    * arbitrary-but-deterministic one only if the caller adds a tiebreak
+    * column to rightTs upstream (same contract as merge_asof).
+    *
+    * Scale: the window is partitioned by `keys` — per-key history sorts
+    * in parallel, nothing global; a pathologically hot key degrades to
+    * that key's own external sort, the standard per-key window trade. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               strict: Boolean = false): DataFrame = {
+    val lCols = left.columns.filterNot(keys.contains)
+    val rCols = right.columns.filterNot(keys.contains)
+    val clash = lCols.toSet intersect rCols.toSet
+    require(clash.isEmpty, s"column names collide outside keys: $clash")
+    require(lCols.contains(leftTs) && rCols.contains(rightTs),
+      s"ts columns ($leftTs, $rightTs) must exist outside keys")
+    val (rSide, lSide) = if (strict) (1, 0) else (0, 1)
+    val lPrep = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(lSide).as("__side")) ++
+        lCols.map(col) ++ rCols.map(c => lit(null).cast(
+          right.schema(c).dataType).as(c)): _*)
+    val rPrep = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(rSide).as("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rCols.foldLeft(lPrep.unionByName(rPrep)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === lSide)
+      .select(keys.map(col) ++ lCols.map(col) ++ rCols.map(col): _*)
+  }
+
   /** Change-detection self-join: each row paired with the previous
     * snapshot's value of `valueCol` for the same key (lag over date).
     * Mirrors metatags-has_title_changed (metatags.py:209-275). */

@@ -160,4 +160,36 @@ object Sampling {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Quality-threshold selection: keep each stratum's top `frac` of rows
+    * by `scoreCol` — "top 25% by quality score per source", the
+    * percentile-gated filter curation recipes apply after scoring. The
+    * cut is the stratum's (1−frac) quantile (linear interpolation);
+    * rows AT the threshold are kept, so ties never split
+    * non-deterministically and the kept fraction can exceed `frac` by
+    * the tie mass (the reproducible choice — a row's fate never depends
+    * on partitioning).
+    *
+    * Scale: thresholds are one row per stratum (broadcast back — no
+    * second shuffle of the data); exact percentile buffers each
+    * stratum's scores, so for strata beyond executor memory set
+    * `approx = true` to compute the cut with mergeable
+    * percentile_approx sketch state instead (rank error ≤ 1/accuracy —
+    * the threshold moves by at most that rank mass; membership stays
+    * deterministic for a fixed input). */
+  def topFractionByScore(df: DataFrame, strataCol: String, scoreCol: String,
+                         frac: Double, approx: Boolean = false,
+                         accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val thr =
+      if (approx)
+        Sketches.approxQuantiles(df, Seq(strataCol), scoreCol,
+          Seq(("__thr", 1.0 - frac)), accuracy)
+      else
+        Sketches.quantiles(df, Seq(strataCol), scoreCol,
+          Seq(("__thr", 1.0 - frac)))
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -180,6 +180,56 @@ private[queries] object ScaleQueries {
         Seq("lang"), "tok"),
       None),
 
+    // ===== as-of join (merge_asof / temporal join): each click event
+    // picks up the same user's most recent purchase at-or-before its
+    // timestamp — union-window form, ONE exchange; the oracle states
+    // the quadratic latest-match definition directly =====
+    QueryDef("q123_asof_join",
+      (s, dir) => {
+        val ev = T.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts"),
+            col("value").as("purchase_value"))
+        graft.operators.Relational.asofJoin(clicks, purchases,
+            Seq("user_id"), "ts", "purchase_ts")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+            col("purchase_value"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts AS rts, value FROM events
+              WHERE event_type = 'purchase'),
+        j AS (SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+                     epoch_us(r.rts) AS purchase_ts_us,
+                     r.value AS purchase_value,
+                     row_number() OVER (PARTITION BY l.event_id
+                       ORDER BY r.rts DESC) AS rn
+              FROM l LEFT JOIN r
+                ON l.user_id = r.user_id AND r.rts <= l.ts)
+        SELECT event_id, user_id, ts_us, purchase_ts_us, purchase_value
+        FROM j WHERE rn = 1""")),
+
+    // ===== percentile-gated quality selection: top 25% of orders by
+    // total price within each priority class (threshold = the stratum's
+    // 0.75 quantile; at-threshold ties kept on both sides) =====
+    QueryDef("q124_top_fraction",
+      (s, dir) => graft.operators.Sampling.topFractionByScore(
+        T.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", frac = 0.25),
+      Some("""
+        WITH t AS (SELECT o_orderpriority,
+                          quantile_cont(o_totalprice, 0.75) AS thr
+                   FROM orders GROUP BY 1)
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice
+        FROM orders o JOIN t USING (o_orderpriority)
+        WHERE o.o_totalprice >= t.thr""")),
+
     // ===== incremental distinct: two parity-split appends into a
     // persisted DistinctStore, served from the accumulated per-batch
     // sketches — approximate by contract (rows-only check; the

@@ -128,4 +128,51 @@ class RelationalSpec extends SparkSpec {
     val out = Relational.mergeWorkLists(fresh, pending, Seq("id"))
     assert(out.count() === 3)
   }
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 25L), (3L, "u2", 5L),
+      (4L, "u3", 50L)).toDF("lid", "u", "lts")
+    val right = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "c"),
+      ("u2", 7L, "d")).toDF("u", "rts", "rv")
+    val out = Relational.asofJoin(left, right, Seq("u"), "lts", "rts")
+      .select("lid", "rts", "rv")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(out === Set(
+      (1L, Some(10L), Some("a")),   // equal ts matches (<= semantics)
+      (2L, Some(20L), Some("b")),   // latest preceding, not the later 30
+      (3L, None, None),             // nothing precedes → null fill
+      (4L, None, None)))            // key with no right rows at all
+  }
+
+  test("asofJoin strict mode excludes the equal-timestamp right row") {
+    val left = Seq((1L, "u1", 10L), (2L, "u1", 20L)).toDF("lid", "u", "lts")
+    val right = Seq(("u1", 10L, "a"), ("u1", 20L, "b")).toDF("u", "rts", "rv")
+    val out = Relational.asofJoin(left, right, Seq("u"), "lts", "rts",
+        strict = true)
+      .select("lid", "rv").as[(Long, Option[String])].collect().toSet
+    assert(out === Set((1L, None), (2L, Some("a"))))
+  }
+
+  test("asofJoin matches the naive quadratic definition on a random-ish table") {
+    val left = (1L to 200L).map(i => (i, s"u${i % 7}", (i * 13) % 101))
+    val right = (1L to 80L).map(j => (s"u${j % 7}", (j * 29) % 101, j))
+    val got = Relational.asofJoin(left.toDF("lid", "u", "lts"),
+        right.toDF("u", "rts", "rv"), Seq("u"), "lts", "rts")
+      .select("lid", "rv").as[(Long, Option[Long])].collect().toMap
+    val naive = left.map { case (lid, u, lts) =>
+      val cands = right.filter(r => r._1 == u && r._2 <= lts)
+      // mirror the operator's duplicate-rts contract deterministically:
+      // the fixture has unique (u, rts) pairs
+      lid -> cands.sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got === naive)
+  }
+
+  test("asofJoin rejects colliding column names") {
+    val l = Seq((1L, "u", 1L)).toDF("x", "u", "ts")
+    val r = Seq(("u", 1L, 2L)).toDF("u", "rts", "x")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(l, r, Seq("u"), "ts", "rts")
+    }
+  }
 }

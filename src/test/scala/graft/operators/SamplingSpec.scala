@@ -128,4 +128,22 @@ class SamplingSpec extends SparkSpec {
     assert(sampled("xx") >= 4 && sampled("de") >= 10,
       s"tail strata materially present in the mix: $sampled")
   }
+
+  test("topFractionByScore keeps each stratum's top quarter, ties included") {
+    // stratum a: scores 1..100 → 0.75-quantile 75.25, keeps 76..100 (25)
+    // stratum b: constant score → threshold == score, EVERY row kept
+    val rows = (1 to 100).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 8).map(i => ("b", 1000L + i, 5.0))
+    val df = rows.toDF("s", "id", "score")
+    val out = Sampling.topFractionByScore(df, "s", "score", 0.25)
+      .select("s", "id").as[(String, Long)].collect()
+    val byStratum = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byStratum("a") === (76 to 100).map(_.toLong).toSet)
+    assert(byStratum("b") === (1 to 8).map(i => 1000L + i).toSet)
+    // approx mode on the same small data lands on the same membership
+    val approx = Sampling.topFractionByScore(df, "s", "score", 0.25,
+        approx = true).select("s", "id").as[(String, Long)].collect().toSet
+    assert(approx.count(_._1 == "a") >= 24 && approx.count(_._1 == "a") <= 26)
+    assert(approx.count(_._1 == "b") === 8)
+  }
 }
