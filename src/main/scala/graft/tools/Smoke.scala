@@ -172,6 +172,36 @@ object Smoke {
         .select(col("nbr_id").as("id"), col("rank"))
       graft.operators.Retrieval.rrfFuse(lex.select("id", "rank"), sem, 5)
     }
+    show("RangeJoin.pointInInterval + asofJoin on events") {
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value").as("pv"))
+      Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts")
+    }
+    show("Sharding.shuffleShards + manifest") {
+      val sh = graft.operators.Sharding.shuffleShards(
+        docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n")),
+        "doc_id", 4, "smoke")
+      graft.operators.Sharding.shardManifest(sh, "n")
+    }
+    show("Sketches: heavyHitters / approxDistinct / quantiles") {
+      val toks = docs.select(explode(TextFunctions.tokens(col("text")))
+        .as("tok"))
+      graft.operators.Sketches.heavyHitters(toks, "tok", 5L, eps = 1e-3)
+        .limit(5)
+    }
+    show("Sequences.dedupBlocksKeepFirst") {
+      graft.operators.Sequences.dedupBlocksKeepFirst(docs, "doc_id",
+        "text", blockSize = 16)
+    }
+    show("Sampling.topFractionByScore") {
+      graft.operators.Sampling.topFractionByScore(
+        docs.select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("q")),
+        "lang", "q", 0.5)
+    }
     spark.stop()
   }
 }
