@@ -101,6 +101,42 @@ object Relational {
       .select(keys.map(col) ++ lCols.map(col) ++ rCols.map(col): _*)
   }
 
+  /** Time-series resampling with forward fill: per key, a regular
+    * `step`-spaced grid spanning [⌊min ts⌋, ⌊max ts⌋] (floored to step
+    * multiples), each grid point carrying the latest observation
+    * at-or-before it ([[asofJoin]] semantics — a leading grid point
+    * before the first observation null-fills). `tsCol` is an integer
+    * dimension (epoch micros/seconds/days — caller's choice of unit);
+    * output = keys + grid_ts + the observation's remaining columns
+    * (tsCol surfacing as `obs_ts`, the matched observation's time).
+    *
+    * Scale: the grid derives from a per-key (min, max) aggregate — one
+    * partial-agg'd exchange of #keys rows — and explodes to
+    * (range/step)+1 points per key, capped by `maxPointsPerKey`
+    * (fail-fast assert, the [[RangeJoin]] discipline); the fill is one
+    * more keys-exchange via the union-window as-of join. Nothing
+    * quadratic, nothing single-partition. */
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String,
+               step: Long, maxPointsPerKey: Int = 100000): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    require(!df.columns.contains("grid_ts") && !df.columns.contains("obs_ts"),
+      "input must not already have grid_ts/obs_ts columns")
+    val ts = col(tsCol).cast("long")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(RangeJoin.floorDiv(min(ts), step).as("__g0"),
+        RangeJoin.floorDiv(max(ts), step).as("__g1"))
+    val grid = bounds
+      .filter(assert_true(col("__g1") - col("__g0") + 1 <= maxPointsPerKey,
+        concat(lit(s"resample grid exceeds $maxPointsPerKey points for key ("),
+          concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+          lit(")"))).isNull)
+      .withColumn("grid_ts",
+        explode(sequence(col("__g0") * step, col("__g1") * step, lit(step))))
+      .select((keys.map(col) :+ col("grid_ts")): _*)
+    asofJoin(grid, df.withColumnRenamed(tsCol, "obs_ts"), keys,
+      "grid_ts", "obs_ts")
+  }
+
   /** Change-detection self-join: each row paired with the previous
     * snapshot's value of `valueCol` for the same key (lag over date).
     * Mirrors metatags-has_title_changed (metatags.py:209-275). */

@@ -77,6 +77,62 @@ object Sketches {
         hll_sketch_agg(col(valueCol).cast("string"), lit(lgK)))
         .as("approx_distinct"))
 
+  /** Bloom-prefiltered EXACT semi join: left rows whose `leftCol` occurs
+    * in right's `rightCol` — identical to `left.join(right, ...,
+    * "left_semi")`, but the shuffle carries only rows the bloom filter
+    * can't refute. The filter is built from the RIGHT side (one
+    * aggregation to a driver-held bitset — ~1.2 MB per million expected
+    * items at 1% fpp; `expectedItems` is capped so an oversized build
+    * fails fast instead of OOMing the driver), broadcast, and applied
+    * as a row-local pre-filter; false positives are removed by the real
+    * semi join that follows, false negatives don't exist. Use when the
+    * left side is huge and mostly non-matching (decontamination
+    * membership, late-arriving fact filtering) — the win is the
+    * left-side exchange dropping to the candidate mass. Spark's own
+    * runtime row-group filters cover simple cases; this form makes the
+    * decision explicit and keeps working where AQE declines. */
+  def bloomSemiJoin(left: DataFrame, leftCol: String,
+                    right: DataFrame, rightCol: String,
+                    expectedItems: Long, fpp: Double = 0.01,
+                    maxExpectedItems: Long = 100000000L): DataFrame = {
+    val pass = bloomMightContain(left.sparkSession, right, rightCol,
+      expectedItems, fpp, maxExpectedItems)
+    left.filter(pass(col(leftCol).cast("string")))
+      .join(right.select(col(rightCol).cast("string").as("__bsj_k")),
+        col(leftCol).cast("string") === col("__bsj_k"), "left_semi")
+  }
+
+  /** Bloom-accelerated EXACT anti join: left rows whose `leftCol` does
+    * NOT occur in right. The bloom filter's guarantee runs the other
+    * way here — "definitely absent" rows bypass the join entirely and
+    * only possible members pay the exact anti join; the union of the
+    * two paths is exactly the naive anti join. */
+  def bloomAntiJoin(left: DataFrame, leftCol: String,
+                    right: DataFrame, rightCol: String,
+                    expectedItems: Long, fpp: Double = 0.01,
+                    maxExpectedItems: Long = 100000000L): DataFrame = {
+    val pass = bloomMightContain(left.sparkSession, right, rightCol,
+      expectedItems, fpp, maxExpectedItems)
+    val definiteMiss = left.filter(!pass(col(leftCol).cast("string")))
+    val candidates = left.filter(pass(col(leftCol).cast("string")))
+      .join(right.select(col(rightCol).cast("string").as("__bsj_k")),
+        col(leftCol).cast("string") === col("__bsj_k"), "left_anti")
+    definiteMiss.unionByName(candidates)
+  }
+
+  private def bloomMightContain(spark: SparkSession, right: DataFrame,
+                                rightCol: String, expectedItems: Long,
+                                fpp: Double, maxExpectedItems: Long) = {
+    require(expectedItems > 0 && expectedItems <= maxExpectedItems,
+      s"expectedItems $expectedItems outside (0, $maxExpectedItems] — " +
+        "a bigger build side would hold gigabytes on the driver; " +
+        "raise maxExpectedItems deliberately or use a plain join")
+    val bf = right.select(col(rightCol).cast("string").as("k"))
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    udf((v: String) => v != null && bc.value.mightContainString(v))
+  }
+
   /** Per-group EXACT quantiles via linear interpolation (the
     * quantile_cont definition both Spark's `percentile` and DuckDB
     * share): (groupCols*, <name per requested p>). Exact percentile

@@ -230,6 +230,80 @@ private[queries] object ScaleQueries {
         FROM orders o JOIN t USING (o_orderpriority)
         WHERE o.o_totalprice >= t.thr""")),
 
+    // ===== time-series resampling: each user's purchase value forward-
+    // filled onto a daily grid (epoch-day units) spanning their own
+    // activity range — the gap-filling composition of the grid explode
+    // and the as-of join =====
+    QueryDef("q125_resample",
+      (s, dir) => {
+        // several purchases can share a day — resample's forward fill
+        // needs a UNIQUE series per (key, ts), so keep each day's
+        // latest (by full-resolution micros, which are tie-free)
+        val obs = graft.operators.Relational.latestSnapshot(
+          T.events(s, dir)
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id"),
+              expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").as("day"),
+              unix_micros(col("ts")).as("__us"), col("value")),
+          keys = Seq("user_id", "day"), dateCol = "__us")
+          .drop("__us")
+        graft.operators.Relational.resample(obs, Seq("user_id"), "day",
+          step = 1L)
+          .select(col("user_id"), col("grid_ts").as("grid_day"),
+            col("obs_ts").as("obs_day"), col("value"))
+      },
+      Some("""
+        WITH o AS (SELECT user_id, day, value FROM (
+                     SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                            epoch_us(ts) AS us, value
+                     FROM events WHERE event_type = 'purchase')
+                   QUALIFY row_number() OVER (PARTITION BY user_id, day
+                     ORDER BY us DESC) = 1),
+        b AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+              FROM o GROUP BY 1),
+        g AS (SELECT user_id, unnest(range(mn, mx + 1)) AS grid_day FROM b),
+        j AS (SELECT g.user_id, g.grid_day, o.day AS obs_day, o.value,
+                     row_number() OVER (PARTITION BY g.user_id, g.grid_day
+                       ORDER BY o.day DESC) AS rn
+              FROM g LEFT JOIN o
+                ON o.user_id = g.user_id AND o.day <= g.grid_day)
+        SELECT user_id, grid_day, obs_day, value FROM j WHERE rn = 1""")),
+
+    // ===== bloom-prefiltered exact semi join: lineitems of urgent
+    // orders (the oracle states the plain IN-subquery semi join) =====
+    QueryDef("q126_bloom_semi",
+      (s, dir) => Sketches.bloomSemiJoin(
+          T.lineitem(s, dir).select("l_orderkey", "l_returnflag"),
+          "l_orderkey",
+          T.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          "o_orderkey", expectedItems = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1""")),
+
+    // ===== bloom-accelerated exact anti join: definite misses bypass
+    // the join, possible members pay the exact anti join — union equals
+    // the naive NOT IN =====
+    QueryDef("q127_bloom_anti",
+      (s, dir) => Sketches.bloomAntiJoin(
+          T.lineitem(s, dir).select("l_orderkey", "l_returnflag"),
+          "l_orderkey",
+          T.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          "o_orderkey", expectedItems = 1000000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1""")),
+
     // ===== incremental distinct: two parity-split appends into a
     // persisted DistinctStore, served from the accumulated per-batch
     // sketches — approximate by contract (rows-only check; the

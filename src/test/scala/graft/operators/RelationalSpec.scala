@@ -168,6 +168,37 @@ class RelationalSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("resample forward-fills a per-key grid, leading gap stays null") {
+    // u1 observes at 12, 27, 29 → grid (step 10): 10, 20 — wait, range
+    // floors to [10, 20]: points 10 (nothing ≤ 10 → null), 20 (obs 12)
+    val obs = Seq(("u1", 12L, "a"), ("u1", 27L, "b"), ("u1", 29L, "c"),
+      ("u2", 40L, "d")).toDF("u", "t", "v")
+    val out = Relational.resample(obs, Seq("u"), "t", step = 10L)
+      .select("u", "grid_ts", "obs_ts", "v")
+      .as[(String, Long, Option[Long], Option[String])].collect().toSet
+    assert(out === Set(
+      ("u1", 10L, None, None),          // grid point before first obs
+      ("u1", 20L, Some(12L), Some("a")),
+      ("u2", 40L, Some(40L), Some("d")))) // single-point key: one cell
+  }
+
+  test("resample fills long gaps with the last observation") {
+    val obs = Seq(("u", 0L, 1.0), ("u", 35L, 2.0)).toDF("u", "t", "v")
+    val out = Relational.resample(obs, Seq("u"), "t", step = 10L)
+      .orderBy("grid_ts").select("grid_ts", "v")
+      .as[(Long, Double)].collect().toSeq
+    assert(out === Seq((0L, 1.0), (10L, 1.0), (20L, 1.0), (30L, 1.0)))
+  }
+
+  test("resample fails fast on a grid past the point cap") {
+    val obs = Seq(("u", 0L, 1.0), ("u", 10000000L, 2.0)).toDF("u", "t", "v")
+    val e = intercept[Exception] {
+      Relational.resample(obs, Seq("u"), "t", step = 1L,
+        maxPointsPerKey = 1000).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("asofJoin rejects colliding column names") {
     val l = Seq((1L, "u", 1L)).toDF("x", "u", "ts")
     val r = Seq(("u", 1L, 2L)).toDF("u", "rts", "x")

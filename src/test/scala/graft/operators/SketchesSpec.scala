@@ -67,6 +67,41 @@ class SketchesSpec extends SparkSpec {
     assert(merged === oneShot)
   }
 
+  test("bloomSemiJoin and bloomAntiJoin partition the left side exactly") {
+    val left = (1L to 5000L).map(i => (i, s"g${i % 4}")).toDF("k", "tag")
+    val right = (1L to 5000L).filter(_ % 7 == 0).map(i => (i, "r"))
+      .toDF("rk", "x")
+    val semi = Sketches.bloomSemiJoin(left, "k", right, "rk", 1000L)
+      .select("k").as[Long].collect().toSet
+    val anti = Sketches.bloomAntiJoin(left, "k", right, "rk", 1000L)
+      .select("k").as[Long].collect().toSet
+    val want = (1L to 5000L).filter(_ % 7 == 0).toSet
+    assert(semi === want)
+    assert(anti === (1L to 5000L).toSet -- want)
+    assert(semi.size + anti.size === 5000)
+  }
+
+  test("bloom joins stay exact even with a saturated (high-fpp) filter") {
+    val left = (1L to 2000L).map(i => (i, i)).toDF("k", "p")
+    val right = Seq((3L, 0), (999L, 0), (2000L, 0)).toDF("rk", "z")
+    // expectedItems far below reality → filter saturates, everything
+    // becomes a candidate — the exact join must still give the answer
+    val semi = Sketches.bloomSemiJoin(left, "k", right, "rk",
+      expectedItems = 2L, fpp = 0.5).select("k").as[Long].collect().toSet
+    assert(semi === Set(3L, 999L, 2000L))
+    val anti = Sketches.bloomAntiJoin(left, "k", right, "rk",
+      expectedItems = 2L, fpp = 0.5).select("k").as[Long].collect().toSet
+    assert(anti === (1L to 2000L).toSet -- Set(3L, 999L, 2000L))
+  }
+
+  test("bloom join build-side cap fails fast") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomSemiJoin(df, "a", df, "b", expectedItems = 1000L,
+        maxExpectedItems = 10L)
+    }
+  }
+
   test("quantiles interpolates exactly; approxQuantiles lands within rank error") {
     // 1..1001 in one group: p25 = 251, median = 501, p75 = 751 (exact
     // interpolation indices: p*(n-1) integral by construction)
