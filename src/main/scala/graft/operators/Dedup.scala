@@ -132,6 +132,79 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
+    * candidate rule) — the lossless complement to [[ngramJaccardPairs]]:
+    * no df caps changing the denominator, no LSH recall loss, yet never
+    * an all-pairs join. Every pair with shingle-set Jaccard ≥ threshold
+    * is returned with its exact score.
+    *
+    * The rule: order the shingle universe rare-first (by document
+    * frequency, shingle as tie-break); a doc with set size s keeps only
+    * its first s − ⌈t·s⌉ + 1 shingles as its PREFIX. J(A,B) ≥ t implies
+    * |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets meeting that must collide
+    * inside both prefixes under any shared total order — so the
+    * candidate join runs on prefix shingles only, where the rare-first
+    * order makes groups small (a ubiquitous shingle almost never
+    * survives into a prefix). The ⌈⌉ is computed with a 1e-9 downward
+    * nudge so float noise in t·s can only LENGTHEN a prefix, never
+    * silently drop a true candidate.
+    *
+    * Scale: one exchange on shingle (df counts + prefix groups reuse
+    * it), candidate pairs from the in-group [[idPairs]] kernel, then an
+    * exact-verify join computing |A∩B| over candidates only. Candidate
+    * volume is data-dependent — for a corpus where everything matches
+    * everything the exact RESULT is quadratic and so is any exact
+    * algorithm; on realistic near-dup profiles the prefixes bound the
+    * blow-up (measured in ScaleProbe `pairs`-style accounting). */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        // wordShinglesFromTokens is already per-doc distinct
+        explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
+          .as("shingle"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    // df per shingle from the same exchange the prefix grouping reuses
+    val withDf = sh.withColumn("df", count(lit(1)).over(w))
+    val perDoc = withDf.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("__ord"))
+      .withColumn("sz", size(col("__ord")))
+      .withColumn("__p",
+        (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int"))
+    val pref = perDoc
+      .select(col("id"), col("sz"),
+        explode(slice(col("__ord"), lit(1), col("__p"))).as("pe"))
+      .select(col("id"), col("pe.shingle").as("shingle"))
+    val cands = pref.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .select(explode(idPairs(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    // exact verify: |A∩B| over candidates only. merge hint for the same
+    // reason as ngramJaccardPairs: explode-descended size estimates lie.
+    val toks = sh
+    val inter = cands.hint("merge")
+      .join(toks.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    inter.hint("merge")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact duplicated-substring SPANS (the token-granular primitive of
     * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better" — the ExactSubstr policy): a token position is COVERED when

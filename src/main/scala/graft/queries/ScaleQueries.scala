@@ -304,6 +304,33 @@ private[queries] object ScaleQueries {
                                  WHERE o_orderpriority = '1-URGENT')
         GROUP BY 1""")),
 
+    // ===== exact set-similarity join via prefix filtering: every
+    // 3-gram-shingle Jaccard ≥ 0.5 pair with its exact score — the
+    // oracle states the full uncapped all-pairs definition; the
+    // operator reaches the same rows through rare-first prefixes =====
+    QueryDef("q128_prefix_jaccard",
+      (s, dir) => graft.operators.Dedup.prefixJaccardPairs(
+        T.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5),
+      Some(s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END)) AS shingle
+               FROM tks),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5""")),
+
     // ===== incremental distinct: two parity-split appends into a
     // persisted DistinctStore, served from the accumulated per-batch
     // sketches — approximate by contract (rows-only check; the

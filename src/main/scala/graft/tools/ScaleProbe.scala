@@ -890,6 +890,30 @@ object ScaleProbe {
     }
   }
 
+  /** Exact prefix-filter Jaccard vs the capped and LSH forms on the
+    * same corpus: wall + pair counts. The exact form must find AT LEAST
+    * the capped form's pairs (caps shrink denominators, so capped
+    * jaccard ≥ exact — capped finds extra borderline pairs, exact never
+    * misses a true one) and strictly more than LSH recall loses. */
+  private def prefixPairsProbe(spark: SparkSession, docsPath: String): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    println(s"[probe] docs = ${docs.count()}")
+    val exact = timedCount("prefix_jaccard exact(t=0.5)") {
+      graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }
+    val capped = timedCount("ngram capped(df<=1000)") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 1000L)
+    }
+    val lsh = timedCount("minhash LSH(t=0.5)") {
+      graft.operators.Dedup.minhashPortablePairs(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, threshold = 0.5, seed = 7L)
+    }
+    println(s"[probe] pairs exact=$exact capped=$capped lsh=$lsh " +
+      f"(lsh recall vs exact = ${lsh.toDouble / exact.max(1L)}%.3f)")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -972,10 +996,12 @@ object ScaleProbe {
         hhProbe(spark, nTok.toLong)
       case "distincr" :: nTok :: root :: Nil =>
         distincrProbe(spark, nTok.toLong, root)
+      case "ppairs" :: docsPath :: Nil =>
+        prefixPairsProbe(spark, docsPath)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +

@@ -275,4 +275,59 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateSpans(d, "id", "text", k = 5, minSpan = 3)
     }
   }
+
+  /** The exact/uncapped reference answer, computed the quadratic way. */
+  private def naiveJaccardPairs(docs: Seq[(Long, String)], n: Int,
+                                t: Double): Set[(Long, Long, Double)] = {
+    def shingles(s: String): Set[String] = {
+      val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Set.empty
+      else if (toks.size < n) Set(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa intersect sb).size
+      if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if j >= t
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("prefixJaccardPairs equals the exact quadratic join — full recall") {
+    // near-dups, a partial overlap pair, unrelated docs, a sub-n doc
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),     // high-overlap near-dup of 1
+      (3L, "a b c d q r s t"),     // partial overlap — below 0.5
+      (4L, "u v w x y z u v"),
+      (5L, "u v w x y z u w"),     // near-dup of 4
+      (6L, "m n"),                 // shorter than n: one whole-text shingle
+      (7L, "m n"),                 // exact twin of 6 → jaccard 1.0
+      (8L, "totally different words here entirely"))
+    val df = docs.toDF("id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.prefixJaccardPairs(df, "id", "text", n = 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === naiveJaccardPairs(docs, 3, t), s"threshold=$t")
+    }
+  }
+
+  test("prefixJaccardPairs matches ngramJaccardPairs when caps are slack") {
+    // with a df cap far above every shingle's df the capped operator is
+    // exact too — the two must agree (pairs whose shingles all have
+    // df >= 2; singleton-shingle mass shifts the capped denominators, so
+    // compare on a corpus of pure near-dup pairs)
+    val docs = (1L to 20L).flatMap(i => Seq(
+      (i * 2, s"w$i x$i y$i z$i q$i r$i"),
+      (i * 2 + 1, s"w$i x$i y$i z$i q$i s$i")))
+    val df = docs.toDF("id", "text")
+    val a = Dedup.prefixJaccardPairs(df, "id", "text", 3, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = Dedup.ngramJaccardPairs(df, "id", "text", 3, 0.4,
+        maxDocFreq = 100000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
 }
