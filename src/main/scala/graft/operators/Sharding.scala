@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.expressions.ColumnBridge
@@ -49,6 +49,64 @@ object Sharding {
     sharded.groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
         sum(col(weightCol).cast("long")).as("total_weight"))
+
+  /** Z-VALUE of a row over `n` integer dimensions: quantize each column
+    * into 2^bits buckets across its [min, max] range, then interleave
+    * the bucket bits (dimension i contributes bit b to output position
+    * b·n + i). Rows close in EVERY dimension get close z-values, so a
+    * z-sorted layout gives every dimension's predicates real file/
+    * row-group min-max pruning — the multi-dimensional data-skipping
+    * trick a single sort column cannot provide.
+    *
+    * `bounds` are caller-supplied (compute once via [[zorderBounds]] —
+    * a single aggregate control-read of 2·n longs); quantization runs
+    * in double (both the engine and the DuckDB oracle compute the same
+    * IEEE ops) with a top-bucket clamp so x = max never overflows the
+    * bit budget. bits·n must fit a long (≤ 63). */
+  def zorderValue(cols: Seq[Column], bounds: Seq[(Long, Long)],
+                  bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1 && bounds.size == n, s"need bounds per column")
+    require(bits >= 1 && bits * n <= 63,
+      s"bits($bits) × dims($n) must be ≤ 63")
+    val qs = cols.zip(bounds).map { case (c, (mn, mx)) =>
+      require(mx >= mn, s"invalid bounds [$mn, $mx]")
+      val scale = math.pow(2.0, bits) / (mx - mn + 1).toDouble
+      least(floor((c.cast("long") - lit(mn)).cast("double") * lit(scale))
+        .cast("long"), lit((1L << bits) - 1))
+    }
+    (0 until bits).flatMap { b =>
+      qs.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Per-column (min, max) for [[zorderValue]] — one aggregate, 2·n
+    * longs back to the driver. */
+  def zorderBounds(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"__mn_$c"),
+        max(col(c).cast("long")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+  }
+
+  /** Write `df` z-ordered on `cols` into ~`targetFiles` files: range-
+    * partition by z-value (so files tile the z-curve), sort within each
+    * partition, drop the helper column. Every file then covers a narrow
+    * min-max box in EVERY `cols` dimension — parquet row-group stats
+    * prune multi-dimensional predicates instead of only the leading
+    * sort key's. */
+  def writeZOrdered(df: DataFrame, root: String, cols: Seq[String],
+                    bits: Int = 16, targetFiles: Int = 64): Unit = {
+    val bounds = zorderBounds(df, cols)
+    df.withColumn("__z", zorderValue(cols.map(col), bounds, bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(root)
+  }
 
   /** Write a [[shuffleShards]] result as one directory per shard
     * (`root/shard=N/`), each shard's rows pre-sorted by shard_pos so a

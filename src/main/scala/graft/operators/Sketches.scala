@@ -214,6 +214,8 @@ object Sketches {
     def storeRoot: String = root
     private val rel = s"state/${name}_hll_sk"
     private val skPath = s"$root/$rel"
+    private val baseState = s"${name}_hll_base"
+    private val compactKey = s"compact:$name:upto"
 
     override protected def appendBody(batch: DataFrame, groupCol: String,
                                       valueCol: String): Unit = {
@@ -226,27 +228,93 @@ object Sketches {
         case None => txn.putKv(s"param:$name:distinct", want)
       }
       txn.touchPath(rel)
+      // one DELTA DIRECTORY per append, named by the transaction epoch:
+      // compaction can then fold "every delta ≤ E" and record E, instead
+      // of trying to delete files an undo could never restore
       distinctSketches(batch, Seq(groupCol), valueCol, lgK)
-        .write.mode("append").parquet(skPath)
+        .write.mode("overwrite").parquet(s"$skPath/a${txn.epoch}")
+    }
+
+    /** Delta dirs currently visible, with their epochs; `liveOnly` drops
+      * those already folded into the base. */
+    private def deltaDirs(liveOnly: Boolean): Seq[(Long, String)] = {
+      val upto = graft.sources.StoreTxn.getKv(root, compactKey)
+        .map(_.toLong).getOrElse(-1L)
+      val dir = new java.io.File(skPath)
+      Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("a"))
+        .flatMap(f => f.getName.stripPrefix("a").toLongOption
+          .map(e => (e, f.getPath)))
+        .filter { case (e, _) => !liveOnly || e > upto }
+        .sortBy(_._1)
+    }
+
+    private def sketchRows(): DataFrame = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      val base = graft.sources.StoreTxn.stateDir(root, baseState).toSeq
+      val paths = base ++ deltaDirs(liveOnly = true).map(_._2)
+      require(paths.nonEmpty,
+        s"DistinctStore '$name' at $root has no appends — append before estimating")
+      spark.read.parquet(paths: _*)
     }
 
     /** Per-group estimate over everything appended so far:
       * (groupCol, approx_distinct). */
     def estimate(): DataFrame = {
-      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      val rows = sketchRows()
       val param = graft.sources.StoreTxn.getKv(root, s"param:$name:distinct")
-      require(param.isDefined && new java.io.File(skPath).exists(),
-        s"DistinctStore '$name' at $root has no appends — append before estimating")
-      mergeDistinctSketches(spark.read.parquet(skPath),
-        Seq(param.get.split(',')(0)))
+      mergeDistinctSketches(rows, Seq(param.get.split(',')(0)))
     }
 
     /** Whole-store estimate: one (approx_distinct) row. */
-    def estimateTotal(): DataFrame = {
+    def estimateTotal(): DataFrame =
+      mergeDistinctSketches(sketchRows(), Seq.empty)
+
+    /** Fold the base and every visible delta into ONE sketch row per
+      * group, published as a fresh base version — the maintenance pass
+      * that keeps an always-on sink's serve cost flat instead of
+      * growing with stream age (#appends × #groups rows → #groups
+      * rows). Runs as one transaction: the new base version publishes
+      * atomically with the fold watermark, a crash mid-compact rolls
+      * back to the old base + deltas, and a blind retry converges.
+      * Folded delta directories are physically removed only AFTER the
+      * commit (they are logically dead the instant the watermark
+      * publishes; a crash between commit and cleanup leaves inert
+      * directories the next compact removes). Estimates are unchanged
+      * by construction — HLL union is associative. */
+    def compact(): Unit = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
-      require(new java.io.File(skPath).exists(),
-        s"DistinctStore '$name' at $root has no appends — append before estimating")
-      mergeDistinctSketches(spark.read.parquet(skPath), Seq.empty)
+      val folded = scala.collection.mutable.Buffer.empty[String]
+      graft.sources.StoreTxn.transact(spark, root) {
+        val param = graft.sources.StoreTxn.getKv(root, s"param:$name:distinct")
+        require(param.isDefined,
+          s"DistinctStore '$name' at $root has no appends — nothing to compact")
+        val gcol = param.get.split(',')(0)
+        val deltas = deltaDirs(liveOnly = true)
+        if (deltas.nonEmpty) {
+          val txn = graft.sources.StoreTxn.current(root)
+          val base = graft.sources.StoreTxn.stateDir(root, baseState).toSeq
+          val merged = spark.read
+            .parquet((base ++ deltas.map(_._2)): _*)
+            .groupBy(col(gcol))
+            .agg(hll_union_agg(col("hll")).as("hll"))
+          val outDir = txn.stateVersionDir(baseState)
+          merged.coalesce(1).write.mode("overwrite").parquet(outDir)
+          txn.putKv(compactKey, deltas.map(_._1).max.toString)
+          folded ++= deltas.map(_._2)
+        }
+      }
+      // post-commit physical cleanup of logically-dead delta dirs; also
+      // sweep any dirs a previous compact's crash-after-commit left
+      val upto = graft.sources.StoreTxn.getKv(root, compactKey)
+        .map(_.toLong).getOrElse(-1L)
+      (folded ++ deltaDirs(liveOnly = false)
+        .filter(_._1 <= upto).map(_._2)).distinct.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }
     }
   }
 }

@@ -331,6 +331,41 @@ private[queries] object ScaleQueries {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5""")),
 
+    // ===== z-order values: the Morton key a multi-dimensional layout
+    // sorts by (events quantized over (user_id, day), 8 bits each) —
+    // bounds, quantization and bit interleave mirrored exactly in SQL =====
+    QueryDef("q129_zorder",
+      (s, dir) => {
+        val e = T.events(s, dir).select(col("event_id"), col("user_id"),
+          expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)").as("day"))
+        val bounds = graft.operators.Sharding.zorderBounds(e,
+          Seq("user_id", "day"))
+        e.select(col("event_id"),
+          graft.operators.Sharding.zorderValue(
+            Seq(col("user_id"), col("day")), bounds, bits = 8).as("zval"))
+      },
+      Some {
+        // ((q_i >> b) & 1) << (b*2 + i), OR-folded — the exact Spark tree
+        val interleave = (0 until 8).flatMap(b => Seq(
+          s"((((q0 >> $b) & 1)) << ${b * 2})",
+          s"((((q1 >> $b) & 1)) << ${b * 2 + 1})")).mkString(" | ")
+        s"""
+        WITH e AS (SELECT event_id, user_id,
+                     epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+        b AS (SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+                     min(day) AS mnd, max(day) AS mxd FROM e),
+        q AS (SELECT event_id,
+                least(CAST(floor(CAST(user_id - mnu AS DOUBLE)
+                  * (256.0 / CAST(mxu - mnu + 1 AS DOUBLE))) AS BIGINT),
+                  255) AS q0,
+                least(CAST(floor(CAST(day - mnd AS DOUBLE)
+                  * (256.0 / CAST(mxd - mnd + 1 AS DOUBLE))) AS BIGINT),
+                  255) AS q1
+              FROM e, b)
+        SELECT event_id, CAST($interleave AS BIGINT) AS zval FROM q"""
+      }),
+
     // ===== incremental distinct: two parity-split appends into a
     // persisted DistinctStore, served from the accumulated per-batch
     // sketches — approximate by contract (rows-only check; the

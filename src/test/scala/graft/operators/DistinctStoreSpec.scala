@@ -75,6 +75,48 @@ class DistinctStoreSpec extends SparkSpec {
       rows(0, 2000))
   }
 
+  test("compact folds deltas into one base: same estimates, fewer dirs") {
+    val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
+    (0 until 6).foreach(i =>
+      store.append(rows(i * 500, (i + 1) * 500), "g", "v"))
+    val before = store.estimate().as[(String, Long)].collect().toMap
+    def deltaCount = Option(new java.io.File(
+        s"${store.storeRoot}/state/d_hll_sk").listFiles()).toSeq.flatten
+      .count(f => f.isDirectory && f.getName.startsWith("a"))
+    assert(deltaCount === 6)
+    store.compact()
+    assert(deltaCount === 0, "folded deltas physically removed post-commit")
+    assert(store.estimate().as[(String, Long)].collect().toMap === before)
+    // appends after compaction fold on top of the base
+    store.append(rows(3000, 4000), "g", "v")
+    assert(deltaCount === 1)
+    assertClose(store.estimate().as[(String, Long)].collect().toMap,
+      rows(0, 4000))
+    // second compact folds the new delta too; a third is a no-op
+    store.compact()
+    val after = store.estimate().as[(String, Long)].collect().toMap
+    store.compact()
+    assert(store.estimate().as[(String, Long)].collect().toMap === after)
+  }
+
+  test("crash mid-compact rolls back; blind retry converges") {
+    val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
+    store.append(rows(0, 1000), "g", "v")
+    store.append(rows(1000, 2000), "g", "v")
+    val before = store.estimate().as[(String, Long)].collect().toMap
+    graft.sources.StoreTxn.leaseTtlMs = 250L
+    graft.sources.StoreTxn.hooks.crashBeforeCommit = true
+    try intercept[graft.sources.StoreTxn.SimulatedCrash] { store.compact() }
+    finally graft.sources.StoreTxn.hooks.reset()
+    Thread.sleep(400)
+    // the crashed compact left base+deltas untouched (rollback on open)
+    try {
+      assert(store.estimate().as[(String, Long)].collect().toMap === before)
+      store.compact()
+    } finally graft.sources.StoreTxn.leaseTtlMs = 60000L
+    assert(store.estimate().as[(String, Long)].collect().toMap === before)
+  }
+
   test("streamed maintenance (appendStoreSink catch-up) equals one-shot") {
     val root = tmp("graft_ds_stream_")
     val inDir = s"$root/in"
