@@ -140,7 +140,11 @@ object Decontamination {
                         nStoreBuckets: Int = 32,
                         prefixPartitions: Int = 64) extends AppendStore {
     private val wh = new graft.sources.Warehouse(spark, root)
-    private val gramTable = s"${name}_dc_gram"
+    // appends land in the ACTIVE physical generation; [[compact]]
+    // publishes a `__c<epoch>` successor through the commit-record alias
+    private val gramBase = s"${name}_dc_gram"
+    private def gramTable: String = graft.sources.StoreTxn
+      .getKv(wh.root, s"active:$name:gram").getOrElse(gramBase)
     def storeRoot: String = wh.root
 
     // row-identity parameters: ghash is over n-grams, gpfx is mod
@@ -186,6 +190,42 @@ object Decontamination {
         .filter(col("gpfx").isInCollection(prefixes))
         .join(eg, Seq("ghash"), "left_semi")
         .select("id").distinct()
+    }
+
+    /** Rewrite the accumulated postings into one fresh physical
+      * generation — identical rows (ids are unique across appends),
+      * file count collapsed from #appends generations to one (one file
+      * per non-empty (gpfx, bucket) cell: the pre-partition below keys
+      * on exactly the writer's (partition, bucket-id) pair, so no task
+      * splits a cell). Same transactional shape as Bm25Index.compact:
+      * new `__c<epoch>` table written fresh (crash sweeps it), alias
+      * published atomically in the commit record, superseded
+      * generations dropped only after commit. The IngestKeys replay
+      * ledger lives in the commit record, untouched by the rename. */
+    def compact(): Unit = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      require(wh.exists(gramTable),
+        s"GramIndex '$name' at $root has no appends — nothing to compact")
+      graft.sources.StoreTxn.transact(spark, root) {
+        val txn = graft.sources.StoreTxn.current(wh.root)
+        val cur = gramTable
+        val newTable = s"${gramBase}__c${txn.epoch}"
+        wh.paramsSpecValidated(newTable, storeParams)
+        wh.appendPartitionedBucketed(newTable,
+          wh.readBucketed(cur)
+            .repartition(prefixPartitions * nStoreBuckets, col("gpfx"),
+              pmod(hash(col("ghash")), lit(nStoreBuckets))),
+          "gpfx", Seq("ghash"), nStoreBuckets)
+        txn.putKv(s"active:$name:gram", newTable)
+      }
+      // post-commit: drop every generation the alias no longer names
+      val live = gramTable
+      val whDir = new java.io.File(s"${wh.root}/warehouse")
+      Option(whDir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          (f.getName == gramBase || f.getName.startsWith(gramBase + "__c")) &&
+          f.getName != live)
+        .foreach(f => wh.dropTable(f.getName))
     }
   }
 }

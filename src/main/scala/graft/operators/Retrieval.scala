@@ -124,9 +124,19 @@ object Retrieval {
                         nStoreBuckets: Int = 32) {
     private val wh = new graft.sources.Warehouse(spark, root)
     private[graft] def storeRoot: String = root
-    private val postTable = s"${name}_bm_post"
-    private val lenTable = s"${name}_bm_len"
-    private val statsPath = s"$root/state/${name}_bm_stats"
+    // physical generations: appends land in the ACTIVE tables, which
+    // start as the base names and move to `__c<epoch>` successors when
+    // [[compact]] publishes one. The alias lives in the commit record,
+    // so "active" always names a fully-published generation.
+    private val postBase = s"${name}_bm_post"
+    private val lenBase = s"${name}_bm_len"
+    private val statsBase = s"state/${name}_bm_stats"
+    private def activeAlias(kind: String, base: String): String =
+      graft.sources.StoreTxn.getKv(root, s"active:$name:$kind").getOrElse(base)
+    private def postTable = activeAlias("post", postBase)
+    private def lenTable = activeAlias("len", lenBase)
+    private def statsRel = activeAlias("stats", statsBase)
+    private def statsPath = s"$root/$statsRel"
 
     def append(docs: DataFrame, idCol: String, textCol: String): Unit =
       appendOnce(docs, idCol, textCol, appendKey = None)
@@ -191,7 +201,7 @@ object Retrieval {
             size(col("__t")).cast("long").as("dl")),
           Seq("id"), nStoreBuckets)
         graft.sources.StoreTxn.current(root)
-          .touchPath(s"state/${name}_bm_stats")
+          .touchPath(statsRel)
         toksed.agg(count(lit(1)).as("n"),
             coalesce(sum(size(col("__t")).cast("long")), lit(0L)).as("sumdl"))
           .withColumn("append_key",
@@ -200,6 +210,88 @@ object Retrieval {
       }
       // only a COMMITTED append marks its key as seen
       appendKey.foreach(k => if (seenKeys != null) seenKeys += k)
+    }
+
+    /** Rewrite the accumulated index into one fresh physical generation
+      * — the maintenance pass for an always-on [[graft.streaming
+      * .Streaming.bm25IndexSink]], where every micro-batch append adds
+      * nStoreBuckets postings files + a stats file and a year of
+      * 5-minute batches is ~10⁵ append generations of small files.
+      * Contents are IDENTICAL (ids are unique across appends, so
+      * postings rows never merge; every stats row — including its
+      * append_key, the replay-idempotence ledger — is preserved);
+      * only the file layout consolidates to one write's worth.
+      *
+      * Runs as one transaction: the new `__c<epoch>` post/len tables
+      * and stats dir are written fresh (a crash sweeps them — the live
+      * generation is untouched), then the three active-aliases publish
+      * atomically in the commit record. Superseded generations are
+      * physically dropped only AFTER commit; a crash between commit
+      * and sweep leaves inert directories the next compact removes. */
+    def compact(): Unit = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      require(new java.io.File(statsPath).exists(),
+        s"Bm25Index '$name' at $root has no appends — nothing to compact")
+      graft.sources.StoreTxn.transact(spark, root) {
+        val txn = graft.sources.StoreTxn.current(root)
+        val (curPost, curLen) = (postTable, lenTable)
+        val newPost = s"${postBase}__c${txn.epoch}"
+        val newLen = s"${lenBase}__c${txn.epoch}"
+        val newStatsRel = s"${statsBase}__c${txn.epoch}"
+        wh.paramsSpecValidated(newPost, Seq("scriptAwareTokens" ->
+          TextFunctions.scriptAwareEnabled.toString))
+        // pre-partition on the WRITER'S OWN bucket id — pmod(murmur3,
+        // nBuckets), what the bucket writer computes per row — so each
+        // bucket's rows land wholly inside one task and the generation
+        // totals exactly nBuckets files. Repartitioning on the raw
+        // column instead spreads every bucket across tasks (files =
+        // tasks × buckets; measured 2× in the compaction spec).
+        def byBucketId(df: DataFrame, c: String) =
+          df.repartition(nStoreBuckets,
+            pmod(hash(col(c)), lit(nStoreBuckets)))
+        wh.appendBucketed(newPost, byBucketId(wh.readBucketed(curPost), "tok"),
+          Seq("tok"), nStoreBuckets)
+        wh.appendBucketed(newLen, byBucketId(wh.readBucketed(curLen), "id"),
+          Seq("id"), nStoreBuckets)
+        txn.touchPath(newStatsRel)
+        statsDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/$newStatsRel")
+        txn.putKv(s"active:$name:post", newPost)
+        txn.putKv(s"active:$name:len", newLen)
+        txn.putKv(s"active:$name:stats", newStatsRel)
+      }
+      sweepStale()
+    }
+
+    /** Drop every physical generation the committed aliases no longer
+      * name — safe post-commit (they are unreachable the instant the
+      * alias publishes) and idempotent across crashes. */
+    private def sweepStale(): Unit = {
+      val (ap, al, as) = (postTable, lenTable, statsRel)
+      val whDir = new java.io.File(s"$root/warehouse")
+      def gens(base: String) = Option(whDir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          (f.getName == base || f.getName.startsWith(base + "__c")))
+        .map(_.getName)
+      (gens(postBase).filterNot(_ == ap) ++ gens(lenBase).filterNot(_ == al))
+        .foreach(wh.dropTable)
+      val stateDir = new java.io.File(s"$root/state")
+      val asName = as.stripPrefix("state/")
+      val statsBaseName = statsBase.stripPrefix("state/")
+      Option(stateDir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          (f.getName == statsBaseName ||
+            f.getName.startsWith(statsBaseName + "__c")) &&
+          f.getName != asName)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+          }
+          rm(f)
+        }
+      // a fresh handle on this root must reload its completed-key cache
+      // from the active stats generation
+      seenKeys = null
     }
 
     def search(queryTerms: Seq[String], k: Int,

@@ -323,6 +323,21 @@ final class Warehouse(spark: SparkSession, root0: String) {
 
   private def bucketedName(table: String): String =
     Warehouse.bucketedName(root, table)
+
+  /** Physically remove a table this warehouse owns: data directory,
+    * bucket-spec/params sidecars, and any session-catalog registration.
+    * STORE-INTERNAL maintenance (compaction sweeps of superseded
+    * physical generations) — not a user data-management API; callers
+    * must only target tables a committed alias has already replaced. */
+  private[graft] def dropTable(table: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path(table)))
+    bucketSpecFile(table).delete()
+    new java.io.File(s"$root/warehouse", s"_graft_params_$table").delete()
+    Warehouse.dropCatalogEntry(spark, root, table)
+  }
 }
 
 object Warehouse {

@@ -175,4 +175,45 @@ class DecontaminationSpec extends SparkSpec {
     assert(texts(3L) === "completely unrelated text entirely here")
     assert(texts(1L) === "intro words and then more")
   }
+
+  test("gram index compaction: same flags, one generation, ledger intact") {
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 8).map(j => s"tok${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    val ev = Seq("tok7_2 tok7_3 tok7_4 tok7_5").toDF("text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_gramcmp_").toString
+    val idx = new Decontamination.GramIndex(spark, root, "t", n = 3,
+      nStoreBuckets = 2, prefixPartitions = 4)
+    (0 until 5).foreach(i => idx.appendOnce(
+      docs.filter(col("id") % 5 === i), "id", "text", Some(s"k$i")))
+    val before = idx.check(ev, "text").as[Long].collect().sorted.toSeq
+    assert(before === Seq(7L))
+    def dataFiles: Int = {
+      val whDir = new java.io.File(s"$root/warehouse")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      Option(whDir.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("t_dc_gram"))
+        .flatMap(walk).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles
+    idx.compact()
+    assert(dataFiles < filesBefore,
+      s"compaction must shrink the file count ($filesBefore → $dataFiles)")
+    assert(idx.check(ev, "text").as[Long].collect().sorted.toSeq === before)
+    // completed key redelivered after compaction: still skips (ledger is
+    // in the commit record, untouched by the generation swap)
+    assert(!idx.appendOnce(docs.filter(col("id") % 5 === 0), "id", "text",
+      Some("k0")))
+    // new appends land in the new generation; a fresh handle resolves it
+    assert(idx.appendOnce(
+      Seq((100L, "tok7_2 tok7_3 tok7_4 tok7_5 trailing")).toDF("id", "text"),
+      "id", "text", Some("k9")))
+    val idx2 = new Decontamination.GramIndex(spark, root, "t", n = 3,
+      nStoreBuckets = 2, prefixPartitions = 4)
+    assert(idx2.check(ev, "text").as[Long].collect().sorted.toSeq ===
+      Seq(7L, 100L))
+  }
 }

@@ -127,4 +127,78 @@ class RetrievalSpec extends SparkSpec {
     // equal scores tie-break by ascending id, deterministically
     assert(a.map(_._1) === a.map(_._1).sorted)
   }
+
+  test("bm25 index compaction: same ranking, one generation of files") {
+    val corpus = (1L to 90L).map { i =>
+      (i, if (i % 5 == 0) "spark engine cluster" else s"filler$i words here")
+    }.toDF("id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25cmp_").toString
+    val idx = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    (0 until 6).foreach(i =>
+      idx.appendOnce(corpus.filter(col("id") % 6 === i), "id", "text",
+        Some(s"k$i")))
+    val before = idx.search(Seq("spark", "engine"), k = 8)
+      .select("id", "score", "rank").as[(Long, Double, Int)].collect().toSeq
+    def dataFiles(prefix: String): Int = {
+      val wh = new java.io.File(s"$root/warehouse")
+      Option(wh.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles("t_bm_post")
+    assert(filesBefore >= 12, s"6 appends × 2 buckets, got $filesBefore")
+    idx.compact()
+    // one generation left, one write's worth of files
+    assert(dataFiles("t_bm_post") <= 2,
+      s"post-compact files: ${dataFiles("t_bm_post")}")
+    val after = idx.search(Seq("spark", "engine"), k = 8)
+      .select("id", "score", "rank").as[(Long, Double, Int)].collect().toSeq
+    assert(after === before, "compaction must not change a single score")
+    // the replay ledger survives: a completed key redelivered is a
+    // no-op — re-appending would double postings and move every score
+    idx.appendOnce(corpus.filter(col("id") % 6 === 0), "id", "text",
+      Some("k0"))
+    assert(idx.search(Seq("spark", "engine"), k = 8)
+      .select("id", "score", "rank").as[(Long, Double, Int)]
+      .collect().toSeq === before)
+    // ...and appends keep working on the new generation
+    val extra = (91L to 95L).map(i => (i, "spark extra")).toDF("id", "text")
+    idx.appendOnce(extra, "id", "text", Some("k9"))
+    assert(idx.search(Seq("spark"), k = 5).count() === 5)
+    // a FRESH handle on the same root resolves the compacted generation
+    val idx2 = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    assert(idx2.search(Seq("spark", "engine"), k = 8)
+      .select("id").as[Long].collect().nonEmpty)
+    val served2 = idx2.search(Seq("spark"), k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    idx2.appendOnce(corpus.filter(col("id") % 6 === 1), "id", "text",
+      Some("k1")) // completed pre-compact key: still skips
+    assert(idx2.search(Seq("spark"), k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq === served2)
+  }
+
+  test("bm25 index compaction: crash mid-compact leaves the live index intact") {
+    val corpus = (1L to 40L).map(i => (i, s"spark filler$i")).toDF("id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25crash_").toString
+    val idx = new Retrieval.Bm25Index(spark, root, "t", nStoreBuckets = 2)
+    idx.append(corpus.filter(col("id") <= 20), "id", "text")
+    idx.append(corpus.filter(col("id") > 20), "id", "text")
+    val before = idx.search(Seq("spark"), k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    graft.sources.StoreTxn.leaseTtlMs = 250L
+    graft.sources.StoreTxn.hooks.crashBeforeCommit = true
+    try intercept[graft.sources.StoreTxn.SimulatedCrash] { idx.compact() }
+    finally graft.sources.StoreTxn.hooks.reset()
+    Thread.sleep(400)
+    try {
+      assert(idx.search(Seq("spark"), k = 5)
+        .select("id", "score").as[(Long, Double)].collect().toSeq === before)
+      idx.compact() // blind retry converges
+    } finally graft.sources.StoreTxn.leaseTtlMs = 60000L
+    assert(idx.search(Seq("spark"), k = 5)
+      .select("id", "score").as[(Long, Double)].collect().toSeq === before)
+  }
 }
