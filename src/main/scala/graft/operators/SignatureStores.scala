@@ -275,7 +275,11 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
 final class IvfStore(wh: graft.sources.Warehouse, name: String,
                      centroids: DataFrame, nStoreBuckets: Int = 64)
     extends AppendStore {
-  private val table = s"${name}_ivf"
+  // appends land in the ACTIVE physical generation; [[compact]]
+  // publishes a `__c<epoch>` successor through the commit-record alias
+  private val tableBase = s"${name}_ivf"
+  private def table: String = graft.sources.StoreTxn
+    .getKv(wh.root, s"active:$name:ivf").getOrElse(tableBase)
 
   // the frozen-centroid contract, made self-enforcing: a fingerprint of
   // the actual centroid values (bounded collect — one row per cell,
@@ -312,6 +316,35 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
     wh.paramsSpecValidated(table, storeParams, writeIfAbsent = false)
     Similarity.ivfTopKAssigned(wh.readBucketed(table), queries, idCol,
       vecCol, k, centroids, nProbes)
+  }
+
+  /** Rewrite the accumulated cell-bucketed vectors into one fresh
+    * physical generation (same transactional shape as
+    * Bm25Index.compact: new `__c<epoch>` table written fresh, alias
+    * published atomically, superseded generations dropped post-commit;
+    * rows identical — ids are unique across appends). */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
+    require(wh.exists(table),
+      s"IvfStore '$name' at ${wh.root} has no appends — nothing to compact")
+    graft.sources.StoreTxn.transact(spark, wh.root) {
+      val txn = graft.sources.StoreTxn.current(wh.root)
+      val cur = table
+      val newTable = s"${tableBase}__c${txn.epoch}"
+      wh.paramsSpecValidated(newTable, storeParams)
+      wh.appendBucketed(newTable,
+        wh.readBucketed(cur).repartition(nStoreBuckets,
+          pmod(hash(col("cell")), lit(nStoreBuckets))),
+        Seq("cell"), nStoreBuckets)
+      txn.putKv(s"active:$name:ivf", newTable)
+    }
+    val live = table
+    val whDir = new java.io.File(s"${wh.root}/warehouse")
+    Option(whDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName == tableBase || f.getName.startsWith(tableBase + "__c")) &&
+        f.getName != live)
+      .foreach(f => wh.dropTable(f.getName))
   }
 }
 

@@ -914,6 +914,41 @@ object ScaleProbe {
       f"(lsh recall vs exact = ${lsh.toDouble / exact.max(1L)}%.3f)")
   }
 
+  /** Compaction payoff on a FRAGMENTED store: `nAppends` micro-batch
+    * appends (the always-on-sink pattern) → serve wall + file count,
+    * then compact → same serve, one generation. The serve delta is
+    * pure file-count overhead (open/footer/schedule per file) — the
+    * cost that grows with stream age until compaction resets it. */
+  private def compactProbe(spark: SparkSession, docsPath: String,
+                           root: String, nAppends: Int): Unit = {
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    println(s"[probe] compact corpus n=$n appends=$nAppends")
+    val idx = new graft.operators.Retrieval.Bm25Index(spark, root, "p",
+      nStoreBuckets = 32)
+    val per = n / nAppends
+    time(s"$nAppends appends (fragmented build)") {
+      (0 until nAppends).foreach { i =>
+        idx.append(docs.filter(col("doc_id") >= i * per &&
+          col("doc_id") < (i + 1) * per), "doc_id", "text")
+      }
+    }
+    def files: Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(root))
+    }
+    println(s"[probe] files before compact = $files")
+    val q = Seq("w100", "w2000", "w30000")
+    timedCount("serve (fragmented)") { idx.search(q, 10) }
+    timedCount("serve (fragmented, rep 2)") { idx.search(q, 10) }
+    time("compact") { idx.compact() }
+    println(s"[probe] files after compact = $files")
+    timedCount("serve (compacted)") { idx.search(q, 10) }
+    timedCount("serve (compacted, rep 2)") { idx.search(q, 10) }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -998,10 +1033,13 @@ object ScaleProbe {
         distincrProbe(spark, nTok.toLong, root)
       case "ppairs" :: docsPath :: Nil =>
         prefixPairsProbe(spark, docsPath)
+      case "compact" :: docsPath :: root :: rest =>
+        compactProbe(spark, docsPath, root,
+          rest.headOption.map(_.toInt).getOrElse(100))
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +

@@ -161,6 +161,18 @@ class IncrementalDedupSpec extends SparkSpec {
         queries, "vec_id", "embedding", 5, cents, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(inc === oneShot && inc.nonEmpty)
+    // compaction: one fresh generation, identical serving
+    store.compact(spark)
+    val compacted = store.serve(queries, "vec_id", "embedding", 5, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(compacted === inc)
+    // appends keep landing in the compacted generation
+    val extra = (100L until 104L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    store.append(extra, "vec_id", "embedding")
+    assert(store.serve(queries, "vec_id", "embedding", 50, 4).count() >
+      compacted.size)
   }
 
   test("embedding store: batch ingests partition the full-corpus pairs") {
