@@ -116,6 +116,68 @@ trait AppendStore {
   }
 }
 
+/** Generation-rewrite compaction, shared by every store in the family.
+  *
+  * An always-on maintenance sink appends one file set per micro-batch,
+  * so a long-lived store accretes files and the serve/ingest read pays
+  * per-file open/footer/schedule overhead that grows with stream age.
+  * Compaction rewrites each table's ACTIVE physical generation into one
+  * fresh `<base>__c<epoch>` successor — rows identical, exactly
+  * `nStoreBuckets` files — and publishes ALL of a store's new
+  * generations through kv aliases in one StoreTxn commit, so readers
+  * switch atomically and a crash mid-compact rolls back to the old
+  * generations untouched. Superseded generation directories are swept
+  * post-commit (unreachable the instant the aliases publish; the sweep
+  * is idempotent across crashes).
+  *
+  * The rewrite pre-partitions each table on the WRITER'S OWN bucket id
+  * (`pmod(hash(bucketCols…), n)` — what the bucket writer computes per
+  * row) so every bucket's rows land wholly inside one task and the new
+  * generation totals exactly nStoreBuckets files; repartitioning on the
+  * raw columns instead spreads buckets across tasks (files = tasks ×
+  * buckets — measured 2× in the BM25 compaction spec). */
+private[operators] object StoreCompaction {
+  /** One physical table of a store: resolved through `aliasKey` (the
+    * active-generation pointer in the commit record), rewritten with
+    * `bucketCols` bucketing and `params` as the generation's sidecar. */
+  final case class TableSpec(aliasKey: String, base: String,
+                             bucketCols: Seq[String],
+                             params: Seq[(String, String)] = Nil)
+
+  def active(root: String, spec: TableSpec): String =
+    graft.sources.StoreTxn.getKv(root, spec.aliasKey).getOrElse(spec.base)
+
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              wh: graft.sources.Warehouse, storeLabel: String,
+              tables: Seq[TableSpec], nStoreBuckets: Int): Unit = {
+    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
+    require(tables.exists(t => wh.exists(active(wh.root, t))),
+      s"$storeLabel at ${wh.root} has no ingests — nothing to compact")
+    graft.sources.StoreTxn.transact(spark, wh.root) {
+      val txn = graft.sources.StoreTxn.current(wh.root)
+      tables.filter(t => wh.exists(active(wh.root, t))).foreach { t =>
+        val cur = active(wh.root, t)
+        val newTable = s"${t.base}__c${txn.epoch}"
+        if (t.params.nonEmpty) wh.paramsSpecValidated(newTable, t.params)
+        wh.appendBucketed(newTable,
+          wh.readBucketed(cur).repartition(nStoreBuckets,
+            pmod(hash(t.bucketCols.map(col): _*), lit(nStoreBuckets))),
+          t.bucketCols, nStoreBuckets)
+        txn.putKv(t.aliasKey, newTable)
+      }
+    }
+    val whDir = new java.io.File(s"${wh.root}/warehouse")
+    tables.foreach { t =>
+      val live = active(wh.root, t)
+      Option(whDir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory &&
+          (f.getName == t.base || f.getName.startsWith(t.base + "__c")) &&
+          f.getName != live)
+        .foreach(f => wh.dropTable(f.getName))
+    }
+  }
+}
+
 /** The store family's completed-write ledger: keys buffered into the
   * root's StoreTxn commit record, so "key visible" ⇔ "write published"
   * (one short kv line per key in the commit file; compaction, if a
@@ -166,9 +228,24 @@ final case class MinhashConfig(shingleN: Int, bands: Int, rowsPerBand: Int,
   * between ingests. */
 final class MinhashStore(wh: graft.sources.Warehouse, name: String,
                          cfg: MinhashConfig) extends PairStore {
-  private val sigTable = s"${name}_mh_sig"
-  private val setTable = s"${name}_mh_set"
+  private def sigParams = Seq(
+    "shingleN" -> cfg.shingleN.toString, "bands" -> cfg.bands.toString,
+    "rowsPerBand" -> cfg.rowsPerBand.toString, "seed" -> cfg.seed.toString,
+    "scriptAwareTokens" ->
+      graft.functions.TextFunctions.scriptAwareEnabled.toString)
+  private val sigSpec = StoreCompaction.TableSpec(
+    s"active:$name:mh_sig", s"${name}_mh_sig", Seq("band", "bucket"))
+  private val setSpec = StoreCompaction.TableSpec(
+    s"active:$name:mh_set", s"${name}_mh_set", Seq("id"))
+  private def sigTable = StoreCompaction.active(wh.root, sigSpec)
+  private def setTable = StoreCompaction.active(wh.root, setSpec)
   def storeRoot: String = wh.root
+
+  /** Rewrite both tables (LSH index + shingle sets) into fresh
+    * single-generation layouts — see [[StoreCompaction]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"MinhashStore '$name'",
+      Seq(sigSpec.copy(params = sigParams), setSpec), cfg.nStoreBuckets)
 
   /** Near-dup pairs of `batch` against itself AND the store, then the
     * batch's signatures are appended to the store. The returned frame
@@ -181,11 +258,7 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     // comparable to batches hashed under the same geometry/seed and
     // the same tokenizer mode — drift would silently band new docs
     // into an incompatible space, so fail fast on it
-    wh.paramsSpecValidated(sigTable, Seq(
-      "shingleN" -> cfg.shingleN.toString, "bands" -> cfg.bands.toString,
-      "rowsPerBand" -> cfg.rowsPerBand.toString, "seed" -> cfg.seed.toString,
-      "scriptAwareTokens" ->
-        graft.functions.TextFunctions.scriptAwareEnabled.toString))
+    wh.paramsSpecValidated(sigTable, sigParams)
     // batch staging materialized once — banded feeds candidate
     // generation, the store append, and the newness filter; sets feeds
     // verification and the set-store append. Batch-sized, ids+hashes.
@@ -277,9 +350,9 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
     extends AppendStore {
   // appends land in the ACTIVE physical generation; [[compact]]
   // publishes a `__c<epoch>` successor through the commit-record alias
-  private val tableBase = s"${name}_ivf"
-  private def table: String = graft.sources.StoreTxn
-    .getKv(wh.root, s"active:$name:ivf").getOrElse(tableBase)
+  private val tableSpec = StoreCompaction.TableSpec(
+    s"active:$name:ivf", s"${name}_ivf", Seq("cell"))
+  private def table: String = StoreCompaction.active(wh.root, tableSpec)
 
   // the frozen-centroid contract, made self-enforcing: a fingerprint of
   // the actual centroid values (bounded collect — one row per cell,
@@ -319,33 +392,11 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
   }
 
   /** Rewrite the accumulated cell-bucketed vectors into one fresh
-    * physical generation (same transactional shape as
-    * Bm25Index.compact: new `__c<epoch>` table written fresh, alias
-    * published atomically, superseded generations dropped post-commit;
-    * rows identical — ids are unique across appends). */
-  def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
-    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
-    require(wh.exists(table),
-      s"IvfStore '$name' at ${wh.root} has no appends — nothing to compact")
-    graft.sources.StoreTxn.transact(spark, wh.root) {
-      val txn = graft.sources.StoreTxn.current(wh.root)
-      val cur = table
-      val newTable = s"${tableBase}__c${txn.epoch}"
-      wh.paramsSpecValidated(newTable, storeParams)
-      wh.appendBucketed(newTable,
-        wh.readBucketed(cur).repartition(nStoreBuckets,
-          pmod(hash(col("cell")), lit(nStoreBuckets))),
-        Seq("cell"), nStoreBuckets)
-      txn.putKv(s"active:$name:ivf", newTable)
-    }
-    val live = table
-    val whDir = new java.io.File(s"${wh.root}/warehouse")
-    Option(whDir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory &&
-        (f.getName == tableBase || f.getName.startsWith(tableBase + "__c")) &&
-        f.getName != live)
-      .foreach(f => wh.dropTable(f.getName))
-  }
+    * physical generation — see [[StoreCompaction]] (rows identical;
+    * ids are unique across appends). */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"IvfStore '$name'",
+      Seq(tableSpec.copy(params = storeParams)), nStoreBuckets)
 }
 
 /** Parameters of a hyperplane-LSH embedding store. `planes` pins the
@@ -375,13 +426,23 @@ final case class EmbeddingLshConfig(threshold: Double, dim: Int,
   * incompatible signature space. */
 final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
                               cfg: EmbeddingLshConfig) extends PairStore {
-  private val sigTable = s"${name}_el_sig"
-  private val vecTable = s"${name}_el_vec"
+  private val sigSpec = StoreCompaction.TableSpec(
+    s"active:$name:el_sig", s"${name}_el_sig", Seq("tbl", "sig"))
+  private val vecSpec = StoreCompaction.TableSpec(
+    s"active:$name:el_vec", s"${name}_el_vec", Seq("id"))
+  private def sigTable = StoreCompaction.active(wh.root, sigSpec)
+  private def vecTable = StoreCompaction.active(wh.root, vecSpec)
   def storeRoot: String = wh.root
   private val planeTables = cfg.planes.getOrElse(
     (0 until cfg.tables).map(t =>
       graft.functions.VectorFunctions.randomPlanes(
         cfg.bitsPerTable, cfg.dim, cfg.seed + t)))
+
+  /** Rewrite both tables (LSH index + vectors) into fresh
+    * single-generation layouts — see [[StoreCompaction]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"EmbeddingLshStore '$name'",
+      Seq(sigSpec.copy(params = sigParams), vecSpec), cfg.nStoreBuckets)
 
   // the planes ARE the signature space (explicitly pinned or derived
   // from dim/tables/bits/seed), so the sidecar records a fingerprint
@@ -392,13 +453,14 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
       .map(java.lang.Double.doubleToLongBits)
     scala.util.hashing.MurmurHash3.orderedHash(bits).toLong & 0xffffffffL
   }
+  private def sigParams = Seq(
+    "dim" -> cfg.dim.toString, "tables" -> cfg.tables.toString,
+    "bitsPerTable" -> cfg.bitsPerTable.toString,
+    "planesFp" -> planesFp.toString)
 
   protected def ingestBody(batch: DataFrame, idCol: String,
                            vecCol: String): DataFrame = {
-    wh.paramsSpecValidated(sigTable, Seq(
-      "dim" -> cfg.dim.toString, "tables" -> cfg.tables.toString,
-      "bitsPerTable" -> cfg.bitsPerTable.toString,
-      "planesFp" -> planesFp.toString))
+    wh.paramsSpecValidated(sigTable, sigParams)
     import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
     val banded = Similarity.hyperplaneBanded(batch, idCol, vecCol,
       planeTables).localCheckpoint(true)
@@ -467,17 +529,26 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
                          cfg: SimhashConfig) extends PairStore {
   require(cfg.maxDist < cfg.chunks,
     s"pigeonhole needs maxDist < chunks: ${cfg.maxDist} >= ${cfg.chunks}")
-  private val sigTable = s"${name}_sh_sig"
+  private def sigParams = Seq(
+    "seed" -> cfg.seed.toString, "chunks" -> cfg.chunks.toString,
+    "chunkBits" -> cfg.chunkBits.toString,
+    "scriptAwareTokens" ->
+      graft.functions.TextFunctions.scriptAwareEnabled.toString)
+  private val sigSpec = StoreCompaction.TableSpec(
+    s"active:$name:sh_sig", s"${name}_sh_sig", Seq("chunk", "cval"))
+  private def sigTable = StoreCompaction.active(wh.root, sigSpec)
   def storeRoot: String = wh.root
+
+  /** Rewrite the signature table into one fresh generation — see
+    * [[StoreCompaction]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"SimhashStore '$name'",
+      Seq(sigSpec.copy(params = sigParams)), cfg.nStoreBuckets)
 
   protected def ingestBody(batch: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     // signature-space identity — see MinhashStore.ingest
-    wh.paramsSpecValidated(sigTable, Seq(
-      "seed" -> cfg.seed.toString, "chunks" -> cfg.chunks.toString,
-      "chunkBits" -> cfg.chunkBits.toString,
-      "scriptAwareTokens" ->
-        graft.functions.TextFunctions.scriptAwareEnabled.toString))
+    wh.paramsSpecValidated(sigTable, sigParams)
     val chunked = Dedup.simhashStage(batch, idCol, textCol,
       cfg.seed, cfg.chunks, cfg.chunkBits).localCheckpoint(true)
     // no hard broadcast hint — see MinhashStore.ingest on AQE sizing
