@@ -449,7 +449,91 @@ private[queries] object SimilarityQueries {
       Some(s"""
         WITH ${kmeansCtes(8, 2, 64, trainWhere = "id % 2 = 0")}
         SELECT id AS vec_id, CAST(cell AS INTEGER) AS cell FROM afin""")),
+
+    // ===== Quantization: per-vector symmetric int8 codes — the 4×
+    // at-rest/scan-size cut for the 100 TB embedding tier; every code
+    // byte and scale oracle-checked =====
+    QueryDef("q130_quantize_int8",
+      (s, dir) => graft.operators.Quantization.quantizeInt8(
+          T.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"),
+          posexplode(col("qvec")).as(Seq("j", "q"))),
+      Some(s"""
+        WITH qz AS (SELECT vec_id, amax / 127.0 AS scale, embedding
+                    FROM (SELECT vec_id, embedding, $duckAmax AS amax
+                          FROM embeddings))
+        SELECT vec_id, scale, CAST(j - 1 AS INTEGER) AS j,
+               CASE WHEN scale = 0.0 THEN CAST(0 AS TINYINT)
+                    ELSE CAST(least(greatest(
+                           floor(embedding[j]::DOUBLE / scale + 0.5),
+                           -127.0), 127.0) AS TINYINT) END AS q
+        FROM qz, range(1, 65) r(j)""")),
+
+    // ===== Quantization: int8 candidate scan + exact rescore top-k —
+    // the serving shape where the hot pass reads ¼ the bytes and the
+    // reported similarity is still the exact cosine =====
+    QueryDef("q131_int8_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        graft.operators.Quantization.int8TopK(
+            e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, rescoreFactor = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("c.embedding", "q.embedding")
+        val na = s"sqrt(${duckDot("c.embedding", "c.embedding")})"
+        val nb = s"sqrt(${duckDot("q.embedding", "q.embedding")})"
+        s"""
+        WITH qz AS (SELECT vec_id,
+               CASE WHEN amax = 0.0
+                    THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                    ELSE list_transform(embedding, x -> CAST(least(greatest(
+                           floor(x::DOUBLE / (amax / 127.0) + 0.5),
+                           -127.0), 127.0) AS TINYINT)) END AS qvec
+             FROM (SELECT vec_id, embedding, $duckAmax AS amax
+                   FROM embeddings)),
+        ap AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 ${duckIntDot("c.qvec", "q.qvec")} AS dp,
+                 ${duckIntDot("c.qvec", "c.qvec")} AS n2c,
+                 ${duckIntDot("q.qvec", "q.qvec")} AS n2q
+               FROM qz c CROSS JOIN qz q
+               WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+        surv AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY
+                  CASE WHEN sqrt(CAST(n2c AS DOUBLE)) = 0.0
+                         OR sqrt(CAST(n2q AS DOUBLE)) = 0.0 THEN 0.0
+                       ELSE CAST(dp AS DOUBLE) / (sqrt(CAST(n2c AS DOUBLE))
+                         * sqrt(CAST(n2q AS DOUBLE))) END DESC,
+                  nbr_id) AS rn
+            FROM ap) WHERE rn <= 15),
+        ex AS (SELECT s.query_id, s.nbr_id,
+                 CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                      ELSE $d / ($na * $nb) END AS sim
+               FROM surv s
+               JOIN embeddings c ON s.nbr_id = c.vec_id
+               JOIN embeddings q ON s.query_id = q.vec_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
+        WHERE "rank" <= 5"""
+      }),
   )
+
+  /** DuckDB mirror of [[graft.operators.Quantization.quantizeInt8]]'s
+    * absmax fold (left fold, 0.0 init — the exact Spark `aggregate`). */
+  private def duckAmax =
+    "list_reduce(list_prepend(0.0, list_transform(embedding, " +
+      "x -> abs(x::DOUBLE))), (a, b) -> greatest(a, b))"
+
+  /** DuckDB mirror of [[graft.operators.Quantization.intDot]]: widen to
+    * INTEGER before the product, accumulate BIGINT. */
+  private def duckIntDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS INTEGER) * CAST($b[i] AS INTEGER))), " +
+      s"(acc, x) -> acc + CAST(x AS BIGINT))"
 
   /** DuckDB mirror of [[graft.operators.Clustering]]'s deterministic
     * Lloyd's loop, unrolled: assignment = cross join + (l2, cell)

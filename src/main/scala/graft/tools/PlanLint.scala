@@ -31,6 +31,8 @@ object PlanLint {
       "broadcast query set, maxQueries-capped",
     ("q37_media_ann", "NestedLoopJoin") ->
       "broadcast query set, maxQueries-capped",
+    ("q131_int8_topk", "NestedLoopJoin") ->
+      "broadcast query set, maxQueries-capped (int8 candidate pass)",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

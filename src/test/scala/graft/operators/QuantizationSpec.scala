@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int) = (0L until n.toLong).map { i =>
+    (i, Array.tabulate(8)(j => (math.sin(i * 3 + j) * (1 + i % 5)).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("quantizeInt8: reconstruction error bounded by half a step") {
+    val rows = Quantization.quantizeInt8(vecs(40), "vec_id", "embedding")
+      .join(vecs(40), col("id") === col("vec_id"))
+      .select("embedding", "scale", "qvec")
+      .as[(Array[Float], Double, Seq[Byte])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (x, scale, q) =>
+      assert(q.length === x.length)
+      x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi - qi * scale) <= scale / 2 + 1e-12,
+          s"$xi vs ${qi * scale} at scale $scale")
+        assert(qi >= -127 && qi <= 127)
+      }
+    }
+  }
+
+  test("quantizeInt8: all-zero vector gets scale 0 and a zero code") {
+    val z = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val (scale, q) = Quantization.quantizeInt8(z, "vec_id", "embedding")
+      .select("scale", "qvec").as[(Double, Seq[Byte])].head()
+    assert(scale === 0.0 && q.toSeq === Seq(0, 0, 0))
+  }
+
+  test("int8TopK with a full-width rescore window equals brute force") {
+    val corpus = vecs(60)
+    val queries = corpus.filter(col("vec_id") < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = key(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 4))
+    // rescore window spans the whole corpus → the exact top-k MUST appear
+    val quant = key(Quantization.int8TopK(corpus, queries,
+      "vec_id", "embedding", 4, rescoreFactor = 15))
+    assert(quant === brute)
+    // exact sims survive too (rescoring reports exact cosine)
+    val bs = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", 4)
+      .select("query_id", "nbr_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    Quantization.int8TopK(corpus, queries, "vec_id", "embedding", 4,
+        rescoreFactor = 15)
+      .select("query_id", "nbr_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, s) => assert(bs((q, n)) === s) }
+  }
+
+  test("int8TopK: narrow rescore window still returns k exact-scored rows") {
+    val corpus = vecs(60)
+    val queries = corpus.filter(col("vec_id") === 0)
+    val out = Quantization.int8TopK(corpus, queries, "vec_id", "embedding",
+        k = 3, rescoreFactor = 1)
+      .select("nbr_id", "sim").as[(Long, Double)].collect()
+    assert(out.length === 3)
+    assert(out.forall { case (_, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
+  }
+
+  test("int8TopK refuses oversized query sets") {
+    val corpus = vecs(30)
+    intercept[IllegalArgumentException] {
+      Quantization.int8TopK(corpus, corpus, "vec_id", "embedding", 2,
+        maxQueries = 5)
+    }
+  }
+}
