@@ -100,8 +100,17 @@ object Quantization {
     val survivors = approx.withColumn("__arn", row_number().over(wa))
       .filter(col("__arn") <= k * rescoreFactor)
       .select(col(queryIdCol), col("nbr_id"))
-    // exact rescore: full-precision vectors re-enter by id, for the
-    // surviving (queries × k×factor) rows only — norms once per side
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
+  }
+
+  /** Shared exact-rescore tail of the compressed-candidate servers:
+    * full-precision vectors re-enter by id for the surviving
+    * (queries × k×factor) rows only — norms once per side, exact cosine
+    * picks the final k. */
+  private def exactRescoreTopK(survivors: DataFrame, corpus: DataFrame,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String, k: Int,
+                               queryIdCol: String): DataFrame = {
     val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
     val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"),
@@ -115,4 +124,127 @@ object Quantization {
     exact.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col(queryIdCol), col("nbr_id"), col("sim"), col("rn").as("rank"))
   }
+
+  // ------------------------------------------------- product quantization
+
+  /** Train PQ codebooks: the vector space is split into `m` contiguous
+    * sub-slices of `dim/m` components and each subspace gets its own
+    * `ksub`-centroid codebook from the deterministic
+    * [[Clustering.kmeansCentroids]] trainer (init = ksub smallest-id
+    * sub-vectors, exact-integer mean updates), so every codebook
+    * component reproduces bit-for-bit in the oracle. Returns one
+    * ascending-cell codebook per subspace (driver-side — m×ksub×subDim
+    * doubles, a bounded control read by the trainer's own contract).
+    *
+    * Train on a representative SAMPLE at corpus scale (the q113
+    * discipline): training cost ∝ sample, encoding is one narrow map
+    * over everything. */
+  def pqTrain(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, ksub: Int, iters: Int): Seq[Seq[(Int, Array[Double])]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m slices")
+    require(ksub >= 1 && ksub <= 127,
+      s"ksub=$ksub out of [1, 127] — codes are signed bytes")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      Clustering.kmeansCentroids(
+        vecs.select(col(idCol).as("__id"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("__sv")),
+        "__id", "__sv", ksub, iters)
+    }
+  }
+
+  /** PQ codebooks as a (sub, cell, cvec) frame for persistence. */
+  def pqCodebookDf(spark: org.apache.spark.sql.SparkSession,
+                   books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (b, s) =>
+      b.map { case (c, v) => (s, c, v.toSeq) }
+    }.toDF("sub", "cell", "cvec")
+  }
+
+  /** Encode vectors to `m`-byte PQ codes: per subspace, the nearest
+    * codebook centroid by the SAME argmin kernel the IVF family assigns
+    * with (left-to-right IEEE L2, smallest-cell ties). One narrow map,
+    * no shuffle, no join — the codebooks ride along as plan literals.
+    * Output (id, code: array<tinyint>): dim×4 bytes → m bytes
+    * (e.g. 64-dim float32 → 4 bytes at m=4: 64× smaller). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val m = books.size
+    require(m >= 1, "need at least one codebook")
+    val subDim = books.head.head._2.length
+    val code = array(books.zipWithIndex.map { case (b, s) =>
+      Similarity.nearestCellColumn(
+        slice(col(vecCol), s * subDim + 1, subDim), b).cast("byte")
+    }: _*)
+    df.select(col(idCol).as("id"), code.as("code"))
+  }
+
+  /** Top-k cosine from PQ codes by asymmetric distance computation
+    * (ADC) with exact rescoring. Per query, one `m × ksub` table of
+    * sub-slice · centroid dot products is computed ONCE (against
+    * codebook literals); each corpus code then scores with `m` table
+    * lookups — O(m) per pair instead of O(dim) — and the corpus-side
+    * norm comes from a codebook-norm literal table the same way. The
+    * top k×rescoreFactor per query get exact full-precision cosine;
+    * quantization error can cost recall only, never score precision.
+    *
+    * `codes` is a persisted [[pqEncode]] output (the 100 TB serving
+    * layout: the candidate pass reads m bytes/vector instead of
+    * dim×4); `corpus` supplies full vectors for the rescore join
+    * only. */
+  def pqTopKEncoded(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    books: Seq[Seq[(Int, Array[Double])]],
+                    rescoreFactor: Int = 4,
+                    queryIdCol: String = "query_id",
+                    maxQueries: Int = 10000): DataFrame = {
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val qCount = queries.limit(maxQueries + 1).count()
+    require(qCount <= maxQueries,
+      s"pqTopK query side exceeds $maxQueries vectors; " +
+        "use lshTopK or ivfTopK for large query sets")
+    val m = books.size
+    val subDim = books.head.head._2.length
+    // per-subspace centroid-norm² literals: exact left-to-right folds,
+    // computed once driver-side — the corpus norm needs no vector read
+    def n2(v: Array[Double]): Double = v.foldLeft(0.0)((a, x) => a + x * x)
+    val ntabs = books.map(b => array(b.sortBy(_._1).map(c => lit(n2(c._2))): _*))
+    // per-query dot tables: qtab_s[c] = q_slice_s · centroid_{s,c}
+    val qtabs = books.zipWithIndex.map { case (b, s) =>
+      array(b.sortBy(_._1).map { case (_, cv) =>
+        dot(slice(col("__qv"), s * subDim + 1, subDim),
+          array(cv.map(lit): _*))
+      }: _*).as(s"__qtab$s")
+    }
+    val q = queries
+      .select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+      .select((col(queryIdCol) +: qtabs :+ norm(col("__qv")).as("__qn")): _*)
+    def codeAt(s: Int): Column =
+      element_at(col("code"), s + 1).cast("int") + lit(1)
+    val dp = (0 until m).map(s =>
+      element_at(col(s"__qtab$s"), codeAt(s))).reduce(_ + _)
+    val cn2 = (0 until m).map(s =>
+      element_at(ntabs(s), codeAt(s))).reduce(_ + _)
+    val approx = codes.withColumnRenamed("id", "nbr_id")
+      .join(broadcast(q), col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        cosineFromParts(dp, sqrt(cn2), col("__qn")).as("__approx"))
+    val wa = Window.partitionBy(queryIdCol)
+      .orderBy(desc("__approx"), asc("nbr_id"))
+    val survivors = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"))
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
+  }
+
+  /** [[pqTopKEncoded]] with the codes computed on the fly — the
+    * convenience form for corpora not yet PQ-persisted. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             books: Seq[Seq[(Int, Array[Double])]],
+             rescoreFactor: Int = 4, queryIdCol: String = "query_id",
+             maxQueries: Int = 10000): DataFrame =
+    pqTopKEncoded(pqEncode(corpus, idCol, vecCol, books), corpus, queries,
+      idCol, vecCol, k, books, rescoreFactor, queryIdCol, maxQueries)
 }

@@ -238,8 +238,17 @@ object Similarity {
     * where the centroids never were a DataFrame and a parallelize +
     * re-collect round trip per iteration would be a wasted job. */
   def assignCellsMatrix(corpus: DataFrame, idCol: String, vecCol: String,
-                        cents: Seq[(Int, Array[Double])]): DataFrame = {
-    require(cents.nonEmpty, "assignCells needs at least one centroid")
+                        cents: Seq[(Int, Array[Double])]): DataFrame =
+    corpus.select(col(idCol).as("nbr_id"),
+      nearestCellColumn(col(vecCol), cents).as("cell"),
+      col(vecCol).as("cv"))
+
+  /** The bare argmin kernel as a Column — nearest centroid id of a
+    * vector expression ([[assignCellsMatrix]] without the frame shape;
+    * [[Quantization]] applies it per PQ sub-slice). */
+  private[operators] def nearestCellColumn(
+      vec: Column, cents: Seq[(Int, Array[Double])]): Column = {
+    require(cents.nonEmpty, "nearestCell needs at least one centroid")
     val sorted = cents.sortBy(_._1)
     val cellIds = sorted.map(_._1).toArray
     val dim = sorted.head._2.length
@@ -250,10 +259,8 @@ object Similarity {
       System.arraycopy(v, 0, flat, i, dim); i += dim
     }
     import graft.functions.expressions.{ColumnBridge, NearestCell}
-    corpus.select(col(idCol).as("nbr_id"),
-      ColumnBridge.column(NearestCell(
-        ColumnBridge.expression(col(vecCol)), flat, cellIds, dim)).as("cell"),
-      col(vecCol).as("cv"))
+    ColumnBridge.column(NearestCell(
+      ColumnBridge.expression(vec), flat, cellIds, dim))
   }
 
   /** ANN over a PRE-ASSIGNED corpus — the (nbr_id, cell, cv) shape

@@ -519,7 +519,97 @@ private[queries] object SimilarityQueries {
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
       }),
+
+    // ===== Product quantization: 4-byte codes from per-subspace
+    // deterministic k-means codebooks (64× smaller than float32) —
+    // every code byte oracle-checked against the unrolled per-slice
+    // trainer =====
+    QueryDef("q132_pq_encode",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val books = graft.operators.Quantization.pqTrain(
+          e, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+        graft.operators.Quantization.pqEncode(e, "vec_id", "embedding", books)
+          .select(col("id").as("vec_id"),
+            posexplode(col("code")).as(Seq("sub", "code")))
+      },
+      Some(s"""
+        WITH ${pqBookCtes(1)}
+        ${(0 until 4).map(s =>
+          s"SELECT id AS vec_id, $s AS sub, CAST(cell AS TINYINT) AS code " +
+            s"FROM s${s}_afin").mkString("\n        UNION ALL ")}""")),
+
+    // ===== Product quantization: ADC top-k — O(m) table lookups per
+    // candidate instead of O(dim) multiplies, exact rescore on the
+    // survivors =====
+    QueryDef("q133_pq_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val books = graft.operators.Quantization.pqTrain(
+          e, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+        graft.operators.Quantization.pqTopK(
+            e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, books, rescoreFactor = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("c.embedding", "q.embedding")
+        val na = s"sqrt(${duckDot("c.embedding", "c.embedding")})"
+        val nb = s"sqrt(${duckDot("q.embedding", "q.embedding")})"
+        val dts = (0 until 4).map(s =>
+          duckDot(s"(q.embedding[${s * 16 + 1}:${s * 16 + 16}])", s"r.v$s"))
+        val n2s = (0 until 4).map(s => duckDot(s"r.v$s", s"r.v$s"))
+        s"""
+        WITH ${pqBookCtes(1)},
+        r AS (SELECT e0.id,
+                cb0.cvec AS v0, cb1.cvec AS v1, cb2.cvec AS v2, cb3.cvec AS v3
+              FROM s0_afin e0
+              JOIN s1_afin e1 ON e0.id = e1.id
+              JOIN s2_afin e2 ON e0.id = e2.id
+              JOIN s3_afin e3 ON e0.id = e3.id
+              JOIN s0_c1 cb0 ON e0.cell = cb0.cell
+              JOIN s1_c1 cb1 ON e1.cell = cb1.cell
+              JOIN s2_c1 cb2 ON e2.cell = cb2.cell
+              JOIN s3_c1 cb3 ON e3.cell = cb3.cell),
+        ap AS (SELECT q.vec_id AS query_id, r.id AS nbr_id,
+                 (((${dts(0)}
+                   + ${dts(1)})
+                   + ${dts(2)})
+                   + ${dts(3)}) AS dp,
+                 (((${n2s(0)}
+                   + ${n2s(1)})
+                   + ${n2s(2)})
+                   + ${n2s(3)}) AS cn2,
+                 sqrt(${duckDot("q.embedding", "q.embedding")}) AS qn
+               FROM r CROSS JOIN embeddings q
+               WHERE q.vec_id < 8 AND r.id != q.vec_id),
+        surv AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY
+                  CASE WHEN sqrt(cn2) = 0.0 OR qn = 0.0 THEN 0.0
+                       ELSE dp / (sqrt(cn2) * qn) END DESC,
+                  nbr_id) AS rn
+            FROM ap) WHERE rn <= 15),
+        ex AS (SELECT s.query_id, s.nbr_id,
+                 CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                      ELSE $d / ($na * $nb) END AS sim
+               FROM surv s
+               JOIN embeddings c ON s.nbr_id = c.vec_id
+               JOIN embeddings q ON s.query_id = q.vec_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
+        WHERE "rank" <= 5"""
+      }),
   )
+
+  /** The q132/q133 PQ codebook CTE chains: one prefixed deterministic
+    * k-means instance per 16-component subspace slice (m=4, ksub=8). */
+  private def pqBookCtes(iters: Int): String =
+    (0 until 4).map { s =>
+      kmeansCtes(8, iters, 16, pfx = s"s${s}_",
+        vecExpr = s"embedding[${s * 16 + 1}:${s * 16 + 16}]")
+    }.mkString(",\n        ")
 
   /** DuckDB mirror of [[graft.operators.Quantization.quantizeInt8]]'s
     * absmax fold (left fold, 0.0 init — the exact Spark `aggregate`). */
@@ -544,37 +634,39 @@ private[queries] object SimilarityQueries {
     * `c$iters`; `trainWhere` restricts the TRAINING set only (the
     * 100 TB path trains on a sample and assigns everything — q113). */
   private def kmeansCtes(k: Int, iters: Int, dim: Int,
-                         trainWhere: String = "TRUE"): String = {
+                         trainWhere: String = "TRUE",
+                         pfx: String = "",
+                         vecExpr: String = "embedding"): String = {
     val sb = new StringBuilder
-    sb ++= s"""vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+    sb ++= s"""${pfx}vecs AS (SELECT vec_id AS id, ($vecExpr)::DOUBLE[] AS v
                FROM embeddings),
-        tvecs AS (SELECT id, v FROM vecs WHERE $trainWhere),
-        c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell,
+        ${pfx}tvecs AS (SELECT id, v FROM ${pfx}vecs WHERE $trainWhere),
+        ${pfx}c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell,
                       v AS cvec
-               FROM (SELECT id, v FROM tvecs ORDER BY id LIMIT $k))"""
+               FROM (SELECT id, v FROM ${pfx}tvecs ORDER BY id LIMIT $k))"""
     for (i <- 1 to iters) {
-      val p = s"c${i - 1}"
+      val p = s"${pfx}c${i - 1}"
       sb ++= s""",
-        a$i AS (SELECT id, v, cell FROM (
+        ${pfx}a$i AS (SELECT id, v, cell FROM (
             SELECT x.id, x.v, c.cell,
                    row_number() OVER (PARTITION BY x.id
                      ORDER BY ${duckL2("x.v", "c.cvec")}, c.cell) AS rn
-            FROM tvecs x CROSS JOIN $p c) WHERE rn = 1),
-        u$i AS (SELECT cell, j,
+            FROM ${pfx}tvecs x CROSS JOIN $p c) WHERE rn = 1),
+        ${pfx}u$i AS (SELECT cell, j,
                 CAST(sum(CAST(floor(v[j] * 1048576.0) AS BIGINT)) AS DOUBLE)
                   / 1048576.0 / CAST(count(*) AS DOUBLE) AS x
-              FROM a$i, range(1, ${dim + 1}) r(j) GROUP BY cell, j),
-        c$i AS (SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
+              FROM ${pfx}a$i, range(1, ${dim + 1}) r(j) GROUP BY cell, j),
+        ${pfx}c$i AS (SELECT p.cell, coalesce(n.cvec, p.cvec) AS cvec
                 FROM $p p LEFT JOIN (SELECT cell, list(x ORDER BY j) AS cvec
-                                     FROM u$i GROUP BY cell) n
+                                     FROM ${pfx}u$i GROUP BY cell) n
                   ON p.cell = n.cell)"""
     }
     sb ++= s""",
-        afin AS (SELECT id, v, cell FROM (
+        ${pfx}afin AS (SELECT id, v, cell FROM (
             SELECT x.id, x.v, c.cell,
                    row_number() OVER (PARTITION BY x.id
                      ORDER BY ${duckL2("x.v", "c.cvec")}, c.cell) AS rn
-            FROM vecs x CROSS JOIN c$iters c) WHERE rn = 1)"""
+            FROM ${pfx}vecs x CROSS JOIN ${pfx}c$iters c) WHERE rn = 1)"""
     sb.toString
   }
 }

@@ -33,6 +33,8 @@ object PlanLint {
       "broadcast query set, maxQueries-capped",
     ("q131_int8_topk", "NestedLoopJoin") ->
       "broadcast query set, maxQueries-capped (int8 candidate pass)",
+    ("q133_pq_topk", "NestedLoopJoin") ->
+      "broadcast query set, maxQueries-capped (ADC candidate pass)",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

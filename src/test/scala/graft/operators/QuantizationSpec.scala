@@ -68,6 +68,49 @@ class QuantizationSpec extends SparkSpec {
     assert(out.forall { case (_, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
   }
 
+  test("pqEncode: m-byte codes; a training vector encodes to its own cell") {
+    val v = vecs(32)
+    val books = Quantization.pqTrain(v, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 4, iters = 0)
+    assert(books.size === 4 && books.forall(_.size === 4))
+    val codes = Quantization.pqEncode(v, "vec_id", "embedding", books)
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(codes.size === 32)
+    assert(codes.values.forall(c => c.length === 4 && c.forall(b => b >= 0 && b < 4)))
+    // iters=0 codebook = the 4 smallest-id sub-vectors verbatim, so
+    // every slice of vector 2 is its own centroid: code = (2,2,2,2)
+    assert(codes(2L) === Seq[Byte](2, 2, 2, 2))
+  }
+
+  test("pqTopK with a full-width rescore window equals brute force") {
+    val corpus = vecs(60)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val books = Quantization.pqTrain(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 8, iters = 2)
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", 3)
+      .select("query_id", "nbr_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val pq = Quantization.pqTopK(corpus, queries, "vec_id", "embedding",
+        3, books, rescoreFactor = 20)
+      .select("query_id", "nbr_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pq === brute)
+  }
+
+  test("pqTopKEncoded serves from persisted codes") {
+    val corpus = vecs(40)
+    val queries = corpus.filter(col("vec_id") === 7)
+    val books = Quantization.pqTrain(corpus, "vec_id", "embedding",
+      dim = 8, m = 2, ksub = 8, iters = 1)
+    val codes = Quantization.pqEncode(corpus, "vec_id", "embedding", books)
+    val out = Quantization.pqTopKEncoded(codes, corpus, queries,
+        "vec_id", "embedding", 5, books, rescoreFactor = 10)
+      .select("nbr_id", "sim", "rank").as[(Long, Double, Int)].collect()
+    assert(out.length === 5 && out.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(out.forall { case (n, s, _) => n != 7L && s <= 1.0 + 1e-9 })
+  }
+
   test("int8TopK refuses oversized query sets") {
     val corpus = vecs(30)
     intercept[IllegalArgumentException] {
