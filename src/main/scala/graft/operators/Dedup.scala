@@ -555,6 +555,36 @@ object Dedup {
     hammingCandidates(chunked, Seq("chunk", "cval"), maxBucket, maxDist)
   }
 
+  /** Hamming near-dup pairs over an ARBITRARY precomputed 64-bit
+    * signature column (a perceptual image hash, an externally computed
+    * fingerprint): the [[simhashPortablePairs]] candidate machinery —
+    * pigeonhole chunks, bucket cap, native pair kernel — without the
+    * text-signature stage. Exact at `maxDist < chunks` when
+    * `chunks × chunkBits` covers all 64 bits (any pair within maxDist
+    * must agree on at least one whole chunk). Unsigned shifts, so
+    * signatures using bit 63 chunk correctly. */
+  def signatureNearDupPairs(df: DataFrame, idCol: String, sigCol: String,
+                            maxDist: Int = 3, chunks: Int = 4,
+                            chunkBits: Int = 16,
+                            maxBucket: Int = 10000): DataFrame = {
+    require(maxDist < chunks,
+      s"pigeonhole needs maxDist < chunks: $maxDist >= $chunks misses pairs")
+    require(chunks * chunkBits <= 64,
+      s"chunk layout ${chunks}x$chunkBits exceeds 64 bits")
+    val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val chunked = df
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until chunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("sig"), c * chunkBits)
+              .bitwiseAND(lit(chunkMask)).as("cval"))
+        }: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
+    hammingCandidates(chunked, Seq("chunk", "cval"), maxBucket, maxDist)
+  }
+
   /** Shared staging of the portable SimHash pipeline for one batch:
     * (id, sig, chunk, cval) — one row per pigeonhole chunk, which is both
     * the in-memory candidate index and the layout a signature STORE

@@ -267,6 +267,53 @@ object Multimodal {
       .toDF("media_id", "content")
   }
 
+  /** 64-bit difference-hash (dHash) perceptual signature over REAL
+    * decoded pixels: gray levels `(r+g+b)/3` are sampled on a 9×8
+    * nearest-neighbor grid (`gx(i) = ⌊i·w/9⌋`, `gy(j) = ⌊j·h/8⌋`) and
+    * bit `j·8+i` is set when the right neighbor is brighter — the
+    * standard row-gradient dHash, fixed-grid so the hash is a pure
+    * integer function of the decoded pixels (engine-portable).
+    * Undecodable payloads hash to null (they cannot perceptually match
+    * anything). Compose with [[Dedup.signatureNearDupPairs]] for
+    * near-dup image pairs and [[Dedup.connectedComponents]] for image
+    * dedup clusters.
+    *
+    * Scale shape: one narrow mapPartitions (codec per partition, binary
+    * never shuffles); downstream dedup carries only (id, 8-byte hash). */
+  def dHash(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(contentCol).as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = new ImageCodec // per-partition init
+        it.map { case (id, bytes) =>
+          (id, codec.decode(bytes).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            def gray(x: Int, y: Int): Int = {
+              val p = img.getRGB(x, y) & 0xFFFFFF
+              (((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)) / 3
+            }
+            val gx = Array.tabulate(9)(i => i * w / 9)
+            val gy = Array.tabulate(8)(j => j * h / 8)
+            var hsh = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                if (gray(gx(i + 1), gy(j)) > gray(gx(i), gy(j)))
+                  hsh |= 1L << (j * 8 + i)
+                i += 1
+              }
+              j += 1
+            }
+            hsh
+          })
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
   /** Fixture generator: one REAL PNG per row with the given dimension
     * columns (int), seeded by the id — runs on executors so the encode
     * cost distributes with the data. */

@@ -146,5 +146,99 @@ private[queries] object MultimodalQueries {
                CAST((doc_id % 64 + 8) // 2 AS BIGINT) AS width,
                CAST((doc_id % 48 + 8) // 2 AS BIGINT) AS height
         FROM documents""")),
+
+    // ===== Multimodal: 64-bit dHash perceptual signature over REAL
+    // decoded pixels — every hash BIT oracle-checked by replaying the
+    // fixture PNG's deterministic pixel stream (64-bit LCG) in SQL and
+    // re-deriving the gray-gradient grid. 50 distinct images × 10
+    // copies each, so exact perceptual dups exist =====
+    QueryDef("q134_image_dhash",
+      (s, dir) => {
+        val (media, _) = dhashMedia(s, dir)
+        graft.operators.Multimodal.dHash(media, "media_id", "content")
+      },
+      Some(s"""
+        WITH RECURSIVE ${duckDhashCtes}
+        SELECT media_id, dhash FROM dh""")),
+
+    // ===== Multimodal: perceptual image near-dup pairs — dHash +
+    // pigeonhole hamming banding (4×16-bit chunks, exact at dist ≤ 3);
+    // the oracle brute-forces all 125k hash pairs =====
+    QueryDef("q135_image_neardup",
+      (s, dir) => {
+        val (media, _) = dhashMedia(s, dir)
+        val hashes = graft.operators.Multimodal.dHash(
+          media, "media_id", "content")
+        graft.operators.Dedup.signatureNearDupPairs(hashes,
+            "media_id", "dhash", maxDist = 3, chunks = 4, chunkBits = 16)
+          .withColumn("hamming", col("hamming").cast("long"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${duckDhashCtes}
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM dh a JOIN dh b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""")),
   )
+
+  /** q134/q135 fixture: 50 distinct REAL PNGs (dims and seed a pure
+    * function of `g = doc_id % 50`), each shared by 10 docs — exact
+    * perceptual duplicates with distinct media ids. */
+  private def dhashMedia(s: org.apache.spark.sql.SparkSession,
+                         dir: String) = {
+    val docs = T.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("g"))
+    val grp = docs.select("g").distinct()
+      .select(col("g"), (pmod(col("g"), lit(11)) + 20).as("w"),
+        (pmod(col("g"), lit(7)) + 16).as("h"))
+    val imgs = graft.operators.Multimodal.synthImages(grp, "g", "w", "h")
+      .withColumnRenamed("media_id", "g")
+    val media = docs.join(imgs, Seq("g"))
+      .select(col("doc_id").as("media_id"), col("content"))
+    (media, docs)
+  }
+
+  /** DuckDB replay of [[graft.operators.Multimodal.dHash]] over the
+    * q134 fixture: the PNG pixel stream is `pngBytes`' 64-bit LCG
+    * (`s' = s·6364136223846793005 + 1442695040888963407 mod 2^64`,
+    * pixel = bits 40..63 of the state, walked row-major from seed = g),
+    * so HUGEINT arithmetic re-derives every gray sample, the 9×8 grid
+    * gradient re-derives every hash bit, and the signed-BIGINT fold
+    * matches the Spark hash exactly. */
+  private def duckDhashCtes: String = s"""
+        dims AS (SELECT DISTINCT doc_id % 50 AS g,
+                        (doc_id % 50) % 11 + 20 AS w,
+                        (doc_id % 50) % 7 + 16 AS h FROM documents),
+        walk(g, n, s) AS (
+          SELECT g, 0, CAST(g AS HUGEINT) FROM dims
+          UNION ALL
+          SELECT w.g, w.n + 1,
+                 (w.s * 6364136223846793005 + 1442695040888963407)
+                   % 18446744073709551616
+          FROM walk w JOIN dims d ON w.g = d.g WHERE w.n < d.w * d.h),
+        px AS (SELECT g, n,
+                 CAST((s // 1099511627776) % 16777216 AS BIGINT) AS p
+               FROM walk WHERE n >= 1),
+        gray AS (SELECT g, n,
+                   (((p // 65536) % 256) + ((p // 256) % 256) + (p % 256)) // 3
+                     AS gv
+                 FROM px),
+        gpt AS (SELECT d.g, ii.i, jj.j,
+                       ((jj.j * d.h) // 8) * d.w + ((ii.i * d.w) // 9) + 1 AS n
+                FROM dims d, range(0, 9) ii(i), range(0, 8) jj(j)),
+        gsam AS (SELECT p.g, p.i, p.j, gr.gv FROM gpt p
+                 JOIN gray gr ON p.g = gr.g AND p.n = gr.n),
+        hb AS (SELECT l.g, CAST(l.j * 8 + l.i AS INTEGER) AS bit
+               FROM gsam l JOIN gsam r
+                 ON l.g = r.g AND l.j = r.j AND r.i = l.i + 1
+               WHERE r.gv > l.gv),
+        hu AS (SELECT d.g, COALESCE(s.b, CAST(0 AS HUGEINT)) AS b
+               FROM dims d LEFT JOIN
+                 (SELECT g, SUM(CAST(power(2, bit) AS HUGEINT)) AS b
+                  FROM hb GROUP BY g) s ON d.g = s.g),
+        dh AS (SELECT d.doc_id AS media_id,
+                      CAST(CASE WHEN h.b >= 9223372036854775808
+                                THEN h.b - 18446744073709551616
+                                ELSE h.b END AS BIGINT) AS dhash
+               FROM documents d JOIN hu h ON d.doc_id % 50 = h.g)"""
 }

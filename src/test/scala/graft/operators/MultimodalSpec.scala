@@ -94,6 +94,37 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out(2L), "UTF-8") === "aceg", "stub keeps every 2nd byte")
   }
 
+  test("dHash: identical pixels hash equal, different pixels differ, " +
+      "undecodable hashes null") {
+    val imgs = Seq(
+      (1L, Multimodal.pngBytes(24, 18, 9L)),
+      (2L, Multimodal.pngBytes(24, 18, 9L)),  // same seed+dims = same image
+      (3L, Multimodal.pngBytes(24, 18, 10L)), // different pixels
+      (4L, "not an image".getBytes("UTF-8"))
+    ).toDF("media_id", "content")
+    val out = Multimodal.dHash(imgs, "media_id", "content")
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1L).isDefined && out(1L) === out(2L))
+    assert(out(1L) !== out(3L), "independent pixel streams should differ")
+    assert(out(4L) === None)
+  }
+
+  test("dHash + signatureNearDupPairs pair the perceptual duplicates") {
+    val imgs = Seq(
+      (1L, Multimodal.pngBytes(20, 16, 3L)),
+      (2L, Multimodal.pngBytes(20, 16, 3L)),
+      (3L, Multimodal.pngBytes(20, 16, 4L)),
+      (4L, "junk".getBytes("UTF-8"))
+    ).toDF("media_id", "content")
+    val hashes = Multimodal.dHash(imgs, "media_id", "content")
+    val pairs = Dedup.signatureNearDupPairs(hashes, "media_id", "dhash",
+        maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("multimodal features feed Similarity directly") {
     val feats = Multimodal.featurize(media, "media_id", "content", dim = 8)
     val top = Similarity.bruteForceTopK(feats, feats.filter(col("media_id") === 1),
