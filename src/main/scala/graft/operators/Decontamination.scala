@@ -43,6 +43,44 @@ object Decontamination {
     * (distinct, broadcastable) eval grams, then one groupBy id with
     * partial aggregation; the gram-less docs re-enter via a left join
     * from the id projection. */
+  /** SEMANTIC decontamination: flag docs whose embedding is within
+    * `threshold` cosine of ANY eval-set embedding — the paraphrase
+    * leak n-gram overlap cannot see (a benchmark item reworded shares
+    * no 8-gram but sits next to the original in embedding space).
+    * Output: one row per flagged doc with its best witness,
+    * (id, eval_id, sim), ties on sim resolved to the larger eval id
+    * (the struct-max order, mirrored by the oracle).
+    *
+    * Scale shape: the eval side is benchmark-sized and broadcast
+    * (guarded by `maxEval` — a huge "eval set" should go through the
+    * ANN tier instead); the corpus never shuffles vectors — the
+    * doc×eval product carries only (id, eval_id, sim) into a partial
+    * aggregation that map-side-combines to one row per doc before the
+    * single exchange. */
+  def semanticContamination(docs: DataFrame, idCol: String, vecCol: String,
+                            eval: DataFrame, evalIdCol: String,
+                            evalVecCol: String, threshold: Double,
+                            maxEval: Int = 10000): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
+    val eCount = eval.limit(maxEval + 1).count()
+    require(eCount <= maxEval,
+      s"semanticContamination eval side exceeds $maxEval vectors; " +
+        "route large reference sets through the ANN tier")
+    val e = broadcast(eval.select(col(evalIdCol).as("eval_id"),
+      col(evalVecCol).as("__ev"), norm(col(evalVecCol)).as("__en")))
+    val d = docs.select(col(idCol).as("id"), col(vecCol).as("__dv"),
+      norm(col(vecCol)).as("__dn"))
+    d.crossJoin(e)
+      .select(col("id"), col("eval_id"),
+        cosineFromParts(dot(col("__dv"), col("__ev")),
+          col("__dn"), col("__en")).as("sim"))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), col("eval_id"))).as("m"))
+      .select(col("id"), col("m.eval_id").as("eval_id"),
+        col("m.sim").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   def overlapStats(docs: DataFrame, idCol: String, textCol: String,
                    evalTexts: DataFrame, evalTextCol: String,
                    n: Int): DataFrame = {

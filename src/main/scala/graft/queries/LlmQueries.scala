@@ -355,6 +355,37 @@ private[queries] object LlmQueries {
       },
       Some(deconOracle)),
 
+    // ===== Decontamination, SEMANTIC form: flag docs whose embedding
+    // sits within threshold cosine of any eval item — catches the
+    // reworded benchmark leak n-gram overlap cannot; best witness per
+    // doc, struct-max tie order mirrored =====
+    QueryDef("q136_semantic_decon",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val eval = e.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 10000).as("eval_id"), col("embedding"))
+        Decontamination.semanticContamination(e, "vec_id", "embedding",
+            eval, "eval_id", "embedding", threshold = 0.35)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some {
+        val d = duckDot("d.embedding", "e.ev")
+        val na = s"sqrt(${duckDot("d.embedding", "d.embedding")})"
+        val nb = s"sqrt(${duckDot("e.ev", "e.ev")})"
+        s"""
+        WITH ev AS (SELECT vec_id + 10000 AS eval_id, embedding AS ev
+                    FROM embeddings WHERE vec_id < 20),
+        sims AS (SELECT d.vec_id, e.eval_id,
+                   CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                        ELSE $d / ($na * $nb) END AS sim
+                 FROM embeddings d CROSS JOIN ev e),
+        best AS (SELECT vec_id, eval_id, sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY sim DESC, eval_id DESC) AS rn
+            FROM sims) WHERE rn = 1)
+        SELECT vec_id, eval_id, sim FROM best WHERE sim >= 0.35"""
+      }),
+
     // ===== Decontamination, surgical form: WHERE each corpus doc
     // overlaps the eval set — maximal runs of eval-shared 5-grams as
     // token spans (minSpan = n, so flagged ids match q63 exactly);

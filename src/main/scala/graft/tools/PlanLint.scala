@@ -35,6 +35,8 @@ object PlanLint {
       "broadcast query set, maxQueries-capped (int8 candidate pass)",
     ("q133_pq_topk", "NestedLoopJoin") ->
       "broadcast query set, maxQueries-capped (ADC candidate pass)",
+    ("q136_semantic_decon", "NestedLoopJoin") ->
+      "broadcast eval set, maxEval-capped",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

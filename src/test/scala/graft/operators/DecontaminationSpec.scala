@@ -216,4 +216,28 @@ class DecontaminationSpec extends SparkSpec {
     assert(idx2.check(ev, "text").as[Long].collect().sorted.toSeq ===
       Seq(7L, 100L))
   }
+
+  test("semanticContamination flags by cosine with the best witness") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // = eval 10
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // near eval 10
+      (3L, Array(0.0f, 0.0f, 1.0f))    // orthogonal to both
+    ).toDF("id", "vec")
+    val eval = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("eval_id", "ev")
+    val out = Decontamination.semanticContamination(docs, "id", "vec",
+        eval, "eval_id", "ev", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._1 === 10L && math.abs(out(1L)._2 - 1.0) < 1e-12)
+    assert(out(2L)._1 === 10L)
+    // eval-side guard refuses unbounded broadcast products
+    intercept[IllegalArgumentException] {
+      Decontamination.semanticContamination(docs, "id", "vec",
+        eval, "eval_id", "ev", 0.5, maxEval = 1)
+    }
+  }
 }
