@@ -58,7 +58,11 @@ object Quantization {
 
   /** Cosine of two int8 codes: per-vector scales CANCEL in cosine, so
     * the score needs only the integer dot and the integer norms — exact
-    * integers into one binary64 division, bit-portable. */
+    * integers into one binary64 division, bit-portable. This is the
+    * executable SPECIFICATION of the serving path's arithmetic:
+    * [[int8TopK]] computes the same values through the native double
+    * dot kernel (codes ≤ 127 are exact doubles; integer-valued sums
+    * stay exact below 2^53), parity-tested in QuantizationSpec. */
   private[operators] def intCosine(a: Column, b: Column): Column = {
     val na = sqrt(intDot(a, a).cast("double"))
     val nb = sqrt(intDot(b, b).cast("double"))
@@ -88,13 +92,25 @@ object Quantization {
     require(qCount <= maxQueries,
       s"int8TopK query side exceeds $maxQueries vectors; " +
         "use lshTopK or ivfTopK for large query sets")
+    // codes widen to double AT THE SCAN (every value ≤ 127 is exact, and
+    // integer-valued double sums stay exact below 2^53, so the scores
+    // are bit-identical to pure integer arithmetic) — the pair loop
+    // then runs the same native dot kernel as the float32 path with
+    // norms hoisted to once per row, not once per pair. The first
+    // probe measured the per-pair zip_with fold + per-pair norms at
+    // 12× the brute wall; this form matches it.
     val qc = quantizeInt8(corpus, idCol, vecCol)
-      .select(col("id").as("nbr_id"), col("qvec").as("__cq"))
+      .select(col("id").as("nbr_id"),
+        col("qvec").cast("array<double>").as("__cq"))
+      .withColumn("__cn", norm(col("__cq")))
     val qq = quantizeInt8(queries, idCol, vecCol)
-      .select(col("id").as(queryIdCol), col("qvec").as("__qq"))
+      .select(col("id").as(queryIdCol),
+        col("qvec").cast("array<double>").as("__qq"))
+      .withColumn("__qn", norm(col("__qq")))
     val approx = qc.join(broadcast(qq), col("nbr_id") =!= col(queryIdCol))
       .select(col(queryIdCol), col("nbr_id"),
-        intCosine(col("__cq"), col("__qq")).as("__approx"))
+        cosineFromParts(dot(col("__cq"), col("__qq")),
+          col("__cn"), col("__qn")).as("__approx"))
     val wa = Window.partitionBy(queryIdCol)
       .orderBy(desc("__approx"), asc("nbr_id"))
     val survivors = approx.withColumn("__arn", row_number().over(wa))
@@ -204,32 +220,21 @@ object Quantization {
     require(qCount <= maxQueries,
       s"pqTopK query side exceeds $maxQueries vectors; " +
         "use lshTopK or ivfTopK for large query sets")
-    val m = books.size
-    val subDim = books.head.head._2.length
-    // per-subspace centroid-norm² literals: exact left-to-right folds,
-    // computed once driver-side — the corpus norm needs no vector read
-    def n2(v: Array[Double]): Double = v.foldLeft(0.0)((a, x) => a + x * x)
-    val ntabs = books.map(b => array(b.sortBy(_._1).map(c => lit(n2(c._2))): _*))
-    // per-query dot tables: qtab_s[c] = q_slice_s · centroid_{s,c}
-    val qtabs = books.zipWithIndex.map { case (b, s) =>
-      array(b.sortBy(_._1).map { case (_, cv) =>
-        dot(slice(col("__qv"), s * subDim + 1, subDim),
-          array(cv.map(lit): _*))
-      }: _*).as(s"__qtab$s")
-    }
+    // corpus-side approx norm hoisted to ONCE PER ROW before the pair
+    // join (codebook-norm literal table); per-pair work is then one
+    // native ADC fold — the composed per-pair element_at chain blew
+    // past codegen limits and ran interpreted at ~10× the brute wall
+    val corp = codes.withColumnRenamed("id", "nbr_id")
+      .withColumn("__cn", sqrt(adcDot(col("code"), normTable(books), books)))
     val q = queries
       .select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
-      .select((col(queryIdCol) +: qtabs :+ norm(col("__qv")).as("__qn")): _*)
-    def codeAt(s: Int): Column =
-      element_at(col("code"), s + 1).cast("int") + lit(1)
-    val dp = (0 until m).map(s =>
-      element_at(col(s"__qtab$s"), codeAt(s))).reduce(_ + _)
-    val cn2 = (0 until m).map(s =>
-      element_at(ntabs(s), codeAt(s))).reduce(_ + _)
-    val approx = codes.withColumnRenamed("id", "nbr_id")
+      .select(col(queryIdCol), queryTable(books, col("__qv")).as("__qtab"),
+        norm(col("__qv")).as("__qn"))
+    val approx = corp
       .join(broadcast(q), col("nbr_id") =!= col(queryIdCol))
       .select(col(queryIdCol), col("nbr_id"),
-        cosineFromParts(dp, sqrt(cn2), col("__qn")).as("__approx"))
+        cosineFromParts(adcDot(col("code"), col("__qtab"), books),
+          col("__cn"), col("__qn")).as("__approx"))
     val wa = Window.partitionBy(queryIdCol)
       .orderBy(desc("__approx"), asc("nbr_id"))
     val survivors = approx.withColumn("__arn", row_number().over(wa))
@@ -247,4 +252,106 @@ object Quantization {
              maxQueries: Int = 10000): DataFrame =
     pqTopKEncoded(pqEncode(corpus, idCol, vecCol, books), corpus, queries,
       idCol, vecCol, k, books, rescoreFactor, queryIdCol, maxQueries)
+
+  /** The native ADC fold as a Column: `Σ_s table[s·ksub + code[s]]`. */
+  private def adcDot(code: Column, table: Column,
+                     books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    val ksubs = books.map(_.size).distinct
+    require(ksubs.size == 1, s"ragged codebooks: $ksubs cells per subspace")
+    import graft.functions.expressions.{AdcDot, ColumnBridge}
+    ColumnBridge.column(AdcDot(ColumnBridge.expression(code),
+      ColumnBridge.expression(table), ksubs.head))
+  }
+
+  /** Flattened `m × ksub` codebook-norm² literal table (exact
+    * left-to-right folds, computed driver-side once). */
+  private def normTable(books: Seq[Seq[(Int, Array[Double])]]): Column = {
+    def n2(v: Array[Double]): Double = v.foldLeft(0.0)((a, x) => a + x * x)
+    array(books.flatMap(b => b.sortBy(_._1).map(c => lit(n2(c._2)))): _*)
+  }
+
+  /** Flattened per-query ADC dot table: entry `s·ksub + c` =
+    * q_slice_s · centroid_{s,c} — computed once per QUERY row against
+    * codebook literals, reused across every candidate. */
+  private def queryTable(books: Seq[Seq[(Int, Array[Double])]],
+                         qv: Column): Column = {
+    val subDim = books.head.head._2.length
+    array(books.zipWithIndex.flatMap { case (b, s) =>
+      b.sortBy(_._1).map { case (_, cv) =>
+        dot(slice(qv, s * subDim + 1, subDim), array(cv.map(lit): _*))
+      }
+    }: _*)
+  }
+
+  // ---------------------------------------------------------- IVF-PQ
+
+  /** [[pqEncode]] plus a coarse IVF cell per vector — the (id, cell,
+    * code) layout [[ivfPqTopKEncoded]] serves from, cell-bucketable
+    * exactly like [[IvfStore]]'s table. One narrow map; centroids and
+    * codebooks ride as plan literals. */
+  def pqEncodeAssigned(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame,
+                       books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val rows = centroids.select(col("cell").cast("int"), col("cvec"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "pqEncodeAssigned needs at least one centroid")
+    val cents = rows.map(r => (r.getInt(0),
+      r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)).toSeq
+    val subDim = books.head.head._2.length
+    val code = array(books.zipWithIndex.map { case (b, s) =>
+      Similarity.nearestCellColumn(
+        slice(col(vecCol), s * subDim + 1, subDim), b).cast("byte")
+    }: _*)
+    df.select(col(idCol).as("id"),
+      Similarity.nearestCellColumn(col(vecCol), cents).as("cell"),
+      code.as("code"))
+  }
+
+  /** IVF-PQ serving — the standard warehouse-scale vector layout
+    * (coarse inverted cells × product codes): queries probe their
+    * `nProbes` nearest coarse cells and the candidate pass is an
+    * EQUI-JOIN on cell over the m-byte codes — no broadcast cross
+    * product anywhere, candidates bounded by the probed cells' row
+    * count, and the scan reads codes, not vectors. ADC scores the
+    * cell survivors (O(m) lookups per pair), exact cosine rescores the
+    * top k×rescoreFactor.
+    *
+    * Serve-identity contract: `centroids` must be the set `codes` was
+    * assigned under and `books` the set it was encoded under (the
+    * [[IvfStore]] frozen-centroid rule; persist all three together). */
+  def ivfPqTopKEncoded(codes: DataFrame, corpus: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, centroids: DataFrame,
+                       books: Seq[Seq[(Int, Array[Double])]],
+                       nProbes: Int, rescoreFactor: Int = 4,
+                       queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    // nProbes nearest coarse cells per query (query side is small)
+    val qw = Window.partitionBy(queryIdCol).orderBy(asc("__d"), asc("cell"))
+    val probed = queries
+      .select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+      .join(cents)
+      .withColumn("__d", l2Sq(col("__qv"), col("cvec")))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nProbes)
+      .select(col(queryIdCol), col("cell"),
+        queryTable(books, col("__qv")).as("__qtab"),
+        norm(col("__qv")).as("__qn"))
+    // per-row corpus norm + per-pair native ADC fold — see pqTopKEncoded
+    val approx = codes.withColumnRenamed("id", "nbr_id")
+      .withColumn("__cn", sqrt(adcDot(col("code"), normTable(books), books)))
+      .join(probed, Seq("cell"))
+      .filter(col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        cosineFromParts(adcDot(col("code"), col("__qtab"), books),
+          col("__cn"), col("__qn")).as("__approx"))
+    val wa = Window.partitionBy(queryIdCol)
+      .orderBy(desc("__approx"), asc("nbr_id"))
+    val survivors = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"))
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
+  }
 }

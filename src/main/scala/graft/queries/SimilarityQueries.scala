@@ -601,7 +601,86 @@ private[queries] object SimilarityQueries {
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
       }),
-  )
+  ) :+ ivfPqDef
+
+  /** The defs entry for q137 lives here (appended to [[defs]] below)
+    * so the oracle helpers above stay adjacent. */
+  private[queries] def ivfPqDef: QueryDef =
+    // ===== IVF-PQ: the warehouse-scale vector-serving layout — coarse
+    // inverted cells bound the candidates (equi-join, no cross
+    // product), m-byte PQ codes score them by ADC, exact rescore =====
+    QueryDef("q137_ivfpq_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = graft.operators.Clustering.kmeans(
+          e, "vec_id", "embedding", k = 8, iters = 1)
+        val books = graft.operators.Quantization.pqTrain(
+          e, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+        val codes = graft.operators.Quantization.pqEncodeAssigned(
+          e, "vec_id", "embedding", cents, books)
+        graft.operators.Quantization.ivfPqTopKEncoded(
+            codes, e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, cents, books, nProbes = 2, rescoreFactor = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("c.embedding", "q.embedding")
+        val na = s"sqrt(${duckDot("c.embedding", "c.embedding")})"
+        val nb = s"sqrt(${duckDot("q.embedding", "q.embedding")})"
+        val dts = (0 until 4).map(s =>
+          duckDot(s"(q.embedding[${s * 16 + 1}:${s * 16 + 16}])", s"r.v$s"))
+        val n2s = (0 until 4).map(s => duckDot(s"r.v$s", s"r.v$s"))
+        s"""
+        WITH ${kmeansCtes(8, 1, 64, pfx = "cc_")},
+        ${pqBookCtes(1)},
+        probed AS (SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${duckL2("e.embedding", "c.cvec")}, c.cell)
+                     AS rn
+            FROM embeddings e CROSS JOIN cc_c1 c WHERE e.vec_id < 8)
+          WHERE rn <= 2),
+        r AS (SELECT e0.id, cc.cell,
+                cb0.cvec AS v0, cb1.cvec AS v1, cb2.cvec AS v2, cb3.cvec AS v3
+              FROM s0_afin e0
+              JOIN cc_afin cc ON e0.id = cc.id
+              JOIN s1_afin e1 ON e0.id = e1.id
+              JOIN s2_afin e2 ON e0.id = e2.id
+              JOIN s3_afin e3 ON e0.id = e3.id
+              JOIN s0_c1 cb0 ON e0.cell = cb0.cell
+              JOIN s1_c1 cb1 ON e1.cell = cb1.cell
+              JOIN s2_c1 cb2 ON e2.cell = cb2.cell
+              JOIN s3_c1 cb3 ON e3.cell = cb3.cell),
+        ap AS (SELECT p.query_id, r.id AS nbr_id,
+                 (((${dts(0).replace("q.embedding", "p.qv")}
+                   + ${dts(1).replace("q.embedding", "p.qv")})
+                   + ${dts(2).replace("q.embedding", "p.qv")})
+                   + ${dts(3).replace("q.embedding", "p.qv")}) AS dp,
+                 (((${n2s(0)}
+                   + ${n2s(1)})
+                   + ${n2s(2)})
+                   + ${n2s(3)}) AS cn2,
+                 sqrt(${duckDot("p.qv", "p.qv")}) AS qn
+               FROM r JOIN probed p ON r.cell = p.cell
+               WHERE r.id != p.query_id),
+        surv AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY
+                  CASE WHEN sqrt(cn2) = 0.0 OR qn = 0.0 THEN 0.0
+                       ELSE dp / (sqrt(cn2) * qn) END DESC,
+                  nbr_id) AS rn
+            FROM ap) WHERE rn <= 15),
+        ex AS (SELECT s.query_id, s.nbr_id,
+                 CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                      ELSE $d / ($na * $nb) END AS sim
+               FROM surv s
+               JOIN embeddings c ON s.nbr_id = c.vec_id
+               JOIN embeddings q ON s.query_id = q.vec_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
+        WHERE "rank" <= 5"""
+      })
 
   /** The q132/q133 PQ codebook CTE chains: one prefixed deterministic
     * k-means instance per 16-component subspace slice (m=4, ksub=8). */

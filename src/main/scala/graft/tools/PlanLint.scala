@@ -37,6 +37,8 @@ object PlanLint {
       "broadcast query set, maxQueries-capped (ADC candidate pass)",
     ("q136_semantic_decon", "NestedLoopJoin") ->
       "broadcast eval set, maxEval-capped",
+    ("q137_ivfpq_topk", "NestedLoopJoin") ->
+      "broadcast centroid table, one row per coarse cell (probe step)",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

@@ -949,6 +949,122 @@ object ScaleProbe {
     timedCount("serve (compacted, rep 2)") { idx.search(q, 10) }
   }
 
+  /** Compressed-vector serving: brute float32 top-10 vs int8-rescore vs
+    * PQ-ADC at 1M×64, with recall vs the exact answer and the at-rest
+    * bytes of each representation. The claim under test: the candidate
+    * pass over 4× (int8) / 64× (PQ) smaller data holds recall ≥ ~0.99
+    * with a 4× rescore window. */
+  private def quantProbe(spark: SparkSession, embPath: String,
+                         root: String): Unit = {
+    val emb = spark.read.parquet(embPath)
+    val n = emb.count()
+    println(s"[probe] quant corpus n=$n")
+    val queries = emb.filter(col("vec_id") < 100)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var brute: Set[(Long, Long)] = Set.empty
+    time("brute topk float32 (100 q)") {
+      brute = pairs(graft.operators.Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", 10))
+    }
+    var i8: Set[(Long, Long)] = Set.empty
+    time("int8 topk, rescore 4 (100 q)") {
+      i8 = pairs(graft.operators.Quantization.int8TopK(
+        emb, queries, "vec_id", "embedding", 10, rescoreFactor = 4))
+    }
+    println(f"[probe] int8 recall vs exact = ${
+      (i8 & brute).size.toDouble / brute.size}%.4f")
+    // PQ: train on a 10% sample (the q113 discipline), encode everything.
+    // m=16 (4-dim slices) so per-vector noise reaches the code and
+    // near-identical vectors don't collapse onto ONE code — the first
+    // probe (m=8) measured recall 0.01 from exactly that collapse:
+    // thousands of same-code candidates tie on approx score and the
+    // id tie-break pushes the true neighbors outside the window.
+    var books: Seq[Seq[(Int, Array[Double])]] = Seq.empty
+    time("pq train m=16 ksub=16 it=2 (10% sample)") {
+      books = graft.operators.Quantization.pqTrain(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", dim = 64, m = 16, ksub = 16, iters = 2)
+    }
+    val codesPath = s"$root/pq_codes"
+    time("pq encode + persist (1 narrow map)") {
+      graft.operators.Quantization.pqEncode(emb, "vec_id", "embedding", books)
+        .write.mode("overwrite").parquet(codesPath)
+    }
+    val codes = spark.read.parquet(codesPath)
+    // rescore-window sweep: the recall knob, and the honest cost curve
+    Seq(8, 100).foreach { rf =>
+      var pq: Set[(Long, Long)] = Set.empty
+      time(s"pq ADC topk, rescore $rf (100 q)") {
+        pq = pairs(graft.operators.Quantization.pqTopKEncoded(
+          codes, emb, queries, "vec_id", "embedding", 10, books,
+          rescoreFactor = rf))
+      }
+      println(f"[probe] pq recall (rf=$rf) vs exact = ${
+        (pq & brute).size.toDouble / brute.size}%.4f")
+    }
+    // planted-margin case: the retrieval workload PQ exists for. 10
+    // jittered copies of each query (±1% noise) enter the corpus; the
+    // true top-10 are now separated from the bulk by a real margin
+    // instead of the synthetic corpus's iid ±0.15 noise floor (which
+    // sits BELOW the code quantization error — no code can rank inside
+    // it, only the rescore window can).
+    val planted = emb.unionByName(
+      queries.crossJoin(spark.range(10).select(col("id").as("__r")))
+        .select((col("vec_id") * 10 + col("__r") + 2000000L).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x + sin(col("vec_id") * 131 + col("__r") * 17 + j)
+              * lit(0.01f)).cast("float")).as("embedding")))
+      .localCheckpoint(true)
+    var pbrute: Set[(Long, Long)] = Set.empty
+    time("planted: brute float32") {
+      pbrute = pairs(graft.operators.Similarity.bruteForceTopK(
+        planted, queries, "vec_id", "embedding", 10))
+    }
+    val pcodes = graft.operators.Quantization.pqEncode(
+      planted, "vec_id", "embedding", books).localCheckpoint(true)
+    var ppq: Set[(Long, Long)] = Set.empty
+    time("planted: pq ADC, rescore 8") {
+      ppq = pairs(graft.operators.Quantization.pqTopKEncoded(
+        pcodes, planted, queries, "vec_id", "embedding", 10, books,
+        rescoreFactor = 8))
+    }
+    println(f"[probe] planted pq recall vs exact = ${
+      (ppq & pbrute).size.toDouble / pbrute.size}%.4f")
+    // IVF-PQ: coarse cells bound candidates, equi-join serve
+    var cents: org.apache.spark.sql.DataFrame = null
+    time("ivfpq: coarse kmeans k=64 it=2 (10% sample)") {
+      cents = graft.operators.Clustering.kmeans(
+        planted.filter(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", k = 64, iters = 2)
+    }
+    val acodes = graft.operators.Quantization.pqEncodeAssigned(
+      planted, "vec_id", "embedding", cents, books).localCheckpoint(true)
+    var ivfpq: Set[(Long, Long)] = Set.empty
+    time("ivfpq: serve nProbes=8, rescore 8") {
+      ivfpq = pairs(graft.operators.Quantization.ivfPqTopKEncoded(
+        acodes, planted, queries, "vec_id", "embedding", 10, cents, books,
+        nProbes = 8, rescoreFactor = 8))
+    }
+    println(f"[probe] planted ivfpq recall vs exact = ${
+      (ivfpq & pbrute).size.toDouble / pbrute.size}%.4f")
+    // at-rest accounting (parquet bytes, same codec everywhere)
+    val int8Path = s"$root/int8"
+    graft.operators.Quantization.quantizeInt8(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(int8Path)
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    val fullPath = s"$root/full"
+    emb.write.mode("overwrite").parquet(fullPath)
+    println(s"[probe] bytes float32=${dirBytes(fullPath)} " +
+      s"int8=${dirBytes(int8Path)} pq=${dirBytes(codesPath)}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1036,10 +1152,12 @@ object ScaleProbe {
       case "compact" :: docsPath :: root :: rest =>
         compactProbe(spark, docsPath, root,
           rest.headOption.map(_.toInt).getOrElse(100))
+      case "quant" :: embPath :: root :: Nil =>
+        quantProbe(spark, embPath, root)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact", "quant").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +

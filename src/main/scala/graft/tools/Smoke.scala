@@ -202,6 +202,49 @@ object Smoke {
           TextFunctions.qualityScore(col("text")).as("q")),
         "lang", "q", 0.5)
     }
+    show("Quantization.int8TopK (exact-rescore serve)") {
+      graft.operators.Quantization.int8TopK(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+    }
+    show("Quantization.pqEncode + pqTopKEncoded (ADC serve)") {
+      val books = graft.operators.Quantization.pqTrain(
+        emb, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+      val codes = graft.operators.Quantization.pqEncode(
+        emb, "vec_id", "embedding", books)
+      graft.operators.Quantization.pqTopKEncoded(codes, emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3, books)
+    }
+    show("Quantization.ivfPqTopKEncoded (IVF-PQ serve)") {
+      val cents = graft.operators.Clustering.kmeans(
+        emb, "vec_id", "embedding", k = 8, iters = 1)
+      val books = graft.operators.Quantization.pqTrain(
+        emb, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+      val codes = graft.operators.Quantization.pqEncodeAssigned(
+        emb, "vec_id", "embedding", cents, books)
+      graft.operators.Quantization.ivfPqTopKEncoded(codes, emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3,
+        cents, books, nProbes = 2)
+    }
+    show("Multimodal.dHash + signatureNearDupPairs (image dedup)") {
+      val grp = docs.limit(40)
+        .select(pmod(col("doc_id"), lit(8)).as("g")).distinct()
+        .select(col("g"), (col("g") + 16).as("w"), (col("g") + 12).as("h"))
+      val media = docs.limit(40)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("g"))
+        .join(graft.operators.Multimodal.synthImages(grp, "g", "w", "h")
+          .withColumnRenamed("media_id", "g"), Seq("g"))
+        .select(col("doc_id").as("media_id"), col("content"))
+      graft.operators.Dedup.signatureNearDupPairs(
+        graft.operators.Multimodal.dHash(media, "media_id", "content"),
+        "media_id", "dhash", maxDist = 3)
+    }
+    show("Decontamination.semanticContamination") {
+      graft.operators.Decontamination.semanticContamination(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 5000).as("eval_id"), col("embedding")),
+        "eval_id", "embedding", threshold = 0.35)
+    }
     spark.stop()
   }
 }

@@ -68,6 +68,42 @@ class QuantizationSpec extends SparkSpec {
     assert(out.forall { case (_, s) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 })
   }
 
+  test("native-double scoring is bit-equal to the integer specification") {
+    val q = Quantization.quantizeInt8(vecs(30), "vec_id", "embedding")
+    val pairs = q.select(col("id").as("ia"), col("qvec").as("qa"))
+      .crossJoin(q.select(col("id").as("ib"), col("qvec").as("qb")))
+      .filter(col("ia") < col("ib"))
+    val viaInt = pairs.select(col("ia"), col("ib"),
+        Quantization.intCosine(col("qa"), col("qb")).as("c"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    import graft.functions.VectorFunctions.{cosineFromParts, dot, norm}
+    val viaDouble = pairs.select(col("ia"), col("ib"),
+        cosineFromParts(
+          dot(col("qa").cast("array<double>"), col("qb").cast("array<double>")),
+          norm(col("qa").cast("array<double>")),
+          norm(col("qb").cast("array<double>"))).as("c"))
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(viaInt.nonEmpty && viaInt === viaDouble)
+  }
+
+  test("AdcDot kernel: fold order, bad-code and shape null semantics") {
+    import graft.functions.expressions.{AdcDot, ColumnBridge}
+    import org.apache.spark.sql.Column
+    def adc(code: Column, tab: Column, ksub: Int): Column =
+      ColumnBridge.column(AdcDot(ColumnBridge.expression(code),
+        ColumnBridge.expression(tab), ksub))
+    val df = Seq(
+      (1L, Seq(1.toByte, 0.toByte), Seq(10.0, 20.0, 30.0, 40.0)),  // 20+30
+      (2L, Seq(1.toByte, 5.toByte), Seq(10.0, 20.0, 30.0, 40.0)),  // code ≥ ksub
+      (3L, Seq(1.toByte, 0.toByte), Seq(10.0, 20.0, 30.0))         // short table
+    ).toDF("id", "code", "tab")
+    val out = df.select(col("id"), adc(col("code"), col("tab"), 2).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) === Some(50.0))
+    assert(out(2L) === None && out(3L) === None)
+  }
+
   test("pqEncode: m-byte codes; a training vector encodes to its own cell") {
     val v = vecs(32)
     val books = Quantization.pqTrain(v, "vec_id", "embedding",
