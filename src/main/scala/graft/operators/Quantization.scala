@@ -292,11 +292,7 @@ object Quantization {
   def pqEncodeAssigned(df: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame,
                        books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
-    val rows = centroids.select(col("cell").cast("int"), col("cvec"))
-      .collect().sortBy(_.getInt(0))
-    require(rows.nonEmpty, "pqEncodeAssigned needs at least one centroid")
-    val cents = rows.map(r => (r.getInt(0),
-      r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)).toSeq
+    val cents = collectCentroids(centroids)
     val subDim = books.head.head._2.length
     val code = array(books.zipWithIndex.map { case (b, s) =>
       Similarity.nearestCellColumn(
@@ -305,6 +301,106 @@ object Quantization {
     df.select(col(idCol).as("id"),
       Similarity.nearestCellColumn(col(vecCol), cents).as("cell"),
       code.as("code"))
+  }
+
+  /** Coarse residuals: each vector's nearest cell and `vec − centroid`
+    * (double components) — the frame residual PQ codebooks train on
+    * and [[pqEncodeResidual]] encodes. Cells must be the contiguous
+    * 0..k−1 the k-means trainer produces (the centroid lookup indexes
+    * a literal table by cell). */
+  def residuals(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    require(cents.map(_._1) == cents.indices.toSeq,
+      s"residuals needs contiguous cells 0..k-1, got ${cents.map(_._1)}")
+    val ctab = array(cents.map { case (_, v) =>
+      array(v.map(lit): _*) }: _*)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"),
+        Similarity.nearestCellColumn(col(vecCol), cents).as("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("__v"), element_at(ctab, col("cell") + 1),
+          (x, c) => x - c).as("rvec"))
+  }
+
+  /** Residual PQ encode — the IVFADC layout (Jégou et al. §IVFADC):
+    * (id, cell, code) where `code` quantizes the RESIDUAL `vec −
+    * coarse_centroid`, whose energy is the within-cell spread only, so
+    * the same codebook budget buys far finer ranking than raw-vector
+    * codes. `books` must be trained on [[residuals]] of the same
+    * centroid set. */
+  def pqEncodeResidual(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame,
+                       books: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val subDim = books.head.head._2.length
+    val code = array(books.zipWithIndex.map { case (b, s) =>
+      Similarity.nearestCellColumn(
+        slice(col("rvec"), s * subDim + 1, subDim), b).cast("byte")
+    }: _*)
+    residuals(df, idCol, vecCol, centroids)
+      .select(col("id"), col("cell"), code.as("code"))
+  }
+
+  private def collectCentroids(
+      centroids: DataFrame): Seq[(Int, Array[Double])] = {
+    val rows = centroids.select(col("cell").cast("int"), col("cvec"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "need at least one centroid")
+    rows.map(r => (r.getInt(0),
+      r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)).toSeq
+  }
+
+  /** IVFADC serving — residual-encoded IVF-PQ, the published design:
+    * queries probe `nProbes` coarse cells; per probed cell the query's
+    * RESIDUAL builds an `m × ksub` table of per-slice squared-L2 terms
+    * against the residual codebooks, and each candidate's approximate
+    * distance is one native ADC fold over its m-byte code
+    * (`‖q − (c + r̂)‖² = Σ_s ‖qres_s − codebook_{s,code_s}‖²`).
+    * Candidates rank ASCENDING by approximate distance; the
+    * k×rescoreFactor survivors get exact full-precision cosine.
+    *
+    * vs [[ivfPqTopKEncoded]] (raw-vector codes): the code error is the
+    * within-cell spread, not the whole-corpus spread — this is the
+    * variant that ranks FINELY from codes. Same serve-identity
+    * contract: codes must come from [[pqEncodeResidual]] under exactly
+    * these centroids and books. */
+  def ivfAdcTopKEncoded(codes: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, centroids: DataFrame,
+                        books: Seq[Seq[(Int, Array[Double])]],
+                        nProbes: Int, rescoreFactor: Int = 4,
+                        queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val subDim = books.head.head._2.length
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    val qw = Window.partitionBy(queryIdCol).orderBy(asc("__d"), asc("cell"))
+    val probed = queries
+      .select(col(idCol).as(queryIdCol),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .join(cents)
+      .withColumn("__d", l2Sq(col("__qv"), col("cvec")))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nProbes)
+      .withColumn("__qres",
+        zip_with(col("__qv"), col("cvec"), (x, c) => x - c))
+      .select(col(queryIdCol), col("cell"),
+        array(books.zipWithIndex.flatMap { case (b, s) =>
+          b.sortBy(_._1).map { case (_, cv) =>
+            l2Sq(slice(col("__qres"), s * subDim + 1, subDim),
+              array(cv.map(lit): _*))
+          }
+        }: _*).as("__qtab"))
+    val approx = codes.withColumnRenamed("id", "nbr_id")
+      .join(probed, Seq("cell"))
+      .filter(col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        adcDot(col("code"), col("__qtab"), books).as("__approx"))
+    val wa = Window.partitionBy(queryIdCol)
+      .orderBy(asc("__approx"), asc("nbr_id"))
+    val survivors = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"))
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
   }
 
   /** IVF-PQ serving — the standard warehouse-scale vector layout

@@ -601,7 +601,7 @@ private[queries] object SimilarityQueries {
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
       }),
-  ) :+ ivfPqDef
+  ) :+ ivfPqDef :+ ivfAdcDef
 
   /** The defs entry for q137 lives here (appended to [[defs]] below)
     * so the oracle helpers above stay adjacent. */
@@ -690,6 +690,89 @@ private[queries] object SimilarityQueries {
         vecExpr = s"embedding[${s * 16 + 1}:${s * 16 + 16}]")
     }.mkString(",\n        ")
 
+  /** The defs entry for q138 (appended to [[defs]] below). */
+  private[queries] def ivfAdcDef: QueryDef =
+    // ===== IVFADC: residual-encoded IVF-PQ — codes quantize
+    // vec − coarse_centroid, so the code error is the within-cell
+    // spread and ADC ranks finely; candidates ASCEND by approximate
+    // squared-L2, exact cosine rescores =====
+    QueryDef("q138_ivfadc_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = graft.operators.Clustering.kmeans(
+          e, "vec_id", "embedding", k = 8, iters = 1)
+        val books = graft.operators.Quantization.pqTrain(
+          graft.operators.Quantization.residuals(
+            e, "vec_id", "embedding", cents),
+          "id", "rvec", dim = 64, m = 4, ksub = 8, iters = 1)
+        val codes = graft.operators.Quantization.pqEncodeResidual(
+          e, "vec_id", "embedding", cents, books)
+        graft.operators.Quantization.ivfAdcTopKEncoded(
+            codes, e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, cents, books, nProbes = 2, rescoreFactor = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("c.embedding", "q.embedding")
+        val na = s"sqrt(${duckDot("c.embedding", "c.embedding")})"
+        val nb = s"sqrt(${duckDot("q.embedding", "q.embedding")})"
+        val dts = (0 until 4).map(s =>
+          duckL2(s"(p.qres[${s * 16 + 1}:${s * 16 + 16}])", s"r.v$s"))
+        val residBooks = (0 until 4).map { s =>
+          kmeansCtes(8, 1, 16, pfx = s"r${s}_",
+            vecExpr = s"rv[${s * 16 + 1}:${s * 16 + 16}]", from = "resid")
+        }.mkString(",\n        ")
+        s"""
+        WITH ${kmeansCtes(8, 1, 64, pfx = "cc_")},
+        resid AS (SELECT a.id AS vec_id,
+                    list_transform(range(1, 65), j -> a.v[j] - c.cvec[j])
+                      AS rv,
+                    a.cell
+                  FROM cc_afin a JOIN cc_c1 c ON a.cell = c.cell),
+        $residBooks,
+        probed AS (SELECT query_id, cell, qres FROM (
+            SELECT e.vec_id AS query_id, c.cell,
+                   list_transform(range(1, 65),
+                     j -> e.embedding[j]::DOUBLE - c.cvec[j]) AS qres,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${duckL2("e.embedding", "c.cvec")}, c.cell)
+                     AS rn
+            FROM embeddings e CROSS JOIN cc_c1 c WHERE e.vec_id < 8)
+          WHERE rn <= 2),
+        r AS (SELECT e0.id, rc.cell,
+                cb0.cvec AS v0, cb1.cvec AS v1, cb2.cvec AS v2, cb3.cvec AS v3
+              FROM r0_afin e0
+              JOIN resid rc ON e0.id = rc.vec_id
+              JOIN r1_afin e1 ON e0.id = e1.id
+              JOIN r2_afin e2 ON e0.id = e2.id
+              JOIN r3_afin e3 ON e0.id = e3.id
+              JOIN r0_c1 cb0 ON e0.cell = cb0.cell
+              JOIN r1_c1 cb1 ON e1.cell = cb1.cell
+              JOIN r2_c1 cb2 ON e2.cell = cb2.cell
+              JOIN r3_c1 cb3 ON e3.cell = cb3.cell),
+        ap AS (SELECT p.query_id, r.id AS nbr_id,
+                 (((${dts(0)}
+                   + ${dts(1)})
+                   + ${dts(2)})
+                   + ${dts(3)}) AS dist
+               FROM r JOIN probed p ON r.cell = p.cell
+               WHERE r.id != p.query_id),
+        surv AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist ASC, nbr_id) AS rn
+            FROM ap) WHERE rn <= 15),
+        ex AS (SELECT s.query_id, s.nbr_id,
+                 CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                      ELSE $d / ($na * $nb) END AS sim
+               FROM surv s
+               JOIN embeddings c ON s.nbr_id = c.vec_id
+               JOIN embeddings q ON s.query_id = q.vec_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
+        WHERE "rank" <= 5"""
+      })
+
   /** DuckDB mirror of [[graft.operators.Quantization.quantizeInt8]]'s
     * absmax fold (left fold, 0.0 init — the exact Spark `aggregate`). */
   private def duckAmax =
@@ -715,10 +798,11 @@ private[queries] object SimilarityQueries {
   private def kmeansCtes(k: Int, iters: Int, dim: Int,
                          trainWhere: String = "TRUE",
                          pfx: String = "",
-                         vecExpr: String = "embedding"): String = {
+                         vecExpr: String = "embedding",
+                         from: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb ++= s"""${pfx}vecs AS (SELECT vec_id AS id, ($vecExpr)::DOUBLE[] AS v
-               FROM embeddings),
+               FROM $from),
         ${pfx}tvecs AS (SELECT id, v FROM ${pfx}vecs WHERE $trainWhere),
         ${pfx}c0 AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cell,
                       v AS cvec

@@ -39,6 +39,8 @@ object PlanLint {
       "broadcast eval set, maxEval-capped",
     ("q137_ivfpq_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per coarse cell (probe step)",
+    ("q138_ivfadc_topk", "NestedLoopJoin") ->
+      "broadcast centroid table, one row per coarse cell (probe step)",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

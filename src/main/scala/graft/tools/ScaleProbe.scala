@@ -1049,6 +1049,26 @@ object ScaleProbe {
     }
     println(f"[probe] planted ivfpq recall vs exact = ${
       (ivfpq & pbrute).size.toDouble / pbrute.size}%.4f")
+    // IVFADC (residual codes): same budget, code error = within-cell
+    // spread — the published fix for fine ranking from codes
+    var rbooks: Seq[Seq[(Int, Array[Double])]] = Seq.empty
+    time("ivfadc: residual pq train m=16 ksub=16 (10% sample)") {
+      rbooks = graft.operators.Quantization.pqTrain(
+        graft.operators.Quantization.residuals(
+          planted.filter(pmod(col("vec_id"), lit(10)) === 0),
+          "vec_id", "embedding", cents),
+        "id", "rvec", dim = 64, m = 16, ksub = 16, iters = 2)
+    }
+    val rcodes = graft.operators.Quantization.pqEncodeResidual(
+      planted, "vec_id", "embedding", cents, rbooks).localCheckpoint(true)
+    var adc: Set[(Long, Long)] = Set.empty
+    time("ivfadc: serve nProbes=8, rescore 8") {
+      adc = pairs(graft.operators.Quantization.ivfAdcTopKEncoded(
+        rcodes, planted, queries, "vec_id", "embedding", 10, cents, rbooks,
+        nProbes = 8, rescoreFactor = 8))
+    }
+    println(f"[probe] planted ivfadc recall vs exact = ${
+      (adc & pbrute).size.toDouble / pbrute.size}%.4f")
     // at-rest accounting (parquet bytes, same codec everywhere)
     val int8Path = s"$root/int8"
     graft.operators.Quantization.quantizeInt8(emb, "vec_id", "embedding")

@@ -147,6 +147,65 @@ class QuantizationSpec extends SparkSpec {
     assert(out.forall { case (n, s, _) => n != 7L && s <= 1.0 + 1e-9 })
   }
 
+  test("residuals subtract the assigned coarse centroid exactly") {
+    val v = vecs(20)
+    val cents = Clustering.kmeans(v, "vec_id", "embedding", k = 4, iters = 1)
+    val cmap = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val full = v.as[(Long, Array[Float])].collect().toMap
+    Quantization.residuals(v, "vec_id", "embedding", cents)
+      .as[(Long, Int, Array[Double])].collect().foreach { case (id, cell, r) =>
+        val expect = full(id).map(_.toDouble).zip(cmap(cell)).map(t => t._1 - t._2)
+        assert(r.toSeq === expect.toSeq)
+      }
+  }
+
+  test("ivfAdcTopKEncoded: probing every cell with a wide window equals brute") {
+    val corpus = vecs(60)
+    val queries = corpus.filter(col("vec_id") < 4)
+    val cents = Clustering.kmeans(corpus, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val books = Quantization.pqTrain(
+      Quantization.residuals(corpus, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 8, m = 4, ksub = 8, iters = 1)
+    val codes = Quantization.pqEncodeResidual(
+      corpus, "vec_id", "embedding", cents, books)
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", 3)
+      .select("query_id", "nbr_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val adc = Quantization.ivfAdcTopKEncoded(codes, corpus, queries,
+        "vec_id", "embedding", 3, cents, books,
+        nProbes = 4, rescoreFactor = 20)
+      .select("query_id", "nbr_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(adc === brute)
+  }
+
+  test("residual codes rank a planted near-dup first at a narrow window") {
+    // clustered corpus + one planted near-dup of query 0: the residual
+    // code must put the dup at the top of the approx order even with
+    // rescoreFactor = 1 (raw-vector codes at this budget need not)
+    val base = vecs(50)
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(999L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+    val corpus = base.unionByName(dup)
+    val queries = base.filter(col("vec_id") === 0)
+    val cents = Clustering.kmeans(corpus, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val books = Quantization.pqTrain(
+      Quantization.residuals(corpus, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 8, m = 8, ksub = 16, iters = 2)
+    val codes = Quantization.pqEncodeResidual(
+      corpus, "vec_id", "embedding", cents, books)
+    val top = Quantization.ivfAdcTopKEncoded(codes, corpus, queries,
+        "vec_id", "embedding", 1, cents, books,
+        nProbes = 1, rescoreFactor = 1)
+      .select("nbr_id").as[Long].collect()
+    assert(top.toSeq === Seq(999L))
+  }
+
   test("int8TopK refuses oversized query sets") {
     val corpus = vecs(30)
     intercept[IllegalArgumentException] {
