@@ -399,6 +399,79 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
       Seq(tableSpec.copy(params = storeParams)), nStoreBuckets)
 }
 
+/** Persisted IVFADC corpus — the incremental form of
+  * [[Quantization.ivfAdcTopKEncoded]]'s serving layout: one
+  * cell-bucketed table of (id, cell, code, vec), where `code` is the
+  * m-byte residual PQ code and `vec` rides along for the exact
+  * rescore. Appending a batch is exactly `pqEncodeResidual(batch) →
+  * bucketed append` (assignment and encoding are per-vector against
+  * frozen centroids/codebooks), so incrementally-built and
+  * one-shot-built stores serve identically. The candidate pass reads
+  * only (id, cell, code) — parquet column pruning keeps the heavy
+  * vector column out of the hot scan.
+  *
+  * Centroids AND codebooks are the store's identity (the
+  * [[IvfStore]] frozen-centroid rule, extended): fingerprints of both
+  * are recorded at first append and validated on every append and
+  * serve, so a handle built on retrained parameters fails fast. */
+final class IvfAdcStore(wh: graft.sources.Warehouse, name: String,
+                        centroids: DataFrame,
+                        books: Seq[Seq[(Int, Array[Double])]],
+                        nStoreBuckets: Int = 64)
+    extends AppendStore {
+  private val tableSpec = StoreCompaction.TableSpec(
+    s"active:$name:adc", s"${name}_adc", Seq("cell"))
+  private def table: String = StoreCompaction.active(wh.root, tableSpec)
+
+  private lazy val centroidFp: Long = {
+    val rows = centroids.select(col("cell").cast("int"),
+        col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).map(
+        java.lang.Double.doubleToLongBits)))
+      .sortBy(_._1)
+    scala.util.hashing.MurmurHash3
+      .orderedHash(rows.map(t =>
+        scala.util.hashing.MurmurHash3.orderedHash(t._2) ^ t._1))
+      .toLong & 0xffffffffL
+  }
+  private lazy val booksFp: Long = {
+    val bits = books.flatMap(_.sortBy(_._1).flatMap(_._2))
+      .map(java.lang.Double.doubleToLongBits)
+    scala.util.hashing.MurmurHash3.orderedHash(bits).toLong & 0xffffffffL
+  }
+  private def storeParams = Seq("centroidFp" -> centroidFp.toString,
+    "booksFp" -> booksFp.toString,
+    "m" -> books.size.toString, "ksub" -> books.head.size.toString)
+  def storeRoot: String = wh.root
+
+  protected def appendBody(batch: DataFrame, idCol: String,
+                           vecCol: String): Unit = {
+    wh.paramsSpecValidated(table, storeParams)
+    wh.appendBucketed(table,
+      Quantization.pqEncodeResidual(batch, idCol, vecCol, centroids, books)
+        .join(batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
+          Seq("id")),
+      Seq("cell"), nStoreBuckets)
+  }
+
+  def serve(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+            nProbes: Int, rescoreFactor: Int = 4): DataFrame = {
+    graft.sources.StoreTxn.recoverIfIdle(queries.sparkSession, wh.root)
+    wh.paramsSpecValidated(table, storeParams, writeIfAbsent = false)
+    val t = wh.readBucketed(table)
+    Quantization.ivfAdcTopKEncoded(
+      t.select("id", "cell", "code"),
+      t.select(col("id").as(idCol), col("vec").as(vecCol)),
+      queries, idCol, vecCol, k, centroids, books, nProbes, rescoreFactor)
+  }
+
+  /** Rewrite into one fresh generation — see [[StoreCompaction]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"IvfAdcStore '$name'",
+      Seq(tableSpec.copy(params = storeParams)), nStoreBuckets)
+}
+
 /** Parameters of a hyperplane-LSH embedding store. `planes` pins the
   * hyperplane tables explicitly (they are the store's identity, like
   * IVF centroids); otherwise they derive deterministically from

@@ -601,7 +601,7 @@ private[queries] object SimilarityQueries {
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
       }),
-  ) :+ ivfPqDef :+ ivfAdcDef
+  ) :+ ivfPqDef :+ ivfAdcDef :+ ivfAdcStoreDef
 
   /** The defs entry for q137 lives here (appended to [[defs]] below)
     * so the oracle helpers above stay adjacent. */
@@ -691,6 +691,22 @@ private[queries] object SimilarityQueries {
     }.mkString(",\n        ")
 
   /** The defs entry for q138 (appended to [[defs]] below). */
+  /** Shared trainer for q138/q139: coarse k=8 centroids + m=4/ksub=8
+    * residual codebooks at iters=1 — ONE definition so the two Spark
+    * queries and the shared oracle stay in lockstep. */
+  private def ivfAdcSetup(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Seq[Seq[(Int, Array[Double])]]) = {
+    val e = T.embeddings(s, dir)
+    val cents = graft.operators.Clustering.kmeans(
+      e, "vec_id", "embedding", k = 8, iters = 1)
+    val books = graft.operators.Quantization.pqTrain(
+      graft.operators.Quantization.residuals(
+        e, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 64, m = 4, ksub = 8, iters = 1)
+    (e, cents, books)
+  }
+
   private[queries] def ivfAdcDef: QueryDef =
     // ===== IVFADC: residual-encoded IVF-PQ — codes quantize
     // vec − coarse_centroid, so the code error is the within-cell
@@ -698,13 +714,7 @@ private[queries] object SimilarityQueries {
     // squared-L2, exact cosine rescores =====
     QueryDef("q138_ivfadc_topk",
       (s, dir) => {
-        val e = T.embeddings(s, dir)
-        val cents = graft.operators.Clustering.kmeans(
-          e, "vec_id", "embedding", k = 8, iters = 1)
-        val books = graft.operators.Quantization.pqTrain(
-          graft.operators.Quantization.residuals(
-            e, "vec_id", "embedding", cents),
-          "id", "rvec", dim = 64, m = 4, ksub = 8, iters = 1)
+        val (e, cents, books) = ivfAdcSetup(s, dir)
         val codes = graft.operators.Quantization.pqEncodeResidual(
           e, "vec_id", "embedding", cents, books)
         graft.operators.Quantization.ivfAdcTopKEncoded(
@@ -712,7 +722,29 @@ private[queries] object SimilarityQueries {
             k = 5, cents, books, nProbes = 2, rescoreFactor = 3)
           .withColumn("rank", col("rank").cast("long"))
       },
-      Some {
+      Some(ivfAdcOracle))
+
+  /** q139: the SAME serve over an [[graft.operators.IvfAdcStore]]
+    * built by two incremental appends — assignment and encoding are
+    * per-vector, so the oracle is q138's verbatim. */
+  private[queries] def ivfAdcStoreDef: QueryDef =
+    QueryDef("q139_ivfadc_incremental",
+      (s, dir) => {
+        val (e, cents, books) = ivfAdcSetup(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q139_").toString
+        val store = new graft.operators.IvfAdcStore(
+          new graft.sources.Warehouse(s, root), "inc", cents, books,
+          nStoreBuckets = 8)
+        store.append(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        store.append(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        store.serve(e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, nProbes = 2, rescoreFactor = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some(ivfAdcOracle))
+
+  private def ivfAdcOracle: String = {
         val d = duckDot("c.embedding", "q.embedding")
         val na = s"sqrt(${duckDot("c.embedding", "c.embedding")})"
         val nb = s"sqrt(${duckDot("q.embedding", "q.embedding")})"
@@ -771,7 +803,7 @@ private[queries] object SimilarityQueries {
           SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
-      })
+  }
 
   /** DuckDB mirror of [[graft.operators.Quantization.quantizeInt8]]'s
     * absmax fold (left fold, 0.0 init — the exact Spark `aggregate`). */

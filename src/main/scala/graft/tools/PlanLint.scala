@@ -41,6 +41,8 @@ object PlanLint {
       "broadcast centroid table, one row per coarse cell (probe step)",
     ("q138_ivfadc_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per coarse cell (probe step)",
+    ("q139_ivfadc_incremental", "NestedLoopJoin") ->
+      "broadcast centroid table, one row per coarse cell (probe step)",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

@@ -244,6 +244,40 @@ class IncrementalDedupSpec extends SparkSpec {
       compacted.size)
   }
 
+  test("ivfadc store: incremental appends serve identically to one shot, " +
+      "compaction preserves, identity drift fails fast") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.kmeans(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    val books = Quantization.pqTrain(
+      Quantization.residuals(vecs, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 8, m = 4, ksub = 8, iters = 1)
+    val queries = vecs.filter(col("vec_id") < 3)
+    def served(st: IvfAdcStore) =
+      st.serve(queries, "vec_id", "embedding", 5, nProbes = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val wh = freshWh()
+    val store = new IvfAdcStore(wh, "t", cents, books, nStoreBuckets = 4)
+    store.append(vecs.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+    store.append(vecs.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val inc = served(store)
+    val one = new IvfAdcStore(freshWh(), "t", cents, books, nStoreBuckets = 4)
+    one.append(vecs, "vec_id", "embedding")
+    assert(inc === served(one) && inc.nonEmpty)
+    store.compact(spark)
+    assert(served(store) === inc)
+    // a handle on different codebooks must fail fast, not serve garbage
+    val otherBooks = Quantization.pqTrain(
+      Quantization.residuals(vecs, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 8, m = 4, ksub = 4, iters = 1)
+    val drifted = new IvfAdcStore(wh, "t", cents, otherBooks,
+      nStoreBuckets = 4)
+    intercept[IllegalArgumentException] {
+      drifted.serve(queries, "vec_id", "embedding", 5, nProbes = 2)
+    }
+  }
+
   test("embedding store: batch ingests partition the full-corpus pairs") {
     // vectors clustered around 4 directions so cosine near-dups exist
     // across the batch split; deterministic jitter keeps it replayable

@@ -495,6 +495,46 @@ class StreamingSpec extends SparkSpec {
       k = 3, nProbes = 2)))
   }
 
+  test("append-store catch-up: streamed IVFADC appends serve the one-shot results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_adcstream").toString
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 5 + j).toFloat))
+    }
+    val all = vecs.toDF("vec_id", "embedding")
+    val cents = graft.operators.Clustering.kmeans(
+      all, "vec_id", "embedding", k = 4, iters = 1)
+    val books = graft.operators.Quantization.pqTrain(
+      graft.operators.Quantization.residuals(all, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 8, m = 4, ksub = 8, iters = 1)
+    val inDir = s"$root/in"
+    vecs.filter(_._1 < 20).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    vecs.filter(_._1 >= 20).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val store = new graft.operators.IvfAdcStore(
+      new graft.sources.Warehouse(spark, s"$root/store"), "t", cents, books,
+      nStoreBuckets = 2)
+    Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(all.schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, s"$root/ckpt", "vec_id", "embedding")
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val served = results(store.serve(queries, "vec_id", "embedding",
+      k = 3, nProbes = 2))
+    val oneShot = new graft.operators.IvfAdcStore(
+      new graft.sources.Warehouse(spark, s"$root/oneshot"), "t", cents, books,
+      nStoreBuckets = 2)
+    oneShot.append(all, "vec_id", "embedding")
+    assert(served === results(oneShot.serve(queries, "vec_id", "embedding",
+      k = 3, nProbes = 2)) && served.nonEmpty)
+    // redelivered completed append key: no-op
+    assert(!store.appendOnce(vecs.filter(_._1 < 20).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Some(s"$root/ckpt#0")))
+  }
+
   test("append-store catch-up: streamed gram-index appends check like one shot") {
     val root = java.nio.file.Files.createTempDirectory("graft_gramstream").toString
     val leak = "alpha bravo charlie delta echo foxtrot golf"
