@@ -141,6 +141,55 @@ object Quantization {
       .select(col(queryIdCol), col("nbr_id"), col("sim"), col("rn").as("rank"))
   }
 
+  // ----------------------------------------------------- 1-bit (binary)
+
+  /** 1-bit sign quantization: bit j of the signature is the sign of
+    * component j (`x_j >= 0`), packed into ONE long (dim ≤ 64) —
+    * 256× smaller than float32 at dim 64. Hamming distance between
+    * signatures estimates the angle (the sign-LSH identity
+    * `E[h] = dim·θ/π`), which makes this the cheapest candidate filter
+    * in the family: one xor+popcount per pair.
+    *
+    * Compose with [[Dedup.signatureNearDupPairs]] for near-dup pairs
+    * over the signature, or [[binaryTopK]] for serve. */
+  def signBits(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sig = (0 until 64).map(j =>
+      when(coalesce(element_at(col(vecCol), j + 1).cast("double") >= 0.0,
+        lit(false)), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    df.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** Top-k cosine served from 1-bit signatures with exact rescoring:
+    * candidates rank by hamming distance (ascending, then id), the
+    * k×rescoreFactor survivors get exact full-precision cosine — the
+    * [[int8TopK]] contract at 256× compression. Hamming is a coarse
+    * rank (65 distinct values at dim 64), so size `rescoreFactor`
+    * generously — ties beyond the window are cut by id order. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 rescoreFactor: Int = 16,
+                 queryIdCol: String = "query_id",
+                 maxQueries: Int = 10000): DataFrame = {
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val qCount = queries.limit(maxQueries + 1).count()
+    require(qCount <= maxQueries,
+      s"binaryTopK query side exceeds $maxQueries vectors; " +
+        "use lshTopK or ivfTopK for large query sets")
+    val sc = signBits(corpus, idCol, vecCol)
+      .select(col("id").as("nbr_id"), col("sig").as("__cs"))
+    val sq = signBits(queries, idCol, vecCol)
+      .select(col("id").as(queryIdCol), col("sig").as("__qs"))
+    val approx = sc.join(broadcast(sq), col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        bit_count(col("__cs").bitwiseXOR(col("__qs"))).as("__h"))
+    val wa = Window.partitionBy(queryIdCol)
+      .orderBy(asc("__h"), asc("nbr_id"))
+    val survivors = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"))
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
+  }
+
   // ------------------------------------------------- product quantization
 
   /** Train PQ codebooks: the vector space is split into `m` contiguous

@@ -601,7 +601,7 @@ private[queries] object SimilarityQueries {
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
       }),
-  ) :+ ivfPqDef :+ ivfAdcDef :+ ivfAdcStoreDef
+  ) :+ ivfPqDef :+ ivfAdcDef :+ ivfAdcStoreDef :+ signBitsDef :+ binaryTopKDef
 
   /** The defs entry for q137 lives here (appended to [[defs]] below)
     * so the oracle helpers above stay adjacent. */
@@ -691,6 +691,69 @@ private[queries] object SimilarityQueries {
     }.mkString(",\n        ")
 
   /** The defs entry for q138 (appended to [[defs]] below). */
+  /** DuckDB mirror of [[graft.operators.Quantization.signBits]]: the
+    * 64 sign bits summed as HUGEINT powers of two, then folded onto
+    * signed BIGINT (the dHash-oracle trick — bit 63 wraps negative). */
+  private def duckSignBits = s"""
+        CAST(CASE WHEN hu >= 9223372036854775808
+                  THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)"""
+  private def duckSignHu =
+    "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      "list_transform(range(1, 65), j -> " +
+      "CASE WHEN embedding[j]::DOUBLE >= 0.0 " +
+      "THEN CAST(power(2, CAST(j - 1 AS INTEGER)) AS HUGEINT) " +
+      "ELSE CAST(0 AS HUGEINT) END)), (a, b) -> a + b)"
+
+  /** The defs entries for q140/q141 (appended to [[defs]] below). */
+  private[queries] def signBitsDef: QueryDef =
+    // ===== 1-bit quantization: packed sign signature — 256× smaller
+    // than float32; every bit oracle-checked =====
+    QueryDef("q140_sign_bits",
+      (s, dir) => graft.operators.Quantization.signBits(
+          T.embeddings(s, dir), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id"),
+      Some(s"""
+        WITH s AS (SELECT vec_id, $duckSignHu AS hu FROM embeddings)
+        SELECT vec_id, $duckSignBits AS sig FROM s"""))
+
+  private[queries] def binaryTopKDef: QueryDef =
+    // ===== 1-bit candidate scan + exact rescore top-k: hamming is the
+    // sign-LSH angle estimate, one xor+popcount per pair =====
+    QueryDef("q141_binary_topk",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        graft.operators.Quantization.binaryTopK(
+            e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, rescoreFactor = 8)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("c.embedding", "q.embedding")
+        val na = s"sqrt(${duckDot("c.embedding", "c.embedding")})"
+        val nb = s"sqrt(${duckDot("q.embedding", "q.embedding")})"
+        s"""
+        WITH sgn AS (SELECT vec_id, $duckSignBits AS sig FROM
+                       (SELECT vec_id, $duckSignHu AS hu FROM embeddings)),
+        ap AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 bit_count(xor(c.sig, q.sig)) AS h
+               FROM sgn c CROSS JOIN sgn q
+               WHERE q.vec_id < 8 AND c.vec_id != q.vec_id),
+        surv AS (SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY h ASC, nbr_id) AS rn
+            FROM ap) WHERE rn <= 40),
+        ex AS (SELECT s.query_id, s.nbr_id,
+                 CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                      ELSE $d / ($na * $nb) END AS sim
+               FROM surv s
+               JOIN embeddings c ON s.nbr_id = c.vec_id
+               JOIN embeddings q ON s.query_id = q.vec_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
+        WHERE "rank" <= 5"""
+      })
+
   /** Shared trainer for q138/q139: coarse k=8 centroids + m=4/ksub=8
     * residual codebooks at iters=1 — ONE definition so the two Spark
     * queries and the shared oracle stay in lockstep. */

@@ -43,6 +43,8 @@ object PlanLint {
       "broadcast centroid table, one row per coarse cell (probe step)",
     ("q139_ivfadc_incremental", "NestedLoopJoin") ->
       "broadcast centroid table, one row per coarse cell (probe step)",
+    ("q141_binary_topk", "NestedLoopJoin") ->
+      "broadcast query set, maxQueries-capped (1-bit candidate pass)",
     ("q23_ivf_topk", "NestedLoopJoin") ->
       "broadcast centroid table, one row per cell",
     ("q73_ivf_incremental", "NestedLoopJoin") ->

@@ -206,6 +206,35 @@ class QuantizationSpec extends SparkSpec {
     assert(top.toSeq === Seq(999L))
   }
 
+  test("signBits packs component signs; binaryTopK full-window equals brute") {
+    val v = Seq(
+      (1L, Array(1.0f, -1.0f, 0.0f)),   // bits 0 and 2 (zero counts as >= 0)
+      (2L, Array(-0.5f, 2.0f, -3.0f))   // bit 1
+    ).toDF("vec_id", "embedding")
+    val sigs = Quantization.signBits(v, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === 5L && sigs(2L) === 2L)
+
+    val corpus = vecs(60)
+    val queries = corpus.filter(col("vec_id") < 4)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = key(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 3))
+    assert(key(Quantization.binaryTopK(corpus, queries,
+      "vec_id", "embedding", 3, rescoreFactor = 20)) === brute)
+    // a packed signature feeds the generic hamming pair machinery:
+    // two identical vectors pair at distance 0
+    val dup = corpus.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(700L))
+    val pairs = Dedup.signatureNearDupPairs(
+        Quantization.signBits(corpus.unionByName(dup), "vec_id", "embedding"),
+        "id", "sig", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 700L)))
+  }
+
   test("int8TopK refuses oversized query sets") {
     val corpus = vecs(30)
     intercept[IllegalArgumentException] {
