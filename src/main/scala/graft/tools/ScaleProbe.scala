@@ -955,15 +955,16 @@ object ScaleProbe {
     * pass over 4× (int8) / 64× (PQ) smaller data holds recall ≥ ~0.99
     * with a 4× rescore window. */
   private def quantProbe(spark: SparkSession, embPath: String,
-                         root: String): Unit = {
+                         root: String, part: String): Unit = {
     val emb = spark.read.parquet(embPath)
     val n = emb.count()
-    println(s"[probe] quant corpus n=$n")
+    println(s"[probe] quant corpus n=$n part=$part")
     val queries = emb.filter(col("vec_id") < 100)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "nbr_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     var brute: Set[(Long, Long)] = Set.empty
+    if (part != "planted") {
     time("brute topk float32 (100 q)") {
       brute = pairs(graft.operators.Similarity.bruteForceTopK(
         emb, queries, "vec_id", "embedding", 10))
@@ -975,6 +976,7 @@ object ScaleProbe {
     }
     println(f"[probe] int8 recall vs exact = ${
       (i8 & brute).size.toDouble / brute.size}%.4f")
+    }
     // PQ: train on a 10% sample (the q113 discipline), encode everything.
     // m=16 (4-dim slices) so per-vector noise reaches the code and
     // near-identical vectors don't collapse onto ONE code — the first
@@ -987,6 +989,7 @@ object ScaleProbe {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", dim = 64, m = 16, ksub = 16, iters = 2)
     }
+    if (part != "planted") {
     val codesPath = s"$root/pq_codes"
     time("pq encode + persist (1 narrow map)") {
       graft.operators.Quantization.pqEncode(emb, "vec_id", "embedding", books)
@@ -1004,26 +1007,33 @@ object ScaleProbe {
       println(f"[probe] pq recall (rf=$rf) vs exact = ${
         (pq & brute).size.toDouble / brute.size}%.4f")
     }
+    }
+    if (part != "base") {
     // planted-margin case: the retrieval workload PQ exists for. 10
     // jittered copies of each query (±1% noise) enter the corpus; the
     // true top-10 are now separated from the bulk by a real margin
     // instead of the synthetic corpus's iid ±0.15 noise floor (which
     // sits BELOW the code quantization error — no code can rank inside
     // it, only the rescore window can).
-    val planted = emb.unionByName(
+    val plantedDf = emb.unionByName(
       queries.crossJoin(spark.range(10).select(col("id").as("__r")))
         .select((col("vec_id") * 10 + col("__r") + 2000000L).as("vec_id"),
           transform(col("embedding"), (x, j) =>
             (x + sin(col("vec_id") * 131 + col("__r") * 17 + j)
               * lit(0.01f)).cast("float")).as("embedding")))
-      .localCheckpoint(true)
+    // spilled to parquet, NOT localCheckpoint: pinning the whole
+    // corpus in storage memory OOM'd the 10M run (probe-caught)
+    plantedDf.write.mode("overwrite").parquet(s"$root/planted")
+    val planted = spark.read.parquet(s"$root/planted")
     var pbrute: Set[(Long, Long)] = Set.empty
     time("planted: brute float32") {
       pbrute = pairs(graft.operators.Similarity.bruteForceTopK(
         planted, queries, "vec_id", "embedding", 10))
     }
-    val pcodes = graft.operators.Quantization.pqEncode(
-      planted, "vec_id", "embedding", books).localCheckpoint(true)
+    graft.operators.Quantization.pqEncode(
+      planted, "vec_id", "embedding", books)
+      .write.mode("overwrite").parquet(s"$root/pcodes")
+    val pcodes = spark.read.parquet(s"$root/pcodes")
     var ppq: Set[(Long, Long)] = Set.empty
     time("planted: pq ADC, rescore 8") {
       ppq = pairs(graft.operators.Quantization.pqTopKEncoded(
@@ -1039,8 +1049,10 @@ object ScaleProbe {
         planted.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", k = 64, iters = 2)
     }
-    val acodes = graft.operators.Quantization.pqEncodeAssigned(
-      planted, "vec_id", "embedding", cents, books).localCheckpoint(true)
+    graft.operators.Quantization.pqEncodeAssigned(
+      planted, "vec_id", "embedding", cents, books)
+      .write.mode("overwrite").parquet(s"$root/acodes")
+    val acodes = spark.read.parquet(s"$root/acodes")
     var ivfpq: Set[(Long, Long)] = Set.empty
     time("ivfpq: serve nProbes=8, rescore 8") {
       ivfpq = pairs(graft.operators.Quantization.ivfPqTopKEncoded(
@@ -1059,8 +1071,10 @@ object ScaleProbe {
           "vec_id", "embedding", cents),
         "id", "rvec", dim = 64, m = 16, ksub = 16, iters = 2)
     }
-    val rcodes = graft.operators.Quantization.pqEncodeResidual(
-      planted, "vec_id", "embedding", cents, rbooks).localCheckpoint(true)
+    graft.operators.Quantization.pqEncodeResidual(
+      planted, "vec_id", "embedding", cents, rbooks)
+      .write.mode("overwrite").parquet(s"$root/rcodes")
+    val rcodes = spark.read.parquet(s"$root/rcodes")
     var adc: Set[(Long, Long)] = Set.empty
     time("ivfadc: serve nProbes=8, rescore 8") {
       adc = pairs(graft.operators.Quantization.ivfAdcTopKEncoded(
@@ -1069,6 +1083,8 @@ object ScaleProbe {
     }
     println(f"[probe] planted ivfadc recall vs exact = ${
       (adc & pbrute).size.toDouble / pbrute.size}%.4f")
+    }
+    if (part == "planted") return
     // at-rest accounting (parquet bytes, same codec everywhere)
     val int8Path = s"$root/int8"
     graft.operators.Quantization.quantizeInt8(emb, "vec_id", "embedding")
@@ -1082,7 +1098,7 @@ object ScaleProbe {
     val fullPath = s"$root/full"
     emb.write.mode("overwrite").parquet(fullPath)
     println(s"[probe] bytes float32=${dirBytes(fullPath)} " +
-      s"int8=${dirBytes(int8Path)} pq=${dirBytes(codesPath)}")
+      s"int8=${dirBytes(int8Path)} pq=${dirBytes(s"$root/pq_codes")}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -1172,8 +1188,8 @@ object ScaleProbe {
       case "compact" :: docsPath :: root :: rest =>
         compactProbe(spark, docsPath, root,
           rest.headOption.map(_.toInt).getOrElse(100))
-      case "quant" :: embPath :: root :: Nil =>
-        quantProbe(spark, embPath, root)
+      case "quant" :: embPath :: root :: rest =>
+        quantProbe(spark, embPath, root, rest.headOption.getOrElse("all"))
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
