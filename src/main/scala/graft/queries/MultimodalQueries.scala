@@ -179,6 +179,33 @@ private[queries] object MultimodalQueries {
                CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
         FROM dh a JOIN dh b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""")),
+
+    // ===== Multimodal: image DEDUP end-to-end — dHash → hamming pairs
+    // → connected components → one representative kept per perceptual
+    // cluster (the text tier's near-dedup loop, closed for images) =====
+    QueryDef("q142_image_dedup",
+      (s, dir) => {
+        val (media, _) = dhashMedia(s, dir)
+        val hashes = graft.operators.Multimodal.dHash(
+          media, "media_id", "content")
+        graft.operators.Similarity.keepRepresentatives(
+          hashes.select("media_id"), "media_id",
+          graft.operators.Dedup.signatureNearDupPairs(hashes,
+            "media_id", "dhash", maxDist = 3, chunks = 4, chunkBits = 16))
+      },
+      Some(s"""
+        WITH RECURSIVE ${duckDhashCtes},
+        pr AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+               FROM dh a JOIN dh b ON a.media_id < b.media_id
+               WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        ccr AS (SELECT src AS id, src AS comp FROM edges
+                UNION SELECT e2.dst, ccr.comp FROM ccr
+                JOIN edges e2 ON ccr.id = e2.src),
+        lab AS (SELECT id, min(comp) AS comp FROM ccr GROUP BY id)
+        SELECT media_id FROM dh
+        WHERE media_id NOT IN (SELECT id FROM lab WHERE comp < id)""")),
   )
 
   /** q134/q135 fixture: 50 distinct REAL PNGs (dims and seed a pure
