@@ -399,6 +399,85 @@ final class IvfStore(wh: graft.sources.Warehouse, name: String,
       Seq(tableSpec.copy(params = storeParams)), nStoreBuckets)
 }
 
+/** Parameters of a precomputed-signature hamming store — the chunk
+  * layout must cover all 64 bits for exactness at `maxDist < chunks`
+  * (see [[Dedup.signatureNearDupPairs]]). */
+final case class HammingConfig(maxDist: Int = 3, chunks: Int = 4,
+                               chunkBits: Int = 16, maxBucket: Int = 10000,
+                               nStoreBuckets: Int = 32)
+
+/** Persisted hamming store over PRECOMPUTED 64-bit signatures — the
+  * incremental form of [[Dedup.signatureNearDupPairs]], and the
+  * [[SimhashStore]] for signatures the caller supplies (perceptual
+  * image hashes from [[Multimodal.dHash]], 1-bit sign codes from
+  * [[Quantization.signBits]], any external fingerprint). One table,
+  * `<name>_hm_sig` (id, sig, chunk, cval) bucketed by (chunk, cval).
+  * Same equivalence contract as the family: batch-wise ingestion emits
+  * exactly the pairs the one-shot operator finds on the union, each
+  * pair once, at the ingest of its later endpoint. Null signatures
+  * never enter the store (they cannot match anything). */
+final class HammingStore(wh: graft.sources.Warehouse, name: String,
+                         cfg: HammingConfig) extends PairStore {
+  require(cfg.maxDist < cfg.chunks,
+    s"pigeonhole needs maxDist < chunks: ${cfg.maxDist} >= ${cfg.chunks}")
+  require(cfg.chunks * cfg.chunkBits <= 64,
+    s"chunk layout ${cfg.chunks}x${cfg.chunkBits} exceeds 64 bits")
+  private def sigParams = Seq(
+    "chunks" -> cfg.chunks.toString, "chunkBits" -> cfg.chunkBits.toString)
+  private val sigSpec = StoreCompaction.TableSpec(
+    s"active:$name:hm_sig", s"${name}_hm_sig", Seq("chunk", "cval"))
+  private def sigTable = StoreCompaction.active(wh.root, sigSpec)
+  def storeRoot: String = wh.root
+
+  /** Rewrite the signature table into one fresh generation — see
+    * [[StoreCompaction]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"HammingStore '$name'",
+      Seq(sigSpec.copy(params = sigParams)), cfg.nStoreBuckets)
+
+  protected def ingestBody(batch: DataFrame, idCol: String,
+                           sigCol: String): DataFrame = {
+    wh.paramsSpecValidated(sigTable, sigParams)
+    val chunkMask =
+      if (cfg.chunkBits == 64) -1L else (1L << cfg.chunkBits) - 1
+    val chunked = batch
+      .filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until cfg.chunks).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned(col("sig"), c * cfg.chunkBits)
+              .bitwiseAND(lit(chunkMask)).as("cval"))
+        }: _*)).as("cc"))
+      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
+      .localCheckpoint(true)
+    // store rows for the buckets this batch touches; AQE sizes the
+    // semi join (no hard hint — see MinhashStore.ingest)
+    val touched =
+      if (wh.exists(sigTable))
+        wh.readBucketed(sigTable).join(
+          chunked.select("chunk", "cval").distinct(),
+          Seq("chunk", "cval"), "left_semi")
+      else chunked.limit(0)
+    val members = touched.unionByName(chunked)
+    val newIds = chunked.select(col("id")).distinct()
+      .withColumn("__new", lit(true))
+    val pairs = Dedup.hammingCandidates(members,
+        Seq("chunk", "cval"), cfg.maxBucket, cfg.maxDist)
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) ||
+        coalesce(col("__nb"), lit(false)))
+      .select("id_a", "id_b", "hamming")
+      .localCheckpoint(true) // BEFORE the append — see MinhashStore
+    wh.appendBucketed(sigTable, chunked, Seq("chunk", "cval"),
+      cfg.nStoreBuckets)
+    pairs
+  }
+}
+
 /** Persisted IVFADC corpus — the incremental form of
   * [[Quantization.ivfAdcTopKEncoded]]'s serving layout: one
   * cell-bucketed table of (id, cell, code, vec), where `code` is the

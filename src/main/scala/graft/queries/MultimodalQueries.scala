@@ -173,12 +173,30 @@ private[queries] object MultimodalQueries {
             "media_id", "dhash", maxDist = 3, chunks = 4, chunkBits = 16)
           .withColumn("hamming", col("hamming").cast("long"))
       },
-      Some(s"""
-        WITH RECURSIVE ${duckDhashCtes}
-        SELECT a.media_id AS id_a, b.media_id AS id_b,
-               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-        FROM dh a JOIN dh b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""")),
+      Some(dhashPairsOracle)),
+
+    // ===== Multimodal: INCREMENTAL image near-dup — the same pairs
+    // from a persisted HammingStore built by two ingests (each pair
+    // emitted once, at the ingest of its later endpoint; the union is
+    // exactly the one-shot q135 result) =====
+    QueryDef("q143_image_neardup_incremental",
+      (s, dir) => {
+        val (media, _) = dhashMedia(s, dir)
+        val hashes = graft.operators.Multimodal.dHash(
+          media, "media_id", "content")
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q143_").toString
+        val store = new graft.operators.HammingStore(
+          new graft.sources.Warehouse(s, root), "img",
+          graft.operators.HammingConfig(maxDist = 3, nStoreBuckets = 4))
+        val p1 = store.ingest(hashes.filter(col("media_id") < 250),
+          "media_id", "dhash")
+        val p2 = store.ingest(hashes.filter(col("media_id") >= 250),
+          "media_id", "dhash")
+        p1.unionByName(p2)
+          .withColumn("hamming", col("hamming").cast("long"))
+      },
+      Some(dhashPairsOracle)),
 
     // ===== Multimodal: image DEDUP end-to-end — dHash → hamming pairs
     // → connected components → one representative kept per perceptual
@@ -207,6 +225,15 @@ private[queries] object MultimodalQueries {
         SELECT media_id FROM dh
         WHERE media_id NOT IN (SELECT id FROM lab WHERE comp < id)""")),
   )
+
+  /** q135/q143's shared oracle: all dHash pairs at hamming ≤ 3,
+    * brute-forced over the bit-exact replayed hashes. */
+  private def dhashPairsOracle: String = s"""
+        WITH RECURSIVE ${duckDhashCtes}
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM dh a JOIN dh b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""
 
   /** q134/q135 fixture: 50 distinct REAL PNGs (dims and seed a pure
     * function of `g = doc_id % 50`), each shared by 10 docs — exact

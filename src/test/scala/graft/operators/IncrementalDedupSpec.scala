@@ -244,6 +244,36 @@ class IncrementalDedupSpec extends SparkSpec {
       compacted.size)
   }
 
+  test("hamming store: batch ingests partition the one-shot pairs, " +
+      "nulls skipped, compaction preserves") {
+    // planted structure: ids 0..29 random-ish sigs, 30..39 duplicate
+    // the sig of (id - 30); id 50 carries a null signature
+    val rnd = new scala.util.Random(5)
+    val sigs = ((0L until 30L).map(i => (i, Option(rnd.nextLong()))) ++
+      (30L until 40L).map(i => (i, Option(rnd.nextLong()))) ++
+      Seq((50L, Option.empty[Long]))).toDF("id", "sig")
+    val dups = sigs.filter(col("id") < 10)
+      .select((col("id") + 100L).as("id"), col("sig"))
+    val all = sigs.unionByName(dups)
+    val cfg = HammingConfig(maxDist = 2, nStoreBuckets = 2)
+    val full = pairKey(Dedup.signatureNearDupPairs(all, "id", "sig",
+      cfg.maxDist, cfg.chunks, cfg.chunkBits, cfg.maxBucket))
+    assert(full.nonEmpty)
+    val store = new HammingStore(freshWh(), "t", cfg)
+    val p1 = pairKey(store.ingest(all.filter(col("id") < 35), "id", "sig"))
+    val p2 = pairKey(store.ingest(all.filter(col("id") >= 35), "id", "sig"))
+    assert(p1 === full.filter(p => p._1 < 35 && p._2 < 35))
+    assert(p2 === full.filter(p => p._1 >= 35 || p._2 >= 35))
+    assert((p1 & p2) === Set.empty)
+    store.compact(spark)
+    val extra = Seq((200L, Option(rnd.nextLong())),
+      (201L, sigs.filter(col("id") === 3).select("sig").as[Option[Long]].head()))
+      .toDF("id", "sig")
+    val p3 = pairKey(store.ingest(extra, "id", "sig"))
+    assert(p3.contains((3L, 201L)),
+      "an exact dup of sig 3 must pair against the compacted store")
+  }
+
   test("ivfadc store: incremental appends serve identically to one shot, " +
       "compaction preserves, identity drift fails fast") {
     val vecs = (0L until 60L).map(i =>
