@@ -69,12 +69,12 @@ object Quantization {
     cosineFromParts(intDot(a, b).cast("double"), na, nb)
   }
 
-  /** Exact top-k cosine neighbors served from int8 codes with exact
-    * rescoring: the candidate pass scans ONLY the quantized corpus
-    * (¼ the bytes of [[Similarity.bruteForceTopK]]'s scan) and keeps
-    * `k × rescoreFactor` candidates per query by quantized cosine; the
-    * full-precision vectors are then re-joined for THOSE rows only and
-    * exact cosine picks the final k.
+  /** Top-k cosine served from PERSISTED int8 codes (a [[quantizeInt8]]
+    * output read back from storage) with exact rescoring: the
+    * candidate pass scans only the code table — ¼ the at-rest bytes of
+    * the float32 corpus — and keeps `k × rescoreFactor` candidates per
+    * query by quantized cosine; the full-precision vectors re-enter
+    * for THOSE rows only and exact cosine picks the final k.
     *
     * Same contract as bruteForceTopK (query side broadcast, guarded by
     * `maxQueries`; only (ids, score) through the top-k shuffle). The
@@ -82,11 +82,11 @@ object Quantization {
     * cost recall (a true neighbor ranked below the rescore window),
     * never precision of the reported score; `rescoreFactor` is the
     * recall knob. */
-  def int8TopK(corpus: DataFrame, queries: DataFrame,
-               idCol: String, vecCol: String, k: Int,
-               rescoreFactor: Int = 4,
-               queryIdCol: String = "query_id",
-               maxQueries: Int = 10000): DataFrame = {
+  def int8TopKEncoded(codes: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, rescoreFactor: Int = 4,
+                      queryIdCol: String = "query_id",
+                      maxQueries: Int = 10000): DataFrame = {
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
     val qCount = queries.limit(maxQueries + 1).count()
     require(qCount <= maxQueries,
@@ -99,7 +99,7 @@ object Quantization {
     // norms hoisted to once per row, not once per pair. The first
     // probe measured the per-pair zip_with fold + per-pair norms at
     // 12× the brute wall; this form matches it.
-    val qc = quantizeInt8(corpus, idCol, vecCol)
+    val qc = codes
       .select(col("id").as("nbr_id"),
         col("qvec").cast("array<double>").as("__cq"))
       .withColumn("__cn", norm(col("__cq")))
@@ -118,6 +118,19 @@ object Quantization {
       .select(col(queryIdCol), col("nbr_id"))
     exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
   }
+
+  /** [[int8TopKEncoded]] with the codes computed on the fly — the
+    * convenience form for corpora not yet quantized. NOTE: this form
+    * reads the full-precision corpus to quantize it, so it has NO IO
+    * advantage over brute force (the probe measured it at parity);
+    * the 4× scan cut needs persisted codes and the encoded form. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               rescoreFactor: Int = 4,
+               queryIdCol: String = "query_id",
+               maxQueries: Int = 10000): DataFrame =
+    int8TopKEncoded(quantizeInt8(corpus, idCol, vecCol), corpus, queries,
+      idCol, vecCol, k, rescoreFactor, queryIdCol, maxQueries)
 
   /** Shared exact-rescore tail of the compressed-candidate servers:
     * full-precision vectors re-enter by id for the surviving
@@ -153,29 +166,40 @@ object Quantization {
     * Compose with [[Dedup.signatureNearDupPairs]] for near-dup pairs
     * over the signature, or [[binaryTopK]] for serve. */
   def signBits(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
     val sig = (0 until 64).map(j =>
-      when(coalesce(element_at(col(vecCol), j + 1).cast("double") >= 0.0,
+      when(coalesce(element_at(v, j + 1).cast("double") >= 0.0,
         lit(false)), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    // null/empty vectors signature to NULL (they cannot match anything
+    // — the dHash convention; a 0L signature would pair every null row
+    // at hamming 0); dim > 64 fails fast instead of silently
+    // truncating to a false-match-prone 64-component prefix
+    df.select(col(idCol).as("id"),
+      when(v.isNull || size(v) === 0, lit(null).cast("long"))
+        .when(size(v) > 64, raise_error(concat(
+          lit("signBits needs dim <= 64, got "),
+          size(v).cast("string"))).cast("long"))
+        .otherwise(sig).as("sig"))
   }
 
   /** Top-k cosine served from 1-bit signatures with exact rescoring:
     * candidates rank by hamming distance (ascending, then id), the
     * k×rescoreFactor survivors get exact full-precision cosine — the
-    * [[int8TopK]] contract at 256× compression. Hamming is a coarse
+    * [[int8TopKEncoded]] contract at 256× at-rest compression when
+    * `sigs` is a persisted [[signBits]] output. Hamming is a coarse
     * rank (65 distinct values at dim 64), so size `rescoreFactor`
     * generously — ties beyond the window are cut by id order. */
-  def binaryTopK(corpus: DataFrame, queries: DataFrame,
-                 idCol: String, vecCol: String, k: Int,
-                 rescoreFactor: Int = 16,
-                 queryIdCol: String = "query_id",
-                 maxQueries: Int = 10000): DataFrame = {
+  def binaryTopKEncoded(sigs: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, rescoreFactor: Int = 16,
+                        queryIdCol: String = "query_id",
+                        maxQueries: Int = 10000): DataFrame = {
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
     val qCount = queries.limit(maxQueries + 1).count()
     require(qCount <= maxQueries,
       s"binaryTopK query side exceeds $maxQueries vectors; " +
         "use lshTopK or ivfTopK for large query sets")
-    val sc = signBits(corpus, idCol, vecCol)
+    val sc = sigs.filter(col("sig").isNotNull)
       .select(col("id").as("nbr_id"), col("sig").as("__cs"))
     val sq = signBits(queries, idCol, vecCol)
       .select(col("id").as(queryIdCol), col("sig").as("__qs"))
@@ -189,6 +213,17 @@ object Quantization {
       .select(col(queryIdCol), col("nbr_id"))
     exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
   }
+
+  /** [[binaryTopKEncoded]] with the signatures computed on the fly —
+    * convenience form; like [[int8TopK]], it reads the full-precision
+    * corpus to sign it, so the IO cut needs persisted signatures. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 rescoreFactor: Int = 16,
+                 queryIdCol: String = "query_id",
+                 maxQueries: Int = 10000): DataFrame =
+    binaryTopKEncoded(signBits(corpus, idCol, vecCol), corpus, queries,
+      idCol, vecCol, k, rescoreFactor, queryIdCol, maxQueries)
 
   // ------------------------------------------------- product quantization
 
@@ -473,17 +508,23 @@ object Quantization {
     import graft.functions.VectorFunctions.l2Sq
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
     val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    val q0 = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+    // the ADC table does not depend on the probed cell — computed ONCE
+    // per query here and joined back below, not once per (query, cell)
+    // row after the probe fan-out (that form evaluated the m×ksub
+    // sub-slice dots nProbes times per query)
+    val qtab = q0.select(col(queryIdCol),
+      queryTable(books, col("__qv")).as("__qtab"),
+      norm(col("__qv")).as("__qn"))
     // nProbes nearest coarse cells per query (query side is small)
     val qw = Window.partitionBy(queryIdCol).orderBy(asc("__d"), asc("cell"))
-    val probed = queries
-      .select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+    val probed = q0
       .join(cents)
       .withColumn("__d", l2Sq(col("__qv"), col("cvec")))
       .withColumn("__cr", row_number().over(qw))
       .filter(col("__cr") <= nProbes)
-      .select(col(queryIdCol), col("cell"),
-        queryTable(books, col("__qv")).as("__qtab"),
-        norm(col("__qv")).as("__qn"))
+      .select(col(queryIdCol), col("cell"))
+      .join(broadcast(qtab), Seq(queryIdCol))
     // per-row corpus norm + per-pair native ADC fold — see pqTopKEncoded
     val approx = codes.withColumnRenamed("id", "nbr_id")
       .withColumn("__cn", sqrt(adcDot(col("code"), normTable(books), books)))

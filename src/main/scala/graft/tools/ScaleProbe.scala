@@ -964,7 +964,7 @@ object ScaleProbe {
       df.select("query_id", "nbr_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     var brute: Set[(Long, Long)] = Set.empty
-    if (part != "planted") {
+    if (part == "all" || part == "base") {
     time("brute topk float32 (100 q)") {
       brute = pairs(graft.operators.Similarity.bruteForceTopK(
         emb, queries, "vec_id", "embedding", 10))
@@ -989,7 +989,7 @@ object ScaleProbe {
         emb.filter(pmod(col("vec_id"), lit(10)) === 0),
         "vec_id", "embedding", dim = 64, m = 16, ksub = 16, iters = 2)
     }
-    if (part != "planted") {
+    if (part == "all" || part == "base") {
     val codesPath = s"$root/pq_codes"
     time("pq encode + persist (1 narrow map)") {
       graft.operators.Quantization.pqEncode(emb, "vec_id", "embedding", books)
@@ -1015,9 +1015,13 @@ object ScaleProbe {
     // instead of the synthetic corpus's iid ±0.15 noise floor (which
     // sits BELOW the code quantization error — no code can rank inside
     // it, only the rescore window can).
+    // planted ids start past the corpus max — a fixed 2M offset
+    // COLLIDED with real ids at the 10M tier (review-caught), putting
+    // two vectors behind one id and corrupting the recall sets
+    val idBase = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val plantedDf = emb.unionByName(
       queries.crossJoin(spark.range(10).select(col("id").as("__r")))
-        .select((col("vec_id") * 10 + col("__r") + 2000000L).as("vec_id"),
+        .select((col("vec_id") * 10 + col("__r") + lit(idBase)).as("vec_id"),
           transform(col("embedding"), (x, j) =>
             (x + sin(col("vec_id") * 131 + col("__r") * 17 + j)
               * lit(0.01f)).cast("float")).as("embedding")))
@@ -1030,18 +1034,23 @@ object ScaleProbe {
       pbrute = pairs(graft.operators.Similarity.bruteForceTopK(
         planted, queries, "vec_id", "embedding", 10))
     }
-    graft.operators.Quantization.pqEncode(
-      planted, "vec_id", "embedding", books)
-      .write.mode("overwrite").parquet(s"$root/pcodes")
-    val pcodes = spark.read.parquet(s"$root/pcodes")
-    var ppq: Set[(Long, Long)] = Set.empty
-    time("planted: pq ADC, rescore 8") {
-      ppq = pairs(graft.operators.Quantization.pqTopKEncoded(
-        pcodes, planted, queries, "vec_id", "embedding", 10, books,
-        rescoreFactor = 8))
+    // "plantedfast" skips the flat ADC scan (its recall is the same as
+    // ivfpq's — both use raw-vector codes — and the linear scan is the
+    // wall the cell-probed variants exist to avoid)
+    if (part != "plantedfast") {
+      graft.operators.Quantization.pqEncode(
+        planted, "vec_id", "embedding", books)
+        .write.mode("overwrite").parquet(s"$root/pcodes")
+      val pcodes = spark.read.parquet(s"$root/pcodes")
+      var ppq: Set[(Long, Long)] = Set.empty
+      time("planted: pq ADC, rescore 8") {
+        ppq = pairs(graft.operators.Quantization.pqTopKEncoded(
+          pcodes, planted, queries, "vec_id", "embedding", 10, books,
+          rescoreFactor = 8))
+      }
+      println(f"[probe] planted pq recall vs exact = ${
+        (ppq & pbrute).size.toDouble / pbrute.size}%.4f")
     }
-    println(f"[probe] planted pq recall vs exact = ${
-      (ppq & pbrute).size.toDouble / pbrute.size}%.4f")
     // IVF-PQ: coarse cells bound candidates, equi-join serve
     var cents: org.apache.spark.sql.DataFrame = null
     time("ivfpq: coarse kmeans k=64 it=2 (10% sample)") {
@@ -1084,7 +1093,7 @@ object ScaleProbe {
     println(f"[probe] planted ivfadc recall vs exact = ${
       (adc & pbrute).size.toDouble / pbrute.size}%.4f")
     }
-    if (part == "planted") return
+    if (part.startsWith("planted")) return
     // at-rest accounting (parquet bytes, same codec everywhere)
     val int8Path = s"$root/int8"
     graft.operators.Quantization.quantizeInt8(emb, "vec_id", "embedding")

@@ -214,6 +214,17 @@ class QuantizationSpec extends SparkSpec {
     val sigs = Quantization.signBits(v, "vec_id", "embedding")
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) === 5L && sigs(2L) === 2L)
+    // null/empty vectors signature to NULL (never to a matchable 0L)
+    val edge = Seq((1L, Option(Array(1.0f))), (2L, None),
+      (3L, Option(Array.empty[Float]))).toDF("vec_id", "embedding")
+    val e = Quantization.signBits(edge, "vec_id", "embedding")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(e(1L) === Some(1L) && e(2L) === None && e(3L) === None)
+    // dim > 64 fails fast instead of silently truncating
+    val wide = Seq((1L, Array.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Quantization.signBits(wide, "vec_id", "embedding").collect()
+    }
 
     val corpus = vecs(60)
     val queries = corpus.filter(col("vec_id") < 4)
