@@ -135,7 +135,18 @@ trait AppendStore {
   * row) so every bucket's rows land wholly inside one task and the new
   * generation totals exactly nStoreBuckets files; repartitioning on the
   * raw columns instead spreads buckets across tasks (files = tasks ×
-  * buckets — measured 2× in the BM25 compaction spec). */
+  * buckets — measured 2× in the BM25 compaction spec).
+  *
+  * Two stores keep BESPOKE compactors with the same transactional
+  * shape rather than this helper, deliberately:
+  * [[Retrieval.Bm25Index.compact]] rewrites a non-bucketed one-row
+  * stats sidecar alongside its bucketed tables, and
+  * [[Decontamination.GramIndex.compact]] rewrites a gpfx-PARTITIONED
+  * bucketed layout via `appendPartitionedBucketed` with a compound
+  * pre-partitioning — parameterizing this helper for both would cost
+  * more surface than the two hand-written copies, each of which has
+  * its own crash-mid-compact spec. A change to the alias/sweep
+  * protocol must be applied in all three places. */
 private[operators] object StoreCompaction {
   /** One physical table of a store: resolved through `aliasKey` (the
     * active-generation pointer in the commit record), rewritten with
