@@ -158,8 +158,6 @@ object Dedup {
     * blow-up (measured in ScaleProbe `pairs`-style accounting). */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
     val sh = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
@@ -167,6 +165,29 @@ object Dedup {
         // wordShinglesFromTokens is already per-doc distinct
         explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
           .as("shingle"))
+    prefixJaccardExploded(sh, threshold)
+  }
+
+  /** Exact set-similarity join over PRECOMPUTED element sets — the
+    * [[prefixJaccardPairs]] prefix-filter machinery without the text
+    * shingling stage: `setCol` is any array column (frame fingerprints
+    * of a video, hashed features, category sets), de-duplicated per
+    * row, and pairs with Jaccard ≥ threshold come back exactly —
+    * lossless, same contract. Output (id_a, id_b, jaccard). */
+  def setJaccardPairs(df: DataFrame, idCol: String, setCol: String,
+                      threshold: Double): DataFrame =
+    prefixJaccardExploded(
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(col(setCol))).as("shingle")),
+      threshold)
+
+  /** The AllPairs/PPJoin core over an exploded (id, shingle) frame —
+    * rare-first prefix ordering, prefix-bucket candidates, exact
+    * verify. Shared by the text and precomputed-set entry points. */
+  private def prefixJaccardExploded(sh: DataFrame,
+                                    threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     // df per shingle from the same exchange the prefix grouping reuses
     val withDf = sh.withColumn("df", count(lit(1)).over(w))

@@ -224,7 +224,54 @@ private[queries] object MultimodalQueries {
         lab AS (SELECT id, min(comp) AS comp FROM ccr GROUP BY id)
         SELECT media_id FROM dh
         WHERE media_id NOT IN (SELECT id FROM lab WHERE comp < id)""")),
-  )
+  ) :+ videoNearDupDef
+
+  /** The defs entry for q144 (appended to [[defs]] in the Seq above
+    * would shadow the helpers below — registered via concatenation). */
+  private[queries] def videoNearDupDef: Catalog.QueryDef =
+    // ===== Multimodal: video-style near-dup via frame fingerprints —
+    // sample fixed-size frames, fingerprint each (rolling hash), exact
+    // set-similarity join over the per-media fingerprint sets =====
+    Catalog.QueryDef("q144_video_neardup",
+      (s, dir) => {
+        val media = T.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            // printable-ASCII payloads so byte frames and char frames
+            // agree across engines (text bytes stand in for the stream)
+            regexp_replace(col("text"), "[^ -~]", "")
+              .cast("binary").as("content"))
+        val frames = graft.operators.Multimodal.sampleFrames(
+          media, "media_id", "content", frameSize = 32, everyN = 2)
+        val fsets = frames.groupBy("media_id")
+          .agg(collect_list(graft.operators.Dedup.polyHash(
+            col("frame").cast("string"))).as("fset"))
+        graft.operators.Dedup.setJaccardPairs(
+          fsets, "media_id", "fset", threshold = 0.5)
+      },
+      Some {
+        // outer lambda var MUST NOT be `i` — duckPolyHash's inner fold
+        // variable is `i` and would shadow it inside the substr
+        val ph = Catalog.duckPolyHash(
+          "substr(t, CAST(fi * 32 + 1 AS INTEGER), 32)")
+        s"""
+        WITH san AS (SELECT doc_id,
+                       regexp_replace(text, '[^ -~]', '', 'g') AS t
+                     FROM documents),
+        fr AS (SELECT doc_id, list_distinct(list_transform(
+                 list_filter(range(0,
+                   CAST(ceil(length(t) / 32.0) AS BIGINT)),
+                   fi -> fi % 2 = 0),
+                 fi -> $ph)) AS fs
+               FROM san),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                len(list_intersect(a.fs, b.fs)) AS c,
+                len(a.fs) AS sa, len(b.fs) AS sb
+              FROM fr a JOIN fr b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE) AS jaccard
+        FROM p
+        WHERE CAST(c AS DOUBLE) / CAST(sa + sb - c AS DOUBLE) >= 0.5"""
+      })
 
   /** q135/q143's shared oracle: all dHash pairs at hamming ≤ 3,
     * brute-forced over the bit-exact replayed hashes. */

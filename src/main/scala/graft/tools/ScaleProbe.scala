@@ -1110,6 +1110,48 @@ object ScaleProbe {
       s"int8=${dirBytes(int8Path)} pq=${dirBytes(s"$root/pq_codes")}")
   }
 
+  /** Image dedup at corpus scale: n REAL PNGs (5% planted exact
+    * perceptual dups), decode+dHash wall (the codec throughput story),
+    * hamming pairs, components, kept set — the multimodal tier's
+    * end-to-end dedup measured where the decode cost dominates. */
+  private def imgProbe(spark: SparkSession, n: Long, root: String): Unit = {
+    import spark.implicits._
+    println(s"[probe] img corpus n=$n (5% dups)")
+    val dupStart = (n * 0.95).toLong
+    val mediaPath = s"$root/media"
+    time("synth media (1 narrow map, real PNG encode)") {
+      spark.range(n).select(col("id"),
+          when(col("id") < dupStart, col("id"))
+            .otherwise(pmod(col("id") * 2654435761L, lit(dupStart))).as("g"))
+        .select(col("id"), col("g"),
+          (pmod(col("g"), lit(11)) + 20).cast("int").as("w"),
+          (pmod(col("g"), lit(7)) + 16).cast("int").as("h"))
+        .as[(Long, Long, Int, Int)]
+        .mapPartitions(_.map { case (id, g, w, h) =>
+          (id, graft.operators.Multimodal.pngBytes(w, h, g)) })
+        .toDF("media_id", "content")
+        .write.mode("overwrite").parquet(mediaPath)
+    }
+    val media = spark.read.parquet(mediaPath)
+    val hashPath = s"$root/hashes"
+    time("dHash (decode + 9x8 gray grid)") {
+      graft.operators.Multimodal.dHash(media, "media_id", "content")
+        .write.mode("overwrite").parquet(hashPath)
+    }
+    val hashes = spark.read.parquet(hashPath)
+    var pairs: org.apache.spark.sql.DataFrame = null
+    val nPairs = timedCount("hamming pairs (dist 0, pigeonhole)") {
+      pairs = graft.operators.Dedup.signatureNearDupPairs(
+        hashes, "media_id", "dhash", maxDist = 0).localCheckpoint(true)
+      pairs
+    }
+    val kept = timedCount("components + representatives") {
+      graft.operators.Similarity.keepRepresentatives(
+        hashes.select("media_id"), "media_id", pairs)
+    }
+    println(s"[probe] pairs=$nPairs kept=$kept dropped=${n - kept}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1199,10 +1241,12 @@ object ScaleProbe {
           rest.headOption.map(_.toInt).getOrElse(100))
       case "quant" :: embPath :: root :: rest =>
         quantProbe(spark, embPath, root, rest.headOption.getOrElse("all"))
+      case "img" :: nStr :: root :: Nil =>
+        imgProbe(spark, nStr.toLong, root)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact", "quant").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact", "quant", "img").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +

@@ -314,6 +314,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("setJaccardPairs: exact pairs over precomputed element sets") {
+    // hand-computable sets (frame fingerprints, category sets, …)
+    val rows = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(10L, 20L, 30L, 40L)),       // exact twin → 1.0
+      (3L, Seq(10L, 20L, 30L, 99L)),       // 3/5 = 0.6
+      (4L, Seq(10L, 20L, 20L, 30L, 99L)),  // dup element: distinct = doc 3
+      (5L, Seq(77L, 88L)),                 // disjoint
+      (6L, Seq.empty[Long])                // empty set: never pairs
+    )
+    val got = Dedup.setJaccardPairs(rows.toDF("id", "fset"), "id", "fset", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((1L, 3L)) === 0.6 && got((2L, 3L)) === 0.6)
+    assert(got((3L, 4L)) === 1.0, "per-row dup elements dedupe")
+    assert(got((1L, 4L)) === 0.6 && got((2L, 4L)) === 0.6)
+    assert(got.size === 6 && !got.keySet.exists(p => p._1 == 5L || p._2 == 5L
+      || p._1 == 6L || p._2 == 6L))
+  }
+
   test("prefixJaccardPairs matches ngramJaccardPairs when caps are slack") {
     // with a df cap far above every shingle's df the capped operator is
     // exact too — the two must agree (pairs whose shingles all have
