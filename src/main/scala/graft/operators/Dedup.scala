@@ -590,11 +590,22 @@ object Dedup {
                             maxBucket: Int = 10000): DataFrame = {
     require(maxDist < chunks,
       s"pigeonhole needs maxDist < chunks: $maxDist >= $chunks misses pairs")
+    hammingCandidates(hammingStage(df, idCol, sigCol, chunks, chunkBits),
+      Seq("chunk", "cval"), maxBucket, maxDist)
+  }
+
+  /** Shared pigeonhole staging of a PRECOMPUTED 64-bit signature
+    * column: (id, sig, chunk, cval) rows, null signatures dropped —
+    * ONE definition for the one-shot operator and the
+    * [[HammingStore]], whose equivalence contract depends on both
+    * sides chunking identically (the [[simhashStage]] pattern). */
+  private[operators] def hammingStage(df: DataFrame, idCol: String,
+                                      sigCol: String, chunks: Int,
+                                      chunkBits: Int): DataFrame = {
     require(chunks * chunkBits <= 64,
       s"chunk layout ${chunks}x$chunkBits exceeds 64 bits")
     val chunkMask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val chunked = df
-      .filter(col(sigCol).isNotNull)
+    df.filter(col(sigCol).isNotNull)
       .select(col(idCol).as("id"), col(sigCol).as("sig"))
       .select(col("id"), col("sig"),
         explode(array((0 until chunks).map { c =>
@@ -603,7 +614,6 @@ object Dedup {
               .bitwiseAND(lit(chunkMask)).as("cval"))
         }: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
-    hammingCandidates(chunked, Seq("chunk", "cval"), maxBucket, maxDist)
   }
 
   /** Shared staging of the portable SimHash pipeline for one batch:

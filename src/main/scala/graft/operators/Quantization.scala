@@ -201,7 +201,11 @@ object Quantization {
         "use lshTopK or ivfTopK for large query sets")
     val sc = sigs.filter(col("sig").isNotNull)
       .select(col("id").as("nbr_id"), col("sig").as("__cs"))
+    // null-signature QUERIES are excluded too (a null/empty query
+    // vector cannot rank anything — with NULL hamming it would sort
+    // first and return k arbitrary rows)
     val sq = signBits(queries, idCol, vecCol)
+      .filter(col("sig").isNotNull)
       .select(col("id").as(queryIdCol), col("sig").as("__qs"))
     val approx = sc.join(broadcast(sq), col("nbr_id") =!= col(queryIdCol))
       .select(col(queryIdCol), col("nbr_id"),

@@ -449,19 +449,10 @@ final class HammingStore(wh: graft.sources.Warehouse, name: String,
   protected def ingestBody(batch: DataFrame, idCol: String,
                            sigCol: String): DataFrame = {
     wh.paramsSpecValidated(sigTable, sigParams)
-    val chunkMask =
-      if (cfg.chunkBits == 64) -1L else (1L << cfg.chunkBits) - 1
-    val chunked = batch
-      .filter(col(sigCol).isNotNull)
-      .select(col(idCol).as("id"), col(sigCol).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(array((0 until cfg.chunks).map { c =>
-          struct(lit(c).as("chunk"),
-            shiftrightunsigned(col("sig"), c * cfg.chunkBits)
-              .bitwiseAND(lit(chunkMask)).as("cval"))
-        }: _*)).as("cc"))
-      .select(col("id"), col("sig"), col("cc.chunk"), col("cc.cval"))
-      .localCheckpoint(true)
+    // SAME staging as the one-shot operator — the equivalence contract
+    // depends on both sides chunking identically
+    val chunked = Dedup.hammingStage(batch, idCol, sigCol,
+      cfg.chunks, cfg.chunkBits).localCheckpoint(true)
     // store rows for the buckets this batch touches; AQE sizes the
     // semi join (no hard hint — see MinhashStore.ingest)
     val touched =

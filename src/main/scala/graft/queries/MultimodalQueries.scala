@@ -182,16 +182,20 @@ private[queries] object MultimodalQueries {
     QueryDef("q143_image_neardup_incremental",
       (s, dir) => {
         val (media, _) = dhashMedia(s, dir)
-        val hashes = graft.operators.Multimodal.dHash(
-          media, "media_id", "content")
         val root = java.nio.file.Files
           .createTempDirectory("graft_q143_").toString
         val store = new graft.operators.HammingStore(
           new graft.sources.Warehouse(s, root), "img",
           graft.operators.HammingConfig(maxDist = 3, nStoreBuckets = 4))
-        val p1 = store.ingest(hashes.filter(col("media_id") < 250),
+        // decode per BATCH (the incremental shape): filtering the dHash
+        // output instead would decode the full corpus once per ingest —
+        // the id filter cannot pass the mapPartitions barrier
+        def batchHashes(pred: org.apache.spark.sql.Column) =
+          graft.operators.Multimodal.dHash(
+            media.filter(pred), "media_id", "content")
+        val p1 = store.ingest(batchHashes(col("media_id") < 250),
           "media_id", "dhash")
-        val p2 = store.ingest(hashes.filter(col("media_id") >= 250),
+        val p2 = store.ingest(batchHashes(col("media_id") >= 250),
           "media_id", "dhash")
         p1.unionByName(p2)
           .withColumn("hamming", col("hamming").cast("long"))
@@ -206,8 +210,11 @@ private[queries] object MultimodalQueries {
         val (media, _) = dhashMedia(s, dir)
         val hashes = graft.operators.Multimodal.dHash(
           media, "media_id", "content")
+        // id universe from the un-decoded media frame — taking it from
+        // `hashes` would run the full decode pass a second time (dHash
+        // emits exactly one row per input, so the ids are identical)
         graft.operators.Similarity.keepRepresentatives(
-          hashes.select("media_id"), "media_id",
+          media.select("media_id"), "media_id",
           graft.operators.Dedup.signatureNearDupPairs(hashes,
             "media_id", "dhash", maxDist = 3, chunks = 4, chunkBits = 16))
       },

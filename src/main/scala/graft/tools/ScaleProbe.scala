@@ -1256,7 +1256,10 @@ object ScaleProbe {
           "vocab <docs> | vocabdiag <docs> <step> | bpe <docs> [k] | " +
           "bm25 <docs> <whRoot> | gram <docs> <whRoot> | ccgiant <n> " +
           "[uniform] | kmeans <emb> [k iters] | srcstats <docs> | " +
-          "range <n> | shard <docs> | hh <nTok> | distincr <nTok> <root> | <docs> [<emb>]")
+          "range <n> | shard <docs> | hh <nTok> | distincr <nTok> <root> | " +
+          "ppairs <docs> | compact <docs> <root> [nAppends] | " +
+          "quant <emb> <root> [all|base|planted|plantedfast] | " +
+          "img <n> <root> | <docs> [<emb>]")
     }
     spark.stop()
   }

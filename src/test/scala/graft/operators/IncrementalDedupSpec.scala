@@ -246,11 +246,16 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("hamming store: batch ingests partition the one-shot pairs, " +
       "nulls skipped, compaction preserves") {
-    // planted structure: ids 0..29 random-ish sigs, 30..39 duplicate
-    // the sig of (id - 30); id 50 carries a null signature
+    // planted structure: ids 0..29 random sigs; ids 30..39 are ONE-BIT
+    // flips of (id - 30) — genuine hamming-1 pairs, so the
+    // 0 < hamming <= maxDist path is actually exercised (random 64-bit
+    // sigs land within distance 2 with probability ~2^-53); id 50
+    // carries a null signature
     val rnd = new scala.util.Random(5)
-    val sigs = ((0L until 30L).map(i => (i, Option(rnd.nextLong()))) ++
-      (30L until 40L).map(i => (i, Option(rnd.nextLong()))) ++
+    val base = (0 until 30).map(_ => rnd.nextLong())
+    val sigs = ((0L until 30L).map(i => (i, Option(base(i.toInt)))) ++
+      (30L until 40L).map(i =>
+        (i, Option(base((i - 30).toInt) ^ (1L << (i - 30).toInt)))) ++
       Seq((50L, Option.empty[Long]))).toDF("id", "sig")
     val dups = sigs.filter(col("id") < 10)
       .select((col("id") + 100L).as("id"), col("sig"))
@@ -258,6 +263,8 @@ class IncrementalDedupSpec extends SparkSpec {
     val cfg = HammingConfig(maxDist = 2, nStoreBuckets = 2)
     val full = pairKey(Dedup.signatureNearDupPairs(all, "id", "sig",
       cfg.maxDist, cfg.chunks, cfg.chunkBits, cfg.maxBucket))
+    assert((0L until 10L).forall(i => full.contains((i, i + 30))),
+      "every planted one-bit flip must pair at hamming 1")
     assert(full.nonEmpty)
     val store = new HammingStore(freshWh(), "t", cfg)
     val p1 = pairKey(store.ingest(all.filter(col("id") < 35), "id", "sig"))
