@@ -1152,6 +1152,44 @@ object ScaleProbe {
     println(s"[probe] pairs=$nPairs kept=$kept dropped=${n - kept}")
   }
 
+  /** HammingStore at 1M signatures: one-shot pair wall vs store build
+    * (95%) + small ingests — the batch-proportional claim for the
+    * precomputed-signature store, with pair-partition equality
+    * checked. Sigs are xxhash64-derived with 5% planted one-bit
+    * flips of earlier ids. */
+  private def hammProbe(spark: SparkSession, n: Long, root: String): Unit = {
+    println(s"[probe] hamm corpus n=$n (5% one-bit dups)")
+    val dupStart = (n * 95 / 100)
+    val sigs = spark.range(n).select(col("id"),
+        when(col("id") < dupStart, xxhash64(col("id")))
+          .otherwise(xxhash64(pmod(col("id") * 2654435761L, lit(dupStart)))
+            .bitwiseXOR(expr("shiftleft(1L, cast(id % 64 as int))")))
+          .as("sig"))
+      .localCheckpoint(true)
+    val cfg = graft.operators.HammingConfig(maxDist = 1)
+    val oneShot = timedCount("one-shot pairs (dist 1)") {
+      graft.operators.Dedup.signatureNearDupPairs(sigs, "id", "sig",
+        cfg.maxDist, cfg.chunks, cfg.chunkBits, cfg.maxBucket)
+    }
+    val wh = new graft.sources.Warehouse(spark, root)
+    val store = new graft.operators.HammingStore(wh, "p", cfg)
+    var total = 0L
+    time("store build (95% batch)") {
+      total += store.ingest(sigs.filter(col("id") < dupStart), "id", "sig")
+        .count()
+    }
+    time("ingest 4% batch") {
+      total += store.ingest(sigs.filter(col("id") >= dupStart &&
+        col("id") < n - n / 100), "id", "sig").count()
+    }
+    time("ingest 1% batch (the daily cost)") {
+      total += store.ingest(sigs.filter(col("id") >= n - n / 100),
+        "id", "sig").count()
+    }
+    println(s"[probe] store pairs total=$total oneShot=$oneShot " +
+      s"partition ${if (total == oneShot) "EXACT" else "MISMATCH"}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1243,10 +1281,12 @@ object ScaleProbe {
         quantProbe(spark, embPath, root, rest.headOption.getOrElse("all"))
       case "img" :: nStr :: root :: Nil =>
         imgProbe(spark, nStr.toLong, root)
+      case "hamm" :: nStr :: root :: Nil =>
+        hammProbe(spark, nStr.toLong, root)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact", "quant", "img").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact", "quant", "img", "hamm").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
@@ -1259,7 +1299,7 @@ object ScaleProbe {
           "range <n> | shard <docs> | hh <nTok> | distincr <nTok> <root> | " +
           "ppairs <docs> | compact <docs> <root> [nAppends] | " +
           "quant <emb> <root> [all|base|planted|plantedfast] | " +
-          "img <n> <root> | <docs> [<emb>]")
+          "img <n> <root> | hamm <n> <root> | <docs> [<emb>]")
     }
     spark.stop()
   }
