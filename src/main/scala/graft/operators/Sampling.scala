@@ -115,6 +115,38 @@ object Sampling {
     df.filter(h < frac * lit(1000000007.0))
   }
 
+  /** Epoch-style OVERSAMPLING: per-stratum repeat factors that may
+    * exceed 1 — the standard mixture recipe where high-quality sources
+    * repeat for multiple "epochs" of the mix while bulk sources are
+    * downsampled. Each row emits ⌊f⌋ full copies plus one more when
+    * its salted spread hash falls below frac(f), so the expected copy
+    * count is exactly f per row and the kept set is replay-stable
+    * (f ≤ 1 degenerates to [[fractionSample]]'s keep rule with the
+    * SAME hash, so a mixed up/down-sampling config is one operator).
+    * Output adds `rep` (0-based copy index) so downstream
+    * shuffling/packing can distinguish copies.
+    *
+    * Scale shape: row-local explode, no shuffle; output volume is
+    * Σ fᵢ·nᵢ by construction — bound the factors, not the operator. */
+  def repeatSample(df: DataFrame, strataCol: String, idCol: String,
+                   factors: Seq[(String, Double)], defaultFactor: Double,
+                   salt: String = ""): DataFrame = {
+    (factors :+ ("<default>" -> defaultFactor)).foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1000.0,
+        s"repeat factor out of [0, 1000] for '$s': $f") }
+    val h = pmod(
+      hashBucket(col(idCol), 1000000007, salt) * lit(1103515245L)
+        + lit(12345L), lit(1000000007L)).cast("double")
+    val f = strataCase(strataCol, factors, defaultFactor)(x => lit(x))
+    val n = (floor(f).cast("int") +
+      when(h < (f - floor(f)) * lit(1000000007.0), lit(1)).otherwise(lit(0)))
+    // sequence(0, -1) would count DOWN — zero-copy rows need the
+    // explicit empty branch (the sampleFrames lesson)
+    df.withColumn("rep",
+      explode(when(n <= 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), n - 1))))
+  }
+
   /** Temperature-weighted keep fractions for [[fractionSample]] — the
     * standard multilingual/domain rebalancing rule: stratum i with nᵢ of
     * N docs gets target share nᵢ^α / Σ nⱼ^α of a `budget`-doc mix, i.e.

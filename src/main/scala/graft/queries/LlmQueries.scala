@@ -712,6 +712,29 @@ private[queries] object LlmQueries {
           (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END)
             * 1000000007.0""")),
 
+    // ===== training pipeline: epoch-style OVERSAMPLING — repeat
+    // factors > 1 for high-quality strata, fractional for bulk; copy
+    // count ⌊f⌋ + hash-Bernoulli(frac(f)), replay-stable =====
+    QueryDef("q145_repeat_sample",
+      (s, dir) => graft.operators.Sampling.repeatSample(
+        T.documents(s, dir).select("doc_id", "lang"),
+        "lang", "doc_id", Seq("en" -> 2.5, "de" -> 1.0),
+        defaultFactor = 0.25, salt = "v1"),
+      Some(s"""
+        WITH h AS (SELECT doc_id, lang,
+            CAST((${duckHashBucket("doc_id", 1000000007L, "v1")}
+              * 1103515245 + 12345) % 1000000007 AS DOUBLE) AS hv,
+            (CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+                       ELSE 0.25 END) AS f
+          FROM documents),
+        n AS (SELECT doc_id, lang,
+            CAST(floor(f) AS INTEGER) +
+              (CASE WHEN hv < (f - floor(f)) * 1000000007.0
+                    THEN 1 ELSE 0 END) AS copies
+          FROM h)
+        SELECT doc_id, lang, CAST(unnest(range(0, copies)) AS INTEGER) AS rep
+        FROM n""")),
+
     // ===== training pipeline: per-stratum quota sample (domain mixing) =====
     QueryDef("q72_quota_sample",
       (s, dir) => graft.operators.Sampling.quotaSample(

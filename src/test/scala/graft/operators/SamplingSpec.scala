@@ -146,4 +146,37 @@ class SamplingSpec extends SparkSpec {
     assert(approx.count(_._1 == "a") >= 24 && approx.count(_._1 == "a") <= 26)
     assert(approx.count(_._1 == "b") === 8)
   }
+
+  test("repeatSample: epoch oversampling — copy counts, rep indices, " +
+      "fraction-degenerate equivalence") {
+    val docs = ((1L to 400L).map(i => (i, "hq")) ++
+      (401L to 800L).map(i => (i, "bulk"))).toDF("id", "s")
+    val out = Sampling.repeatSample(docs, "s", "id",
+        Seq("hq" -> 2.5), defaultFactor = 0.5, salt = "v1")
+      .select("id", "s", "rep").as[(Long, String, Int)].collect()
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every hq row appears 2 or 3 times with contiguous rep indices
+    (1L to 400L).foreach { i =>
+      assert(byId(i) == Seq(0, 1) || byId(i) == Seq(0, 1, 2), s"id $i")
+    }
+    // expectation ≈ f per stratum (hash-deterministic, so exact per run)
+    val hq = out.count(_._2 == "hq")
+    assert(hq >= 400 * 2 && hq <= 400 * 3)
+    assert(math.abs(hq - 1000) < 60, s"hq copies $hq vs E=1000")
+    val bulk = out.filter(_._2 == "bulk")
+    assert(bulk.forall(_._3 == 0) && math.abs(bulk.length - 200) < 40)
+    // f <= 1 keeps EXACTLY fractionSample's rows (same hash, same rule)
+    val viaRepeat = Sampling.repeatSample(docs, "s", "id",
+        Seq("hq" -> 0.3), defaultFactor = 0.7, salt = "z")
+      .select("id").as[Long].collect().toSet
+    val viaFraction = Sampling.fractionSample(docs, "s", "id",
+        Seq("hq" -> 0.3), defaultFraction = 0.7, salt = "z")
+      .select("id").as[Long].collect().toSet
+    assert(viaRepeat === viaFraction)
+    // replay-stable
+    val again = Sampling.repeatSample(docs, "s", "id",
+        Seq("hq" -> 2.5), defaultFactor = 0.5, salt = "v1")
+      .select("id", "s", "rep").as[(Long, String, Int)].collect()
+    assert(again.sorted.toSeq === out.sorted.toSeq)
+  }
 }
