@@ -976,6 +976,17 @@ object ScaleProbe {
     }
     println(f"[probe] int8 recall vs exact = ${
       (i8 & brute).size.toDouble / brute.size}%.4f")
+    // the persisted-code serve — the form with the actual 4× scan cut
+    graft.operators.Quantization.quantizeInt8(emb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$root/int8codes")
+    val i8codes = spark.read.parquet(s"$root/int8codes")
+    var i8e: Set[(Long, Long)] = Set.empty
+    time("int8 topk ENCODED (persisted codes)") {
+      i8e = pairs(graft.operators.Quantization.int8TopKEncoded(
+        i8codes, emb, queries, "vec_id", "embedding", 10, rescoreFactor = 4))
+    }
+    println(f"[probe] int8-encoded recall vs exact = ${
+      (i8e & brute).size.toDouble / brute.size}%.4f")
     }
     // PQ: train on a 10% sample (the q113 discipline), encode everything.
     // m=16 (4-dim slices) so per-vector noise reaches the code and
