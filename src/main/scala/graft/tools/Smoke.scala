@@ -238,6 +238,31 @@ object Smoke {
         graft.operators.Multimodal.dHash(media, "media_id", "content"),
         "media_id", "dhash", maxDist = 3)
     }
+    show("Sampling.repeatSample (epoch oversampling)") {
+      graft.operators.Sampling.repeatSample(
+        docs.select(col("doc_id"), col("lang")), "lang", "doc_id",
+        Seq("en" -> 2.5), defaultFactor = 0.5, salt = "smoke")
+    }
+    show("Dedup.setJaccardPairs over frame-fingerprint sets") {
+      val media = docs.limit(60).select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+      val frames = graft.operators.Multimodal.sampleFrames(
+        media, "media_id", "content", frameSize = 32, everyN = 2)
+      graft.operators.Dedup.setJaccardPairs(
+        frames.groupBy("media_id")
+          .agg(collect_list(Dedup.polyHash(col("frame").cast("string")))
+            .as("fset")),
+        "media_id", "fset", threshold = 0.5)
+    }
+    show("HammingStore ingest (precomputed signatures)") {
+      val sigs = graft.operators.Quantization.signBits(
+        emb.limit(100), "vec_id", "embedding")
+      val wh = new graft.sources.Warehouse(spark, java.nio.file.Files
+        .createTempDirectory("graft_smoke_hm_").toString)
+      new graft.operators.HammingStore(wh, "s",
+          graft.operators.HammingConfig(maxDist = 2, nStoreBuckets = 2))
+        .ingest(sigs, "id", "sig")
+    }
     show("Decontamination.semanticContamination") {
       graft.operators.Decontamination.semanticContamination(
         emb, "vec_id", "embedding",
