@@ -29,11 +29,21 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Exact floor(c / w) on longs: (c − pmod(c, w)) is exactly divisible
-    * and `div` on the already-floored numerator equals floor for
-    * negative c too (pmod is always non-negative). */
-  private[operators] def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))).cast("long") / lit(w)).cast("long")
+  /** Exact floor(c / w) on longs, valid over the FULL Long range: SQL
+    * `div` (IntegralDivide — truncates toward zero) minus 1 when the
+    * Java remainder is negative, i.e. Math.floorDiv. Two pitfalls this
+    * dodges: Spark's `/` is IEEE double division even on longs (rounds
+    * past 2^53, shifting a bin by one at Long extremes), and the
+    * pmod-subtraction formulation (c − pmod(c, w)) overflows for c
+    * within w of Long.MinValue. w must be positive (callers require it). */
+  private[operators] def floorDiv(c: Column, w: Long): Column = {
+    import graft.functions.expressions.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    val cl = c.cast("long")
+    val q = ColumnBridge.column(
+      IntegralDivide(ColumnBridge.expression(cl), Literal(w)))
+    q - when(cl % lit(w) < 0, 1L).otherwise(0L)
+  }
 
   /** Explode `df` into one row per bin its [s, e] interval touches
     * (column `__bin`). The cap guard runs as a filter BELOW the

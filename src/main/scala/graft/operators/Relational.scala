@@ -83,22 +83,30 @@ object Relational {
     require(lCols.contains(leftTs) && rCols.contains(rightTs),
       s"ts columns ($leftTs, $rightTs) must exist outside keys")
     val (rSide, lSide) = if (strict) (1, 0) else (0, 1)
+    // The whole right row travels as ONE struct so the forward-fill picks
+    // a single matched row atomically: filling each right column
+    // independently would let a null field inside the matched row pull
+    // that field's value from an OLDER right row, silently mixing columns
+    // from different rows. A right row whose payload fields are all null
+    // is still a non-null struct, so it matches (fields stay null), while
+    // left rows carry a null struct the fill skips over.
+    val rStruct = org.apache.spark.sql.types.StructType(
+      rCols.map(c => right.schema(c)))
     val lPrep = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(lSide).as("__side")) ++
-        lCols.map(col) ++ rCols.map(c => lit(null).cast(
-          right.schema(c).dataType).as(c)): _*)
+        lCols.map(col) :+ lit(null).cast(rStruct).as("__r"): _*)
     val rPrep = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(rSide).as("__side")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rCols.map(col): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rCols.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rCols.foldLeft(lPrep.unionByName(rPrep)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === lSide)
-      .select(keys.map(col) ++ lCols.map(col) ++ rCols.map(col): _*)
+    lPrep.unionByName(rPrep)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lSide)
+      .select(keys.map(col) ++ lCols.map(col) ++
+        rCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Time-series resampling with forward fill: per key, a regular

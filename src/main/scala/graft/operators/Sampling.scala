@@ -220,8 +220,13 @@ object Sampling {
       else
         Sketches.quantiles(df, Seq(strataCol), scoreCol,
           Seq(("__thr", 1.0 - frac)))
-    df.join(broadcast(thr), Seq(strataCol))
+    // null-safe (<=>) join: groupBy emits a threshold row for the null
+    // stratum too, but a plain equi-join never matches it — null-stratum
+    // rows would silently vanish from the output instead of being gated
+    // by their own stratum's threshold.
+    val t = thr.withColumnRenamed(strataCol, "__strata")
+    df.join(broadcast(t), col(strataCol) <=> col("__strata"))
       .filter(col(scoreCol) >= col("__thr"))
-      .drop("__thr")
+      .drop("__thr", "__strata")
   }
 }

@@ -71,7 +71,16 @@ object Sharding {
       s"bits($bits) × dims($n) must be ≤ 63")
     val qs = cols.zip(bounds).map { case (c, (mn, mx)) =>
       require(mx >= mn, s"invalid bounds [$mn, $mx]")
-      val scale = math.pow(2.0, bits) / (mx - mn + 1).toDouble
+      // range arithmetic in BigInt: a dimension spanning more than
+      // Long.MaxValue values (e.g. z-ordering on an xxhash64 column)
+      // overflows (mx - mn + 1) and (c - mn) in Long, silently producing
+      // a garbage scale / negative offsets — fail fast instead.
+      val range = BigInt(mx) - BigInt(mn) + 1
+      require(range <= BigInt(Long.MaxValue),
+        s"dimension range [$mn, $mx] spans $range values (> Long.MaxValue);" +
+          " z-order needs a narrower dimension (pre-bucket a hash column" +
+          " with pmod before z-ordering on it)")
+      val scale = math.pow(2.0, bits) / range.toDouble
       least(floor((c.cast("long") - lit(mn)).cast("double") * lit(scale))
         .cast("long"), lit((1L << bits) - 1))
     }

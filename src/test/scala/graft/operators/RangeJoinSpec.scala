@@ -76,6 +76,21 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("floorDiv is exact past 2^53 (integral div, no IEEE rounding)") {
+    import spark.implicits._
+    // values where double division rounds the already-floored numerator:
+    // (c - pmod(c,w)) near Long extremes is not representable in double
+    val vals = Seq(Long.MaxValue, Long.MaxValue - 1, (1L << 60) + 12345L,
+      -(1L << 60) - 98765L, Long.MinValue, Long.MinValue + 2,
+      Long.MinValue + 999, 9007199254740993L, 0L, -1L, 999L, -999L)
+    val w = 1000L
+    val got = vals.toDF("c")
+      .select(RangeJoin.floorDiv(org.apache.spark.sql.functions.col("c"), w))
+      .as[Long].collect().toSeq
+    val expect = vals.map(v => Math.floorDiv(v, w))
+    assert(got === expect)
+  }
+
   test("column collisions are rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points.withColumnRenamed("pid", "iid"),

@@ -199,6 +199,29 @@ class RelationalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("asofJoin carries the matched row's own nulls, never mixing rows") {
+    // the matched right row (rts=20) has rv=null; a per-column fill would
+    // pull rv="a" from the OLDER rts=10 row — the output must keep the
+    // matched row intact: (rts=20, rv=null, rw=2)
+    val left = Seq((1L, "u1", 25L)).toDF("lid", "u", "lts")
+    val right = Seq(("u1", 10L, Option("a"), Option(1L)),
+      ("u1", 20L, None, Option(2L))).toDF("u", "rts", "rv", "rw")
+    val out = Relational.asofJoin(left, right, Seq("u"), "lts", "rts")
+      .select("lid", "rts", "rv", "rw")
+      .as[(Long, Option[Long], Option[String], Option[Long])]
+      .collect().toSet
+    assert(out === Set((1L, Some(20L), None, Some(2L))))
+  }
+
+  test("resample keeps the matched observation's nulls through the fill") {
+    val obs = Seq(("u", 0L, Option(1.0)), ("u", 10L, None))
+      .toDF("u", "t", "v")
+    val out = Relational.resample(obs, Seq("u"), "t", step = 10L)
+      .orderBy("grid_ts").select("grid_ts", "v")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out === Seq((0L, Some(1.0)), (10L, None)))
+  }
+
   test("asofJoin rejects colliding column names") {
     val l = Seq((1L, "u", 1L)).toDF("x", "u", "ts")
     val r = Seq(("u", 1L, 2L)).toDF("u", "rts", "x")

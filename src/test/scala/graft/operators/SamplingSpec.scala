@@ -147,6 +147,18 @@ class SamplingSpec extends SparkSpec {
     assert(approx.count(_._1 == "b") === 8)
   }
 
+  test("topFractionByScore gates null-stratum rows by their own threshold") {
+    // the null stratum has scores 1..4; frac 0.5 → threshold 2.5 keeps
+    // {3, 4}. A plain equi-join back would drop every null-stratum row.
+    val rows = (1 to 4).map(i => (Option.empty[String], i.toLong, i.toDouble)) ++
+      (1 to 4).map(i => (Option("a"), 100L + i, i.toDouble))
+    val out = Sampling.topFractionByScore(rows.toDF("s", "id", "score"),
+        "s", "score", 0.5)
+      .select("s", "id").as[(Option[String], Long)].collect().toSet
+    assert(out === Set((None, 3L), (None, 4L),
+      (Some("a"), 103L), (Some("a"), 104L)))
+  }
+
   test("repeatSample: epoch oversampling — copy counts, rep indices, " +
       "fraction-degenerate equivalence") {
     val docs = ((1L to 400L).map(i => (i, "hq")) ++

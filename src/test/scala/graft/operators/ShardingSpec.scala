@@ -68,6 +68,18 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("zorderValue fails fast on a dimension wider than Long.MaxValue") {
+    // z-ordering on a raw hash column: range spans ~2^64 values and the
+    // Long scale arithmetic would silently corrupt the layout
+    val e = intercept[IllegalArgumentException] {
+      Sharding.zorderValue(Seq(col("x")),
+        Seq((Long.MinValue, Long.MaxValue)), bits = 8)
+    }
+    assert(e.getMessage.contains("pre-bucket"))
+    // a full-positive-range dimension is exactly Long.MaxValue values: ok
+    Sharding.zorderValue(Seq(col("x")), Seq((0L, Long.MaxValue - 1)), 8)
+  }
+
   test("z-ordered layout prunes BOTH dimensions; x-sorted prunes only x") {
     // 90k rows on a 300×300 grid; 36 files per layout
     val grid = spark.range(90000).selectExpr("id % 300 AS x", "id DIV 300 AS y",
