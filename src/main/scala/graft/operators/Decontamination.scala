@@ -240,6 +240,8 @@ object Decontamination {
       * published atomically in the commit record, superseded
       * generations dropped only after commit. The IngestKeys replay
       * ledger lives in the commit record, untouched by the rename. */
+    def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+      compact() // AppendStore form
     def compact(): Unit = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
       require(wh.exists(gramTable),

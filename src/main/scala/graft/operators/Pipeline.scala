@@ -232,9 +232,22 @@ object Pipeline {
     private val wh = new graft.sources.Warehouse(spark, root)
     private[graft] def storeRoot: String = root
     private val mh = new MinhashStore(wh, s"${name}_cur", cfg.minhash)
-    private val exactTable = s"${name}_cur_exact"
+    private val exactSpec = StoreCompaction.TableSpec(
+      s"active:$name:cur_exact", s"${name}_cur_exact", Seq("__h1", "__h2"))
+    private def exactTable = StoreCompaction.active(root, exactSpec)
     private val labelsState = s"${name}_labels"
     private val survivorsPath = s"$root/state/${name}_survivors"
+    // survivors fold lives as VERSIONED state once compacted (a fixed
+    // append path cannot be rewritten transactionally); reads and
+    // appends resolve the committed version, falling back to the
+    // original append path before the first compact
+    private val survivorsState = s"${name}_survivors_fold"
+    private def survivorsLoc: (String, String) = // (path, root-relative)
+      graft.sources.StoreTxn.stateVersion(root, survivorsState) match {
+        case Some(v) =>
+          (s"$root/state/$survivorsState/v$v", s"state/$survivorsState/v$v")
+        case None => (survivorsPath, s"state/${name}_survivors")
+      }
     private val maxIdKey = s"${name}_maxid"
 
     /** Highest id any COMMITTED ingest has seen (None before the first).
@@ -283,7 +296,7 @@ object Pipeline {
           survivorsPath,
           s"$root/state/${name}_maxid",
           s"$root/state/$labelsState",
-          s"$root/warehouse/$exactTable",
+          s"$root/warehouse/${exactSpec.base}",
           s"$root/warehouse/${name}_cur_mh_sig")
           .filter(p => new java.io.File(p).exists())
         require(orphans.isEmpty,
@@ -330,9 +343,10 @@ object Pipeline {
         "id_a", "id_b") // internally checkpointed — safe to version below
       val nowDropped = labels.filter(col("comp") < col("id")).select("id")
       val prevDropped = prevLabels.filter(col("comp") < col("id")).select("id")
+      val (survDir, survRel) = survivorsLoc
       val oldSurvivors =
-        if (new java.io.File(survivorsPath).exists())
-          spark.read.parquet(survivorsPath)
+        if (new java.io.File(survDir).exists())
+          spark.read.parquet(survDir)
         else spark.emptyDataset[Long].toDF("id")
       // deltas materialized BEFORE the state writes below — their plans
       // read the state paths this ingest is about to replace/extend
@@ -348,13 +362,58 @@ object Pipeline {
       // commit record publishes (an in-place overwrite could not be
       // rolled back); survivors append under the transaction's snapshot
       labels.write.parquet(txn.stateVersionDir(labelsState))
-      txn.touchPath(s"state/${name}_survivors")
-      survivors.select("id").write.mode("append").parquet(survivorsPath)
+      txn.touchPath(survRel)
+      survivors.select("id").write.mode("append").parquet(survDir)
       wh.appendBucketed(exactTable, fresh.select("__h1", "__h2"),
         Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
       txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
       CurateDelta(kept, retracted)
       }
     }
+
+    /** Rewrite every fragmented layout of this store into fresh compact
+      * generations — the embedded MinHash store's two tables, the
+      * exact-hash membership table, and the survivors id log (every
+      * ingest appends one file set to each; a long-lived maintenance
+      * sink otherwise pays per-file read overhead that grows with
+      * stream age). Rows identical everywhere. Three transactions, not
+      * one: each is idempotent maintenance, a crash between them leaves
+      * a partially-compacted-but-consistent store, and nesting them
+      * would run [[StoreCompaction]]'s post-commit generation sweep
+      * before the outer commit actually published. */
+    def compact(): Unit = {
+      graft.sources.StoreTxn.recoverIfIdle(spark, root)
+      if (wh.exists(s"${name}_cur_mh_sig") ||
+          graft.sources.StoreTxn.getKv(root, s"active:${name}_cur:mh_sig")
+            .isDefined)
+        mh.compact(spark)
+      if (wh.exists(exactTable))
+        StoreCompaction.compact(spark, wh, s"CurationStore '$name'",
+          Seq(exactSpec), cfg.minhash.nStoreBuckets)
+      val (survDir, _) = survivorsLoc
+      if (new java.io.File(survDir).exists()) {
+        graft.sources.StoreTxn.transact(spark, root) {
+          val txn = graft.sources.StoreTxn.current(root)
+          spark.read.parquet(survDir)
+            .repartition(math.max(1, cfg.minhash.nStoreBuckets / 4))
+            .write.parquet(txn.stateVersionDir(survivorsState))
+        }
+        // the commit above republished survivors under a fresh version
+        // (superseded versions GC'd by the commit); the pre-compact
+        // append path, if that is what we folded, is now unreachable —
+        // sweep it (idempotent across crashes)
+        if (survDir == survivorsPath) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).toSeq.flatten.foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(survivorsPath))
+        }
+      }
+    }
+
+    /** Uniform signature for the maintenance-sink trigger. */
+    def compact(sparkSession: org.apache.spark.sql.SparkSession): Unit =
+      compact()
   }
 }

@@ -228,6 +228,8 @@ object Retrieval {
       * atomically in the commit record. Superseded generations are
       * physically dropped only AFTER commit; a crash between commit
       * and sweep leaves inert directories the next compact removes. */
+    def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+      compact() // uniform signature for the maintenance-sink trigger
     def compact(): Unit = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
       require(new java.io.File(statsPath).exists(),

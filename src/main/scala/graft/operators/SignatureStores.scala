@@ -41,6 +41,11 @@ import org.apache.spark.sql.functions._
 trait PairStore {
   /** Canonical store root — the lease/transaction scope. */
   def storeRoot: String
+  /** Rewrite the store's active generations into fresh compact layouts
+    * (rows identical) — see [[StoreCompaction]]. Abstract on the trait
+    * so maintenance sinks ([[graft.streaming.Streaming.nearDupSink]])
+    * can self-trigger it on a fragmentation threshold. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit
   protected def ingestBody(batch: DataFrame, idCol: String,
                            valueCol: String): DataFrame
 
@@ -86,6 +91,11 @@ trait PairStore {
 trait AppendStore {
   /** Canonical store root — the lease/transaction scope. */
   def storeRoot: String
+  /** Rewrite the store's active generations into fresh compact layouts
+    * (rows identical) — see [[StoreCompaction]]. Abstract on the trait
+    * so maintenance sinks ([[graft.streaming.Streaming.appendStoreSink]])
+    * can self-trigger it on a fragmentation threshold. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit
   protected def appendBody(batch: DataFrame, idCol: String,
                            valueCol: String): Unit
 

@@ -282,6 +282,7 @@ object Sketches {
       * publishes; a crash between commit and cleanup leaves inert
       * directories the next compact removes). Estimates are unchanged
       * by construction — HLL union is associative. */
+    def compact(spark: SparkSession): Unit = compact() // AppendStore form
     def compact(): Unit = {
       graft.sources.StoreTxn.recoverIfIdle(spark, root)
       val folded = scala.collection.mutable.Buffer.empty[String]

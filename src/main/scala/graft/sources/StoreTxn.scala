@@ -213,6 +213,13 @@ object StoreTxn {
       .map(v => s"$key/state/$state/v$v")
   }
 
+  /** The committed version NUMBER of a versioned state — for callers
+    * that need the root-relative path (`state/<state>/v<n>`) to
+    * register with [[Txn.touchPath]] before appending into the
+    * current version. */
+  private[graft] def stateVersion(root: String, state: String): Option[Long] =
+    readCommit(commitFile(canon(root))).versions.get(state)
+
   /** Exclusive long-lived maintenance lease for an always-on sink: held
     * from stream start to termination, so a SECOND sink on the same
     * store root — this process or another — fails fast instead of

@@ -166,11 +166,14 @@ object Streaming {
                    warehouse: graft.sources.Warehouse,
                    keptTable: String, retractedTable: String,
                    checkpoint: String, idCol: String, textCol: String,
-                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                   autoCompact: Option[CompactionPolicy] =
+                     Some(CompactionPolicy()))
       : org.apache.spark.sql.streaming.StreamingQuery =
     leasedSink(docs, store.storeRoot, checkpoint, trigger)(
-      curateBatch(store, warehouse, keptTable, retractedTable,
-        idCol, textCol))
+      withAutoCompact(store.storeRoot, autoCompact, _ => store.compact())(
+        curateBatch(store, warehouse, keptTable, retractedTable,
+          idCol, textCol)))
 
   // ------------------------------------------ shared sink plumbing
   //
@@ -180,6 +183,65 @@ object Streaming {
   // by listener on the always-on form, synchronously on the catch-up
   // form), and lease release on a failed start. ONE implementation —
   // a fix to the lease or listener logic must not need four edits.
+
+  /** Self-triggered compaction policy for the always-on maintenance
+    * sinks. Every micro-batch appends one file set per store table, so
+    * a long-lived sink fragments the store and serve/ingest reads pay
+    * per-file open/footer overhead growing with stream age (measured:
+    * 100 micro-appends → 135k files, serve 39–45 s vs 0.7–0.9 s
+    * compacted). With a policy set (the default), every `checkEvery`
+    * micro-batches the sink counts the store root's data files and,
+    * past `maxFiles`, runs the store's generation-rewrite `compact`
+    * under the maintenance lease it already holds — serve cost stays
+    * bounded with no operator runbook. Compaction rewrites rows
+    * identically, so the policy affects layout and wall-time only,
+    * never results; `None` restores operator-invoked compaction.
+    *
+    * Sizing: a compact rewrite costs roughly the store's total size in
+    * IO (measured ≈ 9 appends' worth of wall); `maxFiles` well above
+    * the per-compact floor (tables × nStoreBuckets) amortizes that to
+    * a few percent of stream time. The file count is one recursive
+    * listing every `checkEvery` batches — against the listing cost on
+    * an object store, raise `checkEvery`, not `maxFiles`. */
+  final case class CompactionPolicy(maxFiles: Int = 2048,
+                                    checkEvery: Int = 8) {
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
+  }
+
+  /** Data files under a store root — what a serve read pays per-file
+    * overhead for. Metadata (`_txn`, `_SUCCESS`, hidden files) and
+    * anything in dot/underscore directories is excluded. */
+  private[graft] def dataFileCount(root: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+      else if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else 1
+    val top = new java.io.File(root)
+    Option(top.listFiles()).toSeq.flatten.map(walk).sum
+  }
+
+  /** Wrap a sink body with the auto-compaction check (after the batch,
+    * so a triggered compact folds the batch that crossed the line). The
+    * batch counter is per-query-instance; a restart re-counts from 0,
+    * which only delays the next check — the file threshold itself is
+    * stateless. */
+  private def withAutoCompact(storeRoot: String,
+      policy: Option[CompactionPolicy],
+      doCompact: SparkSession => Unit)
+      (body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    policy match {
+      case None => body
+      case Some(p) =>
+        val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+        (batch, batchId) => {
+          body(batch, batchId)
+          if (batches.incrementAndGet() % p.checkEvery == 0 &&
+              dataFileCount(storeRoot) > p.maxFiles)
+            doCompact(batch.sparkSession)
+        }
+    }
 
   private def startForeachBatch(docs: DataFrame, checkpoint: String,
       trigger: Option[org.apache.spark.sql.streaming.Trigger],
@@ -231,10 +293,13 @@ object Streaming {
                               warehouse: graft.sources.Warehouse,
                               keptTable: String, retractedTable: String,
                               checkpoint: String, idCol: String,
-                              textCol: String): Unit =
+                              textCol: String,
+                              autoCompact: Option[CompactionPolicy] =
+                                Some(CompactionPolicy())): Unit =
     leasedAvailableNow(docs, store.storeRoot, checkpoint)(
-      curateBatch(store, warehouse, keptTable, retractedTable,
-        idCol, textCol))
+      withAutoCompact(store.storeRoot, autoCompact, _ => store.compact())(
+        curateBatch(store, warehouse, keptTable, retractedTable,
+          idCol, textCol)))
 
   /** Release a sink's maintenance lease when its query terminates (for
     * always-on sinks whose lifetime the caller owns). */
@@ -310,11 +375,14 @@ object Streaming {
   def nearDupSink(docs: DataFrame, store: graft.operators.PairStore,
                   warehouse: graft.sources.Warehouse, pairsTable: String,
                   checkpoint: String, idCol: String, valueCol: String,
-                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                  trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                  autoCompact: Option[CompactionPolicy] =
+                    Some(CompactionPolicy()))
       : org.apache.spark.sql.streaming.StreamingQuery =
     leasedSink(docs, store.storeRoot, checkpoint, trigger)(
-      nearDupBatch(store, warehouse, pairsTable, checkpoint, idCol,
-        valueCol))
+      withAutoCompact(store.storeRoot, autoCompact, store.compact)(
+        nearDupBatch(store, warehouse, pairsTable, checkpoint, idCol,
+          valueCol)))
 
   private def nearDupBatch(store: graft.operators.PairStore,
       warehouse: graft.sources.Warehouse, pairsTable: String,
@@ -335,10 +403,13 @@ object Streaming {
                              store: graft.operators.PairStore,
                              warehouse: graft.sources.Warehouse,
                              pairsTable: String, checkpoint: String,
-                             idCol: String, valueCol: String): Unit =
+                             idCol: String, valueCol: String,
+                             autoCompact: Option[CompactionPolicy] =
+                               Some(CompactionPolicy())): Unit =
     leasedAvailableNow(docs, store.storeRoot, checkpoint)(
-      nearDupBatch(store, warehouse, pairsTable, checkpoint, idCol,
-        valueCol))
+      withAutoCompact(store.storeRoot, autoCompact, store.compact)(
+        nearDupBatch(store, warehouse, pairsTable, checkpoint, idCol,
+          valueCol)))
 
   /** Always-on maintenance for the append-shaped stores
     * ([[graft.operators.IvfStore]],
@@ -351,26 +422,32 @@ object Streaming {
     * root's maintenance lease from start to termination. */
   def appendStoreSink(docs: DataFrame, store: graft.operators.AppendStore,
                       checkpoint: String, idCol: String, valueCol: String,
-                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                      autoCompact: Option[CompactionPolicy] =
+                        Some(CompactionPolicy()))
       : org.apache.spark.sql.streaming.StreamingQuery =
-    leasedSink(docs, store.storeRoot, checkpoint, trigger) {
-      (batch, batchId) =>
-        store.appendOnce(batch, idCol, valueCol,
-          Some(s"$checkpoint#$batchId"))
-        ()
-    }
+    leasedSink(docs, store.storeRoot, checkpoint, trigger)(
+      withAutoCompact(store.storeRoot, autoCompact, store.compact) {
+        (batch, batchId) =>
+          store.appendOnce(batch, idCol, valueCol,
+            Some(s"$checkpoint#$batchId"))
+          ()
+      })
 
   /** Cron-compatible catch-up form of [[appendStoreSink]]. */
   def runAppendStoreAvailableNow(docs: DataFrame,
                                  store: graft.operators.AppendStore,
                                  checkpoint: String, idCol: String,
-                                 valueCol: String): Unit =
-    leasedAvailableNow(docs, store.storeRoot, checkpoint) {
-      (batch, batchId) =>
-        store.appendOnce(batch, idCol, valueCol,
-          Some(s"$checkpoint#$batchId"))
-        ()
-    }
+                                 valueCol: String,
+                                 autoCompact: Option[CompactionPolicy] =
+                                   Some(CompactionPolicy())): Unit =
+    leasedAvailableNow(docs, store.storeRoot, checkpoint)(
+      withAutoCompact(store.storeRoot, autoCompact, store.compact) {
+        (batch, batchId) =>
+          store.appendOnce(batch, idCol, valueCol,
+            Some(s"$checkpoint#$batchId"))
+          ()
+      })
 
   /** Always-on BM25 index maintenance: each micro-batch of documents is
     * one [[graft.operators.Retrieval.Bm25Index.appendOnce]] keyed on
@@ -389,13 +466,17 @@ object Streaming {
   def bm25IndexSink(docs: DataFrame,
                     index: graft.operators.Retrieval.Bm25Index,
                     checkpoint: String, idCol: String, textCol: String,
-                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                    autoCompact: Option[CompactionPolicy] =
+                      Some(CompactionPolicy()))
       : org.apache.spark.sql.streaming.StreamingQuery =
-    leasedSink(docs, index.storeRoot, checkpoint, trigger) {
-      (batch, batchId) =>
-        index.appendOnce(batch, idCol, textCol,
-          Some(s"$checkpoint#$batchId"))
-    }
+    leasedSink(docs, index.storeRoot, checkpoint, trigger)(
+      withAutoCompact(index.storeRoot, autoCompact, index.compact) {
+        (batch, batchId) =>
+          index.appendOnce(batch, idCol, textCol,
+            Some(s"$checkpoint#$batchId"))
+          ()
+      })
 
   /** Cron-compatible catch-up form of [[bm25IndexSink]] — lease held
     * for the run, released synchronously (back-to-back catch-ups never
@@ -403,12 +484,16 @@ object Streaming {
   def runBm25IndexAvailableNow(docs: DataFrame,
                                index: graft.operators.Retrieval.Bm25Index,
                                checkpoint: String, idCol: String,
-                               textCol: String): Unit =
-    leasedAvailableNow(docs, index.storeRoot, checkpoint) {
-      (batch, batchId) =>
-        index.appendOnce(batch, idCol, textCol,
-          Some(s"$checkpoint#$batchId"))
-    }
+                               textCol: String,
+                               autoCompact: Option[CompactionPolicy] =
+                                 Some(CompactionPolicy())): Unit =
+    leasedAvailableNow(docs, index.storeRoot, checkpoint)(
+      withAutoCompact(index.storeRoot, autoCompact, index.compact) {
+        (batch, batchId) =>
+          index.appendOnce(batch, idCol, textCol,
+            Some(s"$checkpoint#$batchId"))
+          ()
+      })
 
   /** Stream-static enrichment join — the streaming form of matching a
     * small configured rules/lookup table (alert rules, urlset

@@ -567,4 +567,58 @@ class StreamingSpec extends SparkSpec {
     assert(new graft.sources.Warehouse(spark, s"$root/idx")
       .read("t_dc_gram").count() === before)
   }
+
+  test("auto-compaction keeps a 200-micro-batch store under the file " +
+      "bound with serve correct throughout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_autoc").toString
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(4)(j => math.cos(i % 5 + j * 0.7).toFloat))
+    }
+    val cents = vecs.take(4).map { case (i, v) =>
+      (i.toInt, v.map(_.toDouble).toSeq)
+    }.toDF("cell", "cvec")
+    val inDir = s"$root/in"
+    // 200 one-row files in one job → maxFilesPerTrigger=1 gives one
+    // micro-batch per row
+    vecs.toDF("vec_id", "embedding").repartition(200, col("vec_id"))
+      .write.parquet(inDir)
+    val storeRoot = s"$root/store"
+    val store = new graft.operators.IvfStore(
+      new graft.sources.Warehouse(spark, storeRoot), "t", cents,
+      nStoreBuckets = 2)
+    val schema = vecs.toDF("vec_id", "embedding").schema
+    val policy = Streaming.CompactionPolicy(maxFiles = 48, checkEvery = 8)
+    def drain(): Unit = Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, s"$root/ckpt", "vec_id", "embedding",
+      autoCompact = Some(policy))
+    val queries = vecs.take(3).toDF("vec_id", "embedding")
+    def served() = store.serve(queries, "vec_id", "embedding",
+        k = 3, nProbes = 2)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    drain()
+    // the stream self-compacted: file count is bounded by the policy
+    // threshold plus at most checkEvery batches' worth of appends —
+    // nowhere near the ~1 file-set per micro-batch of the un-compacted
+    // layout (200 batches × ~3 files ≈ 600)
+    val files = Streaming.dataFileCount(storeRoot)
+    assert(files <= policy.maxFiles + 8 * 6,
+      s"store has $files data files after 200 micro-batches")
+    // serve equals a one-shot build over the same corpus
+    val oneShot = new graft.operators.IvfStore(
+      new graft.sources.Warehouse(spark, s"$root/oneshot"), "t", cents,
+      nStoreBuckets = 2)
+    oneShot.append(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val expect = oneShot.serve(queries, "vec_id", "embedding",
+        k = 3, nProbes = 2)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(served() === expect && expect.nonEmpty)
+    // a second catch-up over the drained input is a clean no-op (the
+    // compactions didn't disturb the replay ledger) and serve stays green
+    drain()
+    assert(served() === expect)
+  }
 }
