@@ -139,13 +139,15 @@ object Quantization {
   private def exactRescoreTopK(survivors: DataFrame, corpus: DataFrame,
                                queries: DataFrame, idCol: String,
                                vecCol: String, k: Int,
-                               queryIdCol: String): DataFrame = {
+                               queryIdCol: String,
+                               broadcastQueries: Boolean = true): DataFrame = {
     val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val qv = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"),
+    val qv0 = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
+    val qv = if (broadcastQueries) broadcast(qv0) else qv0
     val exact = survivors.join(cv, Seq("nbr_id"))
-      .join(broadcast(qv), Seq(queryIdCol))
+      .join(qv, Seq(queryIdCol))
       .select(col(queryIdCol), col("nbr_id"),
         cosineFromParts(dot(col("__cv"), col("__qv")),
           col("__cn"), col("__qn")).as("sim"))
@@ -456,9 +458,14 @@ object Quantization {
                         k: Int, centroids: DataFrame,
                         books: Seq[Seq[(Int, Array[Double])]],
                         nProbes: Int, rescoreFactor: Int = 4,
-                        queryIdCol: String = "query_id"): DataFrame = {
+                        queryIdCol: String = "query_id",
+                        maxQueries: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions.l2Sq
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val qCount = queries.limit(maxQueries + 1).count()
+    require(qCount <= maxQueries,
+      s"ivfAdcTopK query side exceeds $maxQueries vectors; " +
+        "use ivfAdcTopKEncodedPartitioned for offline eval sweeps")
     val subDim = books.head.head._2.length
     val cents = broadcast(centroids.select(col("cell"), col("cvec")))
     val qw = Window.partitionBy(queryIdCol).orderBy(asc("__d"), asc("cell"))
@@ -508,9 +515,14 @@ object Quantization {
                        k: Int, centroids: DataFrame,
                        books: Seq[Seq[(Int, Array[Double])]],
                        nProbes: Int, rescoreFactor: Int = 4,
-                       queryIdCol: String = "query_id"): DataFrame = {
+                       queryIdCol: String = "query_id",
+                       maxQueries: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions.l2Sq
     require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    val qCount = queries.limit(maxQueries + 1).count()
+    require(qCount <= maxQueries,
+      s"ivfPqTopK query side exceeds $maxQueries vectors; " +
+        "use ivfPqTopKEncodedPartitioned for offline eval sweeps")
     val cents = broadcast(centroids.select(col("cell"), col("cvec")))
     val q0 = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
     // the ADC table does not depend on the probed cell — computed ONCE
@@ -543,5 +555,115 @@ object Quantization {
       .filter(col("__arn") <= k * rescoreFactor)
       .select(col(queryIdCol), col("nbr_id"))
     exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k, queryIdCol)
+  }
+
+  // ------------------------------- partitioned-query serving (eval sweeps)
+  //
+  // The broadcast forms above ship one m×ksub-double ADC table per
+  // query to every executor — right for online batches (the maxQueries
+  // guard bounds the broadcast), wrong for an offline eval sweep of
+  // millions of queries: the broadcast OOMs the driver and the cell
+  // equi-join (one key per coarse cell) skews. The *Partitioned forms
+  // below never broadcast the query side: the ADC tables ride a SHUFFLE
+  // join on the query id, and the candidate join runs on a SALTED cell
+  // key — each cell's codes spread over `cellSalt` partitions by id
+  // hash, each probed (query, cell) row replicated across the salts —
+  // so a hot cell parallelizes instead of pinning one task. Results are
+  // identical to the broadcast forms (same candidates, same
+  // deterministic tie-breaks); the trade is one extra shuffle of the
+  // query tables and a cellSalt× fan-out of the probed rows, amortized
+  // over a query set big enough to refuse the broadcast.
+
+  /** [[ivfPqTopKEncoded]] for UNBOUNDED query sets (offline eval
+    * sweeps): no query-side broadcast anywhere, salted cell join.
+    * Same serve-identity contract. */
+  def ivfPqTopKEncodedPartitioned(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, centroids: DataFrame,
+      books: Seq[Seq[(Int, Array[Double])]], nProbes: Int,
+      rescoreFactor: Int = 4, queryIdCol: String = "query_id",
+      cellSalt: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    require(cellSalt >= 1, s"cellSalt must be >= 1, got $cellSalt")
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    val q0 = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("__qv"))
+    val qtab = q0.select(col(queryIdCol),
+      queryTable(books, col("__qv")).as("__qtab"),
+      norm(col("__qv")).as("__qn"))
+    val qw = Window.partitionBy(queryIdCol).orderBy(asc("__d"), asc("cell"))
+    val probed = q0
+      .join(cents)
+      .withColumn("__d", l2Sq(col("__qv"), col("cvec")))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nProbes)
+      .select(col(queryIdCol), col("cell"))
+      .join(qtab, Seq(queryIdCol)) // shuffle on query id — NOT broadcast
+      .withColumn("__salt",
+        explode(array((0 until cellSalt).map(lit): _*)))
+    val approx = codes.withColumnRenamed("id", "nbr_id")
+      .withColumn("__cn", sqrt(adcDot(col("code"), normTable(books), books)))
+      .withColumn("__salt", pmod(hash(col("nbr_id")), lit(cellSalt)))
+      .join(probed.hint("shuffle_hash"), Seq("cell", "__salt"))
+      .filter(col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        cosineFromParts(adcDot(col("code"), col("__qtab"), books),
+          col("__cn"), col("__qn")).as("__approx"))
+    val wa = Window.partitionBy(queryIdCol)
+      .orderBy(desc("__approx"), asc("nbr_id"))
+    val survivors = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"))
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k,
+      queryIdCol, broadcastQueries = false)
+  }
+
+  /** [[ivfAdcTopKEncoded]] for UNBOUNDED query sets: the per-(query,
+    * probed-cell) residual ADC tables stay in a shuffled frame (never
+    * broadcast), candidates join on the salted cell key. Same
+    * serve-identity contract. */
+  def ivfAdcTopKEncodedPartitioned(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, centroids: DataFrame,
+      books: Seq[Seq[(Int, Array[Double])]], nProbes: Int,
+      rescoreFactor: Int = 4, queryIdCol: String = "query_id",
+      cellSalt: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    require(rescoreFactor >= 1, "rescoreFactor must be >= 1")
+    require(cellSalt >= 1, s"cellSalt must be >= 1, got $cellSalt")
+    val subDim = books.head.head._2.length
+    val cents = broadcast(centroids.select(col("cell"), col("cvec")))
+    val qw = Window.partitionBy(queryIdCol).orderBy(asc("__d"), asc("cell"))
+    val probed = queries
+      .select(col(idCol).as(queryIdCol),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .join(cents)
+      .withColumn("__d", l2Sq(col("__qv"), col("cvec")))
+      .withColumn("__cr", row_number().over(qw))
+      .filter(col("__cr") <= nProbes)
+      .withColumn("__qres",
+        zip_with(col("__qv"), col("cvec"), (x, c) => x - c))
+      .select(col(queryIdCol), col("cell"),
+        array(books.zipWithIndex.flatMap { case (b, s) =>
+          b.sortBy(_._1).map { case (_, cv) =>
+            l2Sq(slice(col("__qres"), s * subDim + 1, subDim),
+              array(cv.map(lit): _*))
+          }
+        }: _*).as("__qtab"))
+      .withColumn("__salt",
+        explode(array((0 until cellSalt).map(lit): _*)))
+    val approx = codes.withColumnRenamed("id", "nbr_id")
+      .withColumn("__salt", pmod(hash(col("nbr_id")), lit(cellSalt)))
+      .join(probed.hint("shuffle_hash"), Seq("cell", "__salt"))
+      .filter(col("nbr_id") =!= col(queryIdCol))
+      .select(col(queryIdCol), col("nbr_id"),
+        adcDot(col("code"), col("__qtab"), books).as("__approx"))
+    val wa = Window.partitionBy(queryIdCol)
+      .orderBy(asc("__approx"), asc("nbr_id"))
+    val survivors = approx.withColumn("__arn", row_number().over(wa))
+      .filter(col("__arn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"))
+    exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k,
+      queryIdCol, broadcastQueries = false)
   }
 }

@@ -41,10 +41,13 @@ object Sketches {
     * (≈ eps·N collision mass). With eps 1e-4 and a Zipf token table, the
     * shuffle drops from |corpus| rows to the heavy tail only.
     *
-    * The estimate probe is a broadcast closure over the immutable merged
-    * sketch — scalar, null-safe (nulls can't be heavy; the sketch agg
-    * skips them), off the codegen hot path by design (it guards the
-    * exchange, it doesn't sit in one). */
+    * The estimate probe is a NATIVE codegen expression over the
+    * broadcast merged sketch ([[graft.functions.expressions
+    * .CmsEstimateGte]]) — one generated call per row on the value's
+    * UTF-8 bytes, inside the scan's WholeStageCodegen span. The
+    * original Scala-UDF probe was plan-equivalent but paid per-row
+    * Tungsten↔JVM conversion over the whole pass-2 scan (the
+    * interpreted-fallback genus the ADC kernel measured at ~10×). */
   def heavyHitters(df: DataFrame, valueCol: String, threshold: Long,
                    eps: Double = 1e-4, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
@@ -56,10 +59,11 @@ object Sketches {
       .head().getAs[Array[Byte]](0)
     val sketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
     val bc = spark.sparkContext.broadcast(sketch)
-    val pass = udf((v: String) =>
-      v != null && bc.value.estimateCount(v) >= threshold)
-    df.select(col(valueCol).cast("string").as("value"))
-      .filter(pass(col("value")))
+    import graft.functions.expressions.{ColumnBridge, CmsEstimateGte}
+    val vals = df.select(col(valueCol).cast("string").as("value"))
+    vals
+      .filter(ColumnBridge.column(CmsEstimateGte(
+        ColumnBridge.expression(col("value")), bc, threshold)))
       .groupBy("value")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
@@ -97,7 +101,7 @@ object Sketches {
                     maxExpectedItems: Long = 100000000L): DataFrame = {
     val pass = bloomMightContain(left.sparkSession, right, rightCol,
       expectedItems, fpp, maxExpectedItems)
-    left.filter(pass(col(leftCol).cast("string")))
+    left.filter(pass(col(leftCol)))
       .join(right.select(col(rightCol).cast("string").as("__bsj_k")),
         col(leftCol).cast("string") === col("__bsj_k"), "left_semi")
   }
@@ -113,16 +117,22 @@ object Sketches {
                     maxExpectedItems: Long = 100000000L): DataFrame = {
     val pass = bloomMightContain(left.sparkSession, right, rightCol,
       expectedItems, fpp, maxExpectedItems)
-    val definiteMiss = left.filter(!pass(col(leftCol).cast("string")))
-    val candidates = left.filter(pass(col(leftCol).cast("string")))
+    val definiteMiss = left.filter(!pass(col(leftCol)))
+    val candidates = left.filter(pass(col(leftCol)))
       .join(right.select(col(rightCol).cast("string").as("__bsj_k")),
         col(leftCol).cast("string") === col("__bsj_k"), "left_anti")
     definiteMiss.unionByName(candidates)
   }
 
+  /** The row-local membership probe as a NATIVE codegen expression over
+    * the broadcast filter (same rationale as the [[heavyHitters]]
+    * probe). NULL values probe `false`: null is not a member, so a
+    * null-keyed left row is a definite miss for the semi join and a
+    * definite keep for the anti join — the UDF forms' semantics. */
   private def bloomMightContain(spark: SparkSession, right: DataFrame,
                                 rightCol: String, expectedItems: Long,
-                                fpp: Double, maxExpectedItems: Long) = {
+                                fpp: Double, maxExpectedItems: Long)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     require(expectedItems > 0 && expectedItems <= maxExpectedItems,
       s"expectedItems $expectedItems outside (0, $maxExpectedItems] — " +
         "a bigger build side would hold gigabytes on the driver; " +
@@ -130,7 +140,9 @@ object Sketches {
     val bf = right.select(col(rightCol).cast("string").as("k"))
       .stat.bloomFilter("k", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    udf((v: String) => v != null && bc.value.mightContainString(v))
+    import graft.functions.expressions.{BloomMightContainValue, ColumnBridge}
+    (c: org.apache.spark.sql.Column) => ColumnBridge.column(
+      BloomMightContainValue(ColumnBridge.expression(c.cast("string")), bc))
   }
 
   /** Per-group EXACT quantiles via linear interpolation (the
@@ -209,7 +221,8 @@ object Sketches {
     * [[graft.streaming.Streaming.appendStoreSink]] gives it the same
     * exactly-once streaming maintenance as IvfStore/GramIndex. */
   final class DistinctStore(spark: SparkSession, root0: String,
-                            name: String, lgK: Int = 12) extends AppendStore {
+                            name: String, lgK: Int = 12,
+                            nBaseBuckets: Int = 32) extends AppendStore {
     private val root = new java.io.File(root0).getCanonicalPath
     def storeRoot: String = root
     private val rel = s"state/${name}_hll_sk"
@@ -300,7 +313,13 @@ object Sketches {
             .groupBy(col(gcol))
             .agg(hll_union_agg(col("hll")).as("hll"))
           val outDir = txn.stateVersionDir(baseState)
-          merged.coalesce(1).write.mode("overwrite").parquet(outDir)
+          // group-partitioned base write, like every other store's
+          // compactor: a per-URL/per-host store has millions of groups
+          // × 2^lgK-byte sketches — coalesce(1) would funnel GBs
+          // through a single writer task. Small stores still produce
+          // few files (empty partitions emit none).
+          merged.repartition(nBaseBuckets, col(gcol))
+            .write.mode("overwrite").parquet(outDir)
           txn.putKv(compactKey, deltas.map(_._1).max.toString)
           folded ++= deltas.map(_._2)
         }

@@ -99,6 +99,29 @@ class DistinctStoreSpec extends SparkSpec {
     assert(store.estimate().as[(String, Long)].collect().toMap === after)
   }
 
+  test("compact writes a group-partitioned base (many files, one task " +
+      "never funnels a wide store) with estimates unchanged") {
+    // a wide store: 50k groups — the regime where a coalesce(1) base
+    // write would push the whole store through one writer task
+    val store = new Sketches.DistinctStore(spark, tmp("graft_dsw_"), "dw",
+      lgK = 4, nBaseBuckets = 8)
+    val wide = spark.range(50000).selectExpr("concat('g', id) AS g",
+      "concat('v', id % 7) AS v")
+    store.append(wide, "g", "v")
+    store.append(spark.range(50000).selectExpr("concat('g', id) AS g",
+      "concat('w', id % 3) AS v"), "g", "v")
+    val before = store.estimate().as[(String, Long)].collect().toMap
+    assert(before.size === 50000)
+    store.compact()
+    val baseDir = graft.sources.StoreTxn
+      .stateDir(store.storeRoot, "dw_hll_base").get
+    val baseFiles = Option(new java.io.File(baseDir).listFiles()).toSeq
+      .flatten.count(f => f.getName.startsWith("part-"))
+    assert(baseFiles > 1 && baseFiles <= 8,
+      s"base write must spread across tasks, got $baseFiles files")
+    assert(store.estimate().as[(String, Long)].collect().toMap === before)
+  }
+
   test("crash mid-compact rolls back; blind retry converges") {
     val store = new Sketches.DistinctStore(spark, tmp("graft_ds_"), "d")
     store.append(rows(0, 1000), "g", "v")

@@ -253,4 +253,47 @@ class QuantizationSpec extends SparkSpec {
         maxQueries = 5)
     }
   }
+
+  test("IVF-PQ/IVFADC refuse oversized query sets; the partitioned " +
+      "forms serve them identically to the broadcast forms") {
+    val corpus = vecs(60)
+    val queries = corpus.filter(col("vec_id") < 8)
+    val cents = Clustering.kmeans(corpus, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val books = Quantization.pqTrain(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, ksub = 8, iters = 1)
+    val codes = Quantization.pqEncodeAssigned(
+      corpus, "vec_id", "embedding", cents, books)
+    val rbooks = Quantization.pqTrain(
+      Quantization.residuals(corpus, "vec_id", "embedding", cents),
+      "id", "rvec", dim = 8, m = 4, ksub = 8, iters = 1)
+    val rcodes = Quantization.pqEncodeResidual(
+      corpus, "vec_id", "embedding", cents, rbooks)
+    // the family-standard guard, now on both broadcast forms
+    intercept[IllegalArgumentException] {
+      Quantization.ivfPqTopKEncoded(codes, corpus, queries, "vec_id",
+        "embedding", 3, cents, books, nProbes = 2, maxQueries = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Quantization.ivfAdcTopKEncoded(rcodes, corpus, queries, "vec_id",
+        "embedding", 3, cents, rbooks, nProbes = 2, maxQueries = 5)
+    }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nbr_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // partitioned == broadcast, including a salt that exceeds the
+    // corpus-per-cell count (some salts match nothing)
+    val pqB = key(Quantization.ivfPqTopKEncoded(codes, corpus, queries,
+      "vec_id", "embedding", 3, cents, books, nProbes = 2))
+    val pqP = key(Quantization.ivfPqTopKEncodedPartitioned(codes, corpus,
+      queries, "vec_id", "embedding", 3, cents, books, nProbes = 2,
+      cellSalt = 7))
+    assert(pqP === pqB && pqB.nonEmpty)
+    val adcB = key(Quantization.ivfAdcTopKEncoded(rcodes, corpus, queries,
+      "vec_id", "embedding", 3, cents, rbooks, nProbes = 2))
+    val adcP = key(Quantization.ivfAdcTopKEncodedPartitioned(rcodes, corpus,
+      queries, "vec_id", "embedding", 3, cents, rbooks, nProbes = 2,
+      cellSalt = 7))
+    assert(adcP === adcB && adcB.nonEmpty)
+  }
 }

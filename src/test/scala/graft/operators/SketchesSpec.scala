@@ -125,6 +125,25 @@ class SketchesSpec extends SparkSpec {
     assert(m._2 === 25.0)
   }
 
+  test("sketch probes run as native filters at the scan, not Scala UDFs") {
+    // parquet-backed (a local relation folds the filter at optimize
+    // time): the probe must appear as a DataFilter on the FileScan —
+    // inside the codegen span — and no scala_udf anywhere
+    val dir = java.nio.file.Files.createTempDirectory("graft_skp").toString
+    (1 to 2000).map(i => s"tok${i % 40}").toDF("t").write.parquet(s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t")
+    val hh = Sketches.heavyHitters(df, "t", 10L)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    assert(hhPlan.contains("graft_cms_estimate_gte") &&
+      !hhPlan.toLowerCase.contains("scala_udf"), hhPlan)
+    assert(hh.count() === 40L)
+    val right = (1 to 80 by 2).map(i => s"tok$i").toDF("k")
+    val semi = Sketches.bloomSemiJoin(df, "t", right, "k", 100L)
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("graft_bloom_might_contain") &&
+      !semiPlan.toLowerCase.contains("scala_udf"), semiPlan)
+  }
+
   test("global merge (no group columns) estimates the corpus cardinality") {
     val df = (0 until 3000).map(i => (s"b${i % 5}", s"v${i % 421}")).toDF("b", "v")
     val est = Sketches.mergeDistinctSketches(
