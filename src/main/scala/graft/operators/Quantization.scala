@@ -244,19 +244,82 @@ object Quantization {
     *
     * Train on a representative SAMPLE at corpus scale (the q113
     * discipline): training cost ∝ sample, encoding is one narrow map
-    * over everything. */
+    * over everything.
+    *
+    * FUSED across subspaces: one Spark job per Lloyd iteration computes
+    * every subspace's assignments and exact-integer partial sums in a
+    * single scan (the m slices share every byte of the scan — the
+    * original per-subspace loop re-read the sample m times per
+    * iteration, measured at ~170–260 s for m=16 on a 1M sample). Bits
+    * identical to the sequential per-subspace trainer: same init rows
+    * (the ksub smallest-id vectors, sliced), same native argmin kernel,
+    * same quantized-integer mean updates whose sums are order-exempt.
+    * One contract note: a training vector with a null ELEMENT is
+    * excluded from every subspace's training here (the sequential form
+    * excluded it only from the subspaces whose slice held the null) —
+    * embeddings with null components are not meaningful train input
+    * either way. */
   def pqTrain(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
               m: Int, ksub: Int, iters: Int): Seq[Seq[(Int, Array[Double])]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m slices")
     require(ksub >= 1 && ksub <= 127,
       s"ksub=$ksub out of [1, 127] — codes are signed bytes")
+    require(iters >= 0 && iters <= 1000, s"iters=$iters out of [0, 1000]")
     val subDim = dim / m
-    (0 until m).map { s =>
-      Clustering.kmeansCentroids(
-        vecs.select(col(idCol).as("__id"),
-          slice(col(vecCol), s * subDim + 1, subDim).as("__sv")),
-        "__id", "__sv", ksub, iters)
+    val v = vecs.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
+    // ONE init control read for all m subspaces: the ksub smallest-id
+    // vectors, sliced driver-side (same rows and order the sequential
+    // per-subspace init read)
+    val init = v.orderBy(col("__id").asc).limit(ksub).collect()
+    require(init.nonEmpty, "pqTrain needs at least one vector")
+    var books: Vector[Seq[(Int, Array[Double])]] = Vector.tabulate(m) { s =>
+      init.zipWithIndex.map { case (r, i) =>
+        val full = r.getSeq[Double](1).toArray
+        (i, java.util.Arrays.copyOfRange(full,
+          math.min(s * subDim, full.length),
+          math.min((s + 1) * subDim, full.length)))
+      }.toSeq
     }
+    var it = 0
+    while (it < iters) {
+      // every subspace's assignment + sub-slice in one projection, then
+      // one aggregation keyed (sub, cell, j) — the m independent
+      // updates ride a single exchange of ≤ m·ksub·subDim rows
+      val sub = explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          Similarity.nearestCellColumn(
+            slice(col("__v"), s * subDim + 1, subDim), books(s)).as("cell"),
+          slice(col("__v"), s * subDim + 1, subDim).as("sv"))
+      }: _*))
+      val upd = v.select(sub.as("e"))
+        .filter(col("e.cell").isNotNull)
+        .select(col("e.s").as("sub"), col("e.cell").as("cell"),
+          posexplode(col("e.sv")).as(Seq("j", "x")))
+        .groupBy("sub", "cell", "j")
+        .agg(sum(floor(col("x") * lit(Clustering.Quant)).cast("long"))
+          .as("acc"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = upd.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Vector.tabulate(m) { s =>
+        books(s).map { case (c, prev) =>
+          byKey.get((s, c)) match {
+            case None => (c, prev) // empty cell: keep previous centroid
+            case Some(rows) =>
+              val nv = new Array[Double](prev.length)
+              rows.foreach { r =>
+                nv(r.getInt(2)) =
+                  r.getLong(3).toDouble / Clustering.Quant /
+                    r.getLong(4).toDouble
+              }
+              (c, nv)
+          }
+        }
+      }
+      it += 1
+    }
+    books
   }
 
   /** PQ codebooks as a (sub, cell, cvec) frame for persistence. */
