@@ -27,7 +27,8 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
                    now: () => java.sql.Timestamp =
                      () => new java.sql.Timestamp(System.currentTimeMillis()),
                    today: () => java.time.LocalDate = () => java.time.LocalDate.now(),
-                   templatesRoot: String = "resources/templates") {
+                   templatesRoot: String = "resources/templates",
+                   renderer: Option[graft.sources.Renderer] = None) {
 
   val staging = new StagingStore(spark, root)
   val warehouse = new Warehouse(spark, root)
@@ -90,7 +91,7 @@ final class Runner(spark: SparkSession, config: ProjectConfig, root: String,
   private def runHtmlParser(mc: ModuleConfig): Unit =
     staging.append("html_parser",
       HtmlParserSource.stage(spark, configUrls(mc), fetcher, userAgent(mc),
-        now = now))
+        now = now, renderer = renderer))
 
   private def runRobotstxt(mc: ModuleConfig): Unit =
     staging.append("robotstxt",

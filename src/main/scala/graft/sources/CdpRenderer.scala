@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse, WebSocket}
+import java.time.Duration
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.util.control.NonFatal
+
+/** Real headless-browser transport for the [[Renderer]] boundary, over
+  * the Chrome DevTools Protocol — the production counterpart of
+  * [[FixtureRenderer]], replacing the reference's chromedriver path
+  * (html_parser.py:120-132) with the protocol Chrome itself exposes
+  * (`chrome --headless --remote-debugging-port=9222`; any CDP endpoint
+  * works, including a browserless container).
+  *
+  * Per URL: one tab is created over the endpoint's HTTP control surface
+  * (`PUT /json/new`, with the legacy `GET` fallback for pre-111
+  * Chrome), a WebSocket attaches to the tab's debugger URL, and the
+  * render is `Page.enable` → `Page.navigate` → await
+  * `Page.loadEventFired` → `Runtime.evaluate(document.documentElement
+  * .outerHTML)` — the same "DOM at load-complete" surface
+  * `driver.page_source` read. The tab is closed best-effort afterwards
+  * (`GET /json/close/<id>`), so a crashed render leaks at most one tab
+  * the browser's own idle reaper collects.
+  *
+  * Holds the whole [[Renderer]] production contract:
+  *  1. body-only — status/headers/ttfb stay with the RAW fetch
+  *     ([[HtmlParserSource.stage]] invokes this for text/html only);
+  *  2. NEVER throws — every failure (endpoint down, tab create
+  *     refused, navigation or script timeout, tab crash mid-render)
+  *     returns [[Renderer.NotConfigured]], the reference's collapsed
+  *     WebDriverException body; a throw would kill the fetch partition;
+  *  3. per-URL wall time is bounded by `pageLoadTimeoutMs` +
+  *     `scriptTimeoutMs` + the HTTP `controlTimeoutMs`s — size them
+  *     against the module budget (reference envelope: 600 s);
+  *  4. the HttpClient is `@transient lazy`, built once per executor
+  *     closure; WebSockets live per render call, never serialized;
+  *  5. output is the DOM at load-complete — replay identity is the
+  *     staging append's concern.
+  *
+  * Specced against an in-process fake devtools server
+  * ([[graft.tools.DevServers.MockDevtoolsServer]]) driving the full
+  * wire protocol — HTTP tab control, RFC6455 handshake and frames, CDP
+  * id correlation and events — the [[HttpFetcher]]/SmtpTransport
+  * discipline. */
+final class CdpRenderer(
+    endpoint: String = "http://127.0.0.1:9222",
+    pageLoadTimeoutMs: Long = 30000L,
+    scriptTimeoutMs: Long = 10000L,
+    controlTimeoutMs: Long = 10000L) extends Renderer {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(controlTimeoutMs))
+    .build()
+  @transient private lazy val mapper = new ObjectMapper()
+
+  override def render(url: String): String =
+    try {
+      val tab = newTab()
+      try renderInTab(tab.wsUrl, url)
+      finally closeTab(tab.id) // best-effort; failures already collapsed
+    } catch {
+      case NonFatal(_) => Renderer.NotConfigured
+    }
+
+  private final case class Tab(id: String, wsUrl: String)
+
+  /** `PUT /json/new` (Chrome ≥ 111; `GET` fallback for older
+    * browsers) → (tab id, webSocketDebuggerUrl). */
+  private def newTab(): Tab = {
+    val uri = URI.create(s"$endpoint/json/new?about:blank")
+    def send(method: String): HttpResponse[String] =
+      client.send(HttpRequest.newBuilder(uri)
+          .timeout(Duration.ofMillis(controlTimeoutMs))
+          .method(method, HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+    var resp = send("PUT")
+    if (resp.statusCode() / 100 != 2) resp = send("GET")
+    require(resp.statusCode() / 100 == 2,
+      s"tab create failed: HTTP ${resp.statusCode()}")
+    val node = mapper.readTree(resp.body())
+    val ws = node.path("webSocketDebuggerUrl").asText("")
+    require(ws.nonEmpty, "no webSocketDebuggerUrl in /json/new reply")
+    Tab(node.path("id").asText(""), ws)
+  }
+
+  private def closeTab(id: String): Unit =
+    try {
+      if (id.nonEmpty) {
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"$endpoint/json/close/$id"))
+          .timeout(Duration.ofMillis(controlTimeoutMs)).GET().build(),
+          HttpResponse.BodyHandlers.discarding())
+        ()
+      }
+    } catch { case NonFatal(_) => () }
+
+  /** One CDP session: incoming messages (responses and events alike)
+    * land on a queue; commands correlate by id, events by method. */
+  private def renderInTab(wsUrl: String, url: String): String = {
+    val inbox = new LinkedBlockingQueue[String]()
+    val listener = new WebSocket.Listener {
+      private val buf = new StringBuilder
+      override def onText(ws: WebSocket, data: CharSequence,
+                          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        buf.append(data)
+        if (last) { inbox.put(buf.toString); buf.setLength(0) }
+        ws.request(1)
+        null
+      }
+    }
+    val ws = client.newWebSocketBuilder()
+      .connectTimeout(Duration.ofMillis(controlTimeoutMs))
+      .buildAsync(URI.create(wsUrl), listener)
+      .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
+    try {
+      var nextId = 0
+      def command(method: String, params: (String, String)*): Int = {
+        nextId += 1
+        val node = mapper.createObjectNode()
+        node.put("id", nextId)
+        node.put("method", method)
+        val p = node.putObject("params")
+        params.foreach { case (k, v) => p.put(k, v) }
+        ws.sendText(mapper.writeValueAsString(node), true)
+          .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
+        nextId
+      }
+      /** Poll the inbox until `pred` matches a parsed message. */
+      def await(timeoutMs: Long)(
+          pred: com.fasterxml.jackson.databind.JsonNode => Boolean)
+          : com.fasterxml.jackson.databind.JsonNode = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (true) {
+          val wait = deadline - System.currentTimeMillis()
+          require(wait > 0, "CDP await timed out")
+          val raw = inbox.poll(wait, TimeUnit.MILLISECONDS)
+          require(raw != null, "CDP await timed out")
+          val node = mapper.readTree(raw)
+          if (pred(node)) return node
+        }
+        sys.error("unreachable")
+      }
+      val enableId = command("Page.enable")
+      await(controlTimeoutMs)(_.path("id").asInt(-1) == enableId)
+      val navId = command("Page.navigate", "url" -> url)
+      await(controlTimeoutMs)(_.path("id").asInt(-1) == navId)
+      await(pageLoadTimeoutMs)(
+        _.path("method").asText("") == "Page.loadEventFired")
+      val evalId = {
+        nextId += 1
+        val node = mapper.createObjectNode()
+        node.put("id", nextId)
+        node.put("method", "Runtime.evaluate")
+        val p = node.putObject("params")
+        p.put("expression", "document.documentElement.outerHTML")
+        p.put("returnByValue", true)
+        ws.sendText(mapper.writeValueAsString(node), true)
+          .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
+        nextId
+      }
+      val reply = await(scriptTimeoutMs)(_.path("id").asInt(-1) == evalId)
+      val value = reply.path("result").path("result").path("value")
+      require(value.isTextual, "Runtime.evaluate returned no DOM string")
+      value.asText()
+    } finally {
+      try {
+        ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+        ws.abort()
+      } catch { case NonFatal(_) => () }
+    }
+  }
+}

@@ -100,7 +100,15 @@ object ModuleDebugger {
     val outbox = scala.collection.mutable.ArrayBuffer
       .empty[graft.plans.Notifications.EmailMessage]
     val synth = new SyntheticFetcher
-    val (fetcher, transport, servers) =
+    // the render=true page's post-JS DOM: same body either mode — the
+    // FixtureRenderer serves it directly, the CDP path serves it over
+    // the devtools wire protocol
+    def renderedDom(url: String): String =
+      s"""<html><head><title>Rendered SPA</title>""" +
+        s"""<meta name="description" content="Client-side rendered">""" +
+        s"""<link rel="canonical" href="$url"></head>""" +
+        """<body><h1>spa</h1><p>hydrated content</p></body></html>"""
+    val (fetcher, transport, renderer, servers) =
       if (realTransport) {
         val http = new DevServers.MockHttpServer(req => {
           val u = java.net.URLDecoder.decode(
@@ -109,22 +117,28 @@ object ModuleDebugger {
           DevServers.HttpReply(r.status_code, r.headers, r.body)
         })
         val smtp = new DevServers.MockSmtpServer
+        val devtools = new DevServers.MockDevtoolsServer(renderedDom)
         println(s"real transports: http 127.0.0.1:${http.port}, " +
-          s"smtp 127.0.0.1:${smtp.port}")
+          s"smtp 127.0.0.1:${smtp.port}, cdp 127.0.0.1:${devtools.port}")
         (new ProxyFetcher(http.base): Fetcher,
           new graft.plans.SmtpTransport(graft.plans.Notifications.SmtpConfig(
             "127.0.0.1", smtp.port, "graft@example.com", "pw")):
             graft.plans.Notifications.EmailTransport,
-          Some((http, smtp)))
+          new graft.sources.CdpRenderer(devtools.base): graft.sources.Renderer,
+          Some((http, smtp, devtools)))
       } else
         (synth: Fetcher,
           new graft.plans.Notifications.EmailTransport {
             override def send(m: graft.plans.Notifications.EmailMessage): Unit =
               outbox += m
           },
+          new graft.sources.FixtureRenderer(Map(
+            "https://www.owndomain.de/spa.html" ->
+              renderedDom("https://www.owndomain.de/spa.html"))):
+            graft.sources.Renderer,
           None)
     val runner = new Runner(spark, config, root, fetcher, notifier,
-      emailTransport = Some(transport))
+      emailTransport = Some(transport), renderer = Some(renderer))
     runner.runAllOnce()
 
     val checks = runner.warehouse.read(runner.ChecksTable)
@@ -153,7 +167,7 @@ object ModuleDebugger {
       runner.warehouse.read("alerting_log").show(10, 44)
     }
     servers match {
-      case Some((http, smtp)) =>
+      case Some((http, smtp, devtools)) =>
         import scala.jdk.CollectionConverters._
         println(s"dispatched emails (over the wire): ${smtp.deliveries.size()}")
         smtp.deliveries.asScala.foreach { d =>
@@ -163,7 +177,9 @@ object ModuleDebugger {
             s"auth=${d.authUser} $subject")
         }
         println(s"http fetches served: ${http.requests.size()}")
-        http.stop(); smtp.stop()
+        println(s"cdp renders served: ${devtools.navigated.size()} " +
+          s"(tabs closed: ${devtools.closedTabs.size()})")
+        http.stop(); smtp.stop(); devtools.stop()
       case None =>
         println(s"dispatched emails: ${outbox.size}")
         outbox.foreach { m =>
