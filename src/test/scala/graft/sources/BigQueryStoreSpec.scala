@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import BigQueryStore._
+
+/** Contract tests for the BigQuery warehouse adapter against the
+  * recording client — dispositions, partitioning validation, streaming
+  * insert buffering, and the NDJSON row transport. */
+class BigQueryStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("2024-01-01", "a", 1L), ("2024-01-02", "b", 2L))
+    .toDF("date", "k", "v")
+
+  test("write dispositions parse exactly the reference's allow-list") {
+    assert(WriteDisposition.parse("WRITE_APPEND") === WriteAppend)
+    assert(WriteDisposition.parse("WRITE_TRUNCATE") === WriteTruncate)
+    assert(WriteDisposition.parse("append") === WriteAppend)
+    assert(WriteDisposition.parse("Truncate") === WriteTruncate)
+    val e = intercept[IllegalArgumentException] {
+      WriteDisposition.parse("replace")
+    }
+    assert(e.getMessage.contains("Invalid write disposition"))
+  }
+
+  test("time partitioning validates type and field like the reference") {
+    assert(TimePartitioning("date", Some("day")).normalized === Some("DAY"))
+    intercept[IllegalArgumentException] {
+      TimePartitioning("date", Some("WEEK"))
+    }
+    intercept[IllegalArgumentException] { TimePartitioning("") }
+    // the load refuses a partition field missing from the frame
+    val wh = new BigQueryWarehouse(new RecordingBigQueryClient, "ds")
+    intercept[IllegalArgumentException] {
+      wh.load(df, "t", WriteAppend, Some(TimePartitioning("created")))
+    }
+  }
+
+  test("append accumulates, truncate replaces; partitioning pins at create") {
+    val client = new RecordingBigQueryClient
+    val wh = new BigQueryWarehouse(client, "ds")
+    wh.appendDayPartitioned(df, "gsc")
+    wh.appendDayPartitioned(df.withColumn("v", col("v") + 10), "gsc")
+    assert(client.tableRows("ds", "gsc").size === 4,
+      "WRITE_APPEND accumulates across loads")
+    assert(client.tablePartitioning("ds", "gsc") ===
+      Some(TimePartitioning("date", Some("DAY"))),
+      "the GSC shape: day partitioning on date")
+    wh.load(df, "summary", WriteTruncate)
+    wh.load(df, "summary", WriteTruncate)
+    assert(client.tableRows("ds", "summary").size === 2,
+      "WRITE_TRUNCATE replaces the table contents")
+    // a later load with different partitioning refuses (server behavior)
+    intercept[IllegalArgumentException] {
+      wh.load(df, "gsc", WriteAppend, None)
+    }
+  }
+
+  test("rows travel as NDJSON with the frame's own field names") {
+    val client = new RecordingBigQueryClient
+    val wh = new BigQueryWarehouse(client, "ds")
+    wh.load(df, "t", WriteAppend)
+    val rows = client.tableRows("ds", "t")
+    assert(rows.size === 2)
+    assert(rows.forall(r => r.contains("\"date\":") && r.contains("\"k\":")
+      && r.contains("\"v\":")), rows.mkString("\n"))
+  }
+
+  test("streaming inserts buffer per table and drain on commit") {
+    val client = new RecordingBigQueryClient
+    val wh = new BigQueryWarehouse(client, "ds")
+    wh.insertDataBatch("checks_a", Seq("""{"check":"title","valid":true}"""))
+    wh.insertDataBatch("checks_a", Seq("""{"check":"desc","valid":false}"""))
+    wh.insertDataBatch("checks_b", Seq("""{"check":"h1","valid":true}"""))
+    assert(client.tableRows("ds", "checks_a").isEmpty,
+      "nothing ships before commit (bigquery.py buffer semantics)")
+    wh.commit()
+    assert(client.tableRows("ds", "checks_a").size === 2)
+    assert(client.tableRows("ds", "checks_b").size === 1)
+    wh.commit() // a drained buffer commits nothing twice
+    assert(client.tableRows("ds", "checks_a").size === 2)
+  }
+
+  test("parameterized queries pass through the client boundary") {
+    val client = new RecordingBigQueryClient
+    client.queryResult = Seq("""{"n":3}""")
+    val wh = new BigQueryWarehouse(client, "ds")
+    val out = wh.query("SELECT COUNT(*) AS n FROM ds.t WHERE d = @day",
+      Map("day" -> "2024-01-01"))
+    assert(out === Seq("""{"n":3}"""))
+    assert(client.queries.get(0) ===
+      ("SELECT COUNT(*) AS n FROM ds.t WHERE d = @day",
+        Map("day" -> "2024-01-01")))
+  }
+}
