@@ -664,17 +664,31 @@ object Quantization {
       .join(qtab, Seq(queryIdCol)) // shuffle on query id — NOT broadcast
       .withColumn("__salt",
         explode(array((0 until cellSalt).map(lit): _*)))
-    val approx = codes.withColumnRenamed("id", "nbr_id")
+    val scored = codes.withColumnRenamed("id", "nbr_id")
       .withColumn("__cn", sqrt(adcDot(col("code"), normTable(books), books)))
       .withColumn("__salt", pmod(hash(col("nbr_id")), lit(cellSalt)))
-      .join(probed.hint("shuffle_hash"), Seq("cell", "__salt"))
+      .join(probed.hint("merge"), Seq("cell", "__salt"))
       .filter(col("nbr_id") =!= col(queryIdCol))
-      .select(col(queryIdCol), col("nbr_id"),
+      .select(col("cell"), col("__salt"), col(queryIdCol), col("nbr_id"),
         cosineFromParts(adcDot(col("code"), col("__qtab"), books),
           col("__cn"), col("__qn")).as("__approx"))
+    // PARTIAL top-k per (query, cell, salt) slot FIRST: the global
+    // per-query top-R is a subset of the union of per-slot top-Rs, and
+    // this window's partition keys are a superset of the join's
+    // (cell, salt) hash partitioning — it runs as a LOCAL sort, no
+    // exchange. Without it every scored candidate (queries × probed
+    // cells' codes — billions in an eval sweep) shuffles into the
+    // global window; with it only nProbes × cellSalt × k×rf rows per
+    // query do. Measured: the 100k-query probe spilled out of disk on
+    // the all-candidates shuffle before this stage existed.
+    val w0 = Window.partitionBy(col("cell"), col("__salt"), col(queryIdCol))
+      .orderBy(desc("__approx"), asc("nbr_id"))
+    val slotTop = scored.withColumn("__srn", row_number().over(w0))
+      .filter(col("__srn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"), col("__approx"))
     val wa = Window.partitionBy(queryIdCol)
       .orderBy(desc("__approx"), asc("nbr_id"))
-    val survivors = approx.withColumn("__arn", row_number().over(wa))
+    val survivors = slotTop.withColumn("__arn", row_number().over(wa))
       .filter(col("__arn") <= k * rescoreFactor)
       .select(col(queryIdCol), col("nbr_id"))
     exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k,
@@ -715,15 +729,23 @@ object Quantization {
         }: _*).as("__qtab"))
       .withColumn("__salt",
         explode(array((0 until cellSalt).map(lit): _*)))
-    val approx = codes.withColumnRenamed("id", "nbr_id")
+    val scored = codes.withColumnRenamed("id", "nbr_id")
       .withColumn("__salt", pmod(hash(col("nbr_id")), lit(cellSalt)))
-      .join(probed.hint("shuffle_hash"), Seq("cell", "__salt"))
+      .join(probed.hint("merge"), Seq("cell", "__salt"))
       .filter(col("nbr_id") =!= col(queryIdCol))
-      .select(col(queryIdCol), col("nbr_id"),
+      .select(col("cell"), col("__salt"), col(queryIdCol), col("nbr_id"),
         adcDot(col("code"), col("__qtab"), books).as("__approx"))
+    // per-slot partial top-k before the global window — see the
+    // ivfPqTopKEncodedPartitioned comment (exchange-free local sort;
+    // ascending here: IVFADC ranks by approximate DISTANCE)
+    val w0 = Window.partitionBy(col("cell"), col("__salt"), col(queryIdCol))
+      .orderBy(asc("__approx"), asc("nbr_id"))
+    val slotTop = scored.withColumn("__srn", row_number().over(w0))
+      .filter(col("__srn") <= k * rescoreFactor)
+      .select(col(queryIdCol), col("nbr_id"), col("__approx"))
     val wa = Window.partitionBy(queryIdCol)
       .orderBy(asc("__approx"), asc("nbr_id"))
-    val survivors = approx.withColumn("__arn", row_number().over(wa))
+    val survivors = slotTop.withColumn("__arn", row_number().over(wa))
       .filter(col("__arn") <= k * rescoreFactor)
       .select(col(queryIdCol), col("nbr_id"))
     exactRescoreTopK(survivors, corpus, queries, idCol, vecCol, k,

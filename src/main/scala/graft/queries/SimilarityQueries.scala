@@ -601,7 +601,45 @@ private[queries] object SimilarityQueries {
                       ORDER BY sim DESC, nbr_id) AS "rank" FROM ex)
         WHERE "rank" <= 5"""
       }),
-  ) :+ ivfPqDef :+ ivfAdcDef :+ ivfAdcStoreDef :+ signBitsDef :+ binaryTopKDef
+  ) :+ ivfPqDef :+ ivfAdcDef :+ ivfAdcStoreDef :+ signBitsDef :+
+    binaryTopKDef :+ ivfPqPartitionedDef :+ ivfAdcPartitionedDef
+
+  /** q146/q147: the PARTITIONED-query serving forms (offline eval
+    * sweeps — no query-side broadcast, salted cell join) must equal the
+    * broadcast forms bit-for-bit, so they share q137/q138's oracles
+    * verbatim. cellSalt deliberately exceeds some cells' code counts
+    * (empty salt slots must not drop candidates). */
+  private[queries] def ivfPqPartitionedDef: QueryDef =
+    QueryDef("q146_ivfpq_sweep",
+      (s, dir) => {
+        val e = T.embeddings(s, dir)
+        val cents = graft.operators.Clustering.kmeans(
+          e, "vec_id", "embedding", k = 8, iters = 1)
+        val books = graft.operators.Quantization.pqTrain(
+          e, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+        val codes = graft.operators.Quantization.pqEncodeAssigned(
+          e, "vec_id", "embedding", cents, books)
+        graft.operators.Quantization.ivfPqTopKEncodedPartitioned(
+            codes, e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, cents, books, nProbes = 2, rescoreFactor = 3,
+            cellSalt = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      ivfPqDef.oracle)
+
+  private[queries] def ivfAdcPartitionedDef: QueryDef =
+    QueryDef("q147_ivfadc_sweep",
+      (s, dir) => {
+        val (e, cents, books) = ivfAdcSetup(s, dir)
+        val codes = graft.operators.Quantization.pqEncodeResidual(
+          e, "vec_id", "embedding", cents, books)
+        graft.operators.Quantization.ivfAdcTopKEncodedPartitioned(
+            codes, e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            k = 5, cents, books, nProbes = 2, rescoreFactor = 3,
+            cellSalt = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      ivfAdcDef.oracle)
 
   /** The defs entry for q137 lives here (appended to [[defs]] below)
     * so the oracle helpers above stay adjacent. */

@@ -43,6 +43,12 @@ object PlanLint {
       "broadcast centroid table, one row per coarse cell (probe step)",
     ("q139_ivfadc_incremental", "NestedLoopJoin") ->
       "broadcast centroid table, one row per coarse cell (probe step)",
+    ("q146_ivfpq_sweep", "NestedLoopJoin") ->
+      ("broadcast centroid table, one row per coarse cell (probe step); " +
+        "the query side itself is never broadcast in the sweep form"),
+    ("q147_ivfadc_sweep", "NestedLoopJoin") ->
+      ("broadcast centroid table, one row per coarse cell (probe step); " +
+        "the query side itself is never broadcast in the sweep form"),
     ("q141_binary_topk", "NestedLoopJoin") ->
       "broadcast query set, maxQueries-capped (1-bit candidate pass)",
     ("q23_ivf_topk", "NestedLoopJoin") ->

@@ -865,15 +865,15 @@ object ScaleProbe {
     * family's ingest-∝-batch claim for cardinality tracking. Groups =
     * 1000 sources, values = the hh probe's fat-tailed token stream. */
   private def distincrProbe(spark: SparkSession, nTok: Long,
-                            root: String): Unit = {
+                            root: String, nGroups: Long = 1000L): Unit = {
     val vocabLn = 18.4207 // ln(1e8)
     def toks(lo: Long, hi: Long) = spark.range(lo, hi).select(
-      concat(lit("s"), pmod(xxhash64(col("id"), lit(3L)), lit(1000L))
+      concat(lit("s"), pmod(xxhash64(col("id"), lit(3L)), lit(nGroups))
         .cast("string")).as("g"),
       concat(lit("z"), floor(exp(
         (pmod(xxhash64(col("id")), lit(1000000000L)).cast("double") / 1e9)
           * vocabLn)).cast("long").cast("string")).as("tok"))
-    println(s"[probe] distincr tokens=$nTok groups=1000 batches=10")
+    println(s"[probe] distincr tokens=$nTok groups=$nGroups batches=10")
     val store = new graft.operators.Sketches.DistinctStore(spark, root, "p")
     val step = nTok / 10
     time("10-batch history ingest") {
@@ -883,7 +883,14 @@ object ScaleProbe {
     time("1 more batch (the daily cost)") {
       store.append(toks(nTok, nTok + step), "g", "tok")
     }
-    timedCount("estimate (serve)") { store.estimate() }
+    timedCount("estimate (serve, fragmented)") { store.estimate() }
+    // the wide-store compaction path: group-bucketed base write (the
+    // coalesce(1) regression this measures against would funnel the
+    // whole store through one task)
+    time("compact (fold 11 deltas into a bucketed base)") {
+      store.compact()
+    }
+    timedCount("estimate (serve, compacted)") { store.estimate() }
     timedCount("one-shot recompute") {
       graft.operators.Sketches.approxDistinct(
         toks(0, nTok + step), Seq("g"), "tok")
@@ -1201,6 +1208,162 @@ object ScaleProbe {
       s"partition ${if (total == oneShot) "EXACT" else "MISMATCH"}")
   }
 
+  /** Always-on sink with the auto-compaction policy on a LONG stream:
+    * `nAppends` one-file micro-batches through the REAL
+    * runAppendStoreAvailableNow maintenance path, policy on vs off —
+    * file counts and the serve wall they cost. The bounded-serve claim
+    * for streams that outlive any operator attention. */
+  private def autocProbe(spark: SparkSession, root: String,
+                         nAppends: Int): Unit = {
+    import org.apache.spark.sql.functions.{col => c}
+    println(s"[probe] autoc appends=$nAppends (IvfStore, 64-dim)")
+    val vecs = spark.range(nAppends.toLong * 100).select(
+      c("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => cos(c("id") % 16 + j.cast("double") * 0.37)
+          .cast("float")).as("embedding"))
+    val cents = {
+      import spark.implicits._
+      (0 until 16).map(i =>
+        (i, Array.tabulate(64)(j => math.cos(i + j * 0.37)).toSeq))
+        .toDF("cell", "cvec")
+    }
+    val inDir = s"$root/in"
+    time(s"write $nAppends one-batch input files") {
+      vecs.repartition(nAppends, c("vec_id")).write
+        .mode("overwrite").parquet(inDir)
+    }
+    val schema = vecs.schema
+    def run(label: String, storeRoot: String,
+            policy: Option[graft.streaming.Streaming.CompactionPolicy]): Unit = {
+      val store = new graft.operators.IvfStore(
+        new graft.sources.Warehouse(spark, storeRoot), "p", cents,
+        nStoreBuckets = 32)
+      time(s"$label: $nAppends micro-batches") {
+        graft.streaming.Streaming.runAppendStoreAvailableNow(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(inDir),
+          store, s"$storeRoot/ckpt", "vec_id", "embedding",
+          autoCompact = policy)
+      }
+      println(s"[probe] $label files=" +
+        graft.streaming.Streaming.dataFileCount(storeRoot))
+      val queries = vecs.limit(50)
+      timedCount(s"$label: serve (50 queries)") {
+        store.serve(queries, "vec_id", "embedding", k = 5, nProbes = 4)
+      }
+    }
+    run("policy ON (maxFiles=512, checkEvery=8)", s"$root/on",
+      Some(graft.streaming.Streaming.CompactionPolicy(maxFiles = 512,
+        checkEvery = 8)))
+    run("policy OFF (fragmenting)", s"$root/off", None)
+  }
+
+  /** Offline eval sweep through the partitioned IVF-PQ server: 100k
+    * queries — the broadcast form must REFUSE (its guard) and the
+    * partitioned form must complete. */
+  private def pqueryProbe(spark: SparkSession, embPath: String,
+                          nQueries: Int): Unit = {
+    import graft.operators.{Clustering, Quantization}
+    val emb = spark.read.parquet(embPath)
+    val n = emb.count()
+    println(s"[probe] pquery corpus=$n queries=$nQueries")
+    // 512 coarse cells — the ~√N sizing a 1M corpus actually serves
+    // under (64 cells probed 2k candidates per query per probe; the
+    // first probe run at 64 cells scored 6.25B pairs and spilled out
+    // of the box's disk — candidates ∝ corpus/cells is the design
+    // knob, not a flaw in the sweep form)
+    val sample = emb.limit(200000)
+    val cents = time("kmeans train (512 cells, sampled)") {
+      Clustering.kmeans(sample, "vec_id", "embedding", k = 512, iters = 2)
+    }
+    val books = time("pq train (m=16, fused)") {
+      Quantization.pqTrain(sample, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 16, iters = 2)
+    }
+    val codes = time("encode corpus") {
+      val df = Quantization.pqEncodeAssigned(emb, "vec_id", "embedding",
+        cents, books)
+      df.write.mode("overwrite").parquet(s"$embPath.__codes")
+      spark.read.parquet(s"$embPath.__codes")
+    }
+    val queries = emb.limit(nQueries)
+    try {
+      Quantization.ivfPqTopKEncoded(codes, emb, queries, "vec_id",
+        "embedding", 10, cents, books, nProbes = 2).count()
+      println("[probe] BROKEN: broadcast form accepted an eval sweep")
+    } catch {
+      case e: IllegalArgumentException =>
+        println(s"[probe] broadcast form refused as designed: " +
+          e.getMessage.take(80))
+    }
+    timedCount(s"partitioned IVF-PQ serve ($nQueries queries)") {
+      Quantization.ivfPqTopKEncodedPartitioned(codes, emb, queries,
+        "vec_id", "embedding", 10, cents, books, nProbes = 2, cellSalt = 16)
+    }
+  }
+
+  /** The composed thing a real training-data run is: curate (surgical
+    * decon) → per-source repeat-factor mixture → BPE encode → pack to
+    * fixed sequences → shuffled shards + manifests — ONE run, so
+    * cross-operator plan interactions (exchange reuse, AQE across
+    * staged materializations) surface. Per-stage walls attributed. */
+  private def e2eProbe(spark: SparkSession, docsPath: String,
+                       root: String): Unit = {
+    import graft.operators._
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    println(s"[probe] e2e corpus=$n")
+    // eval set: every 997th doc's text — guarantees real surgical hits
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(997)) === 0)
+      .select(col("doc_id"), col("text"))
+    val cfg = Pipeline.CurateConfig(minQuality = 0.0, maxRepetition = 1.0,
+      surgicalDecon = true,
+      minhash = MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5))
+    val stageDir = s"$root/stages"
+    def persist(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stageDir/$name")
+      spark.read.parquet(s"$stageDir/$name")
+    }
+    val curated = time("stage 1: curate (surgical decon + dedup)") {
+      persist(Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+        "text", cfg, stage = df => persist(df, "tmp")).kept, "curated")
+    }
+    println(s"[probe]   curated rows=${curated.count()}")
+    val mixed = time("stage 2: repeat-factor mixture (20 sources)") {
+      persist(Sampling.repeatSample(
+        curated.withColumn("source",
+          concat(lit("s"), pmod(xxhash64(col("id")), lit(20)).cast("string"))),
+        "source", "id", factors = Seq("s0" -> 2.5, "s1" -> 2.0),
+        defaultFactor = 1.0), "mixed")
+    }
+    println(s"[probe]   mixed rows=${mixed.count()}")
+    val merges = time("stage 3a: BPE learnMerges(40) on sample") {
+      Bpe.learnMerges(curated.limit(100000), "text", 40)
+    }
+    val encoded = time("stage 3b: BPE encode mixture") {
+      persist(Bpe.encode(
+        mixed.withColumn("uid",
+          col("id") * lit(1000L) + col("rep").cast("long")),
+        "uid", "text", merges)
+        .select(col("id").as("uid"), col("n_tokens")), "encoded")
+    }
+    val packed = time("stage 3c: pack to 2048-token sequences") {
+      persist(Sequences.packSequences(encoded, "uid", "n_tokens",
+        seqLen = 2048L), "packed")
+    }
+    val sharded = time("stage 4: shuffleShards(64) + manifest") {
+      val s = persist(Sharding.shuffleShards(packed, "uid", 64), "sharded")
+      val m = Sharding.shardManifest(s, "n_tokens")
+      println(s"[probe]   manifest rows=${m.count()}")
+      s
+    }
+    val total = sharded.agg(sum(col("n_tokens"))).head().getLong(0)
+    println(s"[probe] e2e done: sequences=${packed.count()} " +
+      s"sharded=${sharded.count()} total_tokens=$total")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -1281,8 +1444,9 @@ object ScaleProbe {
         shardProbe(spark, docsPath)
       case "hh" :: nTok :: Nil =>
         hhProbe(spark, nTok.toLong)
-      case "distincr" :: nTok :: root :: Nil =>
-        distincrProbe(spark, nTok.toLong, root)
+      case "distincr" :: nTok :: root :: rest =>
+        distincrProbe(spark, nTok.toLong, root,
+          rest.headOption.map(_.toLong).getOrElse(1000L))
       case "ppairs" :: docsPath :: Nil =>
         prefixPairsProbe(spark, docsPath)
       case "compact" :: docsPath :: root :: rest =>
@@ -1294,10 +1458,29 @@ object ScaleProbe {
         imgProbe(spark, nStr.toLong, root)
       case "hamm" :: nStr :: root :: Nil =>
         hammProbe(spark, nStr.toLong, root)
+      case "autoc" :: root :: rest =>
+        autocProbe(spark, root, rest.headOption.map(_.toInt).getOrElse(200))
+      case "pqtrain" :: embPath :: Nil =>
+        // the fused-trainer wall at the BENCH_NOTES reference point:
+        // 1M sample rows, 16 subspaces × 2 Lloyd iterations
+        val emb = spark.read.parquet(embPath)
+        println(s"[probe] pqtrain sample=${emb.count()} m=16 ksub=16 it=2")
+        time("pq train m=16 ksub=16 it=2 (fused, one job/iter)") {
+          graft.operators.Quantization.pqTrain(emb, "vec_id", "embedding",
+            dim = 64, m = 16, ksub = 16, iters = 2)
+        }
+        ()
+      case "pquery" :: embPath :: rest =>
+        pqueryProbe(spark, embPath,
+          rest.headOption.map(_.toInt).getOrElse(100000))
+      case "e2e" :: docsPath :: root :: Nil =>
+        e2eProbe(spark, docsPath, root)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
-            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh", "distincr", "ppairs", "compact", "quant", "img", "hamm").contains(docsPath) =>
+            "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
+            "distincr", "ppairs", "compact", "quant", "img", "hamm",
+            "autoc", "pquery", "e2e").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +

@@ -270,6 +270,29 @@ object Smoke {
           .select((col("vec_id") + 5000).as("eval_id"), col("embedding")),
         "eval_id", "embedding", threshold = 0.35)
     }
+    show("Quantization.ivfPqTopKEncodedPartitioned (eval-sweep serve)") {
+      val cents = graft.operators.Clustering.kmeans(
+        emb, "vec_id", "embedding", k = 8, iters = 1)
+      val books = graft.operators.Quantization.pqTrain(
+        emb, "vec_id", "embedding", dim = 64, m = 4, ksub = 8, iters = 1)
+      val codes = graft.operators.Quantization.pqEncodeAssigned(
+        emb, "vec_id", "embedding", cents, books)
+      graft.operators.Quantization.ivfPqTopKEncodedPartitioned(codes, emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3,
+        cents, books, nProbes = 2, cellSalt = 4)
+    }
+    show("CurationStore.compact + post-compact ingest") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_smoke_cc_").toString
+      val store = new graft.operators.Pipeline.CurationStore(spark, root,
+        "s", graft.operators.Pipeline.CurateConfig(minQuality = 0.0,
+          maxRepetition = 1.0))
+      store.ingest(docs.filter(col("doc_id") < 30)
+        .select(col("doc_id"), col("text")), "doc_id", "text")
+      store.compact()
+      store.ingest(docs.filter(col("doc_id") >= 30 && col("doc_id") < 50)
+        .select(col("doc_id"), col("text")), "doc_id", "text").kept
+    }
     spark.stop()
   }
 }
