@@ -1322,9 +1322,13 @@ object ScaleProbe {
       minhash = MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5))
     val stageDir = s"$root/stages"
+    val stageN = new java.util.concurrent.atomic.AtomicInteger(0)
     def persist(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$stageDir/$name")
-      spark.read.parquet(s"$stageDir/$name")
+      // every materialization gets its OWN directory: reusing one would
+      // delete files a previously staged frame still reads lazily
+      val dir = s"$stageDir/${name}_${stageN.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
     }
     val curated = time("stage 1: curate (surgical decon + dedup)") {
       persist(Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
@@ -1340,7 +1344,11 @@ object ScaleProbe {
     }
     println(s"[probe]   mixed rows=${mixed.count()}")
     val merges = time("stage 3a: BPE learnMerges(40) on sample") {
-      Bpe.learnMerges(curated.limit(100000), "text", 40)
+      // modulo sample, NOT limit: a GlobalLimit gathers the sample into
+      // one partition and every merge round's type-table build inherits
+      // the single-partition shape
+      Bpe.learnMerges(curated.filter(pmod(col("id"), lit(10)) === 0),
+        "text", 40)
     }
     val encoded = time("stage 3b: BPE encode mixture") {
       persist(Bpe.encode(
