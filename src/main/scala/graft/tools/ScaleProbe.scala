@@ -1311,6 +1311,12 @@ object ScaleProbe {
   private def e2eProbe(spark: SparkSession, docsPath: String,
                        root: String): Unit = {
     import graft.operators._
+    // curate's per-row transforms are string-heavy (normalize, PII,
+    // decon span work): 32 concurrent ~300 MB text partitions blew the
+    // probe JVM's heap at 10M docs. Cap scan partitions at 32 MB so a
+    // task's live strings stay small — the executor-sizing discipline
+    // (partition bytes × concurrent tasks < heap) applied locally.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
     println(s"[probe] e2e corpus=$n")
