@@ -26,9 +26,7 @@ object Dedup {
     * distinct value). */
   def exact(df: DataFrame, idCol: String, valueCol: String,
             verify: Boolean = false): DataFrame = {
-    val hashed = df
-      .withColumn("__h1", xxhash64(col(valueCol)))
-      .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col(valueCol)))
+    val hashed = hashPair(df, valueCol)
     // single pass: row_number over the hash pair keeps the min-id row —
     // one shuffle, one scan (the groupBy + join-back formulation reads
     // the corpus twice and shuffles it twice)
@@ -40,6 +38,28 @@ object Dedup {
     hashed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__h1", "__h2", "__rn")
+  }
+
+  /** The 128-bit grouping key [[exact]] dedups on — one definition so
+    * [[exact]] and [[exactLosers]] can never disagree on what "the same
+    * value" means. */
+  private def hashPair(df: DataFrame, valueCol: String): DataFrame = df
+    .withColumn("__h1", xxhash64(col(valueCol)))
+    .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col(valueCol)))
+
+  /** The complement of [[exact]]: the rows it DROPS, each with the id of
+    * the row that superseded it — (idCol, kept_id). Same 128-bit key,
+    * same min-id winner rule, one exchange (a min window over the hash
+    * pair); `exact(df) ∪ exactLosers(df).ids` partitions df's ids. The
+    * audit half of dedup: at corpus scale "where did my document go" is
+    * answered from this frame, not by diffing corpora. */
+  def exactLosers(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2"))
+    hashPair(df, valueCol)
+      .withColumn("__win", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("__win"))
+      .select(col(idCol), col("__win").as("kept_id"))
   }
 
   /** Exact-dup groups: value → sorted member ids + TRUE count (>1 only).

@@ -76,9 +76,26 @@ object Pipeline {
 
   /** `kept` is the curated corpus (id, text — text REDACTED);
     * `stageCounts` is the per-stage survivor accounting (empty unless
-    * requested — each count is an extra action). */
+    * requested — each count is an extra action); `audit` (present iff
+    * `withAudit`) is the drop ledger: one row per REMOVED document,
+    * (id, stage, kept_id) where `stage` names the first pipeline stage
+    * that dropped it (quality | repetition | decontaminate | exact_dup
+    * | near_dup) and `kept_id` is the surviving document that superseded
+    * it (dedup stages only; null for the filters). `kept.ids ∪ audit.ids`
+    * partitions the input ids — every document is either in the corpus
+    * or in the ledger with a reason, which is the provenance question
+    * ("where did my document go") a 100 TB curation run gets asked. */
   final case class CurateResult(kept: DataFrame,
-                                stageCounts: Seq[(String, Long)])
+                                stageCounts: Seq[(String, Long)],
+                                audit: Option[DataFrame] = None)
+
+  /** [[preFilter]]'s product: the decontaminated (id, text) frame, the
+    * scored frame (pass-flag accounting), and the ids the
+    * decontamination stage removed outright (lazy plans — they cost
+    * nothing unless acted on). */
+  private[operators] final case class PreFiltered(decon: DataFrame,
+                                                  scored: DataFrame,
+                                                  deconDropped: DataFrame)
 
   /** Stages 1–3 (quality + repetition filter, PII redaction,
     * decontamination) as a (id, redacted text) frame — row-local against
@@ -88,7 +105,7 @@ object Pipeline {
   private[operators] def preFilter(docs: DataFrame, idCol: String,
       textCol: String, evalTexts: Option[DataFrame], evalTextCol: String,
       cfg: CurateConfig, stage: DataFrame => DataFrame)
-      : (DataFrame, DataFrame) = {
+      : PreFiltered = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     // one tokenization feeds both scores (lambda-capture rule: tokens
     // bound to a column first, scores staged off it)
@@ -108,7 +125,7 @@ object Pipeline {
     // first or the tokenize→score→redact chain runs twice per action
     val redacted =
       if (evalTexts.isDefined) stage(redactedRaw) else redactedRaw
-    val decon = evalTexts match {
+    val (decon, deconDropped) = evalTexts match {
       case Some(ev) if cfg.surgicalDecon =>
         // minSpan = n: every shared gram is excised, so the REMOVED text
         // is exactly what the drop policy would have flagged. Untouched
@@ -126,15 +143,19 @@ object Pipeline {
             spans)
           .filter(length(col("text")) > 0)
           .select("id", "text")
-        redacted.join(spanIds, Seq("id"), "left_anti")
-          .unionByName(excised)
-      case Some(ev) => redacted.join(
-        Decontamination.contaminatedIds(redacted, "id", "text", ev, evalTextCol,
-          cfg.deconN),
-        Seq("id"), "left_anti")
-      case None => redacted
+        // dropped = docs whose every token sat inside an excised span
+        // (the excision emptied them) — flagged docs minus the excised
+        // survivors
+        val dropped = spanIds.join(excised.select("id"), Seq("id"), "left_anti")
+        (redacted.join(spanIds, Seq("id"), "left_anti")
+          .unionByName(excised), dropped)
+      case Some(ev) =>
+        val contaminated = Decontamination.contaminatedIds(redacted, "id",
+          "text", ev, evalTextCol, cfg.deconN)
+        (redacted.join(contaminated, Seq("id"), "left_anti"), contaminated)
+      case None => (redacted, redactedRaw.select("id").limit(0))
     }
-    (decon, scored)
+    PreFiltered(decon, scored, deconDropped)
   }
 
   /** Run the full curation pipeline over `docs`. Ids must be integral
@@ -148,10 +169,15 @@ object Pipeline {
              evalTextCol: String = "text",
              cfg: CurateConfig = CurateConfig(),
              withCounts: Boolean = false,
+             withAudit: Boolean = false,
              stage: DataFrame => DataFrame = _.localCheckpoint(true))
       : CurateResult = {
-    val (decon, scored) =
-      preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+    val pf = preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+    val scored = pf.scored
+    // the audit's exact-dup loser scan is a second read of the
+    // decontaminated frame — materialize it once rather than re-running
+    // the redaction/anti-join chain per consumer
+    val decon = if (withAudit) stage(pf.decon) else pf.decon
     val exact = stage(Dedup.exact(decon, "id", "text"))
     val mh = cfg.minhash
     val pairs = Dedup.minhashPortablePairs(exact, "id", "text",
@@ -181,7 +207,29 @@ object Pipeline {
           "repetition" -> qr.getLong(2), "decontaminate" -> nDec,
           "exact_dedup" -> nEx, "near_dedup" -> nKept)
       }
-    CurateResult(kept, counts)
+    val audit =
+      if (!withAudit) None
+      else {
+        val idType = decon.schema("id").dataType
+        val noWinner = lit(null).cast(idType).as("kept_id")
+        def row(ids: DataFrame, stageName: String) = ids
+          .select(col("id"), lit(stageName).as("stage"), noWinner)
+        // each doc appears at most once: every arm filters on "survived
+        // all earlier stages" by construction (the pipeline is a chain)
+        val qualityDropped = row(scored.filter(!qPass(cfg)), "quality")
+        val repDropped =
+          row(scored.filter(qPass(cfg) && !rPass(cfg)), "repetition")
+        val deconDropped = row(pf.deconDropped, "decontaminate")
+        val exactDropped = Dedup.exactLosers(decon, "id", "text")
+          .select(col("id"), lit("exact_dup").as("stage"), col("kept_id"))
+        val nearDropped = labels.filter(col("comp") < col("id"))
+          .select(col("id"), lit("near_dup").as("stage"),
+            col("comp").cast(idType).as("kept_id"))
+        Some(qualityDropped.unionByName(repDropped)
+          .unionByName(deconDropped).unionByName(exactDropped)
+          .unionByName(nearDropped))
+      }
+    CurateResult(kept, counts, audit)
   }
 
   /** One ingest's delta: `kept` = batch docs entering the curated corpus
@@ -190,7 +238,18 @@ object Pipeline {
     * merged their component with a lower-id one. The curated corpus
     * after n ingests is ∪ keptᵢ − ∪ retractedᵢ (retraction is monotone:
     * component minima only decrease). */
-  final case class CurateDelta(kept: DataFrame, retracted: DataFrame)
+  /** `audit` (present iff the ingest requested it): the batch's drop
+    * ledger — one row (id, stage, kept_id) per batch document the ingest
+    * did NOT keep, same stage vocabulary as [[CurateResult.audit]].
+    * `kept_id` is the PROXIMATE winner at drop time: for an in-batch
+    * exact dup the batch's min-id copy, for a store-known text the id
+    * that first ingested it, for a near-dup the component minimum as of
+    * this ingest. Following kept_id chains across ingests reaches the
+    * ultimate survivor; retractions of PREVIOUS batches' winners are the
+    * `retracted` half, not audit rows. batch ids = kept ∪ audit ids
+    * (disjoint), per ingest. */
+  final case class CurateDelta(kept: DataFrame, retracted: DataFrame,
+                               audit: Option[DataFrame] = None)
 
   /** Incremental curation — the production form of [[curate]]: per-batch
     * ingest against persisted state instead of a full-corpus recompute.
@@ -268,7 +327,8 @@ object Pipeline {
       * `beforeCommit` roll the whole ingest back like any other
       * mid-ingest failure. */
     def ingest(batch: DataFrame, idCol: String, textCol: String,
-               beforeCommit: CurateDelta => Unit = _ => ())
+               beforeCommit: CurateDelta => Unit = _ => (),
+               withAudit: Boolean = false)
         : CurateDelta = {
       import spark.implicits._
       Pipeline.requireIntegralId(batch.schema, idCol, "CurationStore")
@@ -284,7 +344,10 @@ object Pipeline {
         max(col(idCol)).cast("long")).head()
       if (bounds.isNullAt(0)) // empty batch: nothing to do, state untouched
         return CurateDelta(spark.emptyDataset[(Long, String)]
-          .toDF("id", "text"), spark.emptyDataset[Long].toDF("id"))
+          .toDF("id", "text"), spark.emptyDataset[Long].toDF("id"),
+          if (withAudit) Some(spark.emptyDataset[(Long, String, Option[Long])]
+            .toDF("id", "stage", "kept_id"))
+          else None)
       val prevMax = maxIngestedId.getOrElse {
         // no committed ingest on record — any existing store artifact
         // is then an orphan: a pre-transactional (legacy) layout or a
@@ -312,8 +375,11 @@ object Pipeline {
 
       graft.sources.StoreTxn.transact(spark, root) {
       val txn = graft.sources.StoreTxn.current(root)
-      val (decon, _) =
+      val pf =
         preFilter(batch, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+      // the audit's exact-loser pass re-reads the decontaminated frame —
+      // materialize it once rather than re-running the redaction chain
+      val decon = if (withAudit) stage(pf.decon) else pf.decon
       // exact dedup vs the hash store: in-batch winner per 128-bit text
       // hash, then membership anti-join (bucketed on the hash pair, so
       // the store side never shuffles). Hash-only membership carries the
@@ -325,11 +391,14 @@ object Pipeline {
         .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col("text")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-      val fresh = stage(
-        if (wh.exists(exactTable))
-          batchWinners.join(wh.readBucketed(exactTable),
-            Seq("__h1", "__h2"), "left_anti")
-        else batchWinners)
+      val storeExact =
+        if (wh.exists(exactTable)) Some(wh.readBucketed(exactTable))
+        else None
+      val fresh = stage(storeExact match {
+        case Some(st) =>
+          batchWinners.join(st, Seq("__h1", "__h2"), "left_anti")
+        case None => batchWinners
+      })
       val survivors = fresh.select("id", "text")
       // near-dup pairs of the batch survivors vs everything curated —
       // the embedded store's ingest JOINS this transaction
@@ -357,17 +426,63 @@ object Pipeline {
         .join(nowDropped, Seq("id"), "left_semi")
         .join(prevDropped, Seq("id"), "left_anti")
         .localCheckpoint(true)
-      beforeCommit(CurateDelta(kept, retracted))
+      // the ledger must materialize BEFORE the state writes too: the
+      // store-dup arm reads the pre-append exact table, the near-dup arm
+      // this ingest's labels — both replaced by the writes below
+      val audit =
+        if (!withAudit) None
+        else {
+          def ledger(ids: DataFrame, stageName: String) = ids
+            .select(col("id").cast("long").as("id"),
+              lit(stageName).as("stage"),
+              lit(null).cast("long").as("kept_id"))
+          val inBatchDup = Dedup.exactLosers(decon, "id", "text")
+            .select(col("id").cast("long").as("id"),
+              lit("exact_dup").as("stage"),
+              col("kept_id").cast("long").as("kept_id"))
+          val storeDup = storeExact match {
+            case Some(st) =>
+              // pre-owner-column stores (no id recorded) audit with a
+              // null winner rather than failing the read
+              val owned =
+                if (st.columns.contains("id")) st
+                else st.withColumn("id", lit(null).cast("long"))
+              batchWinners.select(col("id"), col("__h1"), col("__h2"))
+                .join(owned.select(col("__h1"), col("__h2"),
+                  col("id").as("__owner")), Seq("__h1", "__h2"))
+                .select(col("id").cast("long").as("id"),
+                  lit("exact_dup").as("stage"),
+                  col("__owner").cast("long").as("kept_id"))
+            case None => spark.emptyDataset[(Long, String, Option[Long])]
+              .toDF("id", "stage", "kept_id")
+          }
+          val nearDup = labels.filter(col("comp") < col("id"))
+            .join(survivors.select("id"), Seq("id"), "left_semi")
+            .select(col("id").cast("long").as("id"),
+              lit("near_dup").as("stage"),
+              col("comp").cast("long").as("kept_id"))
+          Some(ledger(pf.scored.filter(!qPass(cfg)), "quality")
+            .unionByName(
+              ledger(pf.scored.filter(qPass(cfg) && !rPass(cfg)),
+                "repetition"))
+            .unionByName(ledger(pf.deconDropped, "decontaminate"))
+            .unionByName(inBatchDup).unionByName(storeDup)
+            .unionByName(nearDup)
+            .localCheckpoint(true))
+        }
+      beforeCommit(CurateDelta(kept, retracted, audit))
       // labels are overwrite-shaped → a fresh versioned directory the
       // commit record publishes (an in-place overwrite could not be
       // rolled back); survivors append under the transaction's snapshot
       labels.write.parquet(txn.stateVersionDir(labelsState))
       txn.touchPath(survRel)
       survivors.select("id").write.mode("append").parquet(survDir)
-      wh.appendBucketed(exactTable, fresh.select("__h1", "__h2"),
+      // the owner id rides with each hash pair so later ingests can
+      // attribute a store-dup drop to the document that holds the text
+      wh.appendBucketed(exactTable, fresh.select("__h1", "__h2", "id"),
         Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
       txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
-      CurateDelta(kept, retracted)
+      CurateDelta(kept, retracted, audit)
       }
     }
 

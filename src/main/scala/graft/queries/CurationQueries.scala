@@ -38,7 +38,7 @@ private[queries] object CurationQueries {
       val d = T.documents(s, dir)
       Pipeline.curate(d.filter(col("doc_id") >= 25), "doc_id", "text",
         Some(d.filter(col("doc_id") < 25)), "text", CurateCfg,
-        withCounts = true)
+        withCounts = true, withAudit = true)
     })
 
   /** q68/q69's pipeline parameters — thresholds calibrated so every
@@ -64,19 +64,26 @@ private[queries] object CurationQueries {
     * chain + the q90 index-aware token filter over the REDACTED text,
     * emptied docs dropped). Everything downstream of `dec` is shared
     * verbatim, which is the equivalence claim q95 pins. */
+  /** The quality / repetition expressions over the `sc` CTE's columns —
+    * object-level so the pipeline chain AND the q148 audit oracle quote
+    * the same strings (a drifted copy would pass one and fail the
+    * other). LAZY: `curateCtes` above initializes before these in
+    * declaration order, and a plain val would interpolate as "null"
+    * into its SQL (the init-order trap). */
+  private lazy val qualityExpr =
+    """((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
+      |             + CASE WHEN ntok > 0 THEN hits / ntok ELSE 0.0 END)
+      |             + least(len / 500.0, 1.0)) / 3.0""".stripMargin
+  private lazy val repExpr =
+    """(CASE WHEN t2 > 0
+      |             THEN CAST(t2 - len(list_distinct(g2)) AS DOUBLE) / CAST(t2 AS DOUBLE)
+      |             ELSE 0.0 END)""".stripMargin
+
   private def curateCtesFor(surgical: Boolean): String = {
     val mh = CurateCfg.minhash
     require(mh.shingleN == 3 && CurateCfg.repN == 2,
       "the SQL mirror hardwires 3-token shingles and bigram repetition")
     val enList = sqlList(graft.functions.TextFunctions.stopwords("en"))
-    val qualityExpr =
-      """((CASE WHEN len > 0 THEN alpha / len ELSE 0.0 END
-        |             + CASE WHEN ntok > 0 THEN hits / ntok ELSE 0.0 END)
-        |             + least(len / 500.0, 1.0)) / 3.0""".stripMargin
-    val repExpr =
-      """(CASE WHEN t2 > 0
-        |             THEN CAST(t2 - len(list_distinct(g2)) AS DOUBLE) / CAST(t2 AS DOUBLE)
-        |             ELSE 0.0 END)""".stripMargin
     val fiveGram = "list_transform(range(1, greatest(len(tk) - 4, 0) + 1), " +
       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])"
     val polyHash = Catalog.duckPolyHash("s")
@@ -260,6 +267,32 @@ private[queries] object CurationQueries {
       Some(s"""
         WITH RECURSIVE ${curateCtesFor(surgical = true)}
         SELECT id AS doc_id, text FROM kept""")),
+
+    // ===== The drop ledger of the same run: one row per REMOVED doc —
+    // the first stage that dropped it, and for the dedup stages the id
+    // of the surviving document that superseded it. kept ∪ audit
+    // partitions the input ids (pinned in PipelineSpec); this is the
+    // "where did my document go" provenance answer a production corpus
+    // owes its users =====
+    QueryDef("q148_curate_audit",
+      (s, dir) => curateShared(s, dir).audit.get
+        .select(col("id").as("doc_id"), col("stage"), col("kept_id")),
+      Some(s"""
+        WITH RECURSIVE $curateCtes
+        SELECT id AS doc_id, 'quality' AS stage, NULL::BIGINT AS kept_id
+          FROM sc WHERE NOT ($qualityExpr >= ${CurateCfg.minQuality})
+        UNION ALL
+        SELECT id, 'repetition', NULL::BIGINT FROM sc
+          WHERE ($qualityExpr >= ${CurateCfg.minQuality})
+            AND NOT ($repExpr <= ${CurateCfg.maxRepetition})
+        UNION ALL
+        SELECT id, 'decontaminate', NULL::BIGINT FROM cont
+        UNION ALL
+        SELECT dec.id, 'exact_dup', gx.mid FROM dec
+          JOIN (SELECT text AS kk, min(id) AS mid FROM dec GROUP BY 1) gx
+            ON dec.text = gx.kk AND dec.id <> gx.mid
+        UNION ALL
+        SELECT id, 'near_dup', comp FROM lab WHERE comp < id""")),
 
     // ===== Per-stage survivor accounting of the same pipeline run =====
     QueryDef("q69_curate_stages",

@@ -168,12 +168,13 @@ object Streaming {
                    checkpoint: String, idCol: String, textCol: String,
                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                    autoCompact: Option[CompactionPolicy] =
-                     Some(CompactionPolicy()))
+                     Some(CompactionPolicy()),
+                   auditTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     leasedSink(docs, store.storeRoot, checkpoint, trigger)(
       withAutoCompact(store.storeRoot, autoCompact, _ => store.compact())(
         curateBatch(store, warehouse, keptTable, retractedTable,
-          idCol, textCol)))
+          idCol, textCol, auditTable)))
 
   // ------------------------------------------ shared sink plumbing
   //
@@ -295,11 +296,12 @@ object Streaming {
                               checkpoint: String, idCol: String,
                               textCol: String,
                               autoCompact: Option[CompactionPolicy] =
-                                Some(CompactionPolicy())): Unit =
+                                Some(CompactionPolicy()),
+                              auditTable: Option[String] = None): Unit =
     leasedAvailableNow(docs, store.storeRoot, checkpoint)(
       withAutoCompact(store.storeRoot, autoCompact, _ => store.compact())(
         curateBatch(store, warehouse, keptTable, retractedTable,
-          idCol, textCol)))
+          idCol, textCol, auditTable)))
 
   /** Release a sink's maintenance lease when its query terminates (for
     * always-on sinks whose lifetime the caller owns). */
@@ -335,7 +337,8 @@ object Streaming {
   def curateBatch(store: graft.operators.Pipeline.CurationStore,
                   warehouse: graft.sources.Warehouse,
                   keptTable: String, retractedTable: String,
-                  idCol: String, textCol: String)
+                  idCol: String, textCol: String,
+                  auditTable: Option[String] = None)
                  (batch: DataFrame, batchId: Long): Unit = {
     // fail fast on a non-integral id column: the min-cast below would
     // read null and silently skip EVERY batch (the store's own integral
@@ -352,7 +355,15 @@ object Streaming {
       warehouse.idempotentAppend(retractedTable,
         delta.retracted.withColumn("__batch_id", lit(batchId)),
         keys = Seq("__batch_id"), partitionCol = "__batch_id")
-    })
+      // drop-ledger table (opt-in): same durability argument as the
+      // kept/retracted deltas — appended BEFORE the store transaction
+      // publishes its skip key, keyed idempotent on the batch id
+      auditTable.foreach { t =>
+        warehouse.idempotentAppend(t,
+          delta.audit.get.withColumn("__batch_id", lit(batchId)),
+          keys = Seq("__batch_id"), partitionCol = "__batch_id")
+      }
+    }, withAudit = auditTable.isDefined)
     ()
   }
 

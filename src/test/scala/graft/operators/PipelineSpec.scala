@@ -92,6 +92,40 @@ class PipelineSpec extends SparkSpec {
     assert(kept(1L) === good1)
   }
 
+  test("audit ledger names every dropped doc's first stage and winner") {
+    val res = Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", cfg, withAudit = true)
+    val audit = res.audit.get.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(audit === Seq(
+      (2L, "quality", None), (3L, "repetition", None),
+      (4L, "decontaminate", None), (6L, "exact_dup", Some(5L)),
+      (7L, "near_dup", Some(1L))))
+    // kept ∪ audit partitions the input ids — no doc vanishes silently,
+    // none is double-attributed
+    val keptIds = res.kept.select("id").as[Long].collect().toSet
+    assert(keptIds ++ audit.map(_._1) ===
+      docs.select("doc_id").as[Long].collect().toSet)
+    assert(keptIds.intersect(audit.map(_._1).toSet).isEmpty)
+    // off by default: no audit plan is built
+    assert(Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", cfg).audit.isEmpty)
+  }
+
+  test("audit under surgical decon: only EMPTIED docs land in the ledger") {
+    val withCopy = docs.union(Seq((9L, evalText)).toDF("doc_id", "text"))
+    val res = Pipeline.curate(withCopy, "doc_id", "text", Some(evalSet),
+      "text", cfg.copy(surgicalDecon = true), withAudit = true)
+    val audit = res.audit.get.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    // doc 4's remainder survives (not in the ledger); the verbatim eval
+    // copy 9 excises to empty and is attributed to decontamination
+    assert(audit === Seq(
+      (2L, "quality", None), (3L, "repetition", None),
+      (6L, "exact_dup", Some(5L)), (7L, "near_dup", Some(1L)),
+      (9L, "decontaminate", None)))
+  }
+
   test("surgical and drop policies agree when nothing is contaminated") {
     val cleanEval = Seq((100L, "zz yy xx ww vv uu tt ss rr qq"))
       .toDF("doc_id", "text")
@@ -117,6 +151,33 @@ class PipelineSpec extends SparkSpec {
     // 6 = exact dup of stored 5; 7 = near-dup of stored 1; 8 kept
     assert(r2.kept.select("id").as[Long].collect().sorted.toSeq === Seq(8L))
     assert(r1.retracted.count() === 0 && r2.retracted.count() === 0)
+  }
+
+  test("curation store: per-ingest audit matches the batch ledger") {
+    val store = new Pipeline.CurationStore(spark, freshRoot(), "t", cfg,
+      Some(evalSet), "text")
+    val r1 = store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text",
+      withAudit = true)
+    val r2 = store.ingest(docs.filter(col("doc_id") > 5), "doc_id", "text",
+      withAudit = true)
+    def rows(d: Pipeline.CurateDelta) = d.audit.get
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows(r1) === Seq((2L, "quality", None), (3L, "repetition", None),
+      (4L, "decontaminate", None)))
+    // 6 is a STORE dup: its winner is the id that first ingested the
+    // text (5, carried in the exact table); 7 near-dups stored 1
+    assert(rows(r2) === Seq((6L, "exact_dup", Some(5L)),
+      (7L, "near_dup", Some(1L))))
+    // the union of per-ingest ledgers equals the batch curate's (no
+    // component merged further here, so proximate winner = ultimate)
+    val batch = Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", cfg, withAudit = true).audit.get
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert((rows(r1) ++ rows(r2)) === batch)
+    // audit off by default, and per-ingest kept ∪ audit = the batch ids
+    assert(store.ingest(docs.limit(0), "doc_id", "text").audit.isEmpty)
+    assert(r2.kept.select("id").as[Long].collect().toSet ++
+      rows(r2).map(_._1) === Set(6L, 7L, 8L))
   }
 
   test("curation store: a bridging doc retracts the dethroned winner") {

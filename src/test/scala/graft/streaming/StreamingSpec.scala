@@ -298,7 +298,7 @@ class StreamingSpec extends SparkSpec {
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir),
       store, wh, "cur_kept", "cur_retracted", s"$root/ckpt",
-      "doc_id", "text")
+      "doc_id", "text", auditTable = Some("cur_audit"))
     def corpus(): Seq[Long] = {
       val kept = wh.read("cur_kept").select("id")
       val ret = if (wh.exists("cur_retracted"))
@@ -321,6 +321,13 @@ class StreamingSpec extends SparkSpec {
     val t8 = wh.read("cur_kept").filter(col("id") === 8L)
       .select("text").as[String].head()
     assert(t8.contains("<EMAIL>") && !t8.contains("alice@example.com"))
+    // the drop ledger persisted alongside: every non-kept doc with its
+    // first dropping stage and (for the dedup stages) its winner
+    val audit = wh.read("cur_audit")
+      .select("id", "stage", "kept_id")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(audit === Seq((2L, "quality", None),
+      (6L, "exact_dup", Some(5L)), (7L, "near_dup", Some(1L))))
   }
 
   test("bm25 index catch-up: streamed appends serve the one-shot ranking") {
