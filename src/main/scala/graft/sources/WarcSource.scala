@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Raw web-crawl ingestion: WARC (ISO 28500) archives — the format
+  * CommonCrawl and every Heritrix-style crawler emit — parsed into a
+  * DataFrame a curation pipeline can consume directly. This is the
+  * entry point for "point the engine at a crawl dump": WARC →
+  * [[readResponses]] → strip_html / language-ID / quality →
+  * [[graft.operators.Pipeline.curate]].
+  *
+  * Scale shape: one task per archive file via
+  * `sparkContext.binaryFiles` + a STREAMING record iterator — a 1 GB
+  * archive is never materialized whole; records decode off a bounded
+  * buffer and each body is capped at `maxBodyBytes` (oversize bodies
+  * truncate, flagged, never buffered past the cap). A CommonCrawl
+  * segment keeps ~64k archives per crawl, so file-granular parallelism
+  * saturates any executor count; per-record work is row-local. Gzip
+  * archives (the on-disk norm: each record its own gzip member) are
+  * detected by magic bytes and read through one multi-member
+  * `GZIPInputStream`.
+  *
+  * Error semantics follow the library's source idiom (error ROWS, never
+  * throws — html_parser's RequestException shape): a malformed record
+  * yields a row with `error` set and the rest null, and parsing resumes
+  * at the next record boundary where possible; a stream whose remainder
+  * is unreadable yields one final error row for the file tail. */
+object WarcSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("archive", StringType),        // source file path
+    StructField("record_offset", LongType),    // records seen before this one
+    StructField("warc_type", StringType),      // response/request/warcinfo/...
+    StructField("url", StringType),            // WARC-Target-URI
+    StructField("warc_date", StringType),      // WARC-Date, verbatim ISO-8601
+    StructField("record_id", StringType),      // WARC-Record-ID
+    StructField("http_status", IntegerType),   // response records only
+    StructField("content_type", StringType),   // payload type (HTTP header)
+    StructField("headers", MapType(StringType, StringType)), // HTTP headers
+    StructField("body", BinaryType),           // payload bytes (capped)
+    StructField("truncated", BooleanType),     // body hit maxBodyBytes
+    StructField("error", StringType)))         // parse failure, else null
+
+  /** One parsed WARC record (or a parse-failure marker). */
+  private[sources] final case class Rec(
+      warcType: String, url: String, date: String, recordId: String,
+      httpStatus: Option[Int], contentType: String,
+      headers: Map[String, String], body: Array[Byte], truncated: Boolean,
+      error: String)
+
+  /** Every record of every archive under `path` (glob ok). */
+  def read(spark: SparkSession, path: String,
+           maxBodyBytes: Int = 1 << 20,
+           minPartitions: Int = 32): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(path, minPartitions)
+      .flatMap { case (file, pds) =>
+        val raw = new BufferedInputStream(pds.open(), 1 << 16)
+        val in = if (isGzip(raw)) new GZIPInputStream(raw, 1 << 16) else raw
+        var off = -1L
+        records(in, maxBodyBytes).map { r =>
+          off += 1
+          Row(file, off, r.warcType, r.url, r.date, r.recordId,
+            r.httpStatus.map(Int.box).orNull, r.contentType, r.headers,
+            r.body, r.truncated, r.error)
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The curation-facing projection: HTTP `response` records only, body
+    * decoded to text (UTF-8, lossy replacement for undecodable bytes —
+    * the downstream normalizer's contract) — (url, warc_date,
+    * http_status, content_type, text, truncated). */
+  def readResponses(spark: SparkSession, path: String,
+                    maxBodyBytes: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path, maxBodyBytes)
+      .filter(col("error").isNull && col("warc_type") === "response")
+      .select(col("url"), col("warc_date"), col("http_status"),
+        col("content_type"),
+        decode(col("body"), "UTF-8").as("text"), col("truncated"))
+  }
+
+  /** Gzip magic sniff on a mark-supporting stream. */
+  private def isGzip(in: BufferedInputStream): Boolean = {
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    b0 == 0x1f && b1 == 0x8b
+  }
+
+  // ------------------------------------------------------ record parser
+
+  /** Streaming iterator over the records of one archive stream. Never
+    * throws: malformed content becomes an error record; the iterator
+    * ends at EOF. The stream is read strictly forward with no
+    * lookahead past the current record. */
+  private[sources] def records(in: InputStream,
+                               maxBodyBytes: Int): Iterator[Rec] =
+    new Iterator[Rec] {
+      private var nextRec: Rec = _
+      private var done = false
+      advance()
+
+      override def hasNext: Boolean = !done
+      override def next(): Rec = {
+        val r = nextRec; advance(); r
+      }
+
+      private def advance(): Unit =
+        try {
+          // skip inter-record CRLFs (the spec's two-newline separator —
+          // lenient about how many actually appear)
+          var line = readLine(in)
+          while (line != null && line.isEmpty) line = readLine(in)
+          if (line == null) { finish(); return }
+          if (!line.startsWith("WARC/")) {
+            // lost framing: without a trusted Content-Length there is no
+            // next boundary — emit one tail error and stop
+            nextRec = err(s"expected WARC/ version line, got '${
+              line.take(40)}'")
+            drain(in)
+            return
+          }
+          val hdrs = readHeaders(in)
+          val len = hdrs.get("content-length").flatMap(_.toLongOption)
+          if (len.isEmpty) {
+            nextRec = err("record missing Content-Length")
+            drain(in)
+            return
+          }
+          val (body, truncated) = readBody(in, len.get, maxBodyBytes)
+          val warcType = hdrs.getOrElse("warc-type", "")
+          val base = Rec(warcType, hdrs.getOrElse("warc-target-uri", null),
+            hdrs.getOrElse("warc-date", null),
+            hdrs.getOrElse("warc-record-id", null), None,
+            hdrs.getOrElse("content-type", null), Map.empty, body,
+            truncated, null)
+          nextRec =
+            if (warcType == "response" &&
+                base.contentType != null &&
+                base.contentType.startsWith("application/http"))
+              parseHttp(base)
+            else base
+        } catch {
+          case _: EOFException => finish()
+          case e: Exception =>
+            nextRec = err(s"unreadable record: ${e.getClass.getSimpleName}")
+            drain(in)
+        }
+
+      /** End of stream: release the (possibly gzip-wrapping) handle —
+        * flatMap iterators are never auto-closed by the scheduler. */
+      private def finish(): Unit = {
+        done = true
+        try in.close() catch { case _: Exception => () }
+      }
+
+      private def err(msg: String) =
+        Rec(null, null, null, null, None, null, Map.empty,
+          Array.emptyByteArray, truncated = false, error = msg)
+    }
+
+  /** Split a response record's HTTP envelope off its payload: status
+    * line + headers parsed, `body` replaced by the payload bytes. A
+    * malformed envelope keeps the raw body and reports the error (the
+    * record is still a record — the archive said so). */
+  private def parseHttp(r: Rec): Rec = {
+    val sep = indexOfDoubleCrlf(r.body)
+    if (sep < 0)
+      return r.copy(error = "http response without header terminator")
+    val head = new String(r.body, 0, sep, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status = lines.headOption
+      .filter(_.startsWith("HTTP/"))
+      .flatMap(_.split(" ", 3).lift(1)).flatMap(_.toIntOption)
+    if (status.isEmpty)
+      return r.copy(error = s"bad http status line '${
+        lines.headOption.getOrElse("").take(40)}'")
+    val headers = lines.drop(1).iterator.flatMap { l =>
+      val i = l.indexOf(':')
+      if (i <= 0) None
+      else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+    }.toMap
+    r.copy(httpStatus = status,
+      contentType = headers.getOrElse("content-type", r.contentType),
+      headers = headers,
+      body = java.util.Arrays.copyOfRange(r.body, sep + 4, r.body.length))
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
+          b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** CRLF (or bare LF, lenient) terminated line as ISO-8859-1; null at
+    * EOF with nothing read. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  /** WARC header block (terminated by a blank line), keys lowercased. */
+  private def readHeaders(in: InputStream): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0)
+        m += line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim
+      line = readLine(in)
+    }
+    m.result()
+  }
+
+  /** Exactly `len` content bytes: the first `maxBodyBytes` kept, the
+    * rest consumed and dropped (the stream must stay positioned at the
+    * record boundary either way). */
+  private def readBody(in: InputStream, len: Long,
+                       maxBodyBytes: Int): (Array[Byte], Boolean) = {
+    val keep = math.min(len, maxBodyBytes.toLong).toInt
+    val buf = new Array[Byte](keep)
+    var read = 0
+    while (read < keep) {
+      val n = in.read(buf, read, keep - read)
+      if (n < 0) throw new EOFException("record body cut short")
+      read += n
+    }
+    var toSkip = len - keep
+    while (toSkip > 0) {
+      val n = in.skip(toSkip)
+      if (n <= 0) {
+        if (in.read() < 0) throw new EOFException("record body cut short")
+        toSkip -= 1
+      } else toSkip -= n
+    }
+    (buf, len > keep)
+  }
+
+  /** Consume the remainder of a stream whose framing is lost (error
+    * path — the iterator ends after this). */
+  private def drain(in: InputStream): Unit = {
+    val buf = new Array[Byte](1 << 16)
+    while (in.read(buf) >= 0) ()
+  }
+}

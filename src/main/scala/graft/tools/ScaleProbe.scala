@@ -1303,6 +1303,66 @@ object ScaleProbe {
     }
   }
 
+  /** Crawl-ingestion throughput: synthesize `nArchives` gzip WARC
+    * archives (multi-member, one record per member — the CommonCrawl
+    * layout) of `recsPer` HTML response records each, then measure the
+    * streaming reader end-to-end: record parse + HTTP envelope split +
+    * the curation-facing text projection. One task per archive — the
+    * reader's scale unit — so wall ∝ max archive size, not corpus. */
+  private def warcProbe(spark: SparkSession, root: String,
+                        nArchives: Int, recsPer: Int): Unit = {
+    import java.util.zip.GZIPOutputStream
+    val dir = new java.io.File(s"$root/warc"); dir.mkdirs()
+    val bytes = time(s"gen $nArchives archives x $recsPer recs") {
+      // one executor task per archive — the gen mirrors the read's
+      // parallelism unit
+      spark.range(0, nArchives, 1, math.min(nArchives, 32))
+        .select(col("id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .map { a =>
+          val filler = ("lorem ipsum dolor sit amet consectetur " +
+            "adipiscing elit sed do eiusmod tempor incididunt ut labore ")
+            .repeat(12)
+          val out = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(s"$root/warc/part-$a.warc.gz"),
+            1 << 16)
+          var total = 0L
+          (0 until recsPer).foreach { r =>
+            val html = s"<html><head><title>doc $a-$r</title></head>" +
+              s"<body><p>$filler</p><p>id $a-$r</p></body></html>"
+            val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+              s"charset=utf-8\r\n\r\n$html"
+            val content = http.getBytes("UTF-8")
+            val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: http://host$a.test/p$r\r\n" +
+              s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+              s"WARC-Record-ID: <urn:uuid:$a-$r>\r\n" +
+              s"Content-Type: application/http; msgtype=response\r\n" +
+              s"Content-Length: ${content.length}\r\n\r\n").getBytes("UTF-8") ++
+              content ++ "\r\n\r\n".getBytes("UTF-8")
+            val gz = new GZIPOutputStream(out); gz.write(rec); gz.finish()
+            total += rec.length
+          }
+          out.close()
+          total
+        }(org.apache.spark.sql.Encoders.scalaLong)
+        .reduce(_ + _)
+    }
+    println(f"[probe] raw bytes ${bytes / 1e9}%.2f GB (pre-gzip)")
+    val n = timedCount("parse all records") {
+      graft.sources.WarcSource.read(spark, s"$root/warc/*.warc.gz")
+    }
+    val t0 = System.nanoTime()
+    val ok = graft.sources.WarcSource
+      .readResponses(spark, s"$root/warc/*.warc.gz")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] text projection $dt%.2f s  " +
+      f"${n / dt / 1000}%.0f krec/s  ${bytes / 1e9 / dt}%.2f GB/s  " +
+      s"chars=$ok")
+  }
+
   /** The composed thing a real training-data run is: curate (surgical
     * decon) → per-source repeat-factor mixture → BPE encode → pack to
     * fixed sequences → shuffled shards + manifests — ONE run, so
@@ -1489,6 +1549,8 @@ object ScaleProbe {
           rest.headOption.map(_.toInt).getOrElse(100000))
       case "e2e" :: docsPath :: root :: Nil =>
         e2eProbe(spark, docsPath, root)
+      case "warc" :: root :: nArch :: recs :: Nil =>
+        warcProbe(spark, root, nArch.toInt, recs.toInt)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
