@@ -281,6 +281,29 @@ object Smoke {
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3,
         cents, books, nProbes = 2, cellSalt = 4)
     }
+    show("WarcSource → curate front door") {
+      // byte-synthesized archive: the crawl → text → curation on-ramp
+      val html = "<html><body>smoke crawl page</body></html>"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      val content = http.getBytes("UTF-8")
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://smoke.test/\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "WARC-Record-ID: <urn:uuid:smoke>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${content.length}\r\n\r\n").getBytes("UTF-8") ++
+        content ++ "\r\n\r\n".getBytes("UTF-8")
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_warc_")
+      java.nio.file.Files.write(dir.resolve("a.warc"), rec)
+      graft.sources.WarcSource.readResponses(spark, dir.toString + "/*.warc")
+        .select(col("url"),
+          graft.functions.TextFunctions.stripHtml(col("text")).as("text"))
+    }
+    show("Pipeline.curate drop ledger") {
+      graft.operators.Pipeline.curate(
+        docs.limit(200).select(col("doc_id"), col("text")),
+        "doc_id", "text", withAudit = true).audit.get
+    }
     show("CurationStore.compact + post-compact ingest") {
       val root = java.nio.file.Files
         .createTempDirectory("graft_smoke_cc_").toString
