@@ -72,17 +72,27 @@ object WarcSource {
   }
 
   /** The curation-facing projection: HTTP `response` records only, body
-    * decoded to text (UTF-8, lossy replacement for undecodable bytes —
-    * the downstream normalizer's contract) — (url, warc_date,
-    * http_status, content_type, text, truncated). */
+    * decoded to text (UTF-8, lossy: undecodable bytes become U+FFFD) —
+    * (url, warc_date, http_status, content_type, text, truncated).
+    *
+    * The decode is a deliberate UDF, not `functions.decode`: Spark 4's
+    * StringDecode THROWS MALFORMED_CHARACTER_CODING on invalid bytes,
+    * and a crawl corpus GUARANTEES invalid bytes (mislabeled latin-1,
+    * binary sniffed as text) — one bad page must not kill a 100 TB
+    * ingest. `new String(bytes, UTF_8)` replaces instead (pinned in
+    * WarcSourceSpec); the per-row JVM cost is the same class of work
+    * StringDecode does anyway. */
   def readResponses(spark: SparkSession, path: String,
                     maxBodyBytes: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.functions._
+    val lossyUtf8 = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else new String(b, java.nio.charset.StandardCharsets.UTF_8))
     read(spark, path, maxBodyBytes)
       .filter(col("error").isNull && col("warc_type") === "response")
       .select(col("url"), col("warc_date"), col("http_status"),
         col("content_type"),
-        decode(col("body"), "UTF-8").as("text"), col("truncated"))
+        lossyUtf8(col("body")).as("text"), col("truncated"))
   }
 
   /** Gzip magic sniff on a mark-supporting stream. */

@@ -137,6 +137,22 @@ class WarcSourceSpec extends SparkSpec {
     assert(r.getAs[String]("url") === "http://example.com/")
   }
 
+  test("readResponses: undecodable bytes become replacement chars, not nulls") {
+    // a latin-1 page served with no charset: the 0xE9 byte is invalid
+    // UTF-8 — the doc must SURVIVE (lossy-decoded), not vanish as null
+    val payload = "caf".getBytes(UTF_8) ++ Array(0xE9.toByte) ++
+      " page".getBytes(UTF_8)
+    val rec = warcRecord("response",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").getBytes(UTF_8)
+        ++ payload,
+      uri = "http://example.com/l1",
+      contentType = "application/http; msgtype=response")
+    val t = WarcSource.readResponses(spark, write("g.warc", rec))
+      .select("text").as[String].collect().toSeq
+    assert(t.length === 1 && t.head != null)
+    assert(t.head.startsWith("caf") && t.head.endsWith(" page"))
+  }
+
   test("readResponses: the curation-facing text projection") {
     val txt = WarcSource.readResponses(spark, write("e.warc", archive))
       .select("url", "text").as[(String, String)].collect().toSeq
