@@ -29,6 +29,60 @@ object TextFunctions {
     trim(regexp_replace(noTags, "\\s+", " "))
   }
 
+  /** Block boundary for [[mainContent]]: any block-level open/close tag.
+    * RE2-compatible (no backreferences/lookaround) so DuckDB's regex
+    * engine splits byte-identically. */
+  val BlockTagRe: String = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|" +
+    "tbody|tr|td|th|section|article|header|footer|nav|aside|blockquote|br)" +
+    "(?:\\s[^>]*)?/?>"
+
+  /** Anchor contents (group 1), for the link-density signal. Lazy `.*?`
+    * is RE2-supported. */
+  val AnchorRe: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** Main-content extraction from raw HTML — the boilerplate-block
+    * filter between crawl ingestion ([[graft.sources.WarcSource]]) and
+    * curation, in the spirit of trafilatura/boilerpipe's text-vs-link
+    * density heuristic but fully Column-composed (split → per-block
+    * score → filter → rejoin), so it rides whole plans, prunes columns,
+    * and has an exact DuckDB mirror (q149):
+    *
+    *  1. script/style/svg/noscript blocks removed (as [[stripHtml]]);
+    *  2. the page splits into blocks at block-level tag boundaries
+    *     ([[BlockTagRe]] — nav/header/footer/aside are boundaries too,
+    *     so chrome text lands in its own blocks);
+    *  3. a block survives iff its stripped text has at least
+    *     `minBlockChars` chars AND its anchor-text chars ≤
+    *     `maxLinkDensity` × text chars (link-farm chrome: navs, tag
+    *     clouds, related-article lists — fails one or both);
+    *  4. survivors rejoin with single spaces.
+    *
+    * The density test is the cross-multiplied comparison a ≤ n·d (one
+    * IEEE multiply), not a division — no zero-guard, same bits on any
+    * engine. Anchors are inline, so a block boundary cutting through a
+    * malformed unclosed `<a>` attributes its text to one block — the
+    * documented heuristic, not a parse. */
+  def mainContent(html: Column, minBlockChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): Column = {
+    val noBlocks = strippedBlockTags.foldLeft(html) { (c, tag) =>
+      regexp_replace(c, s"(?is)<$tag\\b.*?</$tag>", " ")
+    }
+    def clean(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "(?s)<[^>]*>", " "), "\\s+", " "))
+    val scored = transform(split(noBlocks, BlockTagRe), b => {
+      val txt = clean(b)
+      val aTxt = clean(array_join(
+        regexp_extract_all(b, lit(AnchorRe), lit(1)), " "))
+      struct(txt.as("t"), length(txt).as("n"), length(aTxt).as("a"))
+    })
+    val kept = filter(scored, s =>
+      s.getField("n") >= lit(minBlockChars) &&
+        s.getField("a").cast("double") <=
+          s.getField("n").cast("double") * lit(maxLinkDensity))
+    trim(regexp_replace(
+      array_join(transform(kept, s => s.getField("t")), " "), "\\s+", " "))
+  }
+
   /** Session flag enabling script-aware tokenization engine-wide: set
     * `spark.conf.set(ScriptAwareTokensKey, "true")` and EVERY operator
     * that tokenizes — dedup shingles, decontamination n-grams, BM25,

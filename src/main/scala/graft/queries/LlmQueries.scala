@@ -597,6 +597,59 @@ private[queries] object LlmQueries {
         .withColumn("hamming", col("hamming").cast("long")),
       Some(simhashOracle(""))),
 
+    // ===== Main-content extraction: nav/sidebar/footer chrome dropped
+    // by the per-block length + link-density heuristic, article text
+    // kept — the crawl → clean-text step between WarcSource and curate.
+    // The page is synthesized identically on both sides from the doc
+    // text; the SQL quotes the SAME regex constants the Column form
+    // compiles (BlockTagRe/AnchorRe), so the mirrors cannot drift =====
+    QueryDef("q149_main_content",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><body><nav><a href=\"#\">Home</a> " +
+            "<a href=\"#\">About us</a> <a href=\"#\">Contact</a></nav>" +
+            "<div><ul><li><a href=\"#\">Tag one</a></li>" +
+            "<li><a href=\"#\">Tag two</a></li></ul></div><article><p>"),
+          substring(col("text"), 1, 200),
+          lit("</p></article><footer><a href=\"#\">Imprint</a> legal" +
+            "</footer></body></html>"))
+        T.documents(s, dir).select(col("doc_id"),
+          TextFunctions.mainContent(html).as("content"))
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id,
+          '<html><body><nav><a href="#">Home</a> <a href="#">About us</a> <a href="#">Contact</a></nav><div><ul><li><a href="#">Tag one</a></li><li><a href="#">Tag two</a></li></ul></div><article><p>'
+            || substr(text, 1, 200)
+            || '</p></article><footer><a href="#">Imprint</a> legal</footer></body></html>' AS html
+          FROM documents),
+        nb AS (SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, '(?is)<script\\b.*?</script>', ' ', 'g'),
+                '(?is)<style\\b.*?</style>', ' ', 'g'),
+              '(?is)<svg\\b.*?</svg>', ' ', 'g'),
+            '(?is)<noscript\\b.*?</noscript>', ' ', 'g') AS c
+          FROM h),
+        sc AS (SELECT doc_id, list_transform(
+            string_split_regex(c, '${TextFunctions.BlockTagRe}'),
+            b -> {'t': trim(regexp_replace(regexp_replace(b,
+                    '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')),
+                  -- coalesce: DuckDB's array_to_string([]) is NULL
+                  -- where Spark's array_join([]) is '' — an anchorless
+                  -- block must score a=0, not null out the filter
+                  'a': trim(regexp_replace(regexp_replace(
+                    coalesce(array_to_string(regexp_extract_all(b,
+                      '${TextFunctions.AnchorRe}', 1), ' '), ''),
+                    '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))}) AS bl
+          FROM nb)
+        SELECT doc_id,
+          trim(regexp_replace(array_to_string(list_transform(
+            list_filter(bl, s -> len(s.t) >= 25
+              AND CAST(len(s.a) AS DOUBLE) <= CAST(len(s.t) AS DOUBLE) * 0.33),
+            s -> s.t), ' '), '\\s+', ' ', 'g')) AS content
+        FROM sc""")),
+
     // ===== F5/A3: strip_html + wordcount =====
     QueryDef("q30_strip_html",
       (s, dir) => {

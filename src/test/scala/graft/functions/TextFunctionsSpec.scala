@@ -99,6 +99,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.stripHtml(col("text")), html) === "Hello world")
   }
 
+  test("mainContent keeps the article, drops nav/sidebar/footer chrome") {
+    val article = "This is the actual article text of the page and it " +
+      "carries the substance a reader came for, well past the length gate."
+    val html = "<html><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+      "<div class='side'><ul><li><a href='/t1'>Tag one</a></li>" +
+      "<li><a href='/t2'>Tag two</a></li></ul></div>" +
+      s"<article><p>$article</p><p>See <a href='/ref'>the reference</a> " +
+      "for details on the method and its guarantees here.</p></article>" +
+      "<footer><a href='/imprint'>Imprint</a> legal</footer></body></html>"
+    val got = one[String](TextFunctions.mainContent(col("text")), html)
+    // chrome gone, both article blocks kept (the second has ONE link in
+    // prose — under the density gate), single-space joined
+    assert(got === article + " See the reference for details on the " +
+      "method and its guarantees here.")
+    // an all-link block of any length dies by density, not just length
+    val linkFarm = "<div>" + (1 to 20).map(i =>
+      s"<a href='/$i'>related article number $i</a>").mkString(" ") + "</div>"
+    assert(one[String](TextFunctions.mainContent(col("text")), linkFarm) === "")
+    // degenerate inputs survive
+    assert(one[String](TextFunctions.mainContent(col("text")), "") === "")
+    assert(one[String](TextFunctions.mainContent(col("text")),
+      "no tags at all but a perfectly fine plain sentence") ===
+      "no tags at all but a perfectly fine plain sentence")
+  }
+
   test("qualityScore is bounded and monotone-ish in quality") {
     val junk = one[Double](TextFunctions.qualityScore(col("text")), "@@@ ### !!!")
     val good = one[Double](TextFunctions.qualityScore(col("text")),
