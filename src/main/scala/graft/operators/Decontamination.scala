@@ -23,15 +23,48 @@ import graft.functions.TextFunctions.{ngrams, tokens}
 object Decontamination {
 
   /** Ids of `docs` sharing at least one word n-gram with the eval set.
-    * One left-semi equi-join on the n-gram string. */
+    * One left-semi equi-join on the n-gram string — eval side BROADCAST
+    * (guarded), so the corpus-side gram stream joins map-side with no
+    * exchange (see [[boundedEvalBroadcast]] for why relying on the
+    * auto-broadcast threshold is a disk-filling trap at corpus scale). */
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       evalTexts: DataFrame, evalTextCol: String,
-                      n: Int): DataFrame =
+                      n: Int, maxEvalGrams: Int = DefaultMaxEvalGrams)
+      : DataFrame =
     docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode(ngrams(col("__t"), n)).as("__g"))
-      .join(evalGrams(evalTexts, evalTextCol, n), Seq("__g"), "left_semi")
+      .join(boundedEvalBroadcast(evalGrams(evalTexts, evalTextCol, n),
+        maxEvalGrams), Seq("__g"), "left_semi")
       .select(idCol).distinct()
+
+  /** Default ceiling for a broadcast eval-gram set: 5M grams ≈ 200 MB
+    * of strings — comfortably broadcastable, far above any benchmark
+    * suite. */
+  val DefaultMaxEvalGrams: Int = 5000000
+
+  /** Guarded explicit broadcast of a (small) eval-side build relation.
+    *
+    * WHY EXPLICIT: the corpus side of a decontamination join is every
+    * n-gram of every document — billions of rows that must NOT shuffle.
+    * Left to `spark.sql.autoBroadcastJoinThreshold` (10 MB default),
+    * the plan silently flips to a sort-merge join the moment the eval
+    * set crosses the line (measured: a 10k-doc eval suite ≈ 13 MB of
+    * distinct gram hashes flipped the 10M-doc e2e probe into shuffling
+    * 785M positioned gram rows, which filled the box's disk with sort
+    * spill and killed the run). The hint pins the broadcast; the
+    * `limit(max+1).count()` guard (the [[semanticContamination]]
+    * convention) fails fast with a pointer to [[GramIndex]] when the
+    * eval side genuinely is corpus-sized. */
+  private def boundedEvalBroadcast(side: DataFrame,
+                                   maxEvalGrams: Int): DataFrame = {
+    val c = side.limit(maxEvalGrams + 1).count()
+    require(c <= maxEvalGrams,
+      s"eval gram set ($c rows) exceeds maxEvalGrams=$maxEvalGrams — a " +
+        "broadcast decontamination is for benchmark-sized eval sets; " +
+        "route corpus-sized reference sets through GramIndex")
+    broadcast(side)
+  }
 
   /** Per-document n-gram overlap with the eval set:
     * (id, n_grams, n_hit, overlap_rate) where `n_grams` counts the doc's
@@ -83,12 +116,14 @@ object Decontamination {
 
   def overlapStats(docs: DataFrame, idCol: String, textCol: String,
                    evalTexts: DataFrame, evalTextCol: String,
-                   n: Int): DataFrame = {
+                   n: Int, maxEvalGrams: Int = DefaultMaxEvalGrams)
+      : DataFrame = {
     val docGrams = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
       .select(col("id"), explode(array_distinct(ngrams(col("__t"), n))).as("__g"))
     val perDoc = docGrams
-      .join(evalGrams(evalTexts, evalTextCol, n).withColumn("__hit", lit(1)),
+      .join(boundedEvalBroadcast(evalGrams(evalTexts, evalTextCol, n),
+        maxEvalGrams).withColumn("__hit", lit(1)),
         Seq("__g"), "left")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
@@ -120,7 +155,9 @@ object Decontamination {
     * is the per-doc island sort. */
   def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
                          evalTexts: DataFrame, evalTextCol: String,
-                         n: Int, minSpan: Int): DataFrame = {
+                         n: Int, minSpan: Int,
+                         maxEvalGrams: Int = DefaultMaxEvalGrams)
+      : DataFrame = {
     require(minSpan >= n,
       s"minSpan ($minSpan) below the gram size ($n) is unsatisfiable")
     val grams = Dedup.positionedGramHashes(docs, idCol, textCol, n)
@@ -128,8 +165,12 @@ object Decontamination {
         evalTexts.select(lit(0L).as("__eid"), col(evalTextCol)),
         "__eid", evalTextCol, n)
       .select("__h1", "__h2").distinct()
+    // eval side pinned broadcast: the positioned corpus grams (ntok
+    // rows per doc) then NEVER leave their map tasks — covered
+    // positions are the only rows that continue
     val covered = grams
-      .join(evalSide, Seq("__h1", "__h2"), "left_semi")
+      .join(boundedEvalBroadcast(evalSide, maxEvalGrams),
+        Seq("__h1", "__h2"), "left_semi")
       .select("id", "__p")
     Dedup.coveredToSpans(covered, n, minSpan)
   }

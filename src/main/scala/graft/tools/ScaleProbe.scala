@@ -1377,6 +1377,14 @@ object ScaleProbe {
     // task's live strings stay small — the executor-sizing discipline
     // (partition bytes × concurrent tasks < heap) applied locally.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
+    // second 10M lesson: the VECTORIZED READER's own batches OOM before
+    // the tasks do — 4096-row columnar batches of ~1 KB texts are ~4 MB
+    // contiguous allocations, and 32 concurrent readers × several
+    // buffered batches exceeded the 0.25 GB/core heap mid-stage.
+    // Quarter the batch rows; cluster equivalent: set
+    // columnarReaderBatchSize for wide-string scans or provision
+    // ≥0.5 GB/core (the probe runs at SPARK_DRIVER_MEM=16g = 0.5/core).
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
     println(s"[probe] e2e corpus=$n")
