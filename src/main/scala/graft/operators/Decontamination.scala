@@ -58,13 +58,36 @@ object Decontamination {
     * eval side genuinely is corpus-sized. */
   private def boundedEvalBroadcast(side: DataFrame,
                                    maxEvalGrams: Int): DataFrame = {
-    val c = side.limit(maxEvalGrams + 1).count()
+    val key = (side.queryExecution.analyzed.semanticHash(), maxEvalGrams)
+    val c: Long = Option(guardMemo.get(key)).map(_.longValue).getOrElse {
+      val n = side.limit(maxEvalGrams + 1).count()
+      guardMemo.put(key, n)
+      n
+    }
     require(c <= maxEvalGrams,
       s"eval gram set ($c rows) exceeds maxEvalGrams=$maxEvalGrams — a " +
         "broadcast decontamination is for benchmark-sized eval sets; " +
         "route corpus-sized reference sets through GramIndex")
     broadcast(side)
   }
+
+  /** Guard-count memo, keyed on the eval plan's semantic hash: a
+    * CurationStore maintenance sink re-enters the decon entry points
+    * once per micro-batch with the SAME (static, per-store) eval frame,
+    * and without the memo each batch would pay a full eval re-tokenize
+    * plus a one-task limit-gather job to re-validate a count that
+    * cannot change. Bounded LRU (eviction just re-counts); assumes eval
+    * sets are immutable for the life of the JVM, which the store
+    * contract already requires (signatures from different eval sets
+    * never compare). */
+  private val guardMemo: java.util.Map[(Int, Int), java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Int, Int), java.lang.Long](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Int), java.lang.Long]): Boolean =
+          size > 64
+      })
 
   /** Per-document n-gram overlap with the eval set:
     * (id, n_grams, n_hit, overlap_rate) where `n_grams` counts the doc's

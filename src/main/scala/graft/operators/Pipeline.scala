@@ -50,9 +50,16 @@ object Pipeline {
 
   /** The quality / repetition pass predicates over a scored frame —
     * ONE definition, used both to filter (preFilter) and to account
-    * (curate's stage counts); a second copy could silently drift. */
-  private def qPass(cfg: CurateConfig) = col("__q") >= cfg.minQuality
-  private def rPass(cfg: CurateConfig) = col("__rep") <= cfg.maxRepetition
+    * (curate's stage counts); a second copy could silently drift.
+    * Null-safe: a doc whose score is null (null text scores null) FAILS
+    * the gate rather than evaluating to SQL null — without the
+    * coalesce, both `filter(qPass)` and the audit's `filter(!qPass)`
+    * exclude the row and it vanishes from kept AND ledger, breaking the
+    * audit's partition invariant. */
+  private def qPass(cfg: CurateConfig) =
+    coalesce(col("__q") >= cfg.minQuality, lit(false))
+  private def rPass(cfg: CurateConfig) =
+    coalesce(col("__rep") <= cfg.maxRepetition, lit(false))
 
   /** Thresholds and sketch parameters for [[curate]]. Defaults match the
     * oracle-verified per-stage queries; tune per corpus. */
@@ -292,7 +299,13 @@ object Pipeline {
     private[graft] def storeRoot: String = root
     private val mh = new MinhashStore(wh, s"${name}_cur", cfg.minhash)
     private val exactSpec = StoreCompaction.TableSpec(
-      s"active:$name:cur_exact", s"${name}_cur_exact", Seq("__h1", "__h2"))
+      s"active:$name:cur_exact", s"${name}_cur_exact", Seq("__h1", "__h2"),
+      // compaction doubles as the schema upgrade for stores created
+      // before the owner-id column: backfill a null owner so post-
+      // compact ingests append the full 3-column row again
+      transform = df =>
+        if (df.columns.contains("id")) df
+        else df.withColumn("id", lit(null).cast("long")))
     private def exactTable = StoreCompaction.active(root, exactSpec)
     private val labelsState = s"${name}_labels"
     private val survivorsPath = s"$root/state/${name}_survivors"
@@ -478,8 +491,16 @@ object Pipeline {
       txn.touchPath(survRel)
       survivors.select("id").write.mode("append").parquet(survDir)
       // the owner id rides with each hash pair so later ingests can
-      // attribute a store-dup drop to the document that holds the text
-      wh.appendBucketed(exactTable, fresh.select("__h1", "__h2", "id"),
+      // attribute a store-dup drop to the document that holds the text.
+      // A store created before the owner column existed has a 2-column
+      // table — append with ITS schema (a 3-column append throws
+      // column-arity in the catalog); [[compact]] upgrades such a table
+      // in place, after which appends carry the owner again.
+      val freshOut =
+        if (storeExact.exists(st => !st.columns.contains("id")))
+          fresh.select("__h1", "__h2")
+        else fresh.select("__h1", "__h2", "id")
+      wh.appendBucketed(exactTable, freshOut,
         Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
       txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
       CurateDelta(kept, retracted, audit)
@@ -514,10 +535,15 @@ object Pipeline {
             .write.parquet(txn.stateVersionDir(survivorsState))
         }
         // the commit above republished survivors under a fresh version
-        // (superseded versions GC'd by the commit); the pre-compact
-        // append path, if that is what we folded, is now unreachable —
-        // sweep it (idempotent across crashes)
-        if (survDir == survivorsPath) {
+        // (superseded versions GC'd by the commit); the original append
+        // path is now unreachable — sweep whatever remains of it.
+        // Resolved AFTER the commit and keyed on the PLAIN path (not
+        // "did this compact fold it"): a crash between a previous
+        // compact's commit and its sweep leaves the stale directory
+        // behind with survivorsLoc already pointing at the version, and
+        // a this-run-only condition would never reclaim it
+        if (survivorsLoc._1 != survivorsPath &&
+            new java.io.File(survivorsPath).exists()) {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).toSeq.flatten.foreach(rm)
             f.delete(); ()

@@ -160,10 +160,15 @@ trait AppendStore {
 private[operators] object StoreCompaction {
   /** One physical table of a store: resolved through `aliasKey` (the
     * active-generation pointer in the commit record), rewritten with
-    * `bucketCols` bucketing and `params` as the generation's sidecar. */
+    * `bucketCols` bucketing and `params` as the generation's sidecar.
+    * `transform` is applied to the rows during the rewrite — the hook a
+    * store uses to fold a schema upgrade (e.g. backfilling a column
+    * added after the table was created) into the compaction it already
+    * pays for; must be a row-local projection (identity on row count). */
   final case class TableSpec(aliasKey: String, base: String,
                              bucketCols: Seq[String],
-                             params: Seq[(String, String)] = Nil)
+                             params: Seq[(String, String)] = Nil,
+                             transform: DataFrame => DataFrame = identity)
 
   def active(root: String, spec: TableSpec): String =
     graft.sources.StoreTxn.getKv(root, spec.aliasKey).getOrElse(spec.base)
@@ -181,7 +186,7 @@ private[operators] object StoreCompaction {
         val newTable = s"${t.base}__c${txn.epoch}"
         if (t.params.nonEmpty) wh.paramsSpecValidated(newTable, t.params)
         wh.appendBucketed(newTable,
-          wh.readBucketed(cur).repartition(nStoreBuckets,
+          t.transform(wh.readBucketed(cur)).repartition(nStoreBuckets,
             pmod(hash(t.bucketCols.map(col): _*), lit(nStoreBuckets))),
           t.bucketCols, nStoreBuckets)
         txn.putKv(t.aliasKey, newTable)

@@ -57,6 +57,11 @@ object BigQueryStore {
     require(field.nonEmpty, "missing field for time partitioning")
     private val allowed = Set("HOUR", "DAY", "MONTH", "YEAR")
     val normalized: Option[String] = ptype.map(_.toUpperCase)
+    /** Server-semantic identity: case-folded type, absent type ≡ the
+      * server's default DAY — what a drift check must compare (the raw
+      * case-class equality would refuse `Some("day")` vs `Some("DAY")`
+      * or `None` vs `Some("DAY")`, all the same table server-side). */
+    def canonical: (String, String) = (field, normalized.getOrElse("DAY"))
     normalized.foreach(t => require(allowed.contains(t),
       s"""Invalid time partitioning type "$t""""))
   }
@@ -105,7 +110,10 @@ object BigQueryStore {
                       partitioning: Option[TimePartitioning]): Unit = {
       val k = key(dataset, table)
       val existing = Option(parts.get(k))
-      existing.foreach(p => require(p == partitioning,
+      // drift compares CANONICAL partitioning (case-folded, None ≡ DAY)
+      // — the server's identity, not the case-class literal
+      existing.foreach(p => require(
+        p.map(_.canonical) == partitioning.map(_.canonical),
         s"table $k exists with partitioning $p, load requested $partitioning"))
       parts.put(k, partitioning)
       val materialized = rows.toVector

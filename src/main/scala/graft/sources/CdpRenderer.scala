@@ -116,13 +116,16 @@ final class CdpRenderer(
       .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
     try {
       var nextId = 0
-      def command(method: String, params: (String, String)*): Int = {
+      def command(method: String, params: (String, Any)*): Int = {
         nextId += 1
         val node = mapper.createObjectNode()
         node.put("id", nextId)
         node.put("method", method)
         val p = node.putObject("params")
-        params.foreach { case (k, v) => p.put(k, v) }
+        params.foreach {
+          case (k, v: Boolean) => p.put(k, v)
+          case (k, v)          => p.put(k, String.valueOf(v))
+        }
         ws.sendText(mapper.writeValueAsString(node), true)
           .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
         nextId
@@ -148,18 +151,9 @@ final class CdpRenderer(
       await(controlTimeoutMs)(_.path("id").asInt(-1) == navId)
       await(pageLoadTimeoutMs)(
         _.path("method").asText("") == "Page.loadEventFired")
-      val evalId = {
-        nextId += 1
-        val node = mapper.createObjectNode()
-        node.put("id", nextId)
-        node.put("method", "Runtime.evaluate")
-        val p = node.putObject("params")
-        p.put("expression", "document.documentElement.outerHTML")
-        p.put("returnByValue", true)
-        ws.sendText(mapper.writeValueAsString(node), true)
-          .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
-        nextId
-      }
+      val evalId = command("Runtime.evaluate",
+        "expression" -> "document.documentElement.outerHTML",
+        "returnByValue" -> true)
       val reply = await(scriptTimeoutMs)(_.path("id").asInt(-1) == evalId)
       val value = reply.path("result").path("result").path("value")
       require(value.isTextual, "Runtime.evaluate returned no DOM string")

@@ -58,10 +58,27 @@ object WarcSource {
            minPartitions: Int = 32): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(path, minPartitions)
       .flatMap { case (file, pds) =>
-        val raw = new BufferedInputStream(pds.open(), 1 << 16)
-        val in = if (isGzip(raw)) new GZIPInputStream(raw, 1 << 16) else raw
+        // stream construction is part of the never-throws contract too:
+        // a file whose first bytes say gzip but whose header is
+        // truncated/corrupt makes the GZIPInputStream CONSTRUCTOR throw
+        // — that must be one error row for the archive, not a task
+        // failure that kills the ingest deterministically across retries
+        val recs: Iterator[Rec] = {
+          var raw: BufferedInputStream = null
+          try {
+            raw = new BufferedInputStream(pds.open(), 1 << 16)
+            val in =
+              if (isGzip(raw)) new GZIPInputStream(raw, 1 << 16) else raw
+            records(in, maxBodyBytes)
+          } catch {
+            case e: Exception =>
+              if (raw != null) try raw.close() catch { case _: Exception => () }
+              Iterator.single(errRec(
+                s"unreadable archive: ${e.getClass.getSimpleName}"))
+          }
+        }
         var off = -1L
-        records(in, maxBodyBytes).map { r =>
+        recs.map { r =>
           off += 1
           Row(file, off, r.warcType, r.url, r.date, r.recordId,
             r.httpStatus.map(Int.box).orNull, r.contentType, r.headers,
@@ -114,11 +131,22 @@ object WarcSource {
     new Iterator[Rec] {
       private var nextRec: Rec = _
       private var done = false
+      // set when the CURRENT nextRec is a tail error: the stream past it
+      // is untrusted (lost framing / truncation / codec corruption), so
+      // the iterator must end after yielding it. Terminating by flag —
+      // not by draining to EOF and re-reading — is load-bearing: a
+      // corrupt gzip stream THROWS on every subsequent read instead of
+      // returning -1, and a drain-then-retry loop would emit an
+      // "unreadable record" error row forever (observed live: count()
+      // never returning on a bit-flipped member).
+      private var tailError = false
       advance()
 
       override def hasNext: Boolean = !done
       override def next(): Rec = {
-        val r = nextRec; advance(); r
+        val r = nextRec
+        if (tailError) finish() else advance()
+        r
       }
 
       private def advance(): Unit =
@@ -131,16 +159,14 @@ object WarcSource {
           if (!line.startsWith("WARC/")) {
             // lost framing: without a trusted Content-Length there is no
             // next boundary — emit one tail error and stop
-            nextRec = err(s"expected WARC/ version line, got '${
-              line.take(40)}'")
-            drain(in)
+            tailErr(errRec(s"expected WARC/ version line, got '${
+              line.take(40)}'"))
             return
           }
           val hdrs = readHeaders(in)
           val len = hdrs.get("content-length").flatMap(_.toLongOption)
           if (len.isEmpty) {
-            nextRec = err("record missing Content-Length")
-            drain(in)
+            tailErr(errRec("record missing Content-Length"))
             return
           }
           val (body, truncated) = readBody(in, len.get, maxBodyBytes)
@@ -157,11 +183,18 @@ object WarcSource {
               parseHttp(base)
             else base
         } catch {
-          case _: EOFException => finish()
+          case _: EOFException =>
+            // thrown only mid-record (readLine signals clean EOF with
+            // null) — a body cut short by a truncated archive. The
+            // documented contract owes the tail ONE error row, not a
+            // silent disappearance.
+            tailErr(errRec("record body cut short (truncated archive)"))
           case e: Exception =>
-            nextRec = err(s"unreadable record: ${e.getClass.getSimpleName}")
-            drain(in)
+            tailErr(errRec(
+              s"unreadable record: ${e.getClass.getSimpleName}"))
         }
+
+      private def tailErr(r: Rec): Unit = { nextRec = r; tailError = true }
 
       /** End of stream: release the (possibly gzip-wrapping) handle —
         * flatMap iterators are never auto-closed by the scheduler. */
@@ -170,10 +203,12 @@ object WarcSource {
         try in.close() catch { case _: Exception => () }
       }
 
-      private def err(msg: String) =
-        Rec(null, null, null, null, None, null, Map.empty,
-          Array.emptyByteArray, truncated = false, error = msg)
     }
+
+  /** A parse-failure marker row (all fields null but `error`). */
+  private def errRec(msg: String): Rec =
+    Rec(null, null, null, null, None, null, Map.empty,
+      Array.emptyByteArray, truncated = false, error = msg)
 
   /** Split a response record's HTTP envelope off its payload: status
     * line + headers parsed, `body` replaced by the payload bytes. A
@@ -260,12 +295,5 @@ object WarcSource {
       } else toSkip -= n
     }
     (buf, len > keep)
-  }
-
-  /** Consume the remainder of a stream whose framing is lost (error
-    * path — the iterator ends after this). */
-  private def drain(in: InputStream): Unit = {
-    val buf = new Array[Byte](1 << 16)
-    while (in.read(buf) >= 0) ()
   }
 }

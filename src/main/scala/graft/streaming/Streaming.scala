@@ -211,14 +211,20 @@ object Streaming {
   }
 
   /** Data files under a store root — what a serve read pays per-file
-    * overhead for. Metadata (`_txn`, `_SUCCESS`, hidden files) and
-    * anything in dot/underscore directories is excluded. */
+    * overhead for: parquet part files only. Metadata (`_txn`,
+    * `_SUCCESS`, hidden files), anything in dot/underscore directories,
+    * AND non-parquet files are excluded — a streaming checkpoint placed
+    * under the store root (offsets/commits accrete one small file per
+    * micro-batch and compact() never touches them) would otherwise
+    * ratchet the count past `maxFiles` permanently and make the policy
+    * fire a full store rewrite every `checkEvery` batches, forever. */
   private[graft] def dataFileCount(root: String): Int = {
     def walk(f: java.io.File): Int =
       if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
       else if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.map(walk).sum
-      else 1
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
     val top = new java.io.File(root)
     Option(top.listFiles()).toSeq.flatten.map(walk).sum
   }

@@ -310,4 +310,88 @@ class PipelineSpec extends SparkSpec {
     assert(store.maxIngestedId.contains(8L))
     assert(keptIds === 5L)
   }
+
+  test("audit attributes a null-scoring doc (null text) to quality") {
+    // null text scores null; without a null-safe gate the row fails
+    // BOTH filter(qPass) and the audit's filter(!qPass) — vanishing
+    // from kept AND ledger, breaking the partition invariant
+    val withNull = docs.union(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val res = Pipeline.curate(withNull, "doc_id", "text", Some(evalSet),
+      "text", cfg, withAudit = true)
+    val audit = res.audit.get.as[(Long, String, Option[Long])].collect()
+    assert(audit.find(_._1 == 9L).map(_._2) === Some("quality"))
+    val keptIds = res.kept.select("id").as[Long].collect().toSet
+    assert(keptIds ++ audit.map(_._1) ===
+      withNull.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("curation store: a pre-owner-column exact table ingests with null " +
+      "winners; compact upgrades it in place") {
+    val root = freshRoot()
+    val store = new Pipeline.CurationStore(spark, root, "t", cfg,
+      Some(evalSet), "text")
+    store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    // forge the legacy layout: rewrite the exact table with the
+    // 2-column schema stores had before the owner id rode along
+    val wh = new graft.sources.Warehouse(spark, root)
+    val legacyRows = wh.readBucketed("t_cur_exact")
+      .select("__h1", "__h2").collect().toSeq
+    wh.dropTable("t_cur_exact")
+    wh.appendBucketed("t_cur_exact",
+      spark.createDataFrame(spark.sparkContext.parallelize(legacyRows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__h1",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__h2",
+            org.apache.spark.sql.types.LongType)))),
+      Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
+    // ingest against the legacy table: must succeed (a 3-column append
+    // would throw column-arity); the store-dup winner degrades to null
+    val r2 = store.ingest(docs.filter(col("doc_id") > 5), "doc_id", "text",
+      withAudit = true)
+    val a2 = r2.audit.get.as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(a2.contains((6L, "exact_dup", None)))
+    assert(r2.kept.select("id").as[Long].collect().sorted.toSeq === Seq(8L))
+    // compaction doubles as the schema upgrade: owner column backfilled
+    // null, and the NEXT ingest's rows carry their ids again
+    store.compact()
+    assert(wh.readBucketed(
+      graft.sources.StoreTxn.getKv(root, "active:t:cur_exact").get)
+      .columns.contains("id"))
+    val newText = "it is a new fact commonly observed that a writer in " +
+      "search of the words must be in need of them today and every day"
+    store.ingest(Seq((30L, newText)).toDF("doc_id", "text"), "doc_id", "text")
+    val r4 = store.ingest(Seq((31L, newText)).toDF("doc_id", "text"),
+      "doc_id", "text", withAudit = true)
+    assert(r4.audit.get.as[(Long, String, Option[Long])].collect().toSeq
+      .contains((31L, "exact_dup", Some(30L))))
+  }
+
+  test("curation store compact: sweeps a stale pre-compact survivors dir " +
+      "left by a crash between commit and sweep") {
+    val lax = cfg.copy(minQuality = 0.0, maxRepetition = 1.0)
+    val root = freshRoot()
+    val store = new Pipeline.CurationStore(spark, root, "t", lax)
+    store.ingest(docs.filter(col("doc_id") <= 5), "doc_id", "text")
+    store.compact()
+    val plain = new java.io.File(s"$root/state/t_survivors")
+    assert(!plain.exists(), "first compact sweeps the append path")
+    // simulate the crash window: the versioned fold is committed but
+    // the old append directory never got removed
+    assert(plain.mkdirs())
+    java.nio.file.Files.write(plain.toPath.resolve("stale-file"),
+      "junk".getBytes)
+    store.compact()
+    assert(!plain.exists(),
+      "recompaction must reclaim the orphaned pre-compact survivors dir")
+    // and the store still serves: an exact dup of stored text skips
+    val dup = store.ingest(
+      docs.filter(col("doc_id") === 5L)
+        .select(col("doc_id") + 15, col("text"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(dup.kept.count() === 0)
+  }
 }

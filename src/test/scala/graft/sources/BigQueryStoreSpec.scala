@@ -58,6 +58,27 @@ class BigQueryStoreSpec extends SparkSpec {
     }
   }
 
+  test("equivalent partitioning spellings are not drift") {
+    val client = new RecordingBigQueryClient
+    val wh = new BigQueryWarehouse(client, "ds")
+    wh.load(df, "t", WriteAppend, Some(TimePartitioning("date", Some("DAY"))))
+    // case-folded and defaulted (absent type ≡ DAY) spellings name the
+    // SAME server-side configuration — refusing them as drift would
+    // reject loads the real service accepts
+    wh.load(df, "t", WriteAppend, Some(TimePartitioning("date", Some("day"))))
+    wh.load(df, "t", WriteAppend, Some(TimePartitioning("date", None)))
+    assert(client.tableRows("ds", "t").size === 6)
+    // a different field (or granularity) is real drift
+    intercept[IllegalArgumentException] {
+      wh.load(df, "t", WriteAppend,
+        Some(TimePartitioning("other", Some("DAY"))))
+    }
+    intercept[IllegalArgumentException] {
+      wh.load(df, "t", WriteAppend,
+        Some(TimePartitioning("date", Some("MONTH"))))
+    }
+  }
+
   test("rows travel as NDJSON with the frame's own field names") {
     val client = new RecordingBigQueryClient
     val wh = new BigQueryWarehouse(client, "ds")

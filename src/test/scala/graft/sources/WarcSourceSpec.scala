@@ -153,6 +153,55 @@ class WarcSourceSpec extends SparkSpec {
     assert(t.head.startsWith("caf") && t.head.endsWith(" page"))
   }
 
+  test("truncated archive: the cut record yields one error row, prefix survives") {
+    val full = warcRecord("warcinfo", "ok: 1\r\n".getBytes(UTF_8)) ++
+      warcRecord("response",
+        httpResponse("200 OK", Seq("Content-Type" -> "text/plain"),
+          "partial payload here"),
+        uri = "http://example.com/cut",
+        contentType = "application/http; msgtype=response")
+    // cut mid-body: the reader hits EOF before Content-Length bytes —
+    // the documented contract owes the tail ONE error row (a partial
+    // download must not vanish from a count-the-errors quality check)
+    val df = WarcSource.read(spark, write("h.warc", full.dropRight(30)))
+    assert(df.filter(col("error").isNull).count() === 1)
+    val errs = df.filter(col("error").isNotNull).collect()
+    assert(errs.length === 1)
+    assert(errs.head.getAs[String]("error").contains("cut short"))
+  }
+
+  test("corrupt gzip header: one error row for the archive, not a task failure") {
+    // valid magic bytes, then garbage: the GZIPInputStream CONSTRUCTOR
+    // throws (unsupported compression method) before any record exists
+    val junk = Array(0x1f.toByte, 0x8b.toByte) ++ Array.fill(64)(0x55.toByte)
+    val df = WarcSource.read(spark, write("i.warc.gz", junk))
+    assert(df.count() === 1)
+    assert(df.head().getAs[String]("error").contains("unreadable archive"))
+  }
+
+  test("corrupt gzip member mid-archive: error row, parsed prefix survives") {
+    def member(rec: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(out)
+      gz.write(rec); gz.finish()
+      out.toByteArray
+    }
+    val m1 = member(warcRecord("warcinfo", "ok: 1\r\n".getBytes(UTF_8)))
+    val m2 = member(warcRecord("response",
+      httpResponse("200 OK", Seq("Content-Type" -> "text/plain"), "body"),
+      uri = "http://example.com/corrupt",
+      contentType = "application/http; msgtype=response"))
+    // zero a run of deflate bytes past member 2's 10-byte gzip header:
+    // the inflater (or the record parser, if the bytes still inflate)
+    // fails — either way the contract is an error row and a clean stop,
+    // never an exception escaping the task (the recovery drain itself
+    // reads the corrupt tail and must swallow what it hits)
+    for (i <- 12 until 20) m2(i) = 0x00
+    val df = WarcSource.read(spark, write("j.warc.gz", m1 ++ m2))
+    assert(df.filter(col("error").isNull).count() === 1)
+    assert(df.filter(col("error").isNotNull).count() >= 1)
+  }
+
   test("readResponses: the curation-facing text projection") {
     val txt = WarcSource.readResponses(spark, write("e.warc", archive))
       .select("url", "text").as[(String, String)].collect().toSeq

@@ -628,4 +628,28 @@ class StreamingSpec extends SparkSpec {
     drain()
     assert(served() === expect)
   }
+
+  test("dataFileCount counts parquet data files only — a checkpoint " +
+      "under the store root cannot ratchet the policy") {
+    // streaming checkpoints accrete one small offsets/commits file per
+    // micro-batch and compact() never touches them: counted, they would
+    // push the file count past maxFiles PERMANENTLY and the policy
+    // would fire a full store rewrite every checkEvery batches, forever
+    val root = java.nio.file.Files.createTempDirectory("graft_dfc")
+    def put(rel: String): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, "x".getBytes)
+      ()
+    }
+    put("tbl/part-00000-abc.snappy.parquet")
+    put("tbl/part-00001-abc.snappy.parquet")
+    put("tbl/_SUCCESS")
+    put("state/v3/part-00000.parquet")
+    put("ckpt/metadata")
+    put("ckpt/offsets/0"); put("ckpt/offsets/1"); put("ckpt/offsets/2")
+    put("ckpt/commits/0"); put("ckpt/commits/1")
+    put("ckpt/sources/0/0")
+    assert(Streaming.dataFileCount(root.toString) === 3)
+  }
 }
