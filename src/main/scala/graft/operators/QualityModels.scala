@@ -196,4 +196,117 @@ object QualityModels {
     val w = Window.orderBy(desc("score"), col("id").asc)
     top.withColumn("rank", row_number().over(w))
   }
+
+  // ------------------------------------------- trained linear classifier
+
+  /** Feature columns [[classifierFeatures]] emits, in weight order. */
+  val ClassifierFeatureCols: Seq[String] =
+    Seq("f_bias", "f_tokens", "f_stop", "f_digit", "f_distinct", "f_maxlen")
+
+  /** Per-feature cap — bounds every |feature| so the training sums have
+    * a provable overflow budget (see [[trainPerceptron]]). */
+  val ClassifierFeatureCap: Long = 1024L
+
+  /** Row-local INTEGER feature vector for the trained quality
+    * classifier: (id, f_bias=1, f_tokens, f_stop, f_digit, f_distinct,
+    * f_maxlen), every feature a capped count — token count, English
+    * stopword hits, digit characters, distinct tokens, longest token
+    * (capped 64). Integer features are the load-bearing choice: they
+    * make training an exact, ORDER-INDEPENDENT integer computation
+    * (the k-means integer-centroid trade), so the trained weights are
+    * bit-reproducible across partitionings, replays, and engines —
+    * a float pipeline would train different weights per shuffle order.
+    * Null text features as empty (all-zero but the bias). */
+  def classifierFeatures(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val cap = lit(ClassifierFeatureCap)
+    docs
+      .select(col(idCol).as("id"),
+        coalesce(col(textCol), lit("")).as("__text"))
+      // stage tokens as their own projection (lambda-capture rule: a
+      // captured non-attribute subtree re-evaluates per consumer)
+      .select(col("id"), col("__text"),
+        TextFunctions.tokens(col("__text")).as("__toks"))
+      .select(col("id"),
+        lit(1L).as("f_bias"),
+        least(size(col("__toks")).cast("long"), cap).as("f_tokens"),
+        least(TextFunctions.stopwordHitsFromTokens(col("__toks"),
+          TextFunctions.stopwords("en")).cast("long"), cap).as("f_stop"),
+        least((length(col("__text")) -
+          length(regexp_replace(col("__text"), "[0-9]", "")))
+          .cast("long"), cap).as("f_digit"),
+        least(size(array_distinct(col("__toks"))).cast("long"), cap)
+          .as("f_distinct"),
+        least(coalesce(array_max(transform(col("__toks"), t => length(t))),
+          lit(0)).cast("long"), lit(64L)).as("f_maxlen"))
+  }
+
+  /** Train a linear quality classifier by the batch perceptron rule:
+    *
+    *   w⁰ = 0;  wᵗ⁺¹ = wᵗ + Σ_{i : yᵢ·(wᵗ·xᵢ) ≤ 0} yᵢ·xᵢ
+    *
+    * over integer features and labels yᵢ ∈ {+1, −1} — the fastText-
+    * classifier decision shape (a linear text scorer gating a corpus),
+    * trained distributed and EXACTLY: every update is an integer sum,
+    * so the weights are independent of partition order and reproduce
+    * bit-for-bit in any engine (a log-loss/SGD trainer is both
+    * order-dependent and float-divergent; the library's no-`log` rule).
+    *
+    * Scale shape: one job per iteration — a single scan of `train` with
+    * the current weights folded in as LITERALS (whole-stage codegen,
+    * map-side partial sums, one ≤`featCols.size`-column row to the
+    * driver). No shuffle of the feature stream, ever. Train on a
+    * bounded labeled sample (the published practice: quality labels are
+    * scarce) — the overflow `require` below enforces the budget the
+    * integer exactness is proved under; score the full corpus with the
+    * row-local [[perceptronMargin]].
+    *
+    * Converged weights stop early (a zero update can never un-zero:
+    * identical wᵗ ⇒ identical misclassified set) — result-identical to
+    * running all `iters`, minus the scans. */
+  def trainPerceptron(train: DataFrame, labelCol: String, iters: Int,
+                      featCols: Seq[String] = ClassifierFeatureCols)
+      : Array[Long] = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    require(featCols.nonEmpty, "featCols must be non-empty")
+    val n = train.count()
+    require(n > 0, "training set is empty")
+    // |w_j| ≤ iters·n·cap and |margin| ≤ Σ_j |w_j|·cap — demand 4×
+    // headroom under Long.MaxValue so no intermediate can wrap
+    require(BigInt(n) * ClassifierFeatureCap * iters *
+        ClassifierFeatureCap * featCols.size < BigInt(Long.MaxValue / 4),
+      s"training set too large for exact integer training ($n rows × " +
+        s"$iters iters): train on a sample — labels this plentiful " +
+        "belong in a heuristic, not a classifier")
+    var w = Array.fill(featCols.size)(0L)
+    var it = 0
+    while (it < iters) {
+      val mis = col(labelCol).cast("long") *
+        perceptronMargin(w.toSeq, featCols) <= 0L
+      val aggs = featCols.map(c =>
+        sum(when(mis, col(labelCol).cast("long") * col(c))).as(c))
+      val row = train.agg(aggs.head, aggs.tail: _*).head()
+      val upd = Array.tabulate(featCols.size)(j =>
+        if (row.isNullAt(j)) 0L else row.getLong(j))
+      if (upd.forall(_ == 0L)) it = iters // converged: fixpoint reached
+      else {
+        w = Array.tabulate(featCols.size)(j => w(j) + upd(j))
+        it += 1
+      }
+    }
+    w
+  }
+
+  /** The trained decision value w·x as a row-local integer Column over
+    * a [[classifierFeatures]] frame — weights folded in as literals, so
+    * full-corpus scoring is one codegen'd projection with NO exchange
+    * and nothing broadcast. Decision: margin > 0 ⇒ quality-positive
+    * (ties negative, deterministically). */
+  def perceptronMargin(weights: Seq[Long], featCols: Seq[String] =
+      ClassifierFeatureCols): Column = {
+    require(weights.size == featCols.size,
+      s"${weights.size} weights for ${featCols.size} features")
+    featCols.zip(weights).map { case (c, wi) => col(c) * lit(wi) }
+      .reduce(_ + _)
+  }
 }

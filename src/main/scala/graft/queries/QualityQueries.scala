@@ -159,7 +159,7 @@ private[queries] object QualityQueries {
                    / 1048576.0 / CAST(count(*) AS DOUBLE) >= 0.49
              AND CAST(count(CASE WHEN cnt > 1 THEN 1 END) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) <= 0.10)""")),
-  ) ++ reportDefs
+  ) ++ reportDefs ++ classifierDefs
 
   /** q112 is appended to defs via ++ to keep the two source-reputation
     * queries and the report adjacent in the file. */
@@ -195,6 +195,97 @@ private[queries] object QualityQueries {
             AS mean_tokens
         FROM q""")),
   )
+
+  /** The trained-classifier tier: q150 trains the exact-integer batch
+    * perceptron on the even-id half of `documents` against a planted
+    * linearly-shaped label (stopword-rich prose vs keyword-list spam:
+    * label = +1 iff 5·stopword_hits ≥ token_count) and scores EVERY
+    * document — the oracle re-trains from scratch in DuckDB by
+    * unrolling the iterations as numbered CTEs (the kmeansCtes idiom)
+    * and must reproduce the weights, margins, and decisions BIT-FOR-BIT
+    * (integer features ⇒ order-independent training; the whole point of
+    * [[QualityModels.trainPerceptron]]'s arithmetic). */
+  // `final` + literal = compile-time constant, immune to the object
+  // init-order trap (`defs` above evaluates classifierDefs at object
+  // init, BEFORE plain vals declared below it — a plain val here reads
+  // as 0 and silently generates a zero-iteration oracle)
+  private final val classifierIters = 4
+
+  private[queries] def classifierDefs: Seq[QueryDef] = Seq(
+    QueryDef("q150_quality_classifier",
+      (s, dir) => {
+        val feats = QualityModels.classifierFeatures(
+          T.documents(s, dir), "doc_id", "text")
+        val labeled = feats.withColumn("label",
+          when(col("f_stop") * 5L >= col("f_tokens"), 1L).otherwise(-1L))
+        val w = QualityModels.trainPerceptron(
+          labeled.filter(col("id") % 2 === 0), "label",
+          iters = classifierIters)
+        val m = QualityModels.perceptronMargin(w.toSeq)
+        labeled.select(col("id").as("doc_id"), m.as("margin"),
+          when(m > 0, 1L).otherwise(-1L).as("pred"), col("label"))
+      },
+      Some {
+        val margin = "(w.w0*l.f_bias + w.w1*l.f_tokens + w.w2*l.f_stop" +
+          " + w.w3*l.f_digit + w.w4*l.f_distinct + w.w5*l.f_maxlen)"
+        s"""
+        WITH ${perceptronCtes(classifierIters)}
+        SELECT l.doc_id,
+               $margin AS margin,
+               CASE WHEN $margin > 0 THEN 1::BIGINT
+                    ELSE -1::BIGINT END AS pred,
+               l.label
+        FROM cl l CROSS JOIN cw$classifierIters w"""
+      }),
+  )
+
+  /** Unrolled batch-perceptron training (ONE definition of the
+    * parity-critical feature SQL): `cf` mirrors
+    * [[QualityModels.classifierFeatures]] column for column, `cl` adds
+    * the planted label, `cw0` is the zero weight row and each
+    * `cu{i}`/`cw{i}` pair applies one exact-integer update over the
+    * even-id training half — exposes `cw{iters}` and `cl`. */
+  private def perceptronCtes(iters: Int): String = {
+    val stops = sqlList(TextFunctions.stopwords("en"))
+    val featExprs = Seq("l.f_bias", "l.f_tokens", "l.f_stop", "l.f_digit",
+      "l.f_distinct", "l.f_maxlen")
+    val sb = new StringBuilder
+    sb ++= s"""ctx AS (SELECT doc_id, coalesce(text, '') AS text
+               FROM documents),
+        cf AS (SELECT doc_id,
+            1::BIGINT AS f_bias,
+            least(len($duckToks), 1024)::BIGINT AS f_tokens,
+            least(len(list_filter($duckToks,
+              t -> list_contains($stops, t))), 1024)::BIGINT AS f_stop,
+            least(length(text) - length(
+              regexp_replace(text, '[0-9]', '', 'g')), 1024)::BIGINT
+              AS f_digit,
+            least(len(list_distinct($duckToks)), 1024)::BIGINT
+              AS f_distinct,
+            least(coalesce(list_max(list_transform($duckToks,
+              t -> len(t))), 0), 64)::BIGINT AS f_maxlen
+          FROM ctx),
+        cl AS (SELECT *, CASE WHEN f_stop * 5 >= f_tokens
+                              THEN 1::BIGINT ELSE -1::BIGINT END AS label
+               FROM cf),
+        cw0 AS (SELECT ${featExprs.indices.map(j =>
+          s"0::BIGINT AS w$j").mkString(", ")})"""
+    val margin = featExprs.zipWithIndex
+      .map { case (f, j) => s"w.w$j*$f" }.mkString(" + ")
+    for (i <- 1 to iters) {
+      val upds = featExprs.zipWithIndex.map { case (f, j) =>
+        s"coalesce(sum(CASE WHEN l.label * ($margin) <= 0 " +
+          s"THEN l.label * $f END), 0)::BIGINT AS u$j"
+      }
+      sb ++= s""",
+        cu$i AS (SELECT ${upds.mkString(",\n            ")}
+          FROM cl l CROSS JOIN cw${i - 1} w WHERE l.doc_id % 2 = 0),
+        cw$i AS (SELECT ${featExprs.indices.map(j =>
+          s"w.w$j + u.u$j AS w$j").mkString(", ")}
+          FROM cw${i - 1} w CROSS JOIN cu$i u)"""
+    }
+    sb.toString
+  }
 
   /** DuckDB mirror of [[graft.operators.CorpusStats.sourceStats]]'s
     * per-document stage: the q17 quality expression plus the corpus-wide

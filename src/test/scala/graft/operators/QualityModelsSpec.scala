@@ -114,4 +114,70 @@ class QualityModelsSpec extends SparkSpec {
       QualityModels.importanceScore(pool, docs(), "doc_id", "text", 1024)
     }
   }
+
+  // ---------------------------------------------- perceptron classifier
+
+  private def prose(i: Long) =
+    (i, s"the cat and the dog sat in a house of it and you see that " +
+      s"view number $i is a fine one to hold")
+  private def spam(i: Long) =
+    (i, s"buy cheap watch$i deal sale discount offer code item$i stock " +
+      s"price click market brand shop order unit$i")
+
+  test("perceptron separates stopword prose from keyword spam") {
+    import spark.implicits._
+    val train = ((0L to 19L by 2).map(prose) ++ (1L to 19L by 2).map(spam))
+      .toDF("doc_id", "text")
+    val feats = QualityModels.classifierFeatures(train, "doc_id", "text")
+      .withColumn("label",
+        when(col("id") % 2 === 0, 1L).otherwise(-1L))
+    val w = QualityModels.trainPerceptron(feats, "label", iters = 8)
+    // held-out docs of each shape classify correctly
+    val test = Seq(prose(100L), spam(101L)).toDF("doc_id", "text")
+    val m = QualityModels.perceptronMargin(w.toSeq)
+    val preds = QualityModels.classifierFeatures(test, "doc_id", "text")
+      .select(col("id"), (m > 0).as("pred"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(preds(100L) && !preds(101L))
+  }
+
+  test("perceptron training is partition-order independent (exact integers)") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => if (i % 2 == 0) prose(i) else spam(i))
+    val feats1 = QualityModels.classifierFeatures(
+      rows.toDF("doc_id", "text").repartition(1), "doc_id", "text")
+      .withColumn("label", when(col("id") % 2 === 0, 1L).otherwise(-1L))
+    val feats2 = QualityModels.classifierFeatures(
+      rows.reverse.toDF("doc_id", "text").repartition(13), "doc_id", "text")
+      .withColumn("label", when(col("id") % 2 === 0, 1L).otherwise(-1L))
+    val w1 = QualityModels.trainPerceptron(feats1, "label", iters = 5)
+    val w2 = QualityModels.trainPerceptron(feats2, "label", iters = 5)
+    assert(w1.toSeq === w2.toSeq)
+  }
+
+  test("classifier features: null text is the empty doc, caps hold") {
+    import spark.implicits._
+    val f = QualityModels.classifierFeatures(
+      Seq((1L, null.asInstanceOf[String]),
+        (2L, ("word " * 3000) + ("9" * 3000) + "x" * 200))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (1 until 7).map(r.getLong).toSeq).toMap
+    assert(f(1L) === Seq(1L, 0L, 0L, 0L, 0L, 0L))
+    // token count / digit count capped at 1024, max token length at 64
+    assert(f(2L)(1) === 1024L && f(2L)(3) === 1024L && f(2L)(5) === 64L)
+  }
+
+  test("perceptron guards: empty training set and oversized sets refuse") {
+    import spark.implicits._
+    val empty = QualityModels.classifierFeatures(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("label", lit(1L))
+    intercept[IllegalArgumentException] {
+      QualityModels.trainPerceptron(empty, "label", iters = 2)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModels.trainPerceptron(empty, "label", iters = 0)
+    }
+  }
 }
