@@ -309,4 +309,102 @@ object QualityModels {
     featCols.zip(weights).map { case (c, wi) => col(c) * lit(wi) }
       .reduce(_ + _)
   }
+
+  /** Batch perceptron over HASHED word uni+bigram features — the
+    * fastText bag-of-ngrams classifier proper ([[trainPerceptron]]'s
+    * six hand features trade capacity for a zero-exchange scorer; this
+    * form learns which WORDS mark quality). Feature map =
+    * [[importanceScore]]'s: portable rolling hash into `numFeatures`
+    * buckets, one occurrence per unigram and adjacent bigram. Same
+    * exactness contract: yᵢ ∈ {+1,−1}, integer occurrence counts,
+    * every update an order-independent integer sum — the learned
+    * weight table is bit-reproducible anywhere.
+    *
+    * Update rule per iteration (x = the doc's feature-occurrence
+    * count vector):  margin_d = Σ_f occ(d,f)·w_f;  then
+    * w_f += Σ_{d : y_d·margin_d ≤ 0} y_d·occ(d,f).
+    *
+    * Scale shape per iteration: margins = one broadcast join of the
+    * (id, f) stream against the ≤`numFeatures`-row weight table + the
+    * partially-aggregated id rollup (one exchange); updates = a
+    * feature rollup capped at `numFeatures` rows, collected. Nothing
+    * ever shuffles on the raw text, and the weight table stays
+    * broadcast-sized by construction. Train on a bounded labeled
+    * sample (quality labels are scarce; the iteration cost is
+    * `iters` passes over the SAMPLE only) — then score any corpus
+    * with [[hashedMargin]], a single identical pass. Returns the
+    * dense weight array indexed by feature bucket. */
+  def trainHashedPerceptron(train: DataFrame, idCol: String,
+                            textCol: String, labelCol: String,
+                            numFeatures: Int = 4096, iters: Int = 4)
+      : Array[Long] = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
+    require(numFeatures >= 2 && numFeatures <= (1 << 20),
+      s"numFeatures must be in [2, 2^20] (the weight table must stay " +
+        s"broadcastable), got $numFeatures")
+    val labels = train.select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("__y"))
+    // the labeled occurrence stream is read 2× per iteration (margins +
+    // update) — materialize once rather than re-running tokenize+explode
+    // 2·iters times (the preFilter staging rule)
+    val fs = featStream(train, idCol, textCol, numFeatures)
+      .join(labels, Seq("id"))
+      .localCheckpoint(true)
+    // occurrence total bounds every intermediate: |w_f| ≤ iters·occ and
+    // |margin| ≤ occ·max|w| — demand the same 4× headroom as the dense
+    // trainer (one bounded count job, amortized over `iters` scans)
+    val occ = fs.count()
+    require(occ > 0, "training set has no token features")
+    require(BigInt(occ) * occ * iters < BigInt(Long.MaxValue / 4),
+      s"training set too large for exact integer training ($occ feature " +
+        "occurrences): train on a sample")
+    val w = Array.fill(numFeatures)(0L)
+    var it = 0
+    while (it < iters) {
+      val weights = w.toSeq.zipWithIndex.collect {
+        case (wf, f) if wf != 0L => (f.toLong, wf)
+      }
+      val margins =
+        if (weights.isEmpty)
+          labels.select(col("id"), lit(0L).as("__m"))
+        else {
+          val wDf = train.sparkSession
+            .createDataFrame(weights).toDF("__f", "__w")
+          fs.join(broadcast(wDf), Seq("__f"), "left")
+            .groupBy("id")
+            .agg(sum(coalesce(col("__w"), lit(0L))).as("__m"))
+        }
+      val upd = fs
+        .join(margins.select(col("id"), col("__m")), Seq("id"))
+        .filter(col("__y") * col("__m") <= 0L)
+        .groupBy("__f").agg(sum(col("__y")).as("__u"))
+        .collect()
+      if (upd.isEmpty || upd.forall(_.getLong(1) == 0L)) it = iters
+      else {
+        upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+        it += 1
+      }
+    }
+    w
+  }
+
+  /** Decision margins of a trained hashed-ngram classifier over any
+    * corpus: (id, margin) with margin = Σ_f occ(d,f)·w_f — ONE pass of
+    * the identical feature stream against the broadcast weight table
+    * plus the id rollup; docs with no tokens score 0. */
+  def hashedMargin(docs: DataFrame, idCol: String, textCol: String,
+                   weights: Array[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    val wDf = spark.createDataFrame(
+      weights.toSeq.zipWithIndex.collect {
+        case (wf, f) if wf != 0L => (f.toLong, wf)
+      }).toDF("__f", "__w")
+    val perDoc = featStream(docs, idCol, textCol, weights.length)
+      .join(broadcast(wDf), Seq("__f"), "left")
+      .groupBy("id")
+      .agg(sum(coalesce(col("__w"), lit(0L))).as("__m"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__m"), lit(0L)).as("margin"))
+  }
 }

@@ -237,7 +237,87 @@ private[queries] object QualityQueries {
                l.label
         FROM cl l CROSS JOIN cw$classifierIters w"""
       }),
+
+    // ===== the fastText-shaped sibling: hashed word uni+bigram
+    // features, weight TABLE instead of six hand features — q151
+    // retrains in DuckDB via unrolled full-outer-join weight folds and
+    // must reproduce every margin and decision exactly =====
+    QueryDef("q151_hashed_classifier",
+      (s, dir) => {
+        val docs = T.documents(s, dir)
+        val toks = TextFunctions.tokens(coalesce(col("text"), lit("")))
+        val labeled = docs.select(col("doc_id"), col("text"),
+          (when(TextFunctions.stopwordHitsFromTokens(toks,
+              TextFunctions.stopwords("en")) * 5 >= size(toks), 1L)
+            .otherwise(-1L)).as("label"))
+        val w = QualityModels.trainHashedPerceptron(
+          labeled.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          "label", numFeatures = 4096, iters = hashedClassifierIters)
+        QualityModels.hashedMargin(docs, "doc_id", "text", w)
+          .select(col("id").as("doc_id"), col("margin"),
+            when(col("margin") > 0, 1L).otherwise(-1L).as("pred"))
+      },
+      Some(s"""
+        WITH ${hashedPerceptronCtes(hashedClassifierIters)}
+        SELECT d.doc_id,
+               coalesce(pm.m, 0)::BIGINT AS margin,
+               CASE WHEN coalesce(pm.m, 0) > 0 THEN 1::BIGINT
+                    ELSE -1::BIGINT END AS pred
+        FROM documents d
+        LEFT JOIN (SELECT h.doc_id, sum(coalesce(w.w, 0)) AS m
+                   FROM hfs h
+                   LEFT JOIN hw$hashedClassifierIters w USING (f)
+                   GROUP BY h.doc_id) pm USING (doc_id)""")),
   )
+
+  private final val hashedClassifierIters = 3
+
+  /** Unrolled hashed-ngram perceptron training: `hfs` is the portable
+    * hashed uni+bigram occurrence stream over ALL documents (bigram
+    * strings materialized before hashing — the [[featureCtes]] lambda-
+    * capture rule), `tfs` the labeled training half, and each
+    * `hm{i}`/`hu{i}`/`hw{i}` triple applies one exact-integer update to
+    * the weight TABLE via a full-outer fold — exposes `hfs` and
+    * `hw{iters}`. `hw0` is the empty table (zero weights ≡ absent). */
+  private def hashedPerceptronCtes(iters: Int): String = {
+    val stops = sqlList(TextFunctions.stopwords("en"))
+    val sb = new StringBuilder
+    sb ++= s"""hctx AS (SELECT doc_id, coalesce(text, '') AS text
+               FROM documents),
+        htk AS (SELECT doc_id, $duckToks AS tk FROM hctx),
+        hfs AS (
+          SELECT doc_id, ${duckPolyHash("tok")} % 4096 AS f
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM htk)
+          UNION ALL
+          SELECT doc_id, ${duckPolyHash("bgs")} % 4096 AS f
+          FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bgs
+                FROM htk, unnest(range(1, len(tk))) AS u(i))),
+        hlab AS (SELECT doc_id,
+            CASE WHEN 5 * len(list_filter(tk,
+                   t -> list_contains($stops, t))) >= len(tk)
+                 THEN 1::BIGINT ELSE -1::BIGINT END AS y
+          FROM htk),
+        tfs AS (SELECT h.doc_id, h.f, l.y
+                FROM hfs h JOIN hlab l USING (doc_id)
+                WHERE h.doc_id % 2 = 0),
+        hw0 AS (SELECT CAST(NULL AS BIGINT) AS f, CAST(NULL AS BIGINT) AS w
+                WHERE FALSE)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        hm$i AS (SELECT t.doc_id, max(t.y) AS y,
+                        sum(coalesce(w.w, 0)) AS m
+                 FROM tfs t LEFT JOIN hw${i - 1} w USING (f)
+                 GROUP BY t.doc_id),
+        hu$i AS (SELECT t.f, sum(t.y)::BIGINT AS u
+                 FROM tfs t JOIN hm$i m
+                   ON t.doc_id = m.doc_id AND m.y * m.m <= 0
+                 GROUP BY t.f),
+        hw$i AS (SELECT coalesce(w.f, u.f) AS f,
+                        (coalesce(w.w, 0) + coalesce(u.u, 0))::BIGINT AS w
+                 FROM hw${i - 1} w FULL OUTER JOIN hu$i u ON w.f = u.f)"""
+    }
+    sb.toString
+  }
 
   /** Unrolled batch-perceptron training (ONE definition of the
     * parity-critical feature SQL): `cf` mirrors

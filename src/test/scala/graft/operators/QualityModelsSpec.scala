@@ -168,6 +168,53 @@ class QualityModelsSpec extends SparkSpec {
     assert(f(2L)(1) === 1024L && f(2L)(3) === 1024L && f(2L)(5) === 64L)
   }
 
+  test("hashed perceptron learns the words themselves, scores held-out docs") {
+    import spark.implicits._
+    val train = ((0L to 39L by 2).map(prose) ++ (1L to 39L by 2).map(spam))
+      .toDF("doc_id", "text")
+      .withColumn("label", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val w = QualityModels.trainHashedPerceptron(train, "doc_id", "text",
+      "label", numFeatures = 1024, iters = 6)
+    val test = Seq(prose(100L), spam(101L), (102L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = QualityModels.hashedMargin(test, "doc_id", "text", w)
+      .as[(Long, Long)].collect().toMap
+    assert(m(100L) > 0 && m(101L) <= 0)
+    assert(m(102L) === 0L) // tokenless doc: zero margin, survives
+  }
+
+  test("hashed perceptron training is partition-order independent") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i => if (i % 2 == 0) prose(i) else spam(i))
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      QualityModels.trainHashedPerceptron(
+        df.withColumn("label",
+          when(col("doc_id") % 2 === 0, 1L).otherwise(-1L)),
+        "doc_id", "text", "label", numFeatures = 512, iters = 4)
+    val w1 = weights(rows.toDF("doc_id", "text").repartition(1))
+    val w2 = weights(rows.reverse.toDF("doc_id", "text").repartition(11))
+    assert(w1.toSeq === w2.toSeq)
+  }
+
+  test("hashed perceptron guards: feature space and iteration bounds") {
+    import spark.implicits._
+    val df = Seq(prose(1L)).toDF("doc_id", "text")
+      .withColumn("label", lit(1L))
+    intercept[IllegalArgumentException] {
+      QualityModels.trainHashedPerceptron(df, "doc_id", "text", "label",
+        numFeatures = (1 << 20) + 1, iters = 2)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModels.trainHashedPerceptron(df, "doc_id", "text", "label",
+        numFeatures = 64, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      QualityModels.trainHashedPerceptron(
+        df.filter(col("doc_id") < 0), "doc_id", "text", "label",
+        numFeatures = 64, iters = 2)
+    }
+  }
+
   test("perceptron guards: empty training set and oversized sets refuse") {
     import spark.implicits._
     val empty = QualityModels.classifierFeatures(
