@@ -450,6 +450,48 @@ object ScaleProbe {
       f"${(System.nanoTime() - t1) / 1e9}%8.2f s  total_tokens=$total")
   }
 
+  /** Trained-classifier probes: train each perceptron on a 10% sample
+    * with ADVERSARIAL (hash-parity) labels — never linearly separable,
+    * so no iteration converges early and every pass pays full cost (the
+    * worst-case training wall; separation quality is pinned by
+    * QualityModelsSpec, not here) — then score the whole corpus. */
+  private def clfProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.QualityModels
+    val docs = spark.read.parquet(docsPath)
+    val n = docs.count()
+    println(s"[probe] clf corpus=$n")
+    val labeled = docs.select(col("doc_id"), col("text"),
+      (when(pmod(hash(col("doc_id")), lit(2)) === 0, 1L).otherwise(-1L))
+        .as("label"))
+    val sample = labeled.filter(col("doc_id") % 10 === 0)
+      .localCheckpoint(true)
+    println(s"[probe] training sample=${sample.count()}")
+    val feats = QualityModels.classifierFeatures(sample, "doc_id", "text")
+      .join(sample.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      .localCheckpoint(true)
+    val wD = time("dense perceptron train (8 iters)") {
+      QualityModels.trainPerceptron(feats, "label", iters = 8)
+    }
+    val mD = QualityModels.perceptronMargin(wD.toSeq)
+    val posD = time("dense score full corpus") {
+      QualityModels.classifierFeatures(labeled, "doc_id", "text")
+        .select(when(mD > 0, 1L).otherwise(0L).as("p"))
+        .agg(sum(col("p"))).head().getLong(0)
+    }
+    println(s"[probe]   dense positives=$posD")
+    val wH = time("hashed perceptron train (4 iters)") {
+      QualityModels.trainHashedPerceptron(sample, "doc_id", "text",
+        "label", numFeatures = 4096, iters = 4)
+    }
+    val posH = time("hashed score full corpus") {
+      QualityModels.hashedMargin(labeled, "doc_id", "text", wH)
+        .select(when(col("margin") > 0, 1L).otherwise(0L).as("p"))
+        .agg(sum(col("p"))).head().getLong(0)
+    }
+    println(s"[probe]   hashed positives=$posH  " +
+      s"nonzero_weights=${wH.count(_ != 0L)}")
+  }
+
   private def vocabProbe(spark: SparkSession, docsPath: String): Unit = {
     import graft.operators.CorpusStats
     val docs = spark.read.parquet(docsPath)
@@ -1557,6 +1599,8 @@ object ScaleProbe {
           rest.headOption.map(_.toInt).getOrElse(100000))
       case "e2e" :: docsPath :: root :: Nil =>
         e2eProbe(spark, docsPath, root)
+      case "clf" :: docsPath :: Nil =>
+        clfProbe(spark, docsPath)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case docsPath :: rest
@@ -1564,7 +1608,7 @@ object ScaleProbe {
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e").contains(docsPath) =>
+            "autoc", "pquery", "e2e", "clf").contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
