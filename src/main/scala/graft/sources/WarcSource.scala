@@ -4,6 +4,7 @@ import java.io.{BufferedInputStream, EOFException, InputStream}
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Raw web-crawl ingestion: WARC (ISO 28500) archives — the format
@@ -58,34 +59,89 @@ object WarcSource {
            minPartitions: Int = 32): DataFrame = {
     val rows = spark.sparkContext.binaryFiles(path, minPartitions)
       .flatMap { case (file, pds) =>
-        // stream construction is part of the never-throws contract too:
-        // a file whose first bytes say gzip but whose header is
-        // truncated/corrupt makes the GZIPInputStream CONSTRUCTOR throw
-        // — that must be one error row for the archive, not a task
-        // failure that kills the ingest deterministically across retries
-        val recs: Iterator[Rec] = {
-          var raw: BufferedInputStream = null
-          try {
-            raw = new BufferedInputStream(pds.open(), 1 << 16)
-            val in =
-              if (isGzip(raw)) new GZIPInputStream(raw, 1 << 16) else raw
-            records(in, maxBodyBytes)
-          } catch {
-            case e: Exception =>
-              if (raw != null) try raw.close() catch { case _: Exception => () }
-              Iterator.single(errRec(
-                s"unreadable archive: ${e.getClass.getSimpleName}"))
-          }
-        }
-        var off = -1L
-        recs.map { r =>
-          off += 1
-          Row(file, off, r.warcType, r.url, r.date, r.recordId,
-            r.httpStatus.map(Int.box).orNull, r.contentType, r.headers,
-            r.body, r.truncated, r.error)
-        }
+        archiveRows(file, () => pds.open(), maxBodyBytes)
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** STREAMING form of [[read]]: a `binaryFile`-source stream over a
+    * growing archive directory — each newly landed `.warc`/`.warc.gz`
+    * becomes one micro-batch slice of parsed records, parsed by the
+    * SAME iterator as the batch path (identical rows, identical error
+    * semantics; pinned by WarcSourceSpec). This is the continuous
+    * "crawler drops archives, curation keeps up" entry point — compose
+    * with [[graft.streaming.Streaming.curationSink]] after assigning
+    * the store's monotone ids (the sink's documented id contract; an
+    * ingest-time sequence source satisfies it by construction).
+    *
+    * Memory note: the binaryFile source materializes each archive as
+    * one `content` byte array (unlike the batch path's true streaming
+    * read), so this form is for shard-sized archives — CommonCrawl's
+    * ~1 GB WARCs at the default one-file-per-task parallelism need
+    * executors provisioned for one archive in memory per task. The
+    * per-record `maxBodyBytes` cap still bounds the PARSED rows. */
+  def readStream(spark: SparkSession, dir: String,
+                 maxBodyBytes: Int = 1 << 20,
+                 maxFilesPerTrigger: Int = 16): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    // the binaryFile source's fixed schema, spelled out because a
+    // STREAMING source refuses schema inference
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val src = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+    src.select(col("path"), col("content"))
+      .as[(String, Array[Byte])](
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (file, bytes) =>
+        archiveRows(file,
+          () => new java.io.ByteArrayInputStream(bytes), maxBodyBytes)
+      }(Encoders.row(schema))
+  }
+
+  /** [[readResponses]]' streaming twin over [[readStream]]. */
+  def readResponsesStream(spark: SparkSession, dir: String,
+                          maxBodyBytes: Int = 1 << 20,
+                          maxFilesPerTrigger: Int = 16): DataFrame =
+    responsesProjection(readStream(spark, dir, maxBodyBytes,
+      maxFilesPerTrigger))
+
+  /** One archive's parsed rows — shared verbatim by the batch RDD path
+    * and the streaming flatMap, so the two sources can never drift.
+    * Stream construction is part of the never-throws contract too: a
+    * file whose first bytes say gzip but whose header is
+    * truncated/corrupt makes the GZIPInputStream CONSTRUCTOR throw —
+    * that must be one error row for the archive, not a task failure
+    * that kills the ingest deterministically across retries. */
+  private def archiveRows(file: String, open: () => InputStream,
+                          maxBodyBytes: Int): Iterator[Row] = {
+    val recs: Iterator[Rec] = {
+      var raw: BufferedInputStream = null
+      try {
+        raw = new BufferedInputStream(open(), 1 << 16)
+        val in =
+          if (isGzip(raw)) new GZIPInputStream(raw, 1 << 16) else raw
+        records(in, maxBodyBytes)
+      } catch {
+        case e: Exception =>
+          if (raw != null) try raw.close() catch { case _: Exception => () }
+          Iterator.single(errRec(
+            s"unreadable archive: ${e.getClass.getSimpleName}"))
+      }
+    }
+    var off = -1L
+    recs.map { r =>
+      off += 1
+      Row(file, off, r.warcType, r.url, r.date, r.recordId,
+        r.httpStatus.map(Int.box).orNull, r.contentType, r.headers,
+        r.body, r.truncated, r.error)
+    }
   }
 
   /** The curation-facing projection: HTTP `response` records only, body
@@ -100,12 +156,14 @@ object WarcSource {
     * WarcSourceSpec); the per-row JVM cost is the same class of work
     * StringDecode does anyway. */
   def readResponses(spark: SparkSession, path: String,
-                    maxBodyBytes: Int = 1 << 20): DataFrame = {
-    import org.apache.spark.sql.functions._
+                    maxBodyBytes: Int = 1 << 20): DataFrame =
+    responsesProjection(read(spark, path, maxBodyBytes))
+
+  private def responsesProjection(records: DataFrame): DataFrame = {
     val lossyUtf8 = udf((b: Array[Byte]) =>
       if (b == null) null
       else new String(b, java.nio.charset.StandardCharsets.UTF_8))
-    read(spark, path, maxBodyBytes)
+    records
       .filter(col("error").isNull && col("warc_type") === "response")
       .select(col("url"), col("warc_date"), col("http_status"),
         col("content_type"),

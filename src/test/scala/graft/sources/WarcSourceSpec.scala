@@ -202,6 +202,39 @@ class WarcSourceSpec extends SparkSpec {
     assert(df.filter(col("error").isNotNull).count() >= 1)
   }
 
+  test("streaming reader: micro-batched archives yield exactly the batch rows") {
+    val dir = Files.createTempDirectory("graft_warcstream_")
+    Files.write(dir.resolve("a.warc"), archive)
+    Files.write(dir.resolve("b.warc.gz"),
+      gzipMembers(warcRecord("warcinfo", "stream: 1\r\n".getBytes(UTF_8))))
+    // a corrupt archive rides along: the error-row contract must hold
+    // through the streaming path too
+    Files.write(dir.resolve("c.warc.gz"),
+      Array(0x1f.toByte, 0x8b.toByte) ++ Array.fill(32)(0x55.toByte))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .withColumn("body", decode(col("body"), "UTF-8"))
+      .withColumn("archive",
+        element_at(split(col("archive"), "/"), -1))
+      .collect().toSeq.map(_.toString).sorted
+    val batch = canon(WarcSource.read(spark, s"$dir/*.warc*"))
+    val q = WarcSource.readStream(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("warcmem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = canon(spark.table("warcmem"))
+    assert(streamed === batch && batch.nonEmpty)
+    assert(spark.table("warcmem").filter(col("error").isNotNull).count() === 1)
+    // and the curation projection composes on the stream the same way
+    val q2 = WarcSource.readResponsesStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warcmem2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("warcmem2").select("url").as[String].collect().toSeq
+      === Seq("http://example.com/"))
+  }
+
   test("readResponses: the curation-facing text projection") {
     val txt = WarcSource.readResponses(spark, write("e.warc", archive))
       .select("url", "text").as[(String, String)].collect().toSeq
