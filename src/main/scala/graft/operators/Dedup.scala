@@ -104,23 +104,83 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Long = 1000L): DataFrame = {
-    // tokens bound to a column FIRST: shingling reads a row slot per
-    // lambda reference instead of re-tokenizing per element (the inline
-    // form is O(tokens²) per row — measured 10× on the r2 bench)
+    val (pairs, sizes) = cappedPairCounts(df, idCol, textCol, n, maxDocFreq)
+    joinSizes(pairs, sizes)
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Asymmetric CONTAINMENT pairs over the same capped shingle
+    * machinery: containment of A in B = |sh(A) ∩ sh(B)| / |sh(A)| —
+    * the "swallowed document" signal symmetric Jaccard structurally
+    * misses. A short doc quoted whole inside a long one (a tweet in an
+    * article, a licence block in a source file, boilerplate in every
+    * page of a site) has Jaccard ≈ |small|/|big| ≈ 0 but containment
+    * ≈ 1; a containment-dedup pass keeps the superset doc and drops
+    * the swallowed one (compose with [[connectedComponents]] keyed on
+    * the contained side, or a keep-max-size policy). Output:
+    * (id_a, id_b, cont_a, cont_b) for pairs with
+    * max(cont_a, cont_b) ≥ threshold, ids ordered id_a < id_b, where
+    * cont_a = fraction of A's shingles shared.
+    *
+    * Denominators are each doc's TRUE distinct shingle count (a
+    * row-local `size()`, no second explode) — NOT the Jaccard family's
+    * shared-vocab sizes: under the df cap a pair whose surviving
+    * shingles are exactly their common ones would read as mutually
+    * contained (1.0 both ways), which is precisely the false positive
+    * an asymmetric measure exists to avoid. The cap still bounds
+    * CANDIDATE generation, so `common` (and therefore both ratios) is
+    * a LOWER bound when a pair's overlap includes shingles more common
+    * than `maxDocFreq` — a threshold filter stays conservative, never
+    * inflated. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            maxDocFreq: Long = 1000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
+    val (pairs, _) = cappedPairCounts(df, idCol, textCol, n, maxDocFreq)
+    val trueSizes = df
+      .select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        size(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
+          .cast("long").as("sz"))
+      .filter(col("sz") > 0)
+    joinSizes(pairs, trueSizes)
+      .withColumn("cont_a",
+        col("common").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b",
+        col("common").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+  }
+
+  /** Shared candidate plumbing of the capped n-gram pair family:
+    * (pairs(id_a,id_b,common), sizes(id,sz)) over df-capped distinct
+    * word shingles. Tokens bound to a column FIRST: shingling reads a
+    * row slot per lambda reference instead of re-tokenizing per element
+    * (the inline form is O(tokens²) per row — measured 10× on the r2
+    * bench). ONE exchange on shingle feeds everything: the window
+    * bounds group membership (df cap) BEFORE any collect — a degenerate
+    * shingle shared by 10⁹ docs is dropped, never buffered — and the
+    * subsequent groupBy(shingle) needs the same partitioning, so the
+    * shingle explosion + shuffle is computed once and reused
+    * (ReusedExchange) across the pair and size branches. Candidate
+    * pairs come from in-group combinations of the (≤ maxDocFreq)
+    * sorted id list — an expression, not a self-join, so no second
+    * pass over the corpus. */
+  private def cappedPairCounts(df: DataFrame, idCol: String,
+                               textCol: String, n: Int, maxDocFreq: Long)
+      : (DataFrame, DataFrame) = {
     val sh = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
           .as("shingle"))
-    // ONE exchange on shingle feeds everything: the window bounds group
-    // membership (df cap) BEFORE any collect — a degenerate shingle shared
-    // by 10⁹ docs is dropped, never buffered — and the subsequent
-    // groupBy(shingle) needs the same partitioning, so the shingle
-    // explosion + shuffle is computed once and reused (ReusedExchange)
-    // across the pair and size branches. Candidate pairs come from
-    // in-group combinations of the (≤ maxDocFreq) sorted id list — an
-    // expression, not a self-join, so no second pass over the corpus.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val bounded = sh
       .withColumn("df", count(lit(1)).over(w))
@@ -136,21 +196,19 @@ object Dedup {
       .select(explode(pairExpr).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    // SMJ hint: `pairs` descends from an explode, so its size estimate is
-    // garbage — left alone the planner may pick IT as the broadcast side
-    // of the sizes join and OOM the driver (observed at 50k docs with a
-    // hot-shingle pair explosion). Sort-merge is correct at every scale:
-    // sizes is per-doc (too big to broadcast at 10⁹ docs) and both sides
-    // shuffle on the same id key.
+    (pairs, sizes)
+  }
+
+  /** SMJ hint: `pairs` descends from an explode, so its size estimate is
+    * garbage — left alone the planner may pick IT as the broadcast side
+    * of the sizes join and OOM the driver (observed at 50k docs with a
+    * hot-shingle pair explosion). Sort-merge is correct at every scale:
+    * sizes is per-doc (too big to broadcast at 10⁹ docs) and both sides
+    * shuffle on the same id key. */
+  private def joinSizes(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs.hint("merge")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
 
   /** EXACT Jaccard pairs via PREFIX FILTERING (the AllPairs/PPJoin
     * candidate rule) — the lossless complement to [[ngramJaccardPairs]]:

@@ -583,6 +583,37 @@ private[queries] object LlmQueries {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5""")),
 
+    // ===== Dedup: asymmetric containment over the same capped shingle
+    // machinery — the swallowed-document signal (tweet inside article,
+    // licence block in every file) symmetric Jaccard misses =====
+    QueryDef("q152_containment_pairs",
+      (s, dir) => Dedup.ngramContainmentPairs(T.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.8, maxDocFreq = 100L),
+      Some(s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END)) AS shingle
+               FROM tks),
+        flt AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) >= 2 AND count(*) <= 100),
+        fsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN flt USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                  FROM fsh a JOIN fsh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
+               CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                       CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8""")),
+
     // ===== Dedup: portable MinHash-LSH, oracle-verified end-to-end =====
     QueryDef("q34_minhash_pairs",
       (s, dir) => Dedup.minhashPortablePairs(T.documents(s, dir),

@@ -50,6 +50,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
+  test("containment catches the swallowed doc that Jaccard misses") {
+    val quote = "to be or not to be that is the question"
+    val article = "the article begins with its own framing words here " +
+      s"and then quotes $quote before closing with more of its own " +
+      "commentary on the matter at hand for several further clauses"
+    // doc 4 shares doc 1's framing (so those shingles survive the df
+    // cap and Jaccard sees doc 1's true breadth) but not the quote
+    val sibling = "the article begins with its own framing words here " +
+      "and then wanders into other affairs entirely as its paragraphs " +
+      "continue on their separate course"
+    val corpus = Seq((1L, article), (2L, quote), (4L, sibling),
+      (3L, "entirely unrelated content about something else altogether"))
+      .toDF("id", "text")
+    val cont = Dedup.ngramContainmentPairs(corpus, "id", "text", n = 3,
+        threshold = 0.9, maxDocFreq = 100)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length === 1)
+    val (a, b, ca, cb) = cont.head
+    // doc 2's shingles all appear in doc 1 → containment of 2-in-1 = 1.0
+    assert((a, b) === (1L, 2L) && cb === 1.0 && ca < 0.5)
+    // ...while symmetric Jaccard at the same bar sees nothing
+    assert(Dedup.ngramJaccardPairs(corpus, "id", "text", 3, 0.9, 100)
+      .count() === 0)
+  }
+
   test("minhashLshPairs recovers high-jaccard pairs with verified values") {
     val pairs = Dedup.minhashLshPairs(docs, "id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
