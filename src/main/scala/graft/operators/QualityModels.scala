@@ -269,33 +269,65 @@ object QualityModels {
       : Array[Long] = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(featCols.nonEmpty, "featCols must be non-empty")
-    val n = train.count()
-    require(n > 0, "training set is empty")
-    // |w_j| ≤ iters·n·cap and |margin| ≤ Σ_j |w_j|·cap — demand 4×
-    // headroom under Long.MaxValue so no intermediate can wrap
-    require(BigInt(n) * ClassifierFeatureCap * iters *
-        ClassifierFeatureCap * featCols.size < BigInt(Long.MaxValue / 4),
-      s"training set too large for exact integer training ($n rows × " +
-        s"$iters iters): train on a sample — labels this plentiful " +
-        "belong in a heuristic, not a classifier")
-    var w = Array.fill(featCols.size)(0L)
-    var it = 0
-    while (it < iters) {
-      val mis = col(labelCol).cast("long") *
-        perceptronMargin(w.toSeq, featCols) <= 0L
-      val aggs = featCols.map(c =>
-        sum(when(mis, col(labelCol).cast("long") * col(c))).as(c))
-      val row = train.agg(aggs.head, aggs.tail: _*).head()
-      val upd = Array.tabulate(featCols.size)(j =>
-        if (row.isNullAt(j)) 0L else row.getLong(j))
-      if (upd.forall(_ == 0L)) it = iters // converged: fixpoint reached
-      else {
-        w = Array.tabulate(featCols.size)(j => w(j) + upd(j))
-        it += 1
+    // materialize the (label, features) projection ONCE — the loop
+    // below scans it `iters` times, and an unmaterialized plan would
+    // re-run tokenize+features per iteration; blocks released below
+    // (the connectedComponents checkpoint-tracking idiom)
+    val (feats, ckptIds) = trackedCheckpoint(
+      train.select((labelCol +: featCols).map(col): _*))
+    try {
+      var w = Array.fill(featCols.size)(0L)
+      var n = -1L
+      var it = 0
+      while (it < iters) {
+        val mis = col(labelCol).cast("long") *
+          perceptronMargin(w.toSeq, featCols) <= 0L
+        // the overflow-guard row count rides the FIRST iteration's
+        // aggregate (no separate count scan); update 1's own bound —
+        // |u_j| ≤ n·cap — cannot wrap for any physical row count
+        val aggs = featCols.map(c =>
+          sum(when(mis, col(labelCol).cast("long") * col(c))).as(c)) ++
+          (if (it == 0) Seq(count(lit(1)).as("__n")) else Nil)
+        val row = feats.agg(aggs.head, aggs.tail: _*).head()
+        if (it == 0) {
+          n = row.getLong(featCols.size)
+          require(n > 0, "training set is empty")
+          // |w_j| ≤ iters·n·cap and |margin| ≤ Σ_j |w_j|·cap — demand
+          // 4× headroom under Long.MaxValue so no intermediate can wrap
+          require(BigInt(n) * ClassifierFeatureCap * iters *
+              ClassifierFeatureCap * featCols.size <
+              BigInt(Long.MaxValue / 4),
+            s"training set too large for exact integer training ($n " +
+              s"rows × $iters iters): train on a sample — labels this " +
+              "plentiful belong in a heuristic, not a classifier")
+        }
+        val upd = Array.tabulate(featCols.size)(j =>
+          if (row.isNullAt(j)) 0L else row.getLong(j))
+        if (upd.forall(_ == 0L)) it = iters // converged: fixpoint reached
+        else {
+          w = Array.tabulate(featCols.size)(j => w(j) + upd(j))
+          it += 1
+        }
       }
-    }
-    w
+      w
+    } finally release(train.sparkSession, ckptIds)
   }
+
+  /** localCheckpoint with its new RDD ids tracked, so training can
+    * unpersist its blocks deterministically instead of leaking one
+    * materialized stream per call until ContextCleaner GC (see
+    * [[Dedup.connectedComponents]], where the idiom comes from). */
+  private def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val mat = df.localCheckpoint(true)
+    (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+
+  private def release(spark: org.apache.spark.sql.SparkSession,
+                      ids: Set[Int]): Unit =
+    ids.foreach(i => spark.sparkContext.getPersistentRDDs.get(i)
+      .foreach(_.unpersist(false)))
 
   /** The trained decision value w·x as a row-local integer Column over
     * a [[classifierFeatures]] frame — weights folded in as literals, so
@@ -346,13 +378,14 @@ object QualityModels {
       col(labelCol).cast("long").as("__y"))
     // the labeled occurrence stream is read 2× per iteration (margins +
     // update) — materialize once rather than re-running tokenize+explode
-    // 2·iters times (the preFilter staging rule)
-    val fs = featStream(train, idCol, textCol, numFeatures)
-      .join(labels, Seq("id"))
-      .localCheckpoint(true)
+    // 2·iters times (the preFilter staging rule); blocks released in the
+    // finally below (one leaked stream per training call otherwise)
+    val (fs, ckptIds) = trackedCheckpoint(
+      featStream(train, idCol, textCol, numFeatures).join(labels, Seq("id")))
+    try {
     // occurrence total bounds every intermediate: |w_f| ≤ iters·occ and
     // |margin| ≤ occ·max|w| — demand the same 4× headroom as the dense
-    // trainer (one bounded count job, amortized over `iters` scans)
+    // trainer (a count over the materialized blocks, not a re-scan)
     val occ = fs.count()
     require(occ > 0, "training set has no token features")
     require(BigInt(occ) * occ * iters < BigInt(Long.MaxValue / 4),
@@ -386,6 +419,7 @@ object QualityModels {
       }
     }
     w
+    } finally release(train.sparkSession, ckptIds)
   }
 
   /** Decision margins of a trained hashed-ngram classifier over any

@@ -14,23 +14,29 @@ import graft.functions.TextFunctions
   * Oracle-parity rules live in [[Catalog]]'s scaladoc. */
 private[queries] object QualityQueries {
 
-  /** Hashed uni+bigram feature stream over `documents` — ONE definition
-    * of the parity-critical feature SQL, shared by q101/q102. The
-    * bigram string is materialized in a subquery BEFORE hashing:
-    * duckPolyHash's list_transform lambda binds `i`, so inlining an
-    * expression that references the outer unnest index `i` would be
-    * silently captured by the lambda variable (hash of the i-th char of
-    * the i-th bigram — depends only on token lengths; caught by the
-    * local oracle gate). */
-  private val featureCtes: String =
-    s"""tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        fs AS (
+  /** Hashed uni+bigram feature-stream SQL — ONE definition of the
+    * parity-critical fragment (mirrors QualityModels.featStream),
+    * shared by q101/q102 (via [[featureCtes]]) and q151 (via
+    * [[hashedPerceptronCtes]]); emits `{pfx}tk` and `{pfx}fs` over
+    * `docsRel`, which must expose (doc_id, text). The bigram string is
+    * materialized in a subquery BEFORE hashing: duckPolyHash's
+    * list_transform lambda binds `i`, so inlining an expression that
+    * references the outer unnest index `i` would be silently captured
+    * by the lambda variable (hash of the i-th char of the i-th bigram —
+    * depends only on token lengths; caught by the local oracle gate). */
+  private def hashedFeatureStreamCtes(pfx: String, docsRel: String): String =
+    s"""${pfx}tk AS (SELECT doc_id, $duckToks AS tk FROM $docsRel),
+        ${pfx}fs AS (
           SELECT doc_id, ${duckPolyHash("tok")} % 4096 AS f
-          FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+          FROM (SELECT doc_id, unnest(tk) AS tok FROM ${pfx}tk)
           UNION ALL
           SELECT doc_id, ${duckPolyHash("bgs")} % 4096 AS f
           FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bgs
-                FROM tk, unnest(range(1, len(tk))) AS u(i))),
+                FROM ${pfx}tk, unnest(range(1, len(tk))) AS u(i)))"""
+
+  /** The q101/q102 DSIR scaffolding over the shared feature stream. */
+  private val featureCtes: String =
+    s"""${hashedFeatureStreamCtes("", "documents")},
         tc AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_t
                FROM fs WHERE doc_id % 3 = 0 GROUP BY 1),
         pc AS (SELECT f, CAST(count(*) AS BIGINT) AS cnt_p
@@ -284,14 +290,7 @@ private[queries] object QualityQueries {
     val sb = new StringBuilder
     sb ++= s"""hctx AS (SELECT doc_id, coalesce(text, '') AS text
                FROM documents),
-        htk AS (SELECT doc_id, $duckToks AS tk FROM hctx),
-        hfs AS (
-          SELECT doc_id, ${duckPolyHash("tok")} % 4096 AS f
-          FROM (SELECT doc_id, unnest(tk) AS tok FROM htk)
-          UNION ALL
-          SELECT doc_id, ${duckPolyHash("bgs")} % 4096 AS f
-          FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bgs
-                FROM htk, unnest(range(1, len(tk))) AS u(i))),
+        ${hashedFeatureStreamCtes("h", "hctx")},
         hlab AS (SELECT doc_id,
             CASE WHEN 5 * len(list_filter(tk,
                    t -> list_contains($stops, t))) >= len(tk)
