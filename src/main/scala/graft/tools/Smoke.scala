@@ -316,6 +316,44 @@ object Smoke {
       store.ingest(docs.filter(col("doc_id") >= 30 && col("doc_id") < 50)
         .select(col("doc_id"), col("text")), "doc_id", "text").kept
     }
+    show("trained quality classifiers (dense + hashed)") {
+      import graft.operators.QualityModels
+      val labeled = docs.limit(200).select(col("doc_id"), col("text"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("label"))
+      val feats = QualityModels.classifierFeatures(labeled, "doc_id", "text")
+        .join(labeled.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      val wD = QualityModels.trainPerceptron(feats, "label", iters = 2)
+      val wH = QualityModels.trainHashedPerceptron(labeled, "doc_id",
+        "text", "label", numFeatures = 256, iters = 2)
+      QualityModels.hashedMargin(labeled, "doc_id", "text", wH)
+        .withColumn("dense_w0", lit(wD(0)))
+    }
+    show("containment pairs (swallowed-document signal)") {
+      graft.operators.Dedup.ngramContainmentPairs(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100)
+    }
+    show("streaming WARC (AvailableNow micro-batches)") {
+      val html = "<html><body>stream crawl page</body></html>"
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+      val content = http.getBytes("UTF-8")
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://smoke.test/stream\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "WARC-Record-ID: <urn:uuid:smoke-stream>\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${content.length}\r\n\r\n").getBytes("UTF-8") ++
+        content ++ "\r\n\r\n".getBytes("UTF-8")
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_ws_")
+      java.nio.file.Files.write(dir.resolve("a.warc"), rec)
+      val q = graft.sources.WarcSource
+        .readResponsesStream(spark, dir.toString)
+        .writeStream.format("memory").queryName("smoke_warc_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("smoke_warc_stream")
+    }
     spark.stop()
   }
 }
