@@ -142,13 +142,21 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1], got $threshold")
     val (pairs, _) = cappedPairCounts(df, idCol, textCol, n, maxDocFreq)
+    // True distinct-shingle counts via the EXPLODE path: shingles are
+    // already per-doc-distinct, so count-per-id over the exploded
+    // stream IS the true size. Measured 5× cheaper than the "obvious"
+    // row-local size(when/transform/array_distinct) chain (0.8 s vs
+    // 4.2 s on 5k sf0.1 docs): the composed higher-order chain runs
+    // interpreted, and the collapsed filter re-evaluates it — the
+    // codegen-pitfall genus. Empty docs explode to no rows and so
+    // never reach the join, exactly the rows that can have no pairs.
     val trueSizes = df
       .select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
-        size(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
-          .cast("long").as("sz"))
-      .filter(col("sz") > 0)
+        explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
+          .as("shingle"))
+      .groupBy("id").agg(count(lit(1)).as("sz"))
     joinSizes(pairs, trueSizes)
       .withColumn("cont_a",
         col("common").cast("double") / col("sz_a").cast("double"))
