@@ -322,15 +322,15 @@ object TextFunctions {
   /** Shingles from a PRE-BOUND token-array column (an attribute, so each
     * lambda reference is a row-slot read, not a re-tokenization — this is
     * the linear-time form the dedup operators use). */
-  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    // Empty docs yield an EMPTY shingle set (not [""]) so two empty docs
-    // don't come out as Jaccard-1.0 near-dups; docs shorter than n tokens
-    // yield their whole text as the single shingle.
-    array_distinct(
-      when(size(toks) === 0, array().cast("array<string>"))
-        .when(size(toks) >= n,
-          transform(idx, i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-        .otherwise(array(array_join(toks, " "))))
-  }
+  def wordShinglesFromTokens(toks: Column, n: Int): Column =
+    // Native kernel (one compiled sliding-window pass; semantics pinned
+    // in its scaladoc and TextFunctionsSpec): empty docs yield an EMPTY
+    // shingle set (not [""]) so two empty docs don't come out as
+    // Jaccard-1.0 near-dups; docs shorter than n tokens yield their
+    // whole text as the single shingle; distinct, first-occurrence
+    // order. The previous composed when/transform/array_distinct chain
+    // ran interpreted and cost 5× (see WordShingles).
+    graft.functions.expressions.ColumnBridge.column(
+      graft.functions.expressions.WordShingles(
+        graft.functions.expressions.ColumnBridge.expression(toks), n))
 }

@@ -84,6 +84,34 @@ class TextFunctionsSpec extends SparkSpec {
       .sorted === Seq("x y", "y x"))
   }
 
+  test("wordShingles native kernel matches the composed chain verbatim") {
+    // the spec that licenses the WordShingles codegen expression: same
+    // values, same first-occurrence order, same edge semantics as the
+    // composed array_distinct(when/transform/array_join(slice)) form
+    import org.apache.spark.sql.functions._
+    def composed(toks: org.apache.spark.sql.Column, n: Int) = {
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      array_distinct(
+        when(size(toks) === 0, array().cast("array<string>"))
+          .when(size(toks) >= n,
+            transform(idx, i =>
+              array_join(slice(toks, i + lit(1), lit(n)), " ")))
+          .otherwise(array(array_join(toks, " "))))
+    }
+    val texts = Seq("", "one", "one two", "a b c d e", "x y x y x",
+      "the the the", "w1 w2 w3 w1 w2 w3 w1", "solo")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text")
+        .select(TextFunctions.tokens(col("text")).as("__toks"))
+      val native = df
+        .select(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
+        .collect().map(_.getSeq[String](0)).toSeq
+      val old = df.select(composed(col("__toks"), n))
+        .collect().map(_.getSeq[String](0)).toSeq
+      assert(native === old, s"n=$n")
+    }
+  }
+
   test("fingerprint matches a direct Scala fold (portable arithmetic)") {
     val texts = Seq("hello world", "a", "", "Spark SQL 4.1")
     val df = texts.toDF("text")
