@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -79,7 +79,16 @@ object Pipeline {
       surgicalDecon: Boolean = false,
       minhash: MinhashConfig =
         MinhashConfig(shingleN = 3, bands = 8, rowsPerBand = 2,
-          threshold = 0.5))
+          threshold = 0.5),
+      // pluggable quality stage: (text, tokens) → score, gated by
+      // minQuality exactly like the default heuristic — the hook a
+      // TRAINED scorer plugs into
+      // ([[QualityModels.perceptronQuality]] adapts a trained dense
+      // perceptron; any row-local Column program qualifies). Must be a
+      // pure per-row function so the batch and incremental forms stay
+      // observationally equal; null scores fail the gate and land in
+      // the audit ledger as quality drops, like every other score.
+      qualityExpr: Option[(Column, Column) => Column] = None)
 
   /** `kept` is the curated corpus (id, text — text REDACTED);
     * `stageCounts` is the per-stage survivor accounting (empty unless
@@ -120,7 +129,10 @@ object Pipeline {
       .select(col("id"), col("text"),
         TextFunctions.tokens(col("text")).as("__toks"))
       .select(col("id"), col("text"),
-        TextFunctions.qualityScoreFromTokens(col("text"), col("__toks"))
+        cfg.qualityExpr
+          .map(f => f(col("text"), col("__toks")))
+          .getOrElse(TextFunctions.qualityScoreFromTokens(col("text"),
+            col("__toks")))
           .as("__q"),
         TextFunctions.duplicateNgramFraction(col("__toks"), cfg.repN)
           .as("__rep"))

@@ -218,8 +218,7 @@ object QualityModels {
     * a float pipeline would train different weights per shuffle order.
     * Null text features as empty (all-zero but the bias). */
   def classifierFeatures(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame = {
-    val cap = lit(ClassifierFeatureCap)
+                         textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"),
         coalesce(col(textCol), lit("")).as("__text"))
@@ -227,18 +226,51 @@ object QualityModels {
       // captured non-attribute subtree re-evaluates per consumer)
       .select(col("id"), col("__text"),
         TextFunctions.tokens(col("__text")).as("__toks"))
-      .select(col("id"),
-        lit(1L).as("f_bias"),
-        least(size(col("__toks")).cast("long"), cap).as("f_tokens"),
-        least(TextFunctions.stopwordHitsFromTokens(col("__toks"),
-          TextFunctions.stopwords("en")).cast("long"), cap).as("f_stop"),
-        least((length(col("__text")) -
-          length(regexp_replace(col("__text"), "[0-9]", "")))
-          .cast("long"), cap).as("f_digit"),
-        least(size(array_distinct(col("__toks"))).cast("long"), cap)
-          .as("f_distinct"),
-        least(coalesce(array_max(transform(col("__toks"), t => length(t))),
-          lit(0)).cast("long"), lit(64L)).as("f_maxlen"))
+      .select(col("id") +:
+        featureExprs(col("__text"), col("__toks"))
+          .zip(ClassifierFeatureCols)
+          .map { case (e, name) => e.as(name) }: _*)
+
+  /** The six feature expressions over BOUND (text, toks) columns, in
+    * [[ClassifierFeatureCols]] order — one definition shared by
+    * [[classifierFeatures]] and [[perceptronQuality]] so the training
+    * features and a deployed gate can never drift. Callers must pass
+    * null-coalesced text and its tokens as projected columns. */
+  private def featureExprs(text: Column, toks: Column): Seq[Column] = {
+    val cap = lit(ClassifierFeatureCap)
+    Seq(
+      lit(1L),
+      least(size(toks).cast("long"), cap),
+      least(TextFunctions.stopwordHitsFromTokens(toks,
+        TextFunctions.stopwords("en")).cast("long"), cap),
+      least((length(text) - length(regexp_replace(text, "[0-9]", "")))
+        .cast("long"), cap),
+      least(size(array_distinct(toks)).cast("long"), cap),
+      least(coalesce(array_max(transform(toks, t => length(t))),
+        lit(0)).cast("long"), lit(64L)))
+  }
+
+  /** Adapt trained dense-perceptron weights into
+    * [[Pipeline.CurateConfig]]'s pluggable quality stage: (text, toks)
+    * → the integer decision margin as a double score. Gate with
+    * `minQuality = 1.0` for the classifier's own decision boundary
+    * (integer margins: margin ≥ 1 ⇔ margin > 0); raise it to demand a
+    * confidence band. Null text scores as the empty doc (all-zero
+    * features but the bias), matching [[classifierFeatures]] exactly —
+    * the features here ARE the training features, one shared
+    * definition. Row-local, so the curation pipeline's batch ≡
+    * incremental contract is preserved. */
+  def perceptronQuality(weights: Seq[Long]): (Column, Column) => Column = {
+    require(weights.size == ClassifierFeatureCols.size,
+      s"${weights.size} weights for ${ClassifierFeatureCols.size} features")
+    (text, toks) => {
+      val t = coalesce(text, lit(""))
+      val tk = coalesce(toks, array().cast("array<string>"))
+      featureExprs(t, tk).zip(weights)
+        .map { case (f, wi) => f * lit(wi) }
+        .reduce(_ + _)
+        .cast("double")
+    }
   }
 
   /** Train a linear quality classifier by the batch perceptron rule:

@@ -311,6 +311,30 @@ class PipelineSpec extends SparkSpec {
     assert(keptIds === 5L)
   }
 
+  test("pluggable quality stage: a trained-scorer expression replaces the heuristic") {
+    // weights gating on 5·stopword_hits − tokens ≥ 1 (the classifier-
+    // margin shape): the symbol doc (2) has zero stopword hits and
+    // drops at quality exactly as under the heuristic...
+    val gate = cfg.copy(minQuality = 1.0,
+      qualityExpr = Some(QualityModels.perceptronQuality(
+        Seq(0L, -1L, 5L, 0L, 0L, 0L))))
+    val res = Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", gate, withAudit = true)
+    assert(res.kept.select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 5L, 8L))
+    assert(res.audit.get.as[(Long, String, Option[Long])].collect()
+      .find(_._1 == 2L).map(_._2) === Some("quality"))
+    // ...while an accept-everything scorer proves the heuristic is no
+    // longer consulted: the symbol doc sails through quality (and the
+    // rest of the pipeline) instead of dropping
+    val permissive = cfg.copy(minQuality = 1.0,
+      qualityExpr = Some(QualityModels.perceptronQuality(
+        Seq(1L, 0L, 0L, 0L, 0L, 0L))))
+    val all = Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+      "text", permissive)
+    assert(all.kept.select("id").as[Long].collect().toSet.contains(2L))
+  }
+
   test("audit attributes a null-scoring doc (null text) to quality") {
     // null text scores null; without a null-safe gate the row fails
     // BOTH filter(qPass) and the audit's filter(!qPass) — vanishing
