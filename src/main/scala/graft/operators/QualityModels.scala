@@ -454,6 +454,42 @@ object QualityModels {
     } finally release(train.sparkSession, ckptIds)
   }
 
+  /** Persist trained weights (either trainer's) as a (f, w) parquet —
+    * train once, gate every later batch/streaming job. Dense-index
+    * layout: row f holds w_f, zeros included so the file IS the model
+    * (no out-of-band size). */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+                  weights: Array[Long]): Unit = {
+    require(weights.nonEmpty, "empty weight vector")
+    spark.createDataFrame(
+        weights.toSeq.zipWithIndex.map { case (w, f) => (f.toLong, w) })
+      .toDF("f", "w")
+      .repartition(1) // ≤ 2^20 rows by the trainers' own bound
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveWeights]] model, validating the dense-index contract
+    * (exactly the indices 0..n−1, no gaps/dups — a truncated or
+    * double-written file must fail here, not skew margins silently). */
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select(col("f").cast("long"), col("w").cast("long"))
+      .collect()
+    require(rows.nonEmpty, s"no weights at $path")
+    val w = new Array[Long](rows.length)
+    val seen = new Array[Boolean](rows.length)
+    rows.foreach { r =>
+      val f = r.getLong(0)
+      require(f >= 0 && f < rows.length && !seen(f.toInt),
+        s"corrupt weight file at $path: index $f out of the dense " +
+          s"0..${rows.length - 1} contract")
+      seen(f.toInt) = true
+      w(f.toInt) = r.getLong(1)
+    }
+    w
+  }
+
   /** Decision margins of a trained hashed-ngram classifier over any
     * corpus: (id, margin) with margin = Σ_f occ(d,f)·w_f — ONE pass of
     * the identical feature stream against the broadcast weight table

@@ -215,6 +215,32 @@ class QualityModelsSpec extends SparkSpec {
     }
   }
 
+  test("weights round-trip through parquet; corrupt files refuse to load") {
+    import spark.implicits._
+    val train = ((0L to 19L by 2).map(prose) ++ (1L to 19L by 2).map(spam))
+      .toDF("doc_id", "text")
+      .withColumn("label", when(col("doc_id") % 2 === 0, 1L).otherwise(-1L))
+    val w = QualityModels.trainHashedPerceptron(train, "doc_id", "text",
+      "label", numFeatures = 128, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wts_").toString
+    QualityModels.saveWeights(spark, s"$dir/m", w)
+    val back = QualityModels.loadWeights(spark, s"$dir/m")
+    assert(back.toSeq === w.toSeq)
+    // margins from the loaded model are the margins from the live one
+    val test = Seq(prose(100L), spam(101L)).toDF("doc_id", "text")
+    assert(
+      QualityModels.hashedMargin(test, "doc_id", "text", back)
+        .as[(Long, Long)].collect().toMap ===
+      QualityModels.hashedMargin(test, "doc_id", "text", w)
+        .as[(Long, Long)].collect().toMap)
+    // a gap in the index space is corruption, not a sparse model
+    Seq((0L, 5L), (2L, 7L)).toDF("f", "w")
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    intercept[IllegalArgumentException] {
+      QualityModels.loadWeights(spark, s"$dir/bad")
+    }
+  }
+
   test("perceptron guards: empty training set and oversized sets refuse") {
     import spark.implicits._
     val empty = QualityModels.classifierFeatures(
