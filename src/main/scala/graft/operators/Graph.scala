@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis over an edge list: node degrees and a
+  * deterministic fixed-point PageRank — the domain-authority signal a
+  * web-scale curation pipeline weighs sources by (Common Crawl ranks
+  * hosts this way; C4/RefinedWeb-style cleaning drops or downweights
+  * whole hosts, cf. CorpusStats.sourceFilter which gates on in-corpus
+  * reputation where this operator gates on the LINK graph).
+  *
+  * Determinism contract (the library-wide exact-arithmetic idiom, same
+  * genus as Clustering's integer centroids and QualityModels'
+  * perceptrons): ranks are scaled longs (`rank_fp`, fixed-point with
+  * denominator `scale`) and every update is integer multiply / integer
+  * floor-division / long sum — order-independent, so the result is
+  * bit-reproducible across partitionings AND replayable by an external
+  * SQL engine with unrolled iterations (the q154 oracle). Floating
+  * point appears only in the final convenience column
+  * `rank = rank_fp / scale`, derived scalar-wise from the exact value.
+  *
+  * Update rule (per iteration, all integer ops, `div` = floor division
+  * on the nonnegative domain):
+  * {{{
+  *   contrib(u→v) = (rank_fp(u) * w(u→v)) div wtot(u)
+  *   dshare       = (Σ rank_fp over dangling u) div N
+  *   rank_fp'(v)  = ((dampDen-dampNum) * (scale div N)) div dampDen
+  *                + (dampNum * (Σ contrib(·→v) + dshare)) div dampDen
+  * }}}
+  * i.e. r' = (1-d)/N + d·(Σ r/outdeg + danglingMass/N) in fixed point
+  * with d = dampNum/dampDen. Floor-division leaks O(1 ulp) of mass per
+  * node per round — total mass stays ≤ scale (never grows), which is
+  * what bounds every intermediate product (see the overflow guard).
+  *
+  * Scale shape: the weighted edge list is aggregated once (collapsing
+  * parallel edges), joined to its per-source totals, repartitioned by
+  * `src` and checkpointed — each iteration then shuffles only the
+  * N-row rank table into that fixed layout (one exchange) and rolls
+  * contributions up by `dst` (second exchange); the billion-edge side
+  * never re-shuffles. Rank lineage is truncated per round via tracked
+  * localCheckpoints (the connectedComponents discipline — storage
+  * holds the edge list plus two rank tables, superseded blocks are
+  * unpersisted eagerly). Per-round driver reads are bounded control
+  * values: one 1-row dangling-mass aggregate; N and the max out-weight
+  * are read once up front.
+  */
+object Graph {
+
+  /** Exact a div b on nonnegative longs (IntegralDivide — truncation
+    * equals floor here; Spark's `/` would round through binary64). */
+  private def idiv(a: Column, b: Column): Column = {
+    import graft.functions.expressions.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long"))))
+  }
+
+  /** Weighted in/out degrees per node: (node, out_deg, in_deg,
+    * out_weight, in_weight); nodes missing a side report 0. Parallel
+    * edges count individually in `*_deg` and sum into `*_weight`. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String,
+              weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum(w).as("out_weight"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum(w).as("in_weight"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+  }
+
+  /** Deterministic weighted PageRank, `iters` fixed iterations of the
+    * update rule above. Returns (node, rank_fp, rank) for EVERY node
+    * appearing as a src or dst (dangling nodes included — they hold the
+    * teleport base plus their dshare slice). Edge weights must be
+    * nonnegative; parallel edges collapse by weight sum, so
+    * `pageRank(e)` ≡ `pageRank(e collapsed with weightCol)` by
+    * construction. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, weightCol: Option[String] = None,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1L << 30): DataFrame = {
+    require(iters >= 0, s"pageRank iters must be >= 0, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"pageRank damping must satisfy 0 <= dampNum <= dampDen, " +
+        s"got $dampNum/$dampDen")
+    require(scale > 0, s"pageRank scale must be positive, got $scale")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val eAgg = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .filter(assert_true(col("w") >= 0,
+        lit("pageRank: negative edge weight")).isNull)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+    val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
+    // the big, per-iteration-reused side: fixed src layout, lineage cut
+    val contribE = eAgg.join(outW, "src")
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = contribE.select(col("src").as("node"))
+      .union(contribE.select(col("dst").as("node"))).distinct()
+    val nodesF = nodes
+      .join(outW.select(col("src").as("node"), lit(true).as("__o")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out"))
+      .localCheckpoint(true)
+
+    val n = nodesF.count() // bounded control read: node count
+    require(n > 0, "pageRank: empty graph")
+    // overflow guard: rank_fp ≤ scale (mass only shrinks), so the
+    // largest products are rank_fp*w ≤ scale*maxWtot and
+    // dampNum*(inSum+dshare) ≤ dampNum*2*scale — fail fast instead of
+    // silently wrapping (the zorderValue lesson)
+    val maxW = outW.agg(coalesce(max(col("wtot")), lit(1L)))
+      .first().getLong(0) // bounded control read: max out-weight
+    require(maxW <= Long.MaxValue / scale,
+      s"pageRank: scale=$scale * max out-weight=$maxW would overflow; " +
+        "lower scale or pre-normalize weights")
+    require(dampNum <= Long.MaxValue / (2 * scale),
+      s"pageRank: dampNum=$dampNum * 2*scale=$scale overflows")
+    val initR = scale / n
+    val base = ((dampDen - dampNum) * initR) / dampDen
+
+    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val mat = df.localCheckpoint(true)
+      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    var (ranks, prevIds) = checkpoint(
+      nodesF.withColumn("rank_fp", lit(initR)))
+    for (_ <- 0 until iters) {
+      val dangling = ranks.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)))
+        .first().getLong(0) // bounded control read: 1-row dangling mass
+      val dshare = dangling / n
+      val inSum = ranks.select(col("node").as("src"), col("rank_fp"))
+        .join(contribE, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(idiv(col("rank_fp") * col("w"), col("wtot"))).as("__in"))
+      val next = nodesF.join(inSum, Seq("node"), "left")
+        .select(col("node"), col("has_out"),
+          (lit(base) + idiv(
+            lit(dampNum) * (coalesce(col("__in"), lit(0L)) + lit(dshare)),
+            lit(dampDen))).as("rank_fp"))
+      val (mat, ids) = checkpoint(next)
+      prevIds.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      ranks = mat
+      prevIds = ids
+    }
+    ranks.select(col("node"), col("rank_fp"),
+      (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+
+  /** Authority gate: keep rows of `docs` whose `keyCol` node holds a
+    * PageRank strictly above the uniform prior scale div N — i.e. hosts
+    * the link graph promotes. The comparison runs on the exact
+    * fixed-point rank, so the kept set is deterministic. Pass a
+    * precomputed `ranks` (from [[pageRank]]) to amortize the iteration
+    * across many gates. */
+  def authorityGate(docs: DataFrame, keyCol: String, ranks: DataFrame,
+                    minRankFp: Long): DataFrame =
+    docs.join(
+      ranks.filter(col("rank_fp") > minRankFp)
+        .select(col("node").as(keyCol)),
+      Seq(keyCol), "left_semi")
+}
