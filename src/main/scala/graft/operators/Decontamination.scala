@@ -58,7 +58,18 @@ object Decontamination {
     * eval side genuinely is corpus-sized. */
   private def boundedEvalBroadcast(side: DataFrame,
                                    maxEvalGrams: Int): DataFrame = {
-    val key = (side.queryExecution.analyzed.semanticHash(), maxEvalGrams)
+    // the memo key folds in the eval source's FILE LISTING, not just the
+    // plan: a public entry point re-called over a path whose directory
+    // gained files between calls must re-count, or a grown eval set
+    // slips past the guard into the broadcast on a stale count (the
+    // listing is a driver-side metadata read, far cheaper than the
+    // count job it saves; in-memory eval frames list no files and their
+    // data is already covered by the semantic hash)
+    val filesHash =
+      java.util.Arrays.hashCode(
+        side.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
+    val key = (side.queryExecution.analyzed.semanticHash() * 31 + filesHash,
+      maxEvalGrams)
     val c: Long = Option(guardMemo.get(key)).map(_.longValue).getOrElse {
       val n = side.limit(maxEvalGrams + 1).count()
       guardMemo.put(key, n)

@@ -126,6 +126,11 @@ object Graph {
         "lower scale or pre-normalize weights")
     require(dampNum <= Long.MaxValue / (2 * scale),
       s"pageRank: dampNum=$dampNum * 2*scale=$scale overflows")
+    // n > scale ⇒ initR = 0 and every rank silently collapses to zero;
+    // fail fast like the other fixed-point guards (raise scale instead)
+    require(n <= scale,
+      s"pageRank: node count $n exceeds fixed-point scale $scale; " +
+        "raise scale so initR = scale/n stays nonzero")
     val initR = scale / n
     val base = ((dampDen - dampNum) * initR) / dampDen
 

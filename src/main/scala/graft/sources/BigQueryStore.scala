@@ -41,10 +41,10 @@ object BigQueryStore {
 
   object WriteDisposition {
     def parse(s: String): WriteDisposition = s match {
-      case "WRITE_APPEND" => WriteAppend
-      case "WRITE_TRUNCATE" => WriteTruncate
-      case other if other.toLowerCase == "append" => WriteAppend
-      case other if other.toLowerCase == "truncate" => WriteTruncate
+      // exact allow-list membership first (bigquery_queries.py:92) —
+      // mixed case ("Append", "TRUNCATE") is REFUSED like the reference
+      case "WRITE_APPEND" | "append"   => WriteAppend
+      case "WRITE_TRUNCATE" | "truncate" => WriteTruncate
       case other => throw new IllegalArgumentException(
         s"""Invalid write disposition type "$other"""") // bigquery_queries.py:93
     }

@@ -130,10 +130,19 @@ final class CdpRenderer(
           .get(controlTimeoutMs, TimeUnit.MILLISECONDS)
         nextId
       }
-      /** Poll the inbox until `pred` matches a parsed message. */
+      /** Poll the inbox until `pred` matches a parsed message.
+        * Non-matching messages are BUFFERED, not dropped: with
+        * Page.enable on, a cached/instant load can deliver
+        * Page.loadEventFired before the Page.navigate ack, and
+        * discarding it would make the later load-await burn its full
+        * timeout and collapse a successful render to NotConfigured. */
+      val pending = scala.collection.mutable.ArrayBuffer
+        .empty[com.fasterxml.jackson.databind.JsonNode]
       def await(timeoutMs: Long)(
           pred: com.fasterxml.jackson.databind.JsonNode => Boolean)
           : com.fasterxml.jackson.databind.JsonNode = {
+        val i = pending.indexWhere(pred)
+        if (i >= 0) return pending.remove(i)
         val deadline = System.currentTimeMillis() + timeoutMs
         while (true) {
           val wait = deadline - System.currentTimeMillis()
@@ -142,6 +151,7 @@ final class CdpRenderer(
           require(raw != null, "CDP await timed out")
           val node = mapper.readTree(raw)
           if (pred(node)) return node
+          pending += node
         }
         sys.error("unreachable")
       }

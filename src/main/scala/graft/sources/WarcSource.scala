@@ -127,6 +127,15 @@ object WarcSource {
         raw = new BufferedInputStream(open(), 1 << 16)
         val in =
           if (isGzip(raw)) new GZIPInputStream(raw, 1 << 16) else raw
+        // the iterator's finish() is the early-close fast path, but a
+        // PARTIALLY consumed iterator (df.limit(n), take(), a downstream
+        // task failure) never drains it — close at task completion too,
+        // or the gzip handle leaks for the life of the executor
+        val handle = in
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try handle.close() catch { case _: Exception => () }
+          })
         records(in, maxBodyBytes)
       } catch {
         case e: Exception =>

@@ -18,11 +18,16 @@ class BigQueryStoreSpec extends SparkSpec {
     assert(WriteDisposition.parse("WRITE_APPEND") === WriteAppend)
     assert(WriteDisposition.parse("WRITE_TRUNCATE") === WriteTruncate)
     assert(WriteDisposition.parse("append") === WriteAppend)
-    assert(WriteDisposition.parse("Truncate") === WriteTruncate)
-    val e = intercept[IllegalArgumentException] {
-      WriteDisposition.parse("replace")
+    assert(WriteDisposition.parse("truncate") === WriteTruncate)
+    // mixed case is NOT in bigquery_queries.py:18's allow-list — the
+    // membership check runs before the .lower() normalization, so
+    // "Truncate"/"APPEND" are refused exactly like any other string
+    for (bad <- Seq("replace", "Truncate", "APPEND", "Write_Append")) {
+      val e = intercept[IllegalArgumentException] {
+        WriteDisposition.parse(bad)
+      }
+      assert(e.getMessage.contains("Invalid write disposition"))
     }
-    assert(e.getMessage.contains("Invalid write disposition"))
   }
 
   test("time partitioning validates type and field like the reference") {
