@@ -22,14 +22,20 @@ import org.apache.spark.sql.DataFrame
   *    `insert_rows`);
   *  - parameterized query jobs (bigquery.py:243-262).
   *
-  * Row transport is newline-delimited JSON — the BigQuery REST load
-  * format — produced by Spark's own `toJSON` and STREAMED through
-  * `toLocalIterator`, so driver memory holds one partition at a time.
-  * That matches the reference's scale envelope exactly (it loads a
-  * driver-held pandas frame); at true warehouse scale the production
-  * route is parquet-to-GCS + a load-job URI, which this boundary admits
-  * (a client impl can spill the iterator to GCS and reference it)
-  * without changing any caller.
+  * Row transport, small frames: newline-delimited JSON — the BigQuery
+  * REST load format — produced by Spark's own `toJSON` and STREAMED
+  * through `toLocalIterator`, so driver memory holds one partition at
+  * a time. That matches the reference's own envelope (it loads a
+  * driver-held pandas frame, bigquery.py:211-240).
+  *
+  * Row transport, large frames (the DEFAULT above
+  * [[BigQueryWarehouse.DefaultStagedThresholdBytes]] when a staging
+  * URI is configured): the production server-side route — executors
+  * write NDJSON part files to the staging URI and only the FILE LIST
+  * crosses the driver, handed to the client's URI load job
+  * ([[BigQueryClient.loadUris]], the `load_table_from_uri` semantics
+  * of the real API). A 100 GB frame never funnels through one JVM;
+  * driver work is one metadata listing.
   */
 object BigQueryStore {
 
@@ -76,6 +82,15 @@ object BigQueryStore {
     def load(dataset: String, table: String, rows: Iterator[String],
              disposition: WriteDisposition,
              partitioning: Option[TimePartitioning]): Unit
+    /** Server-side load job from STAGED files (the production
+      * `load_table_from_uri` route): the NDJSON part files at `uris`
+      * were written executor-side; no row ever crossed the driver.
+      * Same create-if-needed / disposition / partitioning semantics as
+      * [[load]] — the two are the same job, differing only in where
+      * the bytes come from. */
+    def loadUris(dataset: String, table: String, uris: Seq[String],
+                 disposition: WriteDisposition,
+                 partitioning: Option[TimePartitioning]): Unit
     /** Streaming `insert_rows` — the checks-table path. */
     def insertRows(dataset: String, table: String,
                    rows: Seq[String]): Unit
@@ -93,7 +108,12 @@ object BigQueryStore {
     final case class Load(dataset: String, table: String, rowCount: Int,
                           disposition: WriteDisposition,
                           partitioning: Option[TimePartitioning])
+    final case class UriLoad(dataset: String, table: String,
+                             uris: Seq[String],
+                             disposition: WriteDisposition,
+                             partitioning: Option[TimePartitioning])
     val loads = new java.util.concurrent.CopyOnWriteArrayList[Load]()
+    val uriLoads = new java.util.concurrent.CopyOnWriteArrayList[UriLoad]()
     val queries = new java.util.concurrent.CopyOnWriteArrayList[(String, Map[String, String])]()
     private val state = new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
     private val parts = new java.util.concurrent.ConcurrentHashMap[String, Option[TimePartitioning]]()
@@ -104,24 +124,54 @@ object BigQueryStore {
     override def hasTable(dataset: String, table: String): Boolean =
       state.containsKey(key(dataset, table))
 
-    override def load(dataset: String, table: String,
-                      rows: Iterator[String],
-                      disposition: WriteDisposition,
-                      partitioning: Option[TimePartitioning]): Unit = {
+    /** Shared server behavior for both load routes: create-if-needed
+      * with `partitioning` (drift refused on the CANONICAL identity —
+      * case-folded, None ≡ DAY), then apply `materialized` under the
+      * disposition. */
+    private def applyLoad(dataset: String, table: String,
+                          materialized: Vector[String],
+                          disposition: WriteDisposition,
+                          partitioning: Option[TimePartitioning]): Unit = {
       val k = key(dataset, table)
       val existing = Option(parts.get(k))
-      // drift compares CANONICAL partitioning (case-folded, None ≡ DAY)
-      // — the server's identity, not the case-class literal
       existing.foreach(p => require(
         p.map(_.canonical) == partitioning.map(_.canonical),
         s"table $k exists with partitioning $p, load requested $partitioning"))
       parts.put(k, partitioning)
-      val materialized = rows.toVector
       state.compute(k, (_, prev) => disposition match {
         case WriteTruncate => materialized
         case WriteAppend => Option(prev).getOrElse(Vector.empty) ++ materialized
       })
+      ()
+    }
+
+    override def load(dataset: String, table: String,
+                      rows: Iterator[String],
+                      disposition: WriteDisposition,
+                      partitioning: Option[TimePartitioning]): Unit = {
+      val materialized = rows.toVector
+      applyLoad(dataset, table, materialized, disposition, partitioning)
       loads.add(Load(dataset, table, materialized.size, disposition,
+        partitioning))
+      ()
+    }
+
+    /** The mock "server" pulls the staged files itself — exactly what a
+      * real URI load job does; the adapter under test never touched a
+      * row (observable: `loads` stays empty, `uriLoads` records the
+      * file list). */
+    override def loadUris(dataset: String, table: String,
+                          uris: Seq[String],
+                          disposition: WriteDisposition,
+                          partitioning: Option[TimePartitioning]): Unit = {
+      val materialized = uris.toVector.flatMap { u =>
+        val src = scala.io.Source.fromFile(
+          new java.io.File(java.net.URI.create(u).getPath),
+          "UTF-8")
+        try src.getLines().toVector finally src.close()
+      }
+      applyLoad(dataset, table, materialized, disposition, partitioning)
+      uriLoads.add(UriLoad(dataset, table, uris, disposition,
         partitioning))
       ()
     }
@@ -151,9 +201,20 @@ object BigQueryStore {
 
 /** The warehouse-facing adapter: DataFrames in, reference-shaped
   * BigQuery operations out. One instance per (project, dataset) — the
-  * reference's `BigQuery` object scope (bigquery.py:41-78). */
+  * reference's `BigQuery` object scope (bigquery.py:41-78).
+  *
+  * `stagingUri`: where staged loads write their NDJSON part files
+  * (GCS in production, any Hadoop-visible URI in tests). When set,
+  * frames whose optimizer size estimate exceeds
+  * `stagedThresholdBytes` take the server-side URI route — the
+  * default for anything warehouse-sized; `toLocalIterator` survives
+  * only for small frames (and as the sole route when no staging URI
+  * is configured, the reference's own driver-held envelope). */
 final class BigQueryWarehouse(client: BigQueryStore.BigQueryClient,
-                              dataset: String) {
+                              dataset: String,
+                              stagingUri: Option[String] = None,
+                              stagedThresholdBytes: Long =
+                                BigQueryWarehouse.DefaultStagedThresholdBytes) {
   import BigQueryStore._
 
   /** The reference's streaming-insert buffer (bigquery.py:201-209):
@@ -165,16 +226,53 @@ final class BigQueryWarehouse(client: BigQueryStore.BigQueryClient,
   def hasTable(table: String): Boolean = client.hasTable(dataset, table)
 
   /** Load a DataFrame under an explicit disposition/partitioning — the
-    * bigquery_queries result sink (bigquery_queries.py:208-231). The
-    * frame streams as NDJSON one partition at a time. */
+    * bigquery_queries result sink (bigquery_queries.py:208-231).
+    * Routes by estimated size: above the staged threshold (and with a
+    * staging URI configured) the frame goes server-side via
+    * [[loadStaged]]; otherwise it streams as NDJSON one partition at a
+    * time through the driver. */
   def load(df: DataFrame, table: String, disposition: WriteDisposition,
            partitioning: Option[TimePartitioning] = None): Unit = {
     partitioning.foreach(p => require(df.columns.contains(p.field),
       s"time partitioning field '${p.field}' not in DataFrame columns " +
         df.columns.mkString("[", ", ", "]")))
-    import scala.jdk.CollectionConverters._
-    client.load(dataset, table, df.toJSON.toLocalIterator().asScala,
-      disposition, partitioning)
+    // optimizer estimate: file-size-derived for scans, exact for local
+    // relations — a metadata read, never a job
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stagingUri.isDefined && estBytes > stagedThresholdBytes)
+      loadStaged(df, table, disposition, partitioning)
+    else {
+      import scala.jdk.CollectionConverters._
+      client.load(dataset, table, df.toJSON.toLocalIterator().asScala,
+        disposition, partitioning)
+    }
+  }
+
+  /** The server-side route, explicitly: executors write the frame as
+    * NDJSON part files under the staging URI; the driver lists the
+    * part files (metadata only — no row is ever collected) and hands
+    * the list to the client's URI load job. Cleanup of the staged
+    * files is the caller's retention policy (a real load job may
+    * outlive this call), so they are left in place under a
+    * per-invocation unique directory. */
+  def loadStaged(df: DataFrame, table: String,
+                 disposition: WriteDisposition,
+                 partitioning: Option[TimePartitioning] = None): Unit = {
+    val base = stagingUri.getOrElse(throw new IllegalStateException(
+      "loadStaged requires a staging URI — construct the warehouse " +
+        "with stagingUri = Some(...)"))
+    partitioning.foreach(p => require(df.columns.contains(p.field),
+      s"time partitioning field '${p.field}' not in DataFrame columns " +
+        df.columns.mkString("[", ", ", "]")))
+    val target = s"${base.stripSuffix("/")}/$table-${
+      java.util.UUID.randomUUID()}"
+    df.toJSON.write.text(target) // executor-side NDJSON part files
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(target)
+    val uris = path.getFileSystem(hconf).listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toUri.toString).sorted.toSeq
+    client.loadUris(dataset, table, uris, disposition, partitioning)
   }
 
   /** The GSC sink shape: WRITE_APPEND + day partitioning on `date`
@@ -202,4 +300,11 @@ final class BigQueryWarehouse(client: BigQueryStore.BigQueryClient,
   /** Parameterized query (bigquery.py:243-262): named scalar params. */
   def query(sql: String, params: Map[String, String] = Map.empty)
       : Seq[String] = client.query(sql, params)
+}
+
+object BigQueryWarehouse {
+  /** Above this optimizer size estimate a staged load is the default:
+    * 64 MB — generously inside what one driver JVM tolerates, far
+    * below anything warehouse-scale. */
+  val DefaultStagedThresholdBytes: Long = 64L << 20
 }

@@ -455,6 +455,68 @@ object ScaleProbe {
     * so no iteration converges early and every pass pays full cost (the
     * worst-case training wall; separation quality is pinned by
     * QualityModelsSpec, not here) — then score the whole corpus. */
+  /** BigQuery staged-load probe: a ≥10M-row frame through
+    * [[graft.sources.BigQueryWarehouse.load]] with a staging URI — the
+    * server-side route is the default above the threshold. The probe
+    * client is METADATA-ONLY (it stats the staged part files, never
+    * opens one — a real URI load job's driver-side footprint), and the
+    * driver-iterator route counts any row that crosses it, so the
+    * require at the end is the contract: zero rows through the driver,
+    * flat driver heap across a multi-GB load. */
+  private def bqProbe(spark: SparkSession, root: String, n: Long): Unit = {
+    import graft.sources.BigQueryStore._
+    final class StatClient extends BigQueryClient {
+      var stagedBytes = 0L; var stagedFiles = 0; var uriLoadCalls = 0
+      var driverRows = 0L
+      def hasTable(d: String, t: String) = true
+      def load(d: String, t: String, rows: Iterator[String],
+               disp: WriteDisposition,
+               p: Option[TimePartitioning]): Unit =
+        rows.foreach(_ => driverRows += 1)
+      def loadUris(d: String, t: String, uris: Seq[String],
+                   disp: WriteDisposition,
+                   p: Option[TimePartitioning]): Unit = {
+        uriLoadCalls += 1
+        val hconf = spark.sparkContext.hadoopConfiguration
+        uris.foreach { u =>
+          val path = new org.apache.hadoop.fs.Path(u)
+          stagedBytes += path.getFileSystem(hconf).getFileStatus(path).getLen
+          stagedFiles += 1
+        }
+      }
+      def insertRows(d: String, t: String, rows: Seq[String]): Unit = ()
+      def query(sql: String, params: Map[String, String]): Seq[String] = Nil
+    }
+    val client = new StatClient
+    val wh = new graft.sources.BigQueryWarehouse(client, "probe",
+      stagingUri = Some(s"$root/bq_staging"))
+    val frame = spark.range(0, n, 1, 32).select(
+      col("id"),
+      date_format(date_add(to_date(lit("2024-01-01")),
+        pmod(col("id"), lit(365)).cast("int")), "yyyy-MM-dd").as("date"),
+      concat(lit("key_"), pmod(col("id"), lit(1000))).as("k"),
+      pmod(col("id") * 37, lit(100000)).as("v"))
+    def heapMb(): Long = {
+      System.gc(); Thread.sleep(300)
+      val r = Runtime.getRuntime
+      (r.totalMemory - r.freeMemory) >> 20
+    }
+    val before = heapMb()
+    time(f"staged load $n%,d rows") {
+      wh.load(frame, "big", WriteAppend,
+        Some(TimePartitioning("date", Some("DAY"))))
+    }
+    val after = heapMb()
+    println(s"[probe] driver heap before=$before MB after=$after MB " +
+      s"delta=${after - before} MB")
+    println(f"[probe] uriLoadCalls=${client.uriLoadCalls} " +
+      f"stagedFiles=${client.stagedFiles} " +
+      f"stagedBytes=${client.stagedBytes / 1e9}%.2f GB " +
+      f"driverRows=${client.driverRows} (must be 0)")
+    require(client.driverRows == 0L,
+      "staged-load contract violated: a row crossed the driver")
+  }
+
   private def clfProbe(spark: SparkSession, docsPath: String): Unit = {
     import graft.operators.QualityModels
     val docs = spark.read.parquet(docsPath)
@@ -1603,12 +1665,15 @@ object ScaleProbe {
         clfProbe(spark, docsPath)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
+      case "bq" :: root :: nRows :: Nil =>
+        bqProbe(spark, root, nRows.toLong)
       case docsPath :: rest
           if !Set("gen", "pairs", "ivf", "cc", "incr", "stream", "embincr",
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e", "clf").contains(docsPath) =>
+            "autoc", "pquery", "e2e", "clf", "warc", "bq")
+            .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
         println("usage: gen <docs> <n> <dupRate> [<emb> <nVecs>] | " +
@@ -1621,7 +1686,8 @@ object ScaleProbe {
           "range <n> | shard <docs> | hh <nTok> | distincr <nTok> <root> | " +
           "ppairs <docs> | compact <docs> <root> [nAppends] | " +
           "quant <emb> <root> [all|base|planted|plantedfast] | " +
-          "img <n> <root> | hamm <n> <root> | <docs> [<emb>]")
+          "img <n> <root> | hamm <n> <root> | bq <root> <nRows> | " +
+          "<docs> [<emb>]")
     }
     spark.stop()
   }

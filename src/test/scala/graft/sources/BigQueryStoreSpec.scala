@@ -94,6 +94,58 @@ class BigQueryStoreSpec extends SparkSpec {
       && r.contains("\"v\":")), rows.mkString("\n"))
   }
 
+  test("a frame above the staged threshold loads server-side: no row crosses the driver") {
+    val client = new RecordingBigQueryClient
+    val staging = java.nio.file.Files.createTempDirectory("bq_staging")
+      .toString
+    // threshold 1 byte: ANY frame routes staged — the point under test
+    // is the routing + the transport, not the estimator's calibration
+    val wh = new BigQueryWarehouse(client, "ds",
+      stagingUri = Some(staging), stagedThresholdBytes = 1L)
+    wh.appendDayPartitioned(df.repartition(3), "gsc")
+    assert(client.loads.isEmpty,
+      "no driver-iterator load may happen above the threshold")
+    assert(client.uriLoads.size === 1)
+    val ul = client.uriLoads.get(0)
+    assert(ul.uris.nonEmpty &&
+      ul.uris.forall(_.contains("part-")), ul.uris)
+    assert(ul.disposition === WriteAppend)
+    assert(ul.partitioning === Some(TimePartitioning("date", Some("DAY"))))
+    // the server (mock) pulled the staged files itself: same rows, same
+    // field names as the driver route would have shipped
+    val rows = client.tableRows("ds", "gsc")
+    assert(rows.size === 2)
+    assert(rows.forall(r => r.contains("\"date\":") && r.contains("\"v\":")))
+    // disposition semantics are route-independent: a truncate through
+    // the staged path replaces like the driver path does
+    wh.load(df, "summary", WriteTruncate)
+    wh.load(df, "summary", WriteTruncate)
+    assert(client.tableRows("ds", "summary").size === 2)
+    // and partition drift is still refused across routes
+    intercept[IllegalArgumentException] {
+      wh.load(df, "gsc", WriteAppend, None)
+    }
+  }
+
+  test("a small frame (or no staging URI) keeps the reference's driver-stream route") {
+    val client = new RecordingBigQueryClient
+    val staging = java.nio.file.Files.createTempDirectory("bq_staging")
+      .toString
+    // generous threshold: the 2-row frame estimates far below it
+    val wh = new BigQueryWarehouse(client, "ds",
+      stagingUri = Some(staging), stagedThresholdBytes = 1L << 30)
+    wh.load(df, "t", WriteAppend)
+    assert(client.uriLoads.isEmpty && client.loads.size === 1)
+    // no staging URI configured: staged routing can't engage at all,
+    // and the explicit staged entry point refuses with a pointer
+    val wh2 = new BigQueryWarehouse(client, "ds")
+    wh2.load(df, "t2", WriteAppend)
+    assert(client.uriLoads.isEmpty && client.loads.size === 2)
+    intercept[IllegalStateException] {
+      wh2.loadStaged(df, "t3", WriteAppend)
+    }
+  }
+
   test("streaming inserts buffer per table and drain on commit") {
     val client = new RecordingBigQueryClient
     val wh = new BigQueryWarehouse(client, "ds")
