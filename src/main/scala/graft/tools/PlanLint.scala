@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Automated scale-anti-pattern sweep over EVERY declared query's
   * physical plan: cartesian products, single-partition exchanges, and
   * unbounded nested-loop joins are the three shapes that silently stop
-  * scaling at 100×. The manual per-round plan audit, as a tool.
+  * scaling at 100×; plus the INVERSE check — queries whose operator
+  * contract requires a broadcast small side ([[requiredBroadcast]])
+  * must actually show a `BroadcastExchange`, or the plan has silently
+  * flipped to shuffling the corpus side. The manual per-round plan
+  * audit, as a tool.
   *
   * A finding is only a defect when the stage is UNBOUNDED — some plans
   * funnel ≤ k rows through one partition by design (a top-k rank window
@@ -94,6 +98,73 @@ object PlanLint {
       "one-row corpus-total scalar aggregate (map-side partials)"
   )
 
+  /** Queries whose OPERATOR CONTRACT requires a broadcast small side —
+    * the inverse assertion to the anti-pattern flags. The genus this
+    * guards against: a "small" side creeping past
+    * `autoBroadcastJoinThreshold` silently flips the join to
+    * sort-merge, shuffling the corpus side (measured live: the 10M-doc
+    * e2e probe's decontamination flip shuffled 785M positioned gram
+    * rows and filled the disk with sort spill). Each listed plan must
+    * contain a `BroadcastExchange`; a plan that lost it is an
+    * UNALLOWED `MissingBroadcast` finding, same severity as a
+    * cartesian. */
+  private[tools] val requiredBroadcast: Map[String, String] = Map(
+    // decontamination: the eval-gram side is pinned by
+    // boundedEvalBroadcast; the corpus gram explode must stay map-side
+    "q63_decontaminate" -> "eval gram set (boundedEvalBroadcast)",
+    "q76_contamination_rate" -> "eval gram set (boundedEvalBroadcast)",
+    "q92_contamination_spans" -> "eval gram set (boundedEvalBroadcast)",
+    "q136_semantic_decon" -> "eval embedding set (maxEval-capped)",
+    // NOT listed: q26/q39 lookup classification — their contract is a
+    // compiled `when`-chain (zero exchange, whole-stage codegen), which
+    // BEATS a broadcast join for CSV-sized rule tables; requiring a
+    // BroadcastExchange there would punish the better plan. Only the
+    // classifyJoin variant (large rule sets) pins a broadcast, and it
+    // pins it in code via broadcast().
+    // ANN/quantization serving: the query set (maxQueries-capped) and
+    // the centroid/codebook tables are broadcast by construction
+    "q22_brute_topk" -> "query set (maxQueries-capped)",
+    "q37_media_ann" -> "query set (maxQueries-capped)",
+    "q42_lsh_topk" -> "query set (maxQueries-capped, LSH-bucketed)",
+    "q23_ivf_topk" -> "centroid table (one row per cell)",
+    "q73_ivf_incremental" -> "centroid table (one row per cell)",
+    "q109_ivf_trained" -> "trained centroid table (k-capped)",
+    "q131_int8_topk" -> "query set (maxQueries-capped)",
+    "q133_pq_topk" -> "query set + codebook (m·ksub rows)",
+    "q137_ivfpq_topk" -> "centroid table + codebook",
+    "q138_ivfadc_topk" -> "centroid table + codebook",
+    "q139_ivfadc_incremental" -> "centroid table + codebook",
+    "q141_binary_topk" -> "query set (maxQueries-capped)",
+    "q146_ivfpq_sweep" -> "centroid table (query side stays partitioned)",
+    "q147_ivfadc_sweep" -> "centroid table (query side stays partitioned)",
+    // corpus-total scalars: one-row aggregates joined back broadcast
+    "q97_token_drift" -> "one-row corpus totals",
+    "q31_watermark_read" -> "one-row watermark scalar"
+  )
+
+  /** The lint core, testable without a session: given a query name and
+    * its physical plan string, return (allowed findings with their
+    * justification, unallowed findings). */
+  private[tools] def planFindings(name: String, plan: String)
+      : (Seq[(String, String)], Seq[String]) = {
+    val antiFlags = Seq(
+      "CartesianProduct" -> plan.contains("CartesianProduct"),
+      "SinglePartition" -> plan.contains("Exchange SinglePartition"),
+      "NestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin")
+    ).collect { case (f, true) => f }
+    val missingBroadcast =
+      if (requiredBroadcast.contains(name) &&
+          !plan.contains("BroadcastExchange") &&
+          !plan.contains("BroadcastQueryStage"))
+        Seq("MissingBroadcast")
+      else Nil
+    val (allowedHits, unallowedHits) = antiFlags.partition(f =>
+      allowed.contains((name, f)))
+    (allowedHits.map(f => f -> allowed((name, f))),
+      unallowedHits ++ missingBroadcast.map(f =>
+        s"$f (contract: ${requiredBroadcast(name)})"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
@@ -108,19 +179,13 @@ object PlanLint {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val flags = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "SinglePartition" -> plan.contains("Exchange SinglePartition"),
-          "NestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin")
-        ).collect { case (f, true) => f }
-        flags.foreach { f =>
-          allowed.get((name, f)) match {
-            case Some(why) =>
-              println(s"[lint] $name: $f — ALLOWED ($why)")
-            case None =>
-              unallowed += 1
-              println(s"[lint] $name: $f — UNALLOWED")
-          }
+        val (allowedHits, unallowedHits) = planFindings(name, plan)
+        allowedHits.foreach { case (f, why) =>
+          println(s"[lint] $name: $f — ALLOWED ($why)")
+        }
+        unallowedHits.foreach { f =>
+          unallowed += 1
+          println(s"[lint] $name: $f — UNALLOWED")
         }
       } catch {
         case e: Throwable =>
