@@ -74,12 +74,14 @@ object WarcSource {
     * the store's monotone ids (the sink's documented id contract; an
     * ingest-time sequence source satisfies it by construction).
     *
-    * Memory note: the binaryFile source materializes each archive as
-    * one `content` byte array (unlike the batch path's true streaming
-    * read), so this form is for shard-sized archives — CommonCrawl's
-    * ~1 GB WARCs at the default one-file-per-task parallelism need
-    * executors provisioned for one archive in memory per task. The
-    * per-record `maxBodyBytes` cap still bounds the PARSED rows. */
+    * Memory shape: the stream rides the binaryFile source for its file
+    * DISCOVERY and exactly-once file tracking only — the `content`
+    * column is pruned away (the source's documented behavior: an
+    * unrequired content field is never read), so each micro-batch
+    * carries file REFERENCES, and the executors open a Hadoop stream
+    * per archive inside the flatMap, exactly like the batch path. A
+    * 1 GB CommonCrawl WARC never materializes whole; per-task memory
+    * is one decode buffer plus `maxBodyBytes`. */
   def readStream(spark: SparkSession, dir: String,
                  maxBodyBytes: Int = 1 << 20,
                  maxFilesPerTrigger: Int = 16): DataFrame = {
@@ -96,12 +98,16 @@ object WarcSource {
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-    src.select(col("path"), col("content"))
-      .as[(String, Array[Byte])](
-        Encoders.tuple(Encoders.STRING, Encoders.BINARY))
-      .flatMap { case (file, bytes) =>
+    // Hadoop Configuration is not serializable; ship it the standard way
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    src.select(col("path")) // content pruned: the scan reads NO bytes
+      .as[String](Encoders.STRING)
+      .flatMap { file =>
+        val p = new org.apache.hadoop.fs.Path(file)
         archiveRows(file,
-          () => new java.io.ByteArrayInputStream(bytes), maxBodyBytes)
+          () => p.getFileSystem(confBc.value.value).open(p), maxBodyBytes)
       }(Encoders.row(schema))
   }
 

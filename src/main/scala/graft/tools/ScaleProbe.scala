@@ -1465,6 +1465,38 @@ object ScaleProbe {
     println(f"[probe] text projection $dt%.2f s  " +
       f"${n / dt / 1000}%.0f krec/s  ${bytes / 1e9 / dt}%.2f GB/s  " +
       s"chars=$ok")
+
+    // streaming form: file-REFERENCE micro-batches (content pruned at
+    // the source), executor-opened streams — peak heap must stay far
+    // under sum-of-archives, the bound the old whole-array form lacked
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      while (!Thread.currentThread().isInterrupted) {
+        val r = Runtime.getRuntime
+        val used = r.totalMemory - r.freeMemory
+        peak.accumulateAndGet(used, math.max)
+        try Thread.sleep(50) catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt() }
+      }
+    })
+    sampler.setDaemon(true)
+    System.gc()
+    sampler.start()
+    val t1 = System.nanoTime()
+    var streamed = 0L
+    val q = graft.sources.WarcSource
+      .readResponsesStream(spark, s"$root/warc", maxFilesPerTrigger = 8)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) => streamed += df.count() }
+      .option("checkpointLocation", s"$root/warc_ckpt")
+      .start()
+    q.awaitTermination()
+    sampler.interrupt()
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    println(f"[probe] streaming form $dt1%.2f s  rows=$streamed  " +
+      f"peak heap ${peak.get / 1e9}%.2f GB (archives on disk " +
+      f"${bytes / 1e9}%.2f GB pre-gzip)")
   }
 
   /** The composed thing a real training-data run is: curate (surgical
