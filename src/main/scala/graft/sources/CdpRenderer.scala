@@ -37,7 +37,16 @@ import scala.util.control.NonFatal
   *  4. the HttpClient is `@transient lazy`, built once per executor
   *     closure; WebSockets live per render call, never serialized;
   *  5. output is the DOM at load-complete — replay identity is the
-  *     staging append's concern.
+  *     staging append's concern;
+  *  6. the [[HttpFetcher]] pacing discipline, ported to the render
+  *     path (reference envelope google_pagespeed.py:32-35): at least
+  *     `minIntervalMs` between tab dispatches per renderer instance
+  *     (SECONDS_BETWEEN_REQUESTS = 3), and at most
+  *     `maxConcurrentTabs` tabs open against the endpoint at once
+  *     (MAX_PARALLEL_REQUESTS = 10) — partitions sharing one executor
+  *     renderer cannot stampede a browser whose tab pool is the
+  *     scarce resource, and a thousands-URL rendered urlset paces
+  *     predictably inside the 600 s module budget.
   *
   * Specced against an in-process fake devtools server
   * ([[graft.tools.DevServers.MockDevtoolsServer]]) driving the full
@@ -48,18 +57,43 @@ final class CdpRenderer(
     endpoint: String = "http://127.0.0.1:9222",
     pageLoadTimeoutMs: Long = 30000L,
     scriptTimeoutMs: Long = 10000L,
-    controlTimeoutMs: Long = 10000L) extends Renderer {
+    controlTimeoutMs: Long = 10000L,
+    minIntervalMs: Long = 3000L,
+    maxConcurrentTabs: Int = 10,
+    sleeper: Long => Unit = Thread.sleep) extends Renderer {
+
+  require(maxConcurrentTabs > 0,
+    s"maxConcurrentTabs must be positive, got $maxConcurrentTabs")
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(controlTimeoutMs))
     .build()
   @transient private lazy val mapper = new ObjectMapper()
 
+  // tab-pool bound: acquired around the WHOLE tab lifetime (create →
+  // render → close), fair so a stampede drains FIFO
+  @transient private lazy val tabPermits =
+    new java.util.concurrent.Semaphore(maxConcurrentTabs, true)
+  @transient private var lastDispatchAt = 0L
+
+  /** The HttpFetcher token bucket, verbatim: at least `minIntervalMs`
+    * between tab DISPATCHES per instance (concurrent callers queue on
+    * the lock, so the pacing holds across threads too). */
+  private def throttle(): Unit = synchronized {
+    val wait = lastDispatchAt + minIntervalMs - System.currentTimeMillis()
+    if (wait > 0 && lastDispatchAt > 0) sleeper(wait)
+    lastDispatchAt = System.currentTimeMillis()
+  }
+
   override def render(url: String): String =
     try {
-      val tab = newTab()
-      try renderInTab(tab.wsUrl, url)
-      finally closeTab(tab.id) // best-effort; failures already collapsed
+      tabPermits.acquire()
+      try {
+        throttle()
+        val tab = newTab()
+        try renderInTab(tab.wsUrl, url)
+        finally closeTab(tab.id) // best-effort; failures already collapsed
+      } finally tabPermits.release()
     } catch {
       case NonFatal(_) => Renderer.NotConfigured
     }

@@ -140,6 +140,10 @@ object DevServers {
                                  refuseTabs: Boolean = false) {
     val navigated = new java.util.concurrent.CopyOnWriteArrayList[String]()
     val closedTabs = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    // concurrency gauge: tabs open right now / high-water mark — what a
+    // pacing/parallelism spec asserts against
+    val openTabs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxOpenTabs = new java.util.concurrent.atomic.AtomicInteger(0)
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     private val server = new ServerSocket(0, 8,
       java.net.InetAddress.getByName("127.0.0.1"))
@@ -203,10 +207,12 @@ object DevServers {
         if (refuseTabs) httpReply(500, "{\"error\":\"no tabs\"}")
         else {
           val id = s"tab${System.nanoTime()}"
+          maxOpenTabs.accumulateAndGet(openTabs.incrementAndGet(), math.max)
           httpReply(200, s"""{"id":"$id","webSocketDebuggerUrl":""" +
             s""""ws://127.0.0.1:$port/devtools/page/$id"}""")
         }
       } else if (path.startsWith("/json/close/")) {
+        openTabs.decrementAndGet()
         closedTabs.add(path.stripPrefix("/json/close/"))
         httpReply(200, "Target is closing", "text/plain")
         ()

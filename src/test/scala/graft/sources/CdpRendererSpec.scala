@@ -16,7 +16,8 @@ class CdpRendererSpec extends AnyFunSuite {
     val srv = new MockDevtoolsServer(rendered)
     try {
       val r = new CdpRenderer(srv.base, pageLoadTimeoutMs = 5000L,
-        scriptTimeoutMs = 5000L, controlTimeoutMs = 5000L)
+        scriptTimeoutMs = 5000L, controlTimeoutMs = 5000L,
+        minIntervalMs = 0L)
       val out = r.render("https://ex.com/spa")
       assert(out === rendered("https://ex.com/spa"))
       assert(srv.navigated.get(0) === "https://ex.com/spa",
@@ -53,6 +54,40 @@ class CdpRendererSpec extends AnyFunSuite {
     } finally hung.stop()
   }
 
+  test("tab concurrency is bounded and dispatches are paced — the " +
+      "reference envelope (10 parallel, 3 s between requests)") {
+    val srv = new MockDevtoolsServer(rendered)
+    import scala.jdk.CollectionConverters._
+    try {
+      // 8 threads stampede a 2-tab renderer: the endpoint must never
+      // see more than 2 tabs open at once, and every render completes
+      val sleeps = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val r = new CdpRenderer(srv.base, pageLoadTimeoutMs = 5000L,
+        scriptTimeoutMs = 5000L, controlTimeoutMs = 5000L,
+        minIntervalMs = 3000L, maxConcurrentTabs = 2,
+        sleeper = ms => { sleeps.add(ms); () })
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val results = pool.invokeAll(
+          (0 until 8).map { i =>
+            new java.util.concurrent.Callable[String] {
+              def call(): String = r.render(s"https://ex.com/p$i")
+            }
+          }.asJava).asScala.map(_.get())
+        assert(results.toSet ===
+          (0 until 8).map(i => rendered(s"https://ex.com/p$i")).toSet)
+      } finally pool.shutdown()
+      assert(srv.maxOpenTabs.get() <= 2,
+        s"endpoint saw ${srv.maxOpenTabs.get()} concurrent tabs")
+      assert(srv.closedTabs.size() === 8, "every tab closed")
+      // pacing: 8 dispatches through the bucket → 7 recorded waits,
+      // each bounded by the configured interval (recorded, not slept —
+      // the HttpFetcher spec discipline)
+      assert(sleeps.size() === 7, s"recorded waits: $sleeps")
+      assert(sleeps.asScala.forall(ms => ms > 0 && ms <= 3000L), sleeps)
+    } finally srv.stop()
+  }
+
   test("HtmlParserSource render path works end-to-end through the real " +
       "adapter") {
     val spark = graft.SparkSpec.session
@@ -63,7 +98,8 @@ class CdpRendererSpec extends AnyFunSuite {
         "https://ex.com/spa" -> "<html>raw shell</html>",
         "https://ex.com/plain" -> "<html>plain</html>"))
       val renderer = new CdpRenderer(srv.base, pageLoadTimeoutMs = 5000L,
-        scriptTimeoutMs = 5000L, controlTimeoutMs = 5000L)
+        scriptTimeoutMs = 5000L, controlTimeoutMs = 5000L,
+        minIntervalMs = 0L)
       val now = () => new java.sql.Timestamp(1700000000000L)
       val staged = HtmlParserSource.stage(spark,
         Seq(ConfigUrl("s", "https://ex.com/spa", render = true),
