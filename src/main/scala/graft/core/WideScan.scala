@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning for WIDE-STRING parquet scans — the engine's own
+  * guard for the failure the 10M-doc e2e probe hit twice: Spark's
+  * vectorized reader sizes its columnar batches in ROWS (default
+  * 4096), so a documents table of ~KB texts turns each batch into a
+  * multi-MB contiguous allocation, and `maxPartitionBytes` (default
+  * 128 MB) lets a single task hold hundreds of MB of live strings
+  * through a transform chain. With many reader threads per executor
+  * and modest heap-per-core, either one OOMs a scan whose plan is
+  * otherwise fine.
+  *
+  * [[tuneForRowWidth]] is called by the engine's text-scan entry
+  * points (curation, BPE encode, the WARC text projection) so the
+  * operator carries its own sizing instead of a runbook note. The
+  * clamp:
+  *  - only ever tightens (a user's explicit smaller setting wins;
+  *    a roomy heap leaves the defaults untouched);
+  *  - scales with HEAP PER TASK SLOT — on `local[n]`, driver heap / n;
+  *    on a cluster, `spark.executor.memory / spark.executor.cores` —
+  *    so the same code is a no-op on well-provisioned executors and
+  *    engages exactly when bytes-per-core is tight;
+  *  - is session-sticky by necessity: the reader reads the conf at
+  *    EXECUTION time, and the entry points return lazy frames, so a
+  *    set-and-restore would never be in effect when the scan runs.
+  *    The cost of a tightened batch on narrow scans in the same
+  *    session is a few percent of scan loop overhead; the cost of the
+  *    default on a wide scan is the executor.
+  *
+  * Calibration (probe-derived, `ScaleProbe e2e` at 16 GB / 32 slots =
+  * 0.5 GB per slot, ~1.2 KB texts): batch rows clamp to
+  * perSlot/256/rowWidth ≈ 1024 (the value that fixed the probe live)
+  * and partition bytes to perSlot/16 = 32 MB (ditto).
+  */
+object WideScan {
+
+  /** Expected bytes per document text for web/training corpora — the
+    * width the curation entry points declare when the caller has no
+    * better estimate. */
+  val DefaultDocBytes: Long = 2048L
+
+  /** Heap available to one concurrent task: local master → driver heap
+    * over local parallelism; cluster → executor memory over executor
+    * cores (the provisioning knobs a cluster operator actually sets). */
+  def heapPerSlotBytes(spark: SparkSession): Long = {
+    val sc = spark.sparkContext
+    if (sc.master.startsWith("local"))
+      Runtime.getRuntime.maxMemory / math.max(1, sc.defaultParallelism)
+    else {
+      val mem = parseBytes(
+        spark.conf.get("spark.executor.memory", "1g"), "m")
+      val cores = spark.conf.get("spark.executor.cores", "1").toInt
+      mem / math.max(1, cores)
+    }
+  }
+
+  /** Tighten the vectorized reader batch and the scan partition size
+    * for scans whose rows average `rowWidthBytes`. Idempotent;
+    * only-down; floors keep pathological widths from degenerating the
+    * scan (256 rows / 16 MB). */
+  def tuneForRowWidth(spark: SparkSession,
+                      rowWidthBytes: Long = DefaultDocBytes): Unit = {
+    val perSlot = heapPerSlotBytes(spark)
+    val rows = math.min(4096L, math.max(256L,
+      perSlot / 256 / math.max(1L, rowWidthBytes)))
+    val curRows = spark.conf
+      .get("spark.sql.parquet.columnarReaderBatchSize", "4096").toLong
+    if (rows < curRows)
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+        rows.toString)
+    val partBytes = math.max(16L << 20, perSlot / 16)
+    val curPart = parseBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"), "b")
+    if (partBytes < curPart)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        partBytes.toString)
+  }
+
+  /** "16g" / "512m" / "134217728" / "128MB" → bytes (`defaultUnit` for
+    * a bare number — Spark's executor.memory is MiB, byte-typed confs
+    * are bytes). */
+  private[core] def parseBytes(s: String, defaultUnit: String): Long = {
+    val t = s.trim.toLowerCase
+    if (t.forall(_.isDigit))
+      if (defaultUnit == "m") t.toLong << 20 else t.toLong
+    else
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
+  }
+}

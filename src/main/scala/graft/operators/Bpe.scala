@@ -185,6 +185,9 @@ object Bpe {
     * full-depth spec pins the cap. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: DataFrame): DataFrame = {
+    // encode explodes each ~KB text into per-codepoint workspace many
+    // times its size; clamp the scan batches to heap-per-slot first
+    graft.core.WideScan.tuneForRowWidth(docs.sparkSession)
     val m = merges.select(col("rank").cast("int"), col("lhs"), col("rhs"))
       .orderBy(col("rank").asc).limit(MaxMerges + 1).collect()
     require(m.length <= MaxMerges,

@@ -191,6 +191,10 @@ object Pipeline {
              withAudit: Boolean = false,
              stage: DataFrame => DataFrame = _.localCheckpoint(true))
       : CurateResult = {
+    // the pipeline's transforms are string-heavy over ~KB texts; size
+    // the scan batches to the session's heap-per-slot before anything
+    // executes (WideScan: only-down, no-op on roomy executors)
+    graft.core.WideScan.tuneForRowWidth(docs.sparkSession)
     val pf = preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
     val scored = pf.scored
     // the audit's exact-dup loser scan is a second read of the
@@ -357,6 +361,7 @@ object Pipeline {
         : CurateDelta = {
       import spark.implicits._
       Pipeline.requireIntegralId(batch.schema, idCol, "CurationStore")
+      graft.core.WideScan.tuneForRowWidth(spark) // wide-string scans ahead
       // roll back any crashed prior ingest BEFORE the orphan scan below:
       // its partial artifacts are legitimate rollback targets, not
       // orphans, and must not trip the no-commit-record check on a

@@ -1507,20 +1507,12 @@ object ScaleProbe {
   private def e2eProbe(spark: SparkSession, docsPath: String,
                        root: String): Unit = {
     import graft.operators._
-    // curate's per-row transforms are string-heavy (normalize, PII,
-    // decon span work): 32 concurrent ~300 MB text partitions blew the
-    // probe JVM's heap at 10M docs. Cap scan partitions at 32 MB so a
-    // task's live strings stay small — the executor-sizing discipline
-    // (partition bytes × concurrent tasks < heap) applied locally.
-    spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
-    // second 10M lesson: the VECTORIZED READER's own batches OOM before
-    // the tasks do — 4096-row columnar batches of ~1 KB texts are ~4 MB
-    // contiguous allocations, and 32 concurrent readers × several
-    // buffered batches exceeded the 0.25 GB/core heap mid-stage.
-    // Quarter the batch rows; cluster equivalent: set
-    // columnarReaderBatchSize for wide-string scans or provision
-    // ≥0.5 GB/core (the probe runs at SPARK_DRIVER_MEM=16g = 0.5/core).
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "1024")
+    // NO manual scan-sizing overrides here anymore: the two 10M-doc
+    // lessons this probe learned live (300 MB text partitions × 32
+    // tasks, then 4 MB columnar reader batches × 32 readers, both past
+    // the 0.25–0.5 GB/core heap) are now carried by the ENGINE's text
+    // entry points via graft.core.WideScan — the probe runs at default
+    // session config and must stay green that way.
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
     println(s"[probe] e2e corpus=$n")

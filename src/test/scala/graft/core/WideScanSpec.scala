@@ -1,0 +1,56 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** Pins the wide-string scan guard's clamp arithmetic and its
+  * only-tightens contract — the engine-side replacement for the e2e
+  * probe's manual reader-batch / partition-bytes overrides. */
+class WideScanSpec extends SparkSpec {
+
+  test("parseBytes handles Spark's executor-memory and byte-conf spellings") {
+    assert(WideScan.parseBytes("16g", "m") === 16L << 30)
+    assert(WideScan.parseBytes("512m", "m") === 512L << 20)
+    assert(WideScan.parseBytes("128MB", "b") === 128L << 20)
+    assert(WideScan.parseBytes("134217728", "b") === 134217728L)
+    // a bare number in executor.memory means MiB (Spark's own parse)
+    assert(WideScan.parseBytes("1024", "m") === 1L << 30)
+  }
+
+  test("the clamp only tightens, and engages exactly when heap-per-slot is tight") {
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val partKey = "spark.sql.files.maxPartitionBytes"
+    val priorBatch = spark.conf.get(batchKey, "4096")
+    val priorPart = spark.conf.get(partKey, "134217728")
+    try {
+      // a user's explicitly-tighter setting always wins
+      spark.conf.set(batchKey, "128")
+      WideScan.tuneForRowWidth(spark, rowWidthBytes = 1)
+      assert(spark.conf.get(batchKey) === "128",
+        "tuneForRowWidth must never loosen an explicit setting")
+
+      // the probe calibration point: 0.5 GB/slot, ~2 KB rows → 1024
+      // rows and 32 MB partitions (the values that fixed the live OOMs)
+      spark.conf.set(batchKey, "4096")
+      val perSlot = 512L << 20
+      val rows = math.min(4096L, math.max(256L, perSlot / 256 / 2048))
+      assert(rows === 1024L)
+      assert(math.max(16L << 20, perSlot / 16) === (32L << 20))
+
+      // a roomy heap leaves defaults untouched: 8 GB/slot → computed
+      // rows cap at the 4096 default, partition floor above 128 MB
+      val roomy = 8L << 30
+      assert(math.min(4096L, math.max(256L, roomy / 256 / 2048)) === 4096L)
+      assert(math.max(16L << 20, roomy / 16) >= (128L << 20))
+    } finally {
+      spark.conf.set(batchKey, priorBatch)
+      spark.conf.set(partKey, priorPart)
+    }
+  }
+
+  test("heapPerSlotBytes divides local heap by local parallelism") {
+    val perSlot = WideScan.heapPerSlotBytes(spark)
+    val expected = Runtime.getRuntime.maxMemory /
+      math.max(1, spark.sparkContext.defaultParallelism)
+    assert(perSlot === expected)
+  }
+}
