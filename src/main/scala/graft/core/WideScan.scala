@@ -22,12 +22,14 @@ import org.apache.spark.sql.SparkSession
   *    on a cluster, `spark.executor.memory / spark.executor.cores` —
   *    so the same code is a no-op on well-provisioned executors and
   *    engages exactly when bytes-per-core is tight;
-  *  - is session-sticky by necessity: the reader reads the conf at
-  *    EXECUTION time, and the entry points return lazy frames, so a
-  *    set-and-restore would never be in effect when the scan runs.
-  *    The cost of a tightened batch on narrow scans in the same
-  *    session is a few percent of scan loop overhead; the cost of the
-  *    default on a wide scan is the executor.
+  *  - is SCOPED to the operator's eager body ([[withScanSizing]]):
+  *    the reader reads the conf at execution time, and the curation
+  *    entry points materialize their scans inside the call (staged
+  *    checkpoints), so tighten-on-entry / restore-on-exit covers
+  *    exactly the wide scans and leaves the rest of the session at
+  *    Spark defaults. (A sticky session-wide clamp was measured to
+  *    slow UNRELATED narrow scans by 1.3–2× at bench scale — scoping
+  *    is load-bearing, not hygiene.)
   *
   * Calibration (probe-derived, `ScaleProbe e2e` at 16 GB / 32 slots =
   * 0.5 GB per slot, ~1.2 KB texts): batch rows clamp to
@@ -56,10 +58,34 @@ object WideScan {
     }
   }
 
+  /** Run `body` with the scan sizing tightened for `rowWidthBytes`,
+    * restoring the session's prior values afterwards. The entry-point
+    * form: an operator whose wide scans all execute inside the call
+    * (curate's staged checkpoints, an ingest transaction) wraps its
+    * body and leaves no session-wide residue. */
+  def withScanSizing[A](spark: SparkSession,
+                        rowWidthBytes: Long = DefaultDocBytes)(body: => A): A = {
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val partKey = "spark.sql.files.maxPartitionBytes"
+    val priorBatch = spark.conf.getOption(batchKey)
+    val priorPart = spark.conf.getOption(partKey)
+    def restore(key: String, prior: Option[String]): Unit = prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    tuneForRowWidth(spark, rowWidthBytes)
+    try body
+    finally {
+      restore(batchKey, priorBatch)
+      restore(partKey, priorPart)
+    }
+  }
+
   /** Tighten the vectorized reader batch and the scan partition size
     * for scans whose rows average `rowWidthBytes`. Idempotent;
     * only-down; floors keep pathological widths from degenerating the
-    * scan (256 rows / 16 MB). */
+    * scan (256 rows / 16 MB). Prefer [[withScanSizing]] — this form
+    * leaves the clamp set for the session. */
   def tuneForRowWidth(spark: SparkSession,
                       rowWidthBytes: Long = DefaultDocBytes): Unit = {
     val perSlot = heapPerSlotBytes(spark)

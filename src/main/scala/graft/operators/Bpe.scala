@@ -186,8 +186,10 @@ object Bpe {
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: DataFrame): DataFrame = {
     // encode explodes each ~KB text into per-codepoint workspace many
-    // times its size; clamp the scan batches to heap-per-slot first
-    graft.core.WideScan.tuneForRowWidth(docs.sparkSession)
+    // times its size — when `docs` is a raw wide-string parquet scan,
+    // action it under [[graft.core.WideScan.withScanSizing]] (the
+    // curation entry points do this for theirs; encode returns a LAZY
+    // frame, so a clamp here would not be in effect at execution time)
     val m = merges.select(col("rank").cast("int"), col("lhs"), col("rhs"))
       .orderBy(col("rank").asc).limit(MaxMerges + 1).collect()
     require(m.length <= MaxMerges,

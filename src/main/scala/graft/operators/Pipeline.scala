@@ -122,7 +122,24 @@ object Pipeline {
       textCol: String, evalTexts: Option[DataFrame], evalTextCol: String,
       cfg: CurateConfig, stage: DataFrame => DataFrame)
       : PreFiltered = {
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    // the pipeline's per-row work (tokenize → score → redact → excise)
+    // is the expensive part, and a SMALL corpus often arrives as one
+    // parquet file = one scan partition, serializing all of it on one
+    // core while 31 idle (measured: 4s single-threaded for 5k docs at
+    // sf0.1). Widen tight layouts up to the session's parallelism — a
+    // driver-side branch on the plan's partition count, so a
+    // warehouse-scale input (partitions >> cores) keeps its layout and
+    // pays no exchange. The widened frame is materialized EAGERLY:
+    // a bare repartition is porous (Catalyst pushes the deterministic
+    // score filter below the exchange, right back onto the one-task
+    // scan — measured, the whole win disappears); the checkpoint is a
+    // real barrier, and at ≤ a few MB it costs nothing.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val srcParts = docs.rdd.getNumPartitions
+    val widened = if (srcParts < math.min(par, 32))
+      docs.repartition(par).localCheckpoint(true)
+    else docs
+    val base = widened.select(col(idCol).as("id"), col(textCol).as("text"))
     // one tokenization feeds both scores (lambda-capture rule: tokens
     // bound to a column first, scores staged off it)
     val scored = base
@@ -190,11 +207,11 @@ object Pipeline {
              withCounts: Boolean = false,
              withAudit: Boolean = false,
              stage: DataFrame => DataFrame = _.localCheckpoint(true))
-      : CurateResult = {
+      : CurateResult =
     // the pipeline's transforms are string-heavy over ~KB texts; size
-    // the scan batches to the session's heap-per-slot before anything
-    // executes (WideScan: only-down, no-op on roomy executors)
-    graft.core.WideScan.tuneForRowWidth(docs.sparkSession)
+    // the scan batches to heap-per-slot FOR THIS CALL (the staged
+    // checkpoints execute every wide scan inside it) and restore after
+    graft.core.WideScan.withScanSizing(docs.sparkSession) {
     val pf = preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
     val scored = pf.scored
     // the audit's exact-dup loser scan is a second read of the
@@ -253,7 +270,7 @@ object Pipeline {
           .unionByName(nearDropped))
       }
     CurateResult(kept, counts, audit)
-  }
+    }
 
   /** One ingest's delta: `kept` = batch docs entering the curated corpus
     * (id, redacted text); `retracted` = ids of PREVIOUSLY kept docs that
@@ -361,7 +378,6 @@ object Pipeline {
         : CurateDelta = {
       import spark.implicits._
       Pipeline.requireIntegralId(batch.schema, idCol, "CurationStore")
-      graft.core.WideScan.tuneForRowWidth(spark) // wide-string scans ahead
       // roll back any crashed prior ingest BEFORE the orphan scan below:
       // its partial artifacts are legitimate rollback targets, not
       // orphans, and must not trip the no-commit-record check on a
@@ -403,6 +419,9 @@ object Pipeline {
         s"batch ids must exceed all previously ingested ids " +
           s"(batch min ${bounds.getLong(0)} <= store max $prevMax)")
 
+      // wide-string scans all execute inside the transaction's staged
+      // materializations — tighten scan sizing for the call, restore after
+      graft.core.WideScan.withScanSizing(spark) {
       graft.sources.StoreTxn.transact(spark, root) {
       val txn = graft.sources.StoreTxn.current(root)
       val pf =
@@ -521,6 +540,7 @@ object Pipeline {
         Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
       txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
       CurateDelta(kept, retracted, audit)
+      }
       }
     }
 

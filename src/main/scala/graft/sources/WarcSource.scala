@@ -175,9 +175,6 @@ object WarcSource {
     responsesProjection(read(spark, path, maxBodyBytes))
 
   private def responsesProjection(records: DataFrame): DataFrame = {
-    // downstream consumers re-scan this projection's materialized form
-    // as a wide-string table; carry the scan sizing with the operator
-    graft.core.WideScan.tuneForRowWidth(records.sparkSession)
     val lossyUtf8 = udf((b: Array[Byte]) =>
       if (b == null) null
       else new String(b, java.nio.charset.StandardCharsets.UTF_8))

