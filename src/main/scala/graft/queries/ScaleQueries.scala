@@ -384,5 +384,96 @@ private[queries] object ScaleQueries {
         store.estimate()
       },
       None),
+
+    // ===== link-graph degrees: weighted in/out degrees over the
+    // supplier→part shipment graph (one edge per order line 1) — the
+    // per-node fan-out/fan-in profile a domain-authority pass starts
+    // from =====
+    QueryDef("q153_graph_degrees",
+      (s, dir) => graft.operators.Graph.degrees(
+        graphEdges(s, dir), "src", "dst", Some("w")),
+      Some(s"""
+        WITH $graphEdgeCtes,
+        -- degrees counts PARALLEL edges individually (e0, uncollapsed)
+        o AS (SELECT src AS node, count(*) AS out_deg,
+                     CAST(sum(w) AS BIGINT) AS out_weight
+              FROM e0 GROUP BY 1),
+        i AS (SELECT dst AS node, count(*) AS in_deg,
+                     CAST(sum(w) AS BIGINT) AS in_weight
+              FROM e0 GROUP BY 1)
+        SELECT coalesce(o.node, i.node) AS node,
+               coalesce(out_deg, 0) AS out_deg,
+               coalesce(in_deg, 0) AS in_deg,
+               coalesce(out_weight, 0) AS out_weight,
+               coalesce(in_weight, 0) AS in_weight
+        FROM o FULL OUTER JOIN i ON o.node = i.node""")),
+
+    // ===== deterministic fixed-point PageRank, 3 iterations, over the
+    // same graph — every update is integer multiply / floor-divide /
+    // sum, so the oracle replays the iterations EXACTLY (unrolled CTE
+    // chain, HUGEINT-safe casts); the float `rank` is rank_fp / 2^30,
+    // a power-of-two division both engines compute exactly =====
+    QueryDef("q154_graph_pagerank",
+      (s, dir) => graft.operators.Graph.pageRank(
+        graphEdges(s, dir), "src", "dst", iters = 3, Some("w")),
+      Some {
+        def iter(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT nf.node, nf.has_out,
+            CAST((SELECT base FROM k)
+              + (85 * (coalesce(i.insum, 0) + d.dsh)) // 100 AS BIGINT)
+              AS rank_fp
+          FROM nf
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum((r.rank_fp * e.w) // ow.wtot) AS insum
+                     FROM $prev r
+                     JOIN e ON r.node = e.src
+                     JOIN ow ON e.src = ow.src
+                     GROUP BY 1) i ON nf.node = i.node
+          CROSS JOIN (SELECT coalesce(sum(rank_fp), 0)
+                        // (SELECT n FROM k) AS dsh
+                      FROM $prev WHERE NOT has_out) d)"""
+        s"""
+        WITH $graphEdgeCtes,
+        ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY 1),
+        nd AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nf AS (SELECT nd.node, ow.src IS NOT NULL AS has_out
+               FROM nd LEFT JOIN ow ON nd.node = ow.src),
+        k AS (SELECT count(*) AS n,
+                     1073741824 // count(*) AS initr,
+                     ((100 - 85) * (1073741824 // count(*))) // 100 AS base
+              FROM nf),
+        r0 AS (SELECT node, has_out,
+                      CAST((SELECT initr FROM k) AS BIGINT) AS rank_fp
+               FROM nf),
+        ${iter("r0", "r1")},
+        ${iter("r1", "r2")},
+        ${iter("r2", "r3")}
+        SELECT node, rank_fp,
+               CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
+        FROM r3"""
+      }),
   )
+
+  /** The link graph both Graph queries share: supplier → part, one edge
+    * per order's first line, weighted by quantity (integer-valued
+    * doubles, exact as BIGINT). Parallel edges are REAL here (a
+    * supplier ships the same part on many orders) — exactly what
+    * degrees counts individually and pageRank collapses by weight. */
+  private def graphEdges(s: org.apache.spark.sql.SparkSession,
+                         dir: String) =
+    T.lineitem(s, dir).filter(col("l_linenumber") === 1)
+      .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"),
+        col("l_quantity").cast("long").as("w"))
+
+  // LAZY: `defs` above initializes first in declaration order, and a
+  // plain val would interpolate as "null" into the SQL (the catalog's
+  // documented init-order trap)
+  private lazy val graphEdgeCtes =
+    """e0 AS (SELECT l_suppkey AS src, l_partkey AS dst,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem WHERE l_linenumber = 1),
+        e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+              FROM e0 GROUP BY 1, 2 HAVING sum(w) > 0)"""
 }
