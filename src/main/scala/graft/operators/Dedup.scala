@@ -150,12 +150,7 @@ object Dedup {
     // interpreted, and the collapsed filter re-evaluates it — the
     // codegen-pitfall genus. Empty docs explode to no rows and so
     // never reach the join, exactly the rows that can have no pairs.
-    val trueSizes = df
-      .select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
-          .as("shingle"))
+    val trueSizes = shingleStage(df, idCol, textCol, n)
       .groupBy("id").agg(count(lit(1)).as("sz"))
     joinSizes(pairs, trueSizes)
       .withColumn("cont_a",
@@ -183,12 +178,7 @@ object Dedup {
   private def cappedPairCounts(df: DataFrame, idCol: String,
                                textCol: String, n: Int, maxDocFreq: Long)
       : (DataFrame, DataFrame) = {
-    val sh = df
-      .select(col(idCol).as("id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
-          .as("shingle"))
+    val sh = shingleStage(df, idCol, textCol, n)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val bounded = sh
       .withColumn("df", count(lit(1)).over(w))
@@ -206,6 +196,19 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
     (pairs, sizes)
   }
+
+  /** The (id, shingle) exploded stream of per-doc-DISTINCT word n-gram
+    * shingles — the staging the capped pair family, its true-size
+    * branch, and [[ContainmentStore]] all share. Tokens bound to a
+    * column FIRST (the inline form re-tokenizes per shingle element —
+    * see [[cappedPairCounts]]). Empty docs explode to no rows. */
+  private[operators] def shingleStage(df: DataFrame, idCol: String,
+                                      textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(TextFunctions.wordShinglesFromTokens(col("__toks"), n))
+          .as("shingle"))
 
   /** SMJ hint: `pairs` descends from an explode, so its size estimate is
     * garbage — left alone the planner may pick IT as the broadcast side

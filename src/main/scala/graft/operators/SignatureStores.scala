@@ -745,3 +745,128 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
   }
 }
 
+
+final case class ContainmentConfig(shingleN: Int, threshold: Double,
+                                   maxDocFreq: Long = 1000L,
+                                   nStoreBuckets: Int = 32)
+
+/** Persisted shingle-postings store for incremental CONTAINMENT dedup —
+  * the swallowed-document signal ([[Dedup.ngramContainmentPairs]]) as a
+  * batch-cost ingest, completing the incremental arm the rest of the
+  * dedup family already has. Two tables under `wh`:
+  *
+  *  - `<name>_ct_post` (id, shingle), bucketed by shingle — the
+  *    candidate index. The ingest's touched-postings semi-join reads it
+  *    bucket-aligned: no store-side shuffle, ever.
+  *  - `<name>_ct_size` (id, sz), bucketed by id — each doc's TRUE
+  *    distinct-shingle count, the asymmetric denominators (the batch
+  *    form's explode-count trick, paid once at the doc's own ingest).
+  *
+  * [[ingest]] returns every containment pair with at least one endpoint
+  * in the batch: (id_a, id_b, cont_a, cont_b), id_a < id_b,
+  * max(cont) ≥ threshold. Equivalence contract (oracle-verified, q155):
+  * ingesting B1…Bn yields, across all ingests, exactly the pairs
+  * [[Dedup.ngramContainmentPairs]] finds on B1∪…∪Bn — each pair once,
+  * at the ingest of its later endpoint — provided ids are unique across
+  * batches AND no shingle's document frequency crosses `maxDocFreq`
+  * between ingests. The cap is evaluated against the shingle's
+  * store+batch df at ingest time, exactly like the full-corpus window;
+  * a shingle that grows past it later keeps the pairs it emitted while
+  * under it (the MinhashStore caveat, same deliberate choice: pairs are
+  * never retracted). `common` under the cap is a LOWER bound, so the
+  * threshold stays conservative — see the batch form's scaladoc. */
+final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
+                             cfg: ContainmentConfig) extends PairStore {
+  private def postParams = Seq(
+    "shingleN" -> cfg.shingleN.toString,
+    "maxDocFreq" -> cfg.maxDocFreq.toString,
+    "scriptAwareTokens" ->
+      graft.functions.TextFunctions.scriptAwareEnabled.toString)
+  private val postSpec = StoreCompaction.TableSpec(
+    s"active:$name:ct_post", s"${name}_ct_post", Seq("shingle"))
+  private val sizeSpec = StoreCompaction.TableSpec(
+    s"active:$name:ct_size", s"${name}_ct_size", Seq("id"))
+  private def postTable = StoreCompaction.active(wh.root, postSpec)
+  private def sizeTable = StoreCompaction.active(wh.root, sizeSpec)
+  def storeRoot: String = wh.root
+
+  /** Rewrite both tables (postings + sizes) into fresh
+    * single-generation layouts — see [[StoreCompaction]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"ContainmentStore '$name'",
+      Seq(postSpec.copy(params = postParams), sizeSpec), cfg.nStoreBuckets)
+
+  protected def ingestBody(batch: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    // shingle-space identity: stored postings are only comparable to
+    // batches shingled under the same n / tokenizer mode, and the df
+    // cap is part of the pair semantics — fail fast on drift
+    wh.paramsSpecValidated(postTable, postParams)
+    // batch staging materialized once — feeds candidate generation,
+    // the size branch, and both appends. Batch-sized (ids + shingles).
+    val sh = Dedup.shingleStage(batch, idCol, textCol, cfg.shingleN)
+      .localCheckpoint(true)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    // store postings for the shingles this batch carries — every
+    // shared shingle of a (store, batch) pair is by definition in the
+    // batch's set, so `touched` covers all cross pairs. No broadcast
+    // hint — see MinhashStore.ingest on AQE sizing.
+    val touched =
+      if (wh.exists(postTable))
+        wh.readBucketed(postTable).join(
+          sh.select("shingle").distinct(), Seq("shingle"), "left_semi")
+      else sh.limit(0)
+    val members = touched.unionByName(sh)
+    // in-group (i < j) pairs with MULTIPLICITY kept — the per-pair
+    // count IS `common`, so this is cappedPairCounts' group stage over
+    // store+batch members, cap applied to the TOTAL group before any
+    // pair explodes (a hot shingle is dropped, never buffered)
+    val counted = members.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 &&
+        size(col("ids")) <= lit(cfg.maxDocFreq))
+      .select(explode(Dedup.idPairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    // old–old pairs were emitted at the later endpoint's own ingest —
+    // keep only pairs touching this batch (left joins + coalesce, the
+    // SimhashStore newness idiom)
+    val newIds = sizes.select(col("id")).withColumn("__new", lit(true))
+    val candidates = counted
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
+      .join(newIds.withColumnsRenamed(
+        Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
+      .filter(coalesce(col("__na"), lit(false)) ||
+        coalesce(col("__nb"), lit(false)))
+      .select("id_a", "id_b", "common")
+      .localCheckpoint(true)
+    // denominators: batch sizes from staging, old sizes from the
+    // id-bucketed store — PRUNED to candidate ids first, so only
+    // candidate-proportional rows leave the scan (the MinhashStore
+    // set-store lesson). Merge hint: candidates descend from an
+    // explode, their size estimate is garbage — see Dedup.joinSizes.
+    val candIds = candidates.select(col("id_a").as("id"))
+      .union(candidates.select(col("id_b").as("id"))).distinct()
+    val allSizes =
+      if (wh.exists(sizeTable)) wh.readBucketed(sizeTable).unionByName(sizes)
+      else sizes
+    val szTagged = allSizes.join(candIds, Seq("id"), "left_semi")
+    val pairs = candidates.hint("merge")
+      .join(szTagged.withColumnsRenamed(
+        Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(szTagged.withColumnsRenamed(
+        Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .withColumn("cont_a",
+        col("common").cast("double") / col("sz_a").cast("double"))
+      .withColumn("cont_b",
+        col("common").cast("double") / col("sz_b").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= cfg.threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+      .localCheckpoint(true) // BEFORE the appends — see MinhashStore
+    wh.appendBucketed(postTable, sh, Seq("shingle"), cfg.nStoreBuckets)
+    wh.appendBucketed(sizeTable, sizes, Seq("id"), cfg.nStoreBuckets)
+    pairs
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
-import graft.operators.{Decontamination, Dedup, MinhashConfig, MinhashStore, Pipeline, SimhashConfig, SimhashStore}
+import graft.operators.{ContainmentConfig, ContainmentStore, Decontamination, Dedup, MinhashConfig, MinhashStore, Pipeline, SimhashConfig, SimhashStore}
 import graft.sources.Warehouse
 import Catalog.QueryDef
 import Catalog.{duckToks, duckRawToks, sqlList}
@@ -220,6 +220,25 @@ private[queries] object CurationQueries {
       },
       Some(LlmQueries.simhashOracle(
         " AND (id_a % 2 = 1 OR id_b % 2 = 1)"))),
+
+    // ===== Incremental containment: the swallowed-document signal as a
+    // batch-cost ingest — same pairs the q152 batch form finds on the
+    // union, each emitted at its later endpoint's ingest. maxDocFreq
+    // 1000 > the sf0.01 corpus, so no shingle can cross the cap between
+    // ingests and the equivalence contract is EXACT here (the cap
+    // caveat is probed separately at 1M, ScaleProbe `cont`) =====
+    QueryDef("q155_containment_incremental",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val store = new ContainmentStore(
+          new Warehouse(s, scratchRoot("graft_q155_")), "inc",
+          ContainmentConfig(shingleN = 3, threshold = 0.8,
+            maxDocFreq = 1000L, nStoreBuckets = 8))
+        store.ingest(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        store.ingest(d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      },
+      Some(LlmQueries.containmentOracle(maxDf = 1000L,
+        extraWhere = "AND (id_a % 2 = 1 OR id_b % 2 = 1)"))),
 
     // ===== Incremental connected components: fold the k2 pair family
     // into the k1-only labeling; must equal q64's full recompute =====

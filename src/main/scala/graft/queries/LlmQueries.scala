@@ -32,6 +32,37 @@ private[queries] object LlmQueries {
     * extra predicate on the final pair list so the incremental-store
     * equivalence query (q65, CurationQueries) can restrict it to pairs
     * touching the second batch. */
+  /** q152's full-corpus asymmetric-containment oracle, parameterized by
+    * the df cap and an extra predicate on the final pair list so the
+    * incremental-store equivalence query (q155, CurationQueries) can
+    * restrict it to pairs touching the second batch. */
+  private[queries] def containmentOracle(maxDf: Long,
+                                         extraWhere: String): String = s"""
+        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        sh AS (SELECT doc_id, unnest(list_distinct(
+                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+                        i -> array_to_string(tk[i:i+2], ' '))
+                      ELSE [array_to_string(tk, ' ')] END)) AS shingle
+               FROM tks),
+        flt AS (SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) >= 2 AND count(*) <= $maxDf),
+        fsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN flt USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                  FROM fsh a JOIN fsh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
+               CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                       CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8
+          $extraWhere"""
+
   private[queries] def minhashOracle(extraWhere: String): String = {
     val coeffs = Dedup.universalCoeffs(16, 7L)
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -589,30 +620,7 @@ private[queries] object LlmQueries {
     QueryDef("q152_containment_pairs",
       (s, dir) => Dedup.ngramContainmentPairs(T.documents(s, dir),
         "doc_id", "text", n = 3, threshold = 0.8, maxDocFreq = 100L),
-      Some(s"""
-        WITH tks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-        sh AS (SELECT doc_id, unnest(list_distinct(
-                 CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
-                      WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
-                        i -> array_to_string(tk[i:i+2], ' '))
-                      ELSE [array_to_string(tk, ' ')] END)) AS shingle
-               FROM tks),
-        flt AS (SELECT shingle FROM sh GROUP BY shingle
-                HAVING count(*) >= 2 AND count(*) <= 100),
-        fsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN flt USING (shingle)),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                  FROM fsh a JOIN fsh b
-                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
-               CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE greatest(CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE),
-                       CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8""")),
+      Some(containmentOracle(maxDf = 100L, extraWhere = ""))),
 
     // ===== Dedup: portable MinHash-LSH, oracle-verified end-to-end =====
     QueryDef("q34_minhash_pairs",

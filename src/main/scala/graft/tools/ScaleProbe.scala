@@ -256,6 +256,65 @@ object ScaleProbe {
     }
   }
 
+  /** Containment dedup at 1M: plant token-prefix subset docs (each the
+    * first half of a base doc's whitespace tokens, so its shingle set
+    * is ≈ a strict subset of the base's and containment-in-base ≈ 1.0 —
+    * the swallowed-document profile Jaccard reads as ≈ 0.5 and misses
+    * at t=0.8), then attribute walls: the batch pass over the planted
+    * corpus with planted-pair recall, and the ContainmentStore
+    * build(99%) / ingest(1% + all planted subs) split with cross-batch
+    * detection of subs whose base lives in the store. */
+  private def contProbe(spark: SparkSession, docsPath: String,
+                        whRoot: String): Unit = {
+    import graft.operators.{ContainmentConfig, ContainmentStore, Dedup}
+    val docs = spark.read.parquet(docsPath).select("doc_id", "text")
+    val n = docs.count()
+    val nPlant = 1000L
+    val step = math.max(1L, n / nPlant)
+    val k = n + 1 // planted id offset: sub of base b is b + k
+    val subs = docs.filter(col("doc_id") % step === 0)
+      .select((col("doc_id") + k).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest((size(split(col("text"), " ")) / 2).cast("int"),
+            lit(3))), " ")
+          .as("text"))
+      .localCheckpoint(true)
+    val nSubs = subs.count()
+    val corpus = docs.unionByName(subs)
+    println(s"[probe] cont corpus=$n planted_subs=$nSubs (id = base + $k)")
+
+    val full = time("cont_full_corpus(t=0.8)") {
+      Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 1000L)
+        .localCheckpoint(true)
+    }
+    val nPairs = full.count()
+    val found = full.filter(col("id_b") - col("id_a") === k &&
+      col("id_b") > n).count()
+    println(f"[probe] cont pairs=$nPairs planted_recall=${
+      found.toDouble / nSubs}%.4f ($found/$nSubs)")
+
+    val cut99 = (n * 0.99).toLong
+    val store = new ContainmentStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/ct_${System.nanoTime()}"),
+      "probe", ContainmentConfig(shingleN = 3, threshold = 0.8,
+        maxDocFreq = 1000L))
+    timedCount("cont_store_build(99%)") {
+      store.ingest(docs.filter(col("doc_id") < cut99), "doc_id", "text")
+    }
+    val t0 = System.nanoTime()
+    val inc = store.ingest(
+      docs.filter(col("doc_id") >= cut99).unionByName(subs),
+      "doc_id", "text")
+    val incPairs = inc.count()
+    val cross = inc.filter(col("id_b") - col("id_a") === k &&
+      col("id_a") < cut99).count()
+    val crossable = subs.filter(col("doc_id") - k < cut99).count()
+    println(f"[probe] cont_ingest(1%%+subs)         ${
+      (System.nanoTime() - t0) / 1e9}%8.2f s  rows=$incPairs " +
+      f"cross_recall=${cross.toDouble / crossable}%.4f ($cross/$crossable)")
+  }
+
   /** Dup-structured random embeddings: coordinates are uniform hash
     * noise (pairwise cosine of distinct bases concentrates at 0 ±1/√dim,
     * so no phantom near-dups — the sin-lattice directions of
@@ -552,6 +611,109 @@ object ScaleProbe {
     }
     println(s"[probe]   hashed positives=$posH  " +
       s"nonzero_weights=${wH.count(_ != 0L)}")
+
+    // --- separable arm: planted quality signal ----------------------
+    // The arm above prices the trainers (hash-parity labels, never
+    // separable — every iteration runs). This arm answers the QUALITY
+    // question: positives get a stopword-rich suffix, negatives a
+    // digit-run one — a real margin on the f_stop/f_digit axes — train
+    // on 10%, then held-out (90%) accuracy at each model's gate and
+    // rank-AUC, against the heuristic qualityScore as the ranking
+    // baseline on the same split.
+    val isPos = pmod(xxhash64(col("doc_id"), lit(11L)), lit(2)) === 0
+    val planted = docs.select(col("doc_id"),
+      when(isPos, concat(col("text"),
+        lit(" the and is of to in that it was he")))
+        .otherwise(concat(col("text"),
+          lit(" 94721 83650 17284 90573 62849"))).as("text"),
+      when(isPos, 1L).otherwise(-1L).as("label"))
+    val trainSep = planted.filter(col("doc_id") % 10 === 0)
+      .localCheckpoint(true)
+    val heldout = planted.filter(col("doc_id") % 10 =!= 0)
+
+    // rank-AUC binned to 4096 score buckets (collect is ≤ 4097 rows —
+    // a bounded control read; bin-width error on AUC is ≤ ~1/4096)
+    def rankAuc(scored: DataFrame): Double = {
+      val mm = scored.agg(min(col("s")), max(col("s"))).head()
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val width = if (hi > lo) (hi - lo) / 4096.0 else 1.0
+      val hist = scored
+        .groupBy(floor((col("s") - lit(lo)) / lit(width)).as("b"))
+        .agg(sum(when(col("label") === 1L, 1L).otherwise(0L)).as("np"),
+          sum(when(col("label") === -1L, 1L).otherwise(0L)).as("nn"))
+        .orderBy("b").collect()
+      var negBelow = 0.0; var u = 0.0; var nPos = 0.0; var nNeg = 0.0
+      hist.foreach { r =>
+        val np = r.getLong(1).toDouble; val nn = r.getLong(2).toDouble
+        u += np * (negBelow + nn / 2.0); negBelow += nn
+        nPos += np; nNeg += nn
+      }
+      u / (nPos * nNeg)
+    }
+    def gateAcc(scored: DataFrame, gate: Double): Double = scored
+      .select(avg(when((col("s") >= gate && col("label") === 1L) ||
+        (col("s") < gate && col("label") === -1L), 1.0).otherwise(0.0))
+        .as("a")).head().getDouble(0)
+
+    val featsSep = QualityModels.classifierFeatures(trainSep, "doc_id", "text")
+      .join(trainSep.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      .localCheckpoint(true)
+    val wDs = time("dense train (separable, 8 it)") {
+      QualityModels.trainPerceptron(featsSep, "label", iters = 8)
+    }
+    val denseScored = QualityModels
+      .classifierFeatures(heldout, "doc_id", "text")
+      .withColumn("s",
+        QualityModels.perceptronMargin(wDs.toSeq).cast("double"))
+      .join(heldout.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      .select("s", "label").localCheckpoint(true)
+    // gate at margin ≥ 1 — the perceptronQuality minQuality=1.0 gate
+    // (integer margins: ≥ 1 ⇔ > 0), i.e. the model's own boundary
+    println(f"[probe]   dense   heldout acc@gate=${
+      gateAcc(denseScored, 1.0)}%.4f  auc=${rankAuc(denseScored)}%.4f")
+
+    val wHs = time("hashed train (separable, 4 it)") {
+      QualityModels.trainHashedPerceptron(trainSep, "doc_id", "text",
+        "label", numFeatures = 4096, iters = 4)
+    }
+    val hashedScored = QualityModels.hashedMargin(heldout, "doc_id", "text", wHs)
+      .withColumnRenamed("margin", "s")
+      .join(heldout.select(col("doc_id").as("id"), col("label")), Seq("id"))
+      .select(col("s").cast("double").as("s"), col("label"))
+      .localCheckpoint(true)
+    println(f"[probe]   hashed  heldout acc@gate=${
+      gateAcc(hashedScored, 1.0)}%.4f  auc=${rankAuc(hashedScored)}%.4f")
+
+    // heuristic baseline: qualityScore as a ranker; its gate threshold
+    // CALIBRATED on the train split (best-accuracy bin edge), applied
+    // held-out — the comparison the curate stage's pluggable-classifier
+    // decision actually needs
+    def heuristicScored(d: DataFrame) = d
+      .select(graft.functions.TextFunctions.qualityScore(col("text"))
+        .cast("double").as("s"), col("label"))
+    val hTrain = heuristicScored(trainSep).localCheckpoint(true)
+    val mm = hTrain.agg(min(col("s")), max(col("s"))).head()
+    val width = if (mm.getDouble(1) > mm.getDouble(0))
+      (mm.getDouble(1) - mm.getDouble(0)) / 4096.0 else 1.0
+    val bins = hTrain
+      .groupBy(floor((col("s") - lit(mm.getDouble(0))) / lit(width)).as("b"))
+      .agg(sum(when(col("label") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("label") === -1L, 1L).otherwise(0L)).as("nn"))
+      .orderBy("b").collect()
+    val totPos = bins.map(_.getLong(1)).sum.toDouble
+    val totNeg = bins.map(_.getLong(2)).sum.toDouble
+    // accuracy of "s ≥ edge(b)" scanning bins high→low
+    var posAbove = 0.0; var negAbove = 0.0
+    var best = (totNeg / (totPos + totNeg), Double.NegativeInfinity)
+    bins.reverse.foreach { r =>
+      posAbove += r.getLong(1); negAbove += r.getLong(2)
+      val acc = (posAbove + (totNeg - negAbove)) / (totPos + totNeg)
+      if (acc > best._1)
+        best = (acc, mm.getDouble(0) + r.getLong(0) * width)
+    }
+    val hHeld = heuristicScored(heldout).localCheckpoint(true)
+    println(f"[probe]   heuristic heldout acc@cal(${best._2}%.3f)=${
+      gateAcc(hHeld, best._2)}%.4f  auc=${rankAuc(hHeld)}%.4f")
   }
 
   private def vocabProbe(spark: SparkSession, docsPath: String): Unit = {
@@ -1687,6 +1849,8 @@ object ScaleProbe {
         e2eProbe(spark, docsPath, root)
       case "clf" :: docsPath :: Nil =>
         clfProbe(spark, docsPath)
+      case "cont" :: docsPath :: whRoot :: Nil =>
+        contProbe(spark, docsPath, whRoot)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case "bq" :: root :: nRows :: Nil =>
@@ -1696,7 +1860,7 @@ object ScaleProbe {
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e", "clf", "warc", "bq")
+            "autoc", "pquery", "e2e", "clf", "cont", "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
@@ -1711,7 +1875,7 @@ object ScaleProbe {
           "ppairs <docs> | compact <docs> <root> [nAppends] | " +
           "quant <emb> <root> [all|base|planted|plantedfast] | " +
           "img <n> <root> | hamm <n> <root> | bq <root> <nRows> | " +
-          "<docs> [<emb>]")
+          "cont <docs> <whRoot> | <docs> [<emb>]")
     }
     spark.stop()
   }

@@ -179,6 +179,39 @@ class IncrementalDedupSpec extends SparkSpec {
     p2.get((1L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 9.0) < 1e-12))
   }
 
+  test("containment store: batch ingests partition the full-corpus " +
+      "pairs, values exact") {
+    // corpus + planted token-prefix subsets — the swallowed-document
+    // profile (sub's shingles ⊂ base's, containment-in-base = 1.0)
+    val base = corpus(40, seed = 3L)
+    val subs = base.collect { case (i, t) if i % 4 == 0 =>
+      val toks = t.split(" ")
+      (100L + i, toks.take(math.max(toks.length / 2, 4)).mkString(" "))
+    }
+    val docs = (base ++ subs).toDF("id", "text")
+    def valued(df: DataFrame): Map[(Long, Long), (Double, Double)] = df
+      .as[(Long, Long, Double, Double)].collect()
+      .map(p => (p._1, p._2) -> ((p._3, p._4))).toMap
+    val full = valued(Dedup.ngramContainmentPairs(docs, "id", "text",
+      n = 3, threshold = 0.8, maxDocFreq = 1000L))
+    assert(full.keys.exists(_._2 >= 100L),
+      "planted subsets must surface as containment pairs")
+
+    // cap 1000 > corpus: no shingle can cross it between ingests, so
+    // the equivalence contract is exact here (the cap caveat is the
+    // documented MinhashStore semantics, probed at 1M separately)
+    val store = new ContainmentStore(freshWh(), "t",
+      ContainmentConfig(shingleN = 3, threshold = 0.8, maxDocFreq = 1000L))
+    val even = (col("id") % 2) === 0
+    val p1 = valued(store.ingest(docs.filter(even), "id", "text"))
+    val p2 = valued(store.ingest(docs.filter(!even), "id", "text"))
+    assert(p1 === full.filter(p => p._1._1 % 2 == 0 && p._1._2 % 2 == 0),
+      "ingest 1 = full pairs within batch 1, same cont values")
+    assert(p2 === full.filter(p => p._1._1 % 2 == 1 || p._1._2 % 2 == 1),
+      "ingest 2 = full pairs touching batch 2, same cont values")
+    assert((p1.keySet & p2.keySet) === Set.empty, "no pair emitted twice")
+  }
+
   test("incremental connected components equal the full recompute") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 4) {

@@ -141,6 +141,37 @@ class QualityModelsSpec extends SparkSpec {
     assert(preds(100L) && !preds(101L))
   }
 
+  test("perceptronQuality minQuality=1.0 IS the trained decision boundary") {
+    import spark.implicits._
+    val train = ((0L to 19L by 2).map(prose) ++ (1L to 19L by 2).map(spam))
+      .toDF("doc_id", "text")
+    val feats = QualityModels.classifierFeatures(train, "doc_id", "text")
+      .withColumn("label",
+        when(col("id") % 2 === 0, 1L).otherwise(-1L))
+    val w = QualityModels.trainPerceptron(feats, "label", iters = 8)
+    // the CURATE-STAGE adapter on held-out docs: the calibrated gate is
+    // score ≥ 1.0 — with integer margins that is exactly margin > 0,
+    // the classifier's own boundary, so the gate keeps held-out prose
+    // and drops held-out spam with no separately-tuned threshold
+    val q = QualityModels.perceptronQuality(w.toSeq)
+    val held = Seq(prose(200L), spam(201L), prose(202L), spam(203L))
+      .toDF("doc_id", "text")
+      .withColumn("__toks",
+        graft.functions.TextFunctions.tokens(col("text")))
+    val scored = held
+      .select(col("doc_id"), q(col("text"), col("__toks")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scored(200L) >= 1.0 && scored(202L) >= 1.0)
+    assert(scored(201L) < 1.0 && scored(203L) < 1.0)
+    // the adapter's score equals the raw training margin exactly — one
+    // shared feature definition, no train/serve drift
+    val m = QualityModels.perceptronMargin(w.toSeq)
+    val margins = QualityModels.classifierFeatures(held, "doc_id", "text")
+      .select(col("id"), m.cast("double").as("m"))
+      .as[(Long, Double)].collect().toMap
+    assert(scored === margins)
+  }
+
   test("perceptron training is partition-order independent (exact integers)") {
     import spark.implicits._
     val rows = (0L until 40L).map(i => if (i % 2 == 0) prose(i) else spam(i))
