@@ -315,6 +315,48 @@ object ScaleProbe {
       f"cross_recall=${cross.toDouble / crossable}%.4f ($cross/$crossable)")
   }
 
+  /** Link-graph walls at web-ish scale: a synthetic hubbed graph
+    * (every 4th edge lands in a 0.1% hub set — the power-law-ish
+    * in-degree profile of a host graph), weighted degrees, then
+    * 3 fixed-point PageRank iterations. Checks the mass invariant the
+    * spec pins at toy size (total rank ≤ scale, floor-leak bounded by
+    * iters·n ulps) and that hubs out-rank the uniform prior. */
+  private def graphProbe(spark: SparkSession, n: Long, e: Long): Unit = {
+    import graft.operators.Graph
+    val edges = spark.range(e).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      when(pmod(col("id"), lit(4)) === 0,
+        pmod(xxhash64(col("id"), lit(3)), lit(math.max(n / 1000, 1L))))
+        .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(n))).as("dst"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(10)) + 1).as("w"))
+      .localCheckpoint(true)
+    println(s"[probe] graph nodes≈$n edges=${edges.count()} " +
+      s"hubs=${math.max(n / 1000, 1L)}")
+    timedCount("graph_degrees") {
+      Graph.degrees(edges, "src", "dst", Some("w"))
+    }
+    val ranks = time("graph_pagerank(3 iters)") {
+      Graph.pageRank(edges, "src", "dst", iters = 3, Some("w"))
+        .localCheckpoint(true)
+    }
+    val scale = 1L << 30
+    val agg = ranks.agg(sum(col("rank_fp")), max(col("rank_fp")),
+      count(lit(1))).head()
+    val (mass, maxR, nn) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val prior = scale / nn
+    val above = ranks.filter(col("rank_fp") > prior * 2).count()
+    // floor-leak accounting: ~1 ulp per out-edge division per iter —
+    // at rank ≈ 107 ulps/node (2^30 / 10M) and outdeg ≈ 10 that is a
+    // few percent of mass per round, by design (mass only SHRINKS,
+    // which is what bounds every intermediate product)
+    println(f"[probe] mass=$mass%d (scale=$scale%d, leak_frac=${
+      (scale - mass).toDouble / scale}%.4f) max_rank=${
+      maxR.toDouble / scale}%.6f nodes_above_2x_prior=$above")
+    require(mass > 0 && mass <= scale,
+      "fixed-point mass invariant violated at scale")
+    require(above > 0, "hub nodes must out-rank the uniform prior")
+  }
+
   /** Dup-structured random embeddings: coordinates are uniform hash
     * noise (pairwise cosine of distinct bases concentrates at 0 ±1/√dim,
     * so no phantom near-dups — the sin-lattice directions of
@@ -1851,6 +1893,8 @@ object ScaleProbe {
         clfProbe(spark, docsPath)
       case "cont" :: docsPath :: whRoot :: Nil =>
         contProbe(spark, docsPath, whRoot)
+      case "graph" :: nStr :: eStr :: Nil =>
+        graphProbe(spark, nStr.toLong, eStr.toLong)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case "bq" :: root :: nRows :: Nil =>
@@ -1860,7 +1904,7 @@ object ScaleProbe {
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e", "clf", "cont", "warc", "bq")
+            "autoc", "pquery", "e2e", "clf", "cont", "graph", "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
@@ -1875,7 +1919,7 @@ object ScaleProbe {
           "ppairs <docs> | compact <docs> <root> [nAppends] | " +
           "quant <emb> <root> [all|base|planted|plantedfast] | " +
           "img <n> <root> | hamm <n> <root> | bq <root> <nRows> | " +
-          "cont <docs> <whRoot> | <docs> [<emb>]")
+          "cont <docs> <whRoot> | graph <n> <e> | <docs> [<emb>]")
     }
     spark.stop()
   }
