@@ -461,6 +461,48 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("nd_pairs").count() === oneShot.size.toLong)
   }
 
+  test("containment catch-up: streamed pair deltas equal the one-shot pairs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ctstream").toString
+    // a swallowed doc ACROSS the halves: doc 25 is the first half of
+    // doc 5's tokens — Jaccard ≈ 0.5 misses it at t=0.8, containment
+    // flags it, and the store must pair the later batch against the
+    // persisted postings, not just itself
+    val base = "the quick brown fox jumps over the lazy dog in the warm " +
+      "morning sun by the river bank"
+    val corpus = (1L to 30L).map { i =>
+      val text =
+        if (i == 5L) base
+        else if (i == 25L) base.split(" ").take(9).mkString(" ")
+        else s"completely unrelated filler text number $i of the stream " +
+          s"with words w${i}a w${i}b w${i}c"
+      (i, text)
+    }
+    val store = new graft.operators.ContainmentStore(
+      new graft.sources.Warehouse(spark, s"$root/store"), "t",
+      graft.operators.ContainmentConfig(shingleN = 3, threshold = 0.8,
+        maxDocFreq = 1000L, nStoreBuckets = 4))
+    val inDir = s"$root/in"
+    corpus.filter(_._1 <= 15).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    corpus.filter(_._1 > 15).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val wh = new graft.sources.Warehouse(spark, s"$root/wh")
+    val schema = corpus.toDF("doc_id", "text").schema
+    Streaming.runNearDupAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, wh, "ct_pairs", s"$root/ckpt", "doc_id", "text")
+    val streamed = wh.read("ct_pairs").select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val oneShot = graft.operators.Dedup.ngramContainmentPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3,
+        threshold = 0.8, maxDocFreq = 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === oneShot && streamed.nonEmpty)
+    assert(streamed.contains((5L, 25L)),
+      "must flag the cross-batch swallowed doc against persisted postings")
+  }
+
   test("append-store catch-up: streamed IVF appends serve the one-shot results") {
     val root = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
     val vecs = (0L until 40L).map { i =>
