@@ -454,6 +454,54 @@ object QualityModels {
     } finally release(train.sparkSession, ckptIds)
   }
 
+  /** Calibrate a decision threshold for ANY scorer (trained margins,
+    * the heuristic qualityScore) on a labeled training split: returns
+    * (τ, trainAcc) where τ maximizes training accuracy of the gate
+    * `score ≥ τ`, scanned over a `bins`-bucket histogram of the scores
+    * — one aggregate job, ≤ bins rows to the driver (a bounded control
+    * read; τ is a bin lower edge, so the accuracy is within one bin's
+    * mass of the exact optimum). Ties resolve to the HIGHEST τ, the
+    * more conservative gate.
+    *
+    * Exists because a perceptron's raw 0-boundary is well-calibrated
+    * only when the batch updates can balance the feature magnitudes;
+    * on profile-shaped quality signals it can rank perfectly (AUC 1.0,
+    * ScaleProbe `clf` arm B) while every margin sits on ONE side of
+    * zero — the cure is the same as for any scorer: calibrate the gate
+    * on labels, then pass τ as [[Pipeline.CurateConfig]]'s minQuality
+    * over the [[perceptronQuality]] score. */
+  def calibrateThreshold(scored: DataFrame, scoreCol: String,
+                         labelCol: String, bins: Int = 4096)
+      : (Double, Double) = {
+    require(bins >= 2 && bins <= (1 << 20), s"bins out of range: $bins")
+    val s = col(scoreCol).cast("double")
+    val mm = scored.agg(min(s), max(s), count(lit(1))).head()
+    require(mm.getLong(2) > 0 && !mm.isNullAt(0),
+      "calibrateThreshold: empty or all-null calibration set")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    val hist = scored
+      .groupBy(floor((s - lit(lo)) / lit(width)).as("b"))
+      .agg(sum(when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L))
+          .as("np"),
+        sum(when(col(labelCol).cast("long") === 1L, 0L).otherwise(1L))
+          .as("nn"))
+      .orderBy(col("b").desc).collect() // high bin → low
+    val totNeg = hist.map(_.getLong(2)).sum.toDouble
+    val tot = hist.map(r => r.getLong(1) + r.getLong(2)).sum.toDouble
+    // τ above every score: the gate rejects all — accuracy = neg share
+    var best = (lo + (hi - lo) + width, totNeg / tot)
+    var posAbove = 0.0
+    var negAbove = 0.0
+    hist.foreach { r =>
+      posAbove += r.getLong(1); negAbove += r.getLong(2)
+      val acc = (posAbove + (totNeg - negAbove)) / tot
+      if (acc > best._2)
+        best = (lo + r.getLong(0) * width, acc)
+    }
+    best
+  }
+
   /** Persist trained weights (either trainer's) as a (f, w) parquet —
     * train once, gate every later batch/streaming job. Dense-index
     * layout: row f holds w_f, zeros included so the file IS the model

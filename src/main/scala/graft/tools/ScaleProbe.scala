@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{EmbeddingLshConfig, EmbeddingLshStore, MinhashConfig, MinhashStore, SimhashConfig, SimhashStore, Similarity}
 
@@ -654,24 +654,34 @@ object ScaleProbe {
     println(s"[probe]   hashed positives=$posH  " +
       s"nonzero_weights=${wH.count(_ != 0L)}")
 
-    // --- separable arm: planted quality signal ----------------------
+    // --- separable arms: planted quality signal ---------------------
     // The arm above prices the trainers (hash-parity labels, never
-    // separable — every iteration runs). This arm answers the QUALITY
-    // question: positives get a stopword-rich suffix, negatives a
-    // digit-run one — a real margin on the f_stop/f_digit axes — train
-    // on 10%, then held-out (90%) accuracy at each model's gate and
-    // rank-AUC, against the heuristic qualityScore as the ranking
-    // baseline on the same split.
+    // separable — every iteration runs). These arms answer the QUALITY
+    // question on two signal shapes, train 10% / held-out 90%,
+    // accuracy at each model's gate + rank-AUC, with the heuristic
+    // qualityScore (threshold calibrated on train) as the baseline:
+    //
+    //  A. DELTA signal — identical docs ± a 10-token suffix (stopwords
+    //     vs digit runs). The worst case for the UNNORMALIZED dense
+    //     features: the margin lives on f_stop (±10) while f_digit
+    //     (~780 per doc, both classes) dominates every batch update,
+    //     so the dense iterates oscillate at 50% error by construction
+    //     (documented boundary: suffix-delta signals need the hashed
+    //     trainer, which learns the tokens themselves).
+    //  B. PROFILE signal — classes differ in feature MAGNITUDES
+    //     (stopword-rich prose-shaped positives vs half-length
+    //     digit-spam negatives), the regime difference a quality gate
+    //     actually separates; the dense features carry it.
     val isPos = pmod(xxhash64(col("doc_id"), lit(11L)), lit(2)) === 0
-    val planted = docs.select(col("doc_id"),
-      when(isPos, concat(col("text"),
-        lit(" the and is of to in that it was he")))
-        .otherwise(concat(col("text"),
-          lit(" 94721 83650 17284 90573 62849"))).as("text"),
-      when(isPos, 1L).otherwise(-1L).as("label"))
-    val trainSep = planted.filter(col("doc_id") % 10 === 0)
-      .localCheckpoint(true)
-    val heldout = planted.filter(col("doc_id") % 10 =!= 0)
+    def sepArm(tag: String, posText: Column, negText: Column): Unit = {
+      val planted = docs.select(col("doc_id"),
+        when(isPos, posText).otherwise(negText).as("text"),
+        when(isPos, 1L).otherwise(-1L).as("label"))
+      val trainSep = planted.filter(col("doc_id") % 10 === 0)
+        .localCheckpoint(true)
+      val heldout = planted.filter(col("doc_id") % 10 =!= 0)
+      runSepArm(tag, trainSep, heldout)
+    }
 
     // rank-AUC binned to 4096 score buckets (collect is ≤ 4097 rows —
     // a bounded control read; bin-width error on AUC is ≤ ~1/4096)
@@ -697,65 +707,73 @@ object ScaleProbe {
         (col("s") < gate && col("label") === -1L), 1.0).otherwise(0.0))
         .as("a")).head().getDouble(0)
 
-    val featsSep = QualityModels.classifierFeatures(trainSep, "doc_id", "text")
-      .join(trainSep.select(col("doc_id").as("id"), col("label")), Seq("id"))
-      .localCheckpoint(true)
-    val wDs = time("dense train (separable, 8 it)") {
-      QualityModels.trainPerceptron(featsSep, "label", iters = 8)
-    }
-    val denseScored = QualityModels
-      .classifierFeatures(heldout, "doc_id", "text")
-      .withColumn("s",
-        QualityModels.perceptronMargin(wDs.toSeq).cast("double"))
-      .join(heldout.select(col("doc_id").as("id"), col("label")), Seq("id"))
-      .select("s", "label").localCheckpoint(true)
-    // gate at margin ≥ 1 — the perceptronQuality minQuality=1.0 gate
-    // (integer margins: ≥ 1 ⇔ > 0), i.e. the model's own boundary
-    println(f"[probe]   dense   heldout acc@gate=${
-      gateAcc(denseScored, 1.0)}%.4f  auc=${rankAuc(denseScored)}%.4f")
+    def runSepArm(tag: String, trainSep: DataFrame,
+                  heldout: DataFrame): Unit = {
+      val featsSep = QualityModels
+        .classifierFeatures(trainSep, "doc_id", "text")
+        .join(trainSep.select(col("doc_id").as("id"), col("label")),
+          Seq("id"))
+        .localCheckpoint(true)
+      val wDs = time(s"dense train ($tag, 8 it)") {
+        QualityModels.trainPerceptron(featsSep, "label", iters = 8)
+      }
+      def denseScore(d: DataFrame) = QualityModels
+        .classifierFeatures(d, "doc_id", "text")
+        .withColumn("s",
+          QualityModels.perceptronMargin(wDs.toSeq).cast("double"))
+        .join(d.select(col("doc_id").as("id"), col("label")), Seq("id"))
+        .select("s", "label")
+      val denseScored = denseScore(heldout).localCheckpoint(true)
+      // two gates: the raw boundary (perceptronQuality minQuality=1.0,
+      // integer margins: ≥ 1 ⇔ > 0) and the TRAIN-CALIBRATED τ — the
+      // raw boundary is only calibrated when the updates can balance
+      // the feature magnitudes; the calibrated gate is the shipped
+      // recipe (calibrateThreshold → CurateConfig.minQuality)
+      val (dTau, _) = QualityModels.calibrateThreshold(
+        denseScore(trainSep), "s", "label")
+      println(f"[probe]   $tag dense   heldout acc@gate=${
+        gateAcc(denseScored, 1.0)}%.4f  acc@cal($dTau%.1f)=${
+        gateAcc(denseScored, dTau)}%.4f  auc=${rankAuc(denseScored)}%.4f")
 
-    val wHs = time("hashed train (separable, 4 it)") {
-      QualityModels.trainHashedPerceptron(trainSep, "doc_id", "text",
-        "label", numFeatures = 4096, iters = 4)
-    }
-    val hashedScored = QualityModels.hashedMargin(heldout, "doc_id", "text", wHs)
-      .withColumnRenamed("margin", "s")
-      .join(heldout.select(col("doc_id").as("id"), col("label")), Seq("id"))
-      .select(col("s").cast("double").as("s"), col("label"))
-      .localCheckpoint(true)
-    println(f"[probe]   hashed  heldout acc@gate=${
-      gateAcc(hashedScored, 1.0)}%.4f  auc=${rankAuc(hashedScored)}%.4f")
+      val wHs = time(s"hashed train ($tag, 4 it)") {
+        QualityModels.trainHashedPerceptron(trainSep, "doc_id", "text",
+          "label", numFeatures = 4096, iters = 4)
+      }
+      val hashedScored = QualityModels
+        .hashedMargin(heldout, "doc_id", "text", wHs)
+        .withColumnRenamed("margin", "s")
+        .join(heldout.select(col("doc_id").as("id"), col("label")),
+          Seq("id"))
+        .select(col("s").cast("double").as("s"), col("label"))
+        .localCheckpoint(true)
+      println(f"[probe]   $tag hashed  heldout acc@gate=${
+        gateAcc(hashedScored, 1.0)}%.4f  auc=${rankAuc(hashedScored)}%.4f")
 
-    // heuristic baseline: qualityScore as a ranker; its gate threshold
-    // CALIBRATED on the train split (best-accuracy bin edge), applied
-    // held-out — the comparison the curate stage's pluggable-classifier
-    // decision actually needs
-    def heuristicScored(d: DataFrame) = d
-      .select(graft.functions.TextFunctions.qualityScore(col("text"))
-        .cast("double").as("s"), col("label"))
-    val hTrain = heuristicScored(trainSep).localCheckpoint(true)
-    val mm = hTrain.agg(min(col("s")), max(col("s"))).head()
-    val width = if (mm.getDouble(1) > mm.getDouble(0))
-      (mm.getDouble(1) - mm.getDouble(0)) / 4096.0 else 1.0
-    val bins = hTrain
-      .groupBy(floor((col("s") - lit(mm.getDouble(0))) / lit(width)).as("b"))
-      .agg(sum(when(col("label") === 1L, 1L).otherwise(0L)).as("np"),
-        sum(when(col("label") === -1L, 1L).otherwise(0L)).as("nn"))
-      .orderBy("b").collect()
-    val totPos = bins.map(_.getLong(1)).sum.toDouble
-    val totNeg = bins.map(_.getLong(2)).sum.toDouble
-    // accuracy of "s ≥ edge(b)" scanning bins high→low
-    var posAbove = 0.0; var negAbove = 0.0
-    var best = (totNeg / (totPos + totNeg), Double.NegativeInfinity)
-    bins.reverse.foreach { r =>
-      posAbove += r.getLong(1); negAbove += r.getLong(2)
-      val acc = (posAbove + (totNeg - negAbove)) / (totPos + totNeg)
-      if (acc > best._1)
-        best = (acc, mm.getDouble(0) + r.getLong(0) * width)
+      // heuristic baseline: qualityScore as a ranker; its gate
+      // threshold CALIBRATED on the train split (best-accuracy bin
+      // edge), applied held-out — the comparison the curate stage's
+      // pluggable-classifier decision actually needs
+      def heuristicScored(d: DataFrame) = d
+        .select(graft.functions.TextFunctions.qualityScore(col("text"))
+          .cast("double").as("s"), col("label"))
+      val (hTau, _) = QualityModels.calibrateThreshold(
+        heuristicScored(trainSep), "s", "label")
+      val hHeld = heuristicScored(heldout).localCheckpoint(true)
+      println(f"[probe]   $tag heuristic heldout acc@cal($hTau%.3f)=${
+        gateAcc(hHeld, hTau)}%.4f  auc=${rankAuc(hHeld)}%.4f")
     }
-    val hHeld = heuristicScored(heldout).localCheckpoint(true)
-    println(f"[probe]   heuristic heldout acc@cal(${best._2}%.3f)=${
-      gateAcc(hHeld, best._2)}%.4f  auc=${rankAuc(hHeld)}%.4f")
+
+    sepArm("A/delta",
+      posText = concat(col("text"),
+        lit(" the and is of to in that it was he")),
+      negText = concat(col("text"),
+        lit(" 94721 83650 17284 90573 62849")))
+    sepArm("B/profile",
+      posText = concat(col("text"),
+        lit(Seq.fill(6)(" the of and to in").mkString)),
+      negText = concat(
+        array_join(slice(split(col("text"), " "), lit(1), lit(60)), " "),
+        lit(Seq.fill(15)(" 94721 83650").mkString)))
   }
 
   private def vocabProbe(spark: SparkSession, docsPath: String): Unit = {

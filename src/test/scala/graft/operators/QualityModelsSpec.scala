@@ -172,6 +172,29 @@ class QualityModelsSpec extends SparkSpec {
     assert(scored === margins)
   }
 
+  test("calibrateThreshold recovers a gate the raw 0-boundary misses") {
+    import spark.implicits._
+    // every score positive (the arm-B profile shape: perfect ranking,
+    // all margins one side of zero) — the 0-gate accepts everything,
+    // the calibrated gate separates exactly
+    val scored = ((1 to 50).map(i => (90.0 + i % 10, -1L)) ++
+      (1 to 50).map(i => (101.0 + i % 10, 1L))).toDF("s", "label")
+    val (tau, trainAcc) = QualityModels.calibrateThreshold(
+      scored, "s", "label", bins = 4096)
+    assert(trainAcc === 1.0)
+    assert(tau > 99.0 && tau <= 101.0,
+      s"calibrated gate must split the classes, got $tau")
+    // the 0-gate is useless here: every row passes
+    assert(scored.filter(col("s") >= 1.0).count() === 100L)
+    // degenerate single-score set: τ is finite, accuracy = class share
+    val one = Seq((5.0, 1L), (5.0, -1L), (5.0, 1L)).toDF("s", "label")
+    val (t1, a1) = QualityModels.calibrateThreshold(one, "s", "label")
+    assert(a1 >= 2.0 / 3 - 1e-9 && !t1.isNaN)
+    intercept[IllegalArgumentException] {
+      QualityModels.calibrateThreshold(one.limit(0), "s", "label")
+    }
+  }
+
   test("perceptron training is partition-order independent (exact integers)") {
     import spark.implicits._
     val rows = (0L until 40L).map(i => if (i % 2 == 0) prose(i) else spam(i))
