@@ -48,7 +48,11 @@ object WideScan {
     * cores (the provisioning knobs a cluster operator actually sets). */
   def heapPerSlotBytes(spark: SparkSession): Long = {
     val sc = spark.sparkContext
-    if (sc.master.startsWith("local"))
+    // "local" / "local[*]" ONLY — a `local-cluster[n,c,m]` master runs
+    // tasks in real executor JVMs whose memory/cores bound the scan,
+    // not the driver heap (a startsWith("local") match would read the
+    // driver's heap and leave the clamp off on tight executors)
+    if (sc.master == "local" || sc.master.startsWith("local["))
       Runtime.getRuntime.maxMemory / math.max(1, sc.defaultParallelism)
     else {
       val mem = parseBytes(
@@ -58,26 +62,51 @@ object WideScan {
     }
   }
 
+  private val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+  private val partKey = "spark.sql.files.maxPartitionBytes"
+  // open scopes per session: (depth, prior batch conf, prior partition
+  // conf). The conf is SESSION-GLOBAL, so unsynchronized save/restore
+  // races under concurrent scoped callers (B captures A's clamp as its
+  // "prior" and restores it permanently — the sticky residue scoping
+  // exists to prevent). Refcount instead: the FIRST entrant saves the
+  // true priors, later entrants only ever TIGHTEN (tuneForRowWidth is
+  // only-down, so overlapping widths compose to the tightest), and the
+  // LAST exiter restores. While any scope is open other queries on the
+  // session run clamped — inherent to a session conf and bounded by
+  // the scope, unlike the unsynchronized race's permanent residue.
+  private val openScopes = new java.util.IdentityHashMap[
+    SparkSession, (Int, Option[String], Option[String])]()
+
   /** Run `body` with the scan sizing tightened for `rowWidthBytes`,
     * restoring the session's prior values afterwards. The entry-point
     * form: an operator whose wide scans all execute inside the call
     * (curate's staged checkpoints, an ingest transaction) wraps its
-    * body and leaves no session-wide residue. */
+    * body and leaves no session-wide residue. Re-entrant and safe
+    * under concurrent callers on one session (see [[openScopes]]). */
   def withScanSizing[A](spark: SparkSession,
                         rowWidthBytes: Long = DefaultDocBytes)(body: => A): A = {
-    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
-    val partKey = "spark.sql.files.maxPartitionBytes"
-    val priorBatch = spark.conf.getOption(batchKey)
-    val priorPart = spark.conf.getOption(partKey)
     def restore(key: String, prior: Option[String]): Unit = prior match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
-    tuneForRowWidth(spark, rowWidthBytes)
+    openScopes.synchronized {
+      openScopes.get(spark) match {
+        case null =>
+          openScopes.put(spark, (1,
+            spark.conf.getOption(batchKey), spark.conf.getOption(partKey)))
+        case (n, pb, pp) =>
+          openScopes.put(spark, (n + 1, pb, pp))
+      }
+      tuneForRowWidth(spark, rowWidthBytes)
+    }
     try body
-    finally {
-      restore(batchKey, priorBatch)
-      restore(partKey, priorPart)
+    finally openScopes.synchronized {
+      val (n, pb, pp) = openScopes.get(spark)
+      if (n == 1) {
+        restore(batchKey, pb)
+        restore(partKey, pp)
+        openScopes.remove(spark)
+      } else openScopes.put(spark, (n - 1, pb, pp))
     }
   }
 
@@ -91,17 +120,13 @@ object WideScan {
     val perSlot = heapPerSlotBytes(spark)
     val rows = math.min(4096L, math.max(256L,
       perSlot / 256 / math.max(1L, rowWidthBytes)))
-    val curRows = spark.conf
-      .get("spark.sql.parquet.columnarReaderBatchSize", "4096").toLong
+    val curRows = spark.conf.get(batchKey, "4096").toLong
     if (rows < curRows)
-      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
-        rows.toString)
+      spark.conf.set(batchKey, rows.toString)
     val partBytes = math.max(16L << 20, perSlot / 16)
-    val curPart = parseBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"), "b")
+    val curPart = parseBytes(spark.conf.get(partKey, "128MB"), "b")
     if (partBytes < curPart)
-      spark.conf.set("spark.sql.files.maxPartitionBytes",
-        partBytes.toString)
+      spark.conf.set(partKey, partBytes.toString)
   }
 
   /** "16g" / "512m" / "134217728" / "128MB" → bytes (`defaultUnit` for

@@ -68,7 +68,7 @@ object Decontamination {
     val filesHash =
       java.util.Arrays.hashCode(
         side.inputFiles.sorted.asInstanceOf[Array[AnyRef]])
-    val key = (side.queryExecution.analyzed.semanticHash() * 31 + filesHash,
+    val key = (side.queryExecution.analyzed.semanticHash(), filesHash,
       maxEvalGrams)
     val c: Long = Option(guardMemo.get(key)).map(_.longValue).getOrElse {
       val n = side.limit(maxEvalGrams + 1).count()
@@ -91,12 +91,12 @@ object Decontamination {
     * sets are immutable for the life of the JVM, which the store
     * contract already requires (signatures from different eval sets
     * never compare). */
-  private val guardMemo: java.util.Map[(Int, Int), java.lang.Long] =
+  private val guardMemo: java.util.Map[(Int, Int, Int), java.lang.Long] =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(Int, Int), java.lang.Long](
+      new java.util.LinkedHashMap[(Int, Int, Int), java.lang.Long](
           16, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(Int, Int), java.lang.Long]): Boolean =
+            e: java.util.Map.Entry[(Int, Int, Int), java.lang.Long]): Boolean =
           size > 64
       })
 

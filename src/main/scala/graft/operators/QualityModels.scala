@@ -475,12 +475,16 @@ object QualityModels {
       : (Double, Double) = {
     require(bins >= 2 && bins <= (1 << 20), s"bins out of range: $bins")
     val s = col(scoreCol).cast("double")
-    val mm = scored.agg(min(s), max(s), count(lit(1))).head()
-    require(mm.getLong(2) > 0 && !mm.isNullAt(0),
+    // null scores carry no calibration information and would otherwise
+    // form a null histogram bin silently counted as "below every τ"
+    // (min/max skip nulls, so the emptiness require alone misses them)
+    val nonNull = scored.filter(s.isNotNull && !isnan(s))
+    val mm = nonNull.agg(min(s), max(s), count(lit(1))).head()
+    require(mm.getLong(2) > 0,
       "calibrateThreshold: empty or all-null calibration set")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val width = if (hi > lo) (hi - lo) / bins else 1.0
-    val hist = scored
+    val hist = nonNull
       .groupBy(floor((s - lit(lo)) / lit(width)).as("b"))
       .agg(sum(when(col(labelCol).cast("long") === 1L, 1L).otherwise(0L))
           .as("np"),

@@ -818,14 +818,21 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
           sh.select("shingle").distinct(), Seq("shingle"), "left_semi")
       else sh.limit(0)
     val members = touched.unionByName(sh)
+    // df cap via a WINDOW COUNT over members BEFORE any collect — the
+    // cappedPairCounts discipline: a hot shingle (10M stored postings
+    // at web scale) is dropped by the filter without ever materializing
+    // its id array in an aggregation buffer; the window and the groupBy
+    // share the shingle partitioning, so this is still one exchange
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val bounded = members
+      .withColumn("__df", count(lit(1)).over(dfw))
+      .filter(col("__df") >= 2 && col("__df") <= lit(cfg.maxDocFreq))
+      .select("id", "shingle")
     // in-group (i < j) pairs with MULTIPLICITY kept — the per-pair
-    // count IS `common`, so this is cappedPairCounts' group stage over
-    // store+batch members, cap applied to the TOTAL group before any
-    // pair explodes (a hot shingle is dropped, never buffered)
-    val counted = members.groupBy("shingle")
+    // count IS `common`, cap already applied to the TOTAL store+batch
+    // group above
+    val counted = bounded.groupBy("shingle")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 &&
-        size(col("ids")) <= lit(cfg.maxDocFreq))
       .select(explode(Dedup.idPairs(col("ids"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))

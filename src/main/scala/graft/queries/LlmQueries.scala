@@ -28,10 +28,6 @@ private[queries] object LlmQueries {
     "パーティー がガ ",
     "ＡＢＣ की ")
 
-  /** q34's full-corpus portable MinHash-LSH oracle, parameterized by an
-    * extra predicate on the final pair list so the incremental-store
-    * equivalence query (q65, CurationQueries) can restrict it to pairs
-    * touching the second batch. */
   /** q152's full-corpus asymmetric-containment oracle, parameterized by
     * the df cap and an extra predicate on the final pair list so the
     * incremental-store equivalence query (q155, CurationQueries) can
@@ -63,6 +59,10 @@ private[queries] object LlmQueries {
                        CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8
           $extraWhere"""
 
+  /** q34's full-corpus portable MinHash-LSH oracle, parameterized by an
+    * extra predicate on the final pair list so the incremental-store
+    * equivalence query (q65, CurationQueries) can restrict it to pairs
+    * touching the second batch. */
   private[queries] def minhashOracle(extraWhere: String): String = {
     val coeffs = Dedup.universalCoeffs(16, 7L)
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>

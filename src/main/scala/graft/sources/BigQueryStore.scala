@@ -231,11 +231,15 @@ final class BigQueryWarehouse(client: BigQueryStore.BigQueryClient,
     * staging URI configured) the frame goes server-side via
     * [[loadStaged]]; otherwise it streams as NDJSON one partition at a
     * time through the driver. */
-  def load(df: DataFrame, table: String, disposition: WriteDisposition,
-           partitioning: Option[TimePartitioning] = None): Unit = {
+  private def requirePartitionField(df: DataFrame,
+      partitioning: Option[TimePartitioning]): Unit =
     partitioning.foreach(p => require(df.columns.contains(p.field),
       s"time partitioning field '${p.field}' not in DataFrame columns " +
         df.columns.mkString("[", ", ", "]")))
+
+  def load(df: DataFrame, table: String, disposition: WriteDisposition,
+           partitioning: Option[TimePartitioning] = None): Unit = {
+    requirePartitionField(df, partitioning)
     // optimizer estimate: file-size-derived for scans, exact for local
     // relations — a metadata read, never a job
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -261,9 +265,7 @@ final class BigQueryWarehouse(client: BigQueryStore.BigQueryClient,
     val base = stagingUri.getOrElse(throw new IllegalStateException(
       "loadStaged requires a staging URI — construct the warehouse " +
         "with stagingUri = Some(...)"))
-    partitioning.foreach(p => require(df.columns.contains(p.field),
-      s"time partitioning field '${p.field}' not in DataFrame columns " +
-        df.columns.mkString("[", ", ", "]")))
+    requirePartitionField(df, partitioning) // direct callers skip load()
     val target = s"${base.stripSuffix("/")}/$table-${
       java.util.UUID.randomUUID()}"
     df.toJSON.write.text(target) // executor-side NDJSON part files
@@ -272,7 +274,16 @@ final class BigQueryWarehouse(client: BigQueryStore.BigQueryClient,
     val uris = path.getFileSystem(hconf).listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .map(_.getPath.toUri.toString).sorted.toSeq
-    client.loadUris(dataset, table, uris, disposition, partitioning)
+    // a frame whose size ESTIMATE routed it here can still hold zero
+    // rows (selective filter) — Spark then writes no part files, and
+    // the real load_table_from_uri rejects an empty sourceUris list.
+    // Fall back to the driver route, which completes a valid zero-row
+    // load (its iterator is simply empty).
+    if (uris.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      client.load(dataset, table, df.toJSON.toLocalIterator().asScala,
+        disposition, partitioning)
+    } else client.loadUris(dataset, table, uris, disposition, partitioning)
   }
 
   /** The GSC sink shape: WRITE_APPEND + day partitioning on `date`

@@ -1734,7 +1734,14 @@ object ScaleProbe {
     // tasks, then 4 MB columnar reader batches × 32 readers, both past
     // the 0.25–0.5 GB/core heap) are now carried by the ENGINE's text
     // entry points via graft.core.WideScan — the probe runs at default
-    // session config and must stay green that way.
+    // session config and must stay green that way. Stages that
+    // materialize LAZY wide-text frames OUTSIDE an operator's own
+    // scoped body (curate's final kept join under a persist stage, the
+    // mixture, Bpe.encode — whose scaladoc names this exact caller
+    // contract) wrap their action in withScanSizing themselves; the
+    // narrow (uid, n_tokens) stages run at defaults.
+    def sized[A](body: => A): A =
+      graft.core.WideScan.withScanSizing(spark)(body)
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
     println(s"[probe] e2e corpus=$n")
@@ -1755,31 +1762,31 @@ object ScaleProbe {
       spark.read.parquet(dir)
     }
     val curated = time("stage 1: curate (surgical decon + dedup)") {
-      persist(Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
-        "text", cfg, stage = df => persist(df, "tmp")).kept, "curated")
+      sized { persist(Pipeline.curate(docs, "doc_id", "text", Some(evalSet),
+        "text", cfg, stage = df => persist(df, "tmp")).kept, "curated") }
     }
     println(s"[probe]   curated rows=${curated.count()}")
     val mixed = time("stage 2: repeat-factor mixture (20 sources)") {
-      persist(Sampling.repeatSample(
+      sized { persist(Sampling.repeatSample(
         curated.withColumn("source",
           concat(lit("s"), pmod(xxhash64(col("id")), lit(20)).cast("string"))),
         "source", "id", factors = Seq("s0" -> 2.5, "s1" -> 2.0),
-        defaultFactor = 1.0), "mixed")
+        defaultFactor = 1.0), "mixed") }
     }
     println(s"[probe]   mixed rows=${mixed.count()}")
     val merges = time("stage 3a: BPE learnMerges(40) on sample") {
       // modulo sample, NOT limit: a GlobalLimit gathers the sample into
       // one partition and every merge round's type-table build inherits
       // the single-partition shape
-      Bpe.learnMerges(curated.filter(pmod(col("id"), lit(10)) === 0),
-        "text", 40)
+      sized { Bpe.learnMerges(
+        curated.filter(pmod(col("id"), lit(10)) === 0), "text", 40) }
     }
     val encoded = time("stage 3b: BPE encode mixture") {
-      persist(Bpe.encode(
+      sized { persist(Bpe.encode(
         mixed.withColumn("uid",
           col("id") * lit(1000L) + col("rep").cast("long")),
         "uid", "text", merges)
-        .select(col("id").as("uid"), col("n_tokens")), "encoded")
+        .select(col("id").as("uid"), col("n_tokens")), "encoded") }
     }
     val packed = time("stage 3c: pack to 2048-token sequences") {
       persist(Sequences.packSequences(encoded, "uid", "n_tokens",
