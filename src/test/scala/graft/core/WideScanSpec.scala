@@ -75,6 +75,43 @@ class WideScanSpec extends SparkSpec {
     spark.conf.unset(batchKey)
   }
 
+  test("concurrent scopes refcount: no permanent residue, no early restore") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    spark.conf.unset(batchKey)
+    val pre = spark.conf.get(batchKey)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      // interleave A-enter → B-enter → A-exit → B-exit: the pre-fix
+      // unsynchronized save/restore had B capture A's clamp as its
+      // "prior" and restore it PERMANENTLY on exit
+      val aIn = new CountDownLatch(1); val aGo = new CountDownLatch(1)
+      val bIn = new CountDownLatch(1); val bGo = new CountDownLatch(1)
+      val fa = pool.submit(new Runnable { def run(): Unit =
+        WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) {
+          aIn.countDown(); aGo.await(30, TimeUnit.SECONDS); ()
+        } })
+      assert(aIn.await(30, TimeUnit.SECONDS))
+      val fb = pool.submit(new Runnable { def run(): Unit =
+        WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) {
+          bIn.countDown(); bGo.await(30, TimeUnit.SECONDS); ()
+        } })
+      assert(bIn.await(30, TimeUnit.SECONDS))
+      aGo.countDown(); fa.get(30, TimeUnit.SECONDS)
+      assert(spark.conf.get(batchKey) === "256",
+        "A's exit must NOT restore while B's scope is still open")
+      bGo.countDown(); fb.get(30, TimeUnit.SECONDS)
+      assert(spark.conf.get(batchKey) === pre,
+        "the LAST exiter restores the true pre-scope value")
+      // plain nesting composes the same way
+      WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) {
+        WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) { () }
+        assert(spark.conf.get(batchKey) === "256")
+      }
+      assert(spark.conf.get(batchKey) === pre)
+    } finally pool.shutdownNow()
+  }
+
   test("heapPerSlotBytes divides local heap by local parallelism") {
     val perSlot = WideScan.heapPerSlotBytes(spark)
     val expected = Runtime.getRuntime.maxMemory /

@@ -134,6 +134,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(again.contains((1L, 101L)))
   }
 
+  test("containment store compaction: fewer files, same pairs, ingest continues") {
+    val base = corpus(30, seed = 5L)
+    val subs = base.collect { case (i, t) if i % 5 == 0 =>
+      val toks = t.split(" ")
+      (100L + i, toks.take(math.max(toks.length / 2, 4)).mkString(" "))
+    }
+    val docs = (base ++ subs).toDF("id", "text")
+    val wh = freshWh()
+    val store = new ContainmentStore(wh, "t",
+      ContainmentConfig(shingleN = 3, threshold = 0.8,
+        maxDocFreq = 1000L, nStoreBuckets = 2))
+    val pre = (0 until 4).map(i => pairKey(
+      store.ingest(docs.filter(col("id") % 4 === i), "id", "text")))
+      .reduce(_ ++ _)
+    val full = pairKey(Dedup.ngramContainmentPairs(docs, "id", "text",
+      n = 3, threshold = 0.8, maxDocFreq = 1000L))
+    assert(pre === full, "fragmented ingests reassemble the full run")
+    def dataFiles(prefix: String): Int = {
+      val whd = new java.io.File(s"${wh.root}/warehouse")
+      Option(whd.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles("t_ct_post") >= 8, "4 ingests x 2 buckets")
+    store.compact(spark)
+    assert(dataFiles("t_ct_post") <= 2,
+      s"one generation left: ${dataFiles("t_ct_post")}")
+    assert(dataFiles("t_ct_size") <= 2)
+    // post-compact ingest pairs against the compacted postings: a full
+    // quote of doc 0 is contained at 1.0
+    val quote = Seq((200L, docs.filter(col("id") === 0)
+      .select("text").as[String].head())).toDF("id", "text")
+    val post = pairKey(store.ingest(quote, "id", "text"))
+    assert(post.contains((0L, 200L)),
+      "an exact quote of doc 0 must pair against the compacted store")
+  }
+
   test("signature store compaction: crash mid-compact leaves the store intact") {
     val cfg = SimhashConfig(maxDist = 3, seed = 7L, nStoreBuckets = 2)
     val docs = corpus(40, seed = 2L).toDF("id", "text")

@@ -127,6 +127,23 @@ class BigQueryStoreSpec extends SparkSpec {
     }
   }
 
+  test("a zero-row frame routed staged falls back to the driver route") {
+    val client = new RecordingBigQueryClient
+    val staging = java.nio.file.Files.createTempDirectory("bq_staging")
+      .toString
+    val wh = new BigQueryWarehouse(client, "ds",
+      stagingUri = Some(staging), stagedThresholdBytes = 1L)
+    // the size ESTIMATE routes it staged, but zero rows survive the
+    // filter → Spark writes no part files, and the real
+    // load_table_from_uri rejects an empty sourceUris list — the
+    // driver route completes the same load as a valid zero-row append
+    wh.load(df.filter(col("v") > 999L), "t", WriteAppend)
+    assert(client.uriLoads.isEmpty,
+      "an empty sourceUris list must never reach the load job")
+    assert(client.loads.size === 1)
+    assert(client.tableRows("ds", "t").isEmpty)
+  }
+
   test("a small frame (or no staging URI) keeps the reference's driver-stream route") {
     val client = new RecordingBigQueryClient
     val staging = java.nio.file.Files.createTempDirectory("bq_staging")
