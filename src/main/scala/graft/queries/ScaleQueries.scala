@@ -416,44 +416,36 @@ private[queries] object ScaleQueries {
     QueryDef("q154_graph_pagerank",
       (s, dir) => graft.operators.Graph.pageRank(
         graphEdges(s, dir), "src", "dst", iters = 3, Some("w")),
-      Some {
-        def iter(prev: String, cur: String) = s"""
-        $cur AS (
-          SELECT nf.node, nf.has_out,
-            CAST((SELECT base FROM k)
-              + (85 * (coalesce(i.insum, 0) + d.dsh)) // 100 AS BIGINT)
-              AS rank_fp
-          FROM nf
-          LEFT JOIN (SELECT e.dst AS node,
-                            sum((r.rank_fp * e.w) // ow.wtot) AS insum
-                     FROM $prev r
-                     JOIN e ON r.node = e.src
-                     JOIN ow ON e.src = ow.src
-                     GROUP BY 1) i ON nf.node = i.node
-          CROSS JOIN (SELECT coalesce(sum(rank_fp), 0)
-                        // (SELECT n FROM k) AS dsh
-                      FROM $prev WHERE NOT has_out) d)"""
-        s"""
-        WITH $graphEdgeCtes,
-        ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY 1),
-        nd AS (SELECT DISTINCT node FROM
-                 (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-        nf AS (SELECT nd.node, ow.src IS NOT NULL AS has_out
-               FROM nd LEFT JOIN ow ON nd.node = ow.src),
-        k AS (SELECT count(*) AS n,
-                     1073741824 // count(*) AS initr,
-                     ((100 - 85) * (1073741824 // count(*))) // 100 AS base
-              FROM nf),
-        r0 AS (SELECT node, has_out,
-                      CAST((SELECT initr FROM k) AS BIGINT) AS rank_fp
-               FROM nf),
-        ${iter("r0", "r1")},
-        ${iter("r1", "r2")},
-        ${iter("r2", "r3")}
+      Some(s"""
+        WITH $pageRankCtes
         SELECT node, rank_fp,
                CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
-        FROM r3"""
-      }),
+        FROM r3""")),
+
+    // ===== authority gate: keep shipment rows whose supplier the link
+    // graph promotes above the uniform prior (scale div N) — the
+    // host-reputation filter a crawl-curation pipeline composes with
+    // pageRank; the comparison runs on the exact fixed-point rank, so
+    // the kept set replays exactly =====
+    QueryDef("q156_authority_gate",
+      (s, dir) => {
+        val ranks = graft.operators.Graph.pageRank(
+          graphEdges(s, dir), "src", "dst", iters = 3, Some("w"))
+          .localCheckpoint(true) // reused: the count below + the gate
+        val n = ranks.count() // bounded control read, = the oracle's k.n
+        graft.operators.Graph.authorityGate(
+          T.lineitem(s, dir).filter(col("l_linenumber") === 1)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey")),
+          "l_suppkey", ranks, minRankFp = (1L << 30) / n)
+      },
+      Some(s"""
+        WITH $pageRankCtes
+        SELECT l_orderkey, l_suppkey, l_partkey
+        FROM lineitem
+        WHERE l_linenumber = 1
+          AND l_suppkey IN (SELECT node FROM r3
+                            WHERE rank_fp > (SELECT 1073741824 // n
+                                             FROM k))""")),
   )
 
   /** The link graph both Graph queries share: supplier → part, one edge
@@ -476,4 +468,43 @@ private[queries] object ScaleQueries {
               FROM lineitem WHERE l_linenumber = 1),
         e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
               FROM e0 GROUP BY 1, 2 HAVING sum(w) > 0)"""
+
+  /** The unrolled 3-iteration fixed-point PageRank replay (through CTE
+    * `r3`, with `k` carrying n/initr/base) — shared by q154 and the
+    * q156 authority gate. Every update is integer multiply /
+    * floor-divide / sum, mirroring Graph.pageRank exactly. */
+  private lazy val pageRankCtes: String = {
+    def iter(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT nf.node, nf.has_out,
+            CAST((SELECT base FROM k)
+              + (85 * (coalesce(i.insum, 0) + d.dsh)) // 100 AS BIGINT)
+              AS rank_fp
+          FROM nf
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum((r.rank_fp * e.w) // ow.wtot) AS insum
+                     FROM $prev r
+                     JOIN e ON r.node = e.src
+                     JOIN ow ON e.src = ow.src
+                     GROUP BY 1) i ON nf.node = i.node
+          CROSS JOIN (SELECT coalesce(sum(rank_fp), 0)
+                        // (SELECT n FROM k) AS dsh
+                      FROM $prev WHERE NOT has_out) d)"""
+    s"""$graphEdgeCtes,
+        ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY 1),
+        nd AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nf AS (SELECT nd.node, ow.src IS NOT NULL AS has_out
+               FROM nd LEFT JOIN ow ON nd.node = ow.src),
+        k AS (SELECT count(*) AS n,
+                     1073741824 // count(*) AS initr,
+                     ((100 - 85) * (1073741824 // count(*))) // 100 AS base
+              FROM nf),
+        r0 AS (SELECT node, has_out,
+                      CAST((SELECT initr FROM k) AS BIGINT) AS rank_fp
+               FROM nf),
+        ${iter("r0", "r1")},
+        ${iter("r1", "r2")},
+        ${iter("r2", "r3")}"""
+  }
 }

@@ -313,6 +313,34 @@ object ScaleProbe {
     println(f"[probe] cont_ingest(1%%+subs)         ${
       (System.nanoTime() - t0) / 1e9}%8.2f s  rows=$incPairs " +
       f"cross_recall=${cross.toDouble / crossable}%.4f ($cross/$crossable)")
+
+    // hot-shingle arm: every doc shares a boilerplate header (the
+    // ubiquitous-chrome profile of a real crawl), so its shingles sit
+    // at df = corpus size, far past the cap. The ingest must drop them
+    // via the window filter WITHOUT materializing the 50k-id postings
+    // list in an aggregation buffer, and still pair the planted quote
+    // through the doc's own shingles.
+    val hotN = 50000L
+    val hot = docs.filter(col("doc_id") < hotN)
+      .select(col("doc_id"),
+        concat(lit("site header navigation copyright footer terms "),
+          col("text")).as("text"))
+    val hotStore = new ContainmentStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/hot_${System.nanoTime()}"),
+      "probe", ContainmentConfig(shingleN = 3, threshold = 0.8,
+        maxDocFreq = 1000L))
+    timedCount("cont_hot_build(50k, shared header)") {
+      hotStore.ingest(hot, "doc_id", "text")
+    }
+    val quote = hot.filter(col("doc_id") === 7L)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    val hotPairs = hotStore.ingest(quote, "doc_id", "text")
+    require(hotPairs.filter(col("id_a") === 7L &&
+        col("id_b") === 9000007L).count() == 1L,
+      "the quote must pair through its doc-specific shingles even " +
+        "with the boilerplate header's hot shingles capped out")
+    println("[probe] cont_hot: header shingles (df=50k) capped without " +
+      "buffering; quote found via doc shingles")
   }
 
   /** Link-graph walls at web-ish scale: a synthetic hubbed graph
