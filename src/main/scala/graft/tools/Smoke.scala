@@ -333,6 +333,36 @@ object Smoke {
         docs.select(col("doc_id"), col("text")), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100)
     }
+    show("containment store (incremental swallowed-doc detection)") {
+      val store = new graft.operators.ContainmentStore(
+        new graft.sources.Warehouse(spark,
+          java.nio.file.Files.createTempDirectory("smoke_ct_").toString),
+        "smoke", graft.operators.ContainmentConfig(
+          shingleN = 3, threshold = 0.5, maxDocFreq = 100,
+          nStoreBuckets = 4))
+      store.ingest(docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      store.ingest(docs.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }
+    show("link graph: degrees + fixed-point pageRank + authority gate") {
+      // hubbed: 7 sources all pointing into 3 dst nodes — the hubs
+      // must out-rank the uniform prior, so the gate keeps rows
+      val edges = docs.select(
+        pmod(col("doc_id"), lit(7L)).as("src"),
+        pmod(col("doc_id") * 31L, lit(3L)).as("dst"),
+        lit(1L).as("w")).filter(col("src") =!= col("dst"))
+      val ranks = graft.operators.Graph.pageRank(
+        edges, "src", "dst", iters = 2, Some("w"))
+      val n = ranks.count()
+      graft.operators.Graph.authorityGate(
+        docs.select(pmod(col("doc_id"), lit(7L)).as("node"), col("doc_id")),
+        "node", ranks, minRankFp = (1L << 30) / n)
+        .join(graft.operators.Graph.degrees(edges, "src", "dst", Some("w"))
+          .withColumnRenamed("node", "node2"),
+          col("node") === col("node2"), "left")
+        .drop("node2")
+    }
     show("streaming WARC (AvailableNow micro-batches)") {
       val html = "<html><body>stream crawl page</body></html>"
       val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
