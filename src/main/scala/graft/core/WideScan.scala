@@ -84,7 +84,17 @@ object WideScan {
     * body and leaves no session-wide residue. Re-entrant and safe
     * under concurrent callers on one session (see [[openScopes]]). */
   def withScanSizing[A](spark: SparkSession,
-                        rowWidthBytes: Long = DefaultDocBytes)(body: => A): A = {
+                        rowWidthBytes: Long = DefaultDocBytes)(body: => A): A =
+    withScanSizingTuned(spark, rowWidthBytes, tuneForRowWidth)(body)
+
+  /** [[withScanSizing]] with the tune injectable — the seam that lets
+    * the spec pin the throw-unwind contract (Spark validates conf
+    * values on set, so a malformed value can't be planted from
+    * outside; a future conf type or parse change could still throw
+    * here, and the refcount must unwind when it does). */
+  private[core] def withScanSizingTuned[A](spark: SparkSession,
+      rowWidthBytes: Long,
+      tune: (SparkSession, Long) => Unit)(body: => A): A = {
     def restore(key: String, prior: Option[String]): Unit = prior match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -97,7 +107,20 @@ object WideScan {
         case (n, pb, pp) =>
           openScopes.put(spark, (n + 1, pb, pp))
       }
-      tuneForRowWidth(spark, rowWidthBytes)
+      // if the tune throws (malformed conf value), the body never runs
+      // and the finally never arms — unwind the registration HERE, or
+      // the scope entry leaks at refcount 1 and the clamp (possibly
+      // half-applied) plus saved priors stick for the session
+      try tune(spark, rowWidthBytes)
+      catch { case t: Throwable =>
+        val (n, pb, pp) = openScopes.get(spark)
+        if (n == 1) {
+          restore(batchKey, pb)
+          restore(partKey, pp)
+          openScopes.remove(spark)
+        } else openScopes.put(spark, (n - 1, pb, pp))
+        throw t
+      }
     }
     try body
     finally openScopes.synchronized {

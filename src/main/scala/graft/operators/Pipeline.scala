@@ -134,9 +134,20 @@ object Pipeline {
     // score filter below the exchange, right back onto the one-task
     // scan — measured, the whole win disappears); the checkpoint is a
     // real barrier, and at ≤ a few MB it costs nothing.
+    // TWO gates, both driver-side metadata reads: partition count (the
+    // serialization symptom) AND the optimizer's size estimate (the
+    // same stats read BigQueryWarehouse.load sizes its route by). A
+    // few-partition input is NOT always small — non-splittable
+    // compressed files, or a frame coalesced upstream, can carry many
+    // GB in two partitions, and eagerly checkpointing those would
+    // materialize the lot to executor memory/disk where the stage
+    // pipeline streams. Above the cap, keep the layout: the per-row
+    // work is slower on few cores but never explodes storage.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val srcParts = docs.rdd.getNumPartitions
-    val widened = if (srcParts < math.min(par, 32))
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val widened = if (srcParts < math.min(par, 32) &&
+        estBytes <= BigInt(256L << 20))
       docs.repartition(par).localCheckpoint(true)
     else docs
     val base = widened.select(col(idCol).as("id"), col(textCol).as("text"))

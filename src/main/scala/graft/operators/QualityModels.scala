@@ -474,11 +474,20 @@ object QualityModels {
                          labelCol: String, bins: Int = 4096)
       : (Double, Double) = {
     require(bins >= 2 && bins <= (1 << 20), s"bins out of range: $bins")
+    // a null LABEL must fail fast, not be silently counted: the
+    // histogram's otherwise(1) branch would read every null-label row
+    // as a negative and skew totNeg into τ. The guard is a row-local
+    // assert fused into the same scan the histogram already pays —
+    // no extra job, unlike a driver-side pre-count
+    def nullFreeLabels(df: DataFrame, lc: String): DataFrame =
+      df.filter(assert_true(col(lc).isNotNull,
+        lit(s"calibrateThreshold: null label in column '$lc' — labels " +
+          "must be 0/1 (filter or impute before calibrating)")).isNull)
     val s = col(scoreCol).cast("double")
     // null scores carry no calibration information and would otherwise
     // form a null histogram bin silently counted as "below every τ"
     // (min/max skip nulls, so the emptiness require alone misses them)
-    val nonNull = scored.filter(s.isNotNull && !isnan(s))
+    val nonNull = nullFreeLabels(scored, labelCol).filter(s.isNotNull && !isnan(s))
     val mm = nonNull.agg(min(s), max(s), count(lit(1))).head()
     require(mm.getLong(2) > 0,
       "calibrateThreshold: empty or all-null calibration set")

@@ -112,6 +112,33 @@ class WideScanSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("a throwing tune unwinds the scope registration — no leaked refcount") {
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    spark.conf.unset(batchKey)
+    val pre = spark.conf.get(batchKey)
+    // a throwing tune fires INSIDE the entry block, after the scope
+    // registered but before the body's finally armed — the pre-fix
+    // leak left the entry at refcount 1 forever, so no later exiter
+    // ever restored (Spark validates conf values on set, so the spec
+    // injects the throw through the tune seam; a half-applied tune is
+    // simulated by clamping batchKey first, like the real tune order)
+    intercept[RuntimeException] {
+      WideScan.withScanSizingTuned(spark, 1 << 20,
+        (s, _) => { s.conf.set(batchKey, "256"); sys.error("bad conf") }) {
+        ()
+      }
+    }
+    assert(spark.conf.get(batchKey) === pre,
+      "the half-applied clamp must be rolled back on the throw")
+    // the failed entry must have fully unwound: a fresh scope behaves
+    // as the FIRST entrant (clamps, then restores the true prior)
+    WideScan.withScanSizing(spark, rowWidthBytes = 1 << 20) {
+      assert(spark.conf.get(batchKey) === "256")
+    }
+    assert(spark.conf.get(batchKey) === pre,
+      "post-throw scope must restore — a leaked refcount would not")
+  }
+
   test("heapPerSlotBytes divides local heap by local parallelism") {
     val perSlot = WideScan.heapPerSlotBytes(spark)
     val expected = Runtime.getRuntime.maxMemory /

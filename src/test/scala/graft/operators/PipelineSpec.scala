@@ -418,4 +418,30 @@ class PipelineSpec extends SparkSpec {
       "doc_id", "text")
     assert(dup.kept.count() === 0)
   }
+
+  test("preFilter's widening gate skips few-partition inputs whose size " +
+      "estimate is large") {
+    // few partitions + a LARGE optimizer size estimate: a non-splittable
+    // compressed file or an upstream coalesce can carry GBs in two
+    // partitions, and the eager widen+checkpoint would materialize the
+    // lot where the stage pipeline streams — the gate must keep the
+    // source layout instead
+    val big = spark.range(20000000L)
+      .select(col("id"),
+        concat(lit("x" * 120), col("id").cast("string")).as("text"))
+      .coalesce(2)
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(256L << 20), "fixture must exceed the gate's size cap")
+    val pf = Pipeline.preFilter(big, "id", "text", None, "text",
+      Pipeline.CurateConfig(), identity)
+    assert(pf.scored.rdd.getNumPartitions === 2,
+      "large-estimate input must keep its layout (no eager widen)")
+    // a genuinely small few-partition frame still widens
+    val small = spark.range(100L)
+      .select(col("id"), lit("tiny doc").as("text")).coalesce(1)
+    val pfs = Pipeline.preFilter(small, "id", "text", None, "text",
+      Pipeline.CurateConfig(), identity)
+    assert(pfs.scored.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
 }

@@ -193,6 +193,16 @@ class QualityModelsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       QualityModels.calibrateThreshold(one.limit(0), "s", "label")
     }
+    // a null LABEL fails fast instead of silently counting as a
+    // negative (which would skew totNeg and the calibrated τ)
+    val withNull = Seq((Some(5.0), Some(1L)), (Some(6.0), None),
+      (Some(4.0), Some(-1L))).toDF("s", "label")
+    val e = intercept[Exception] {
+      QualityModels.calibrateThreshold(withNull, "s", "label")
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("null label") ||
+        Option(e.getCause).exists(_.getMessage.contains("null label"))))
   }
 
   test("perceptron training is partition-order independent (exact integers)") {
