@@ -752,7 +752,8 @@ object Dedup {
     * columns — a silent cast of string/UUID ids to long would collapse
     * every edge to (null, null), so non-integral ids are rejected. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     Seq(aCol, bCol).foreach { c =>
       val dt = pairs.schema(c).dataType
@@ -760,20 +761,17 @@ object Dedup {
         s"connectedComponents id column '$c' must be integral, got $dt")
     }
     val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint + track the checkpoint's RDD ids so superseded
+    // per-round lineage cut + track the pinned RDD ids so superseded
     // rounds can be unpersisted deterministically instead of waiting on
-    // the ContextCleaner's GC-driven cleanup
-    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val mat = df.localCheckpoint(true)
-      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    val edges = pairs
+    // the ContextCleaner's GC-driven cleanup. checkpointDir switches
+    // localCheckpoint → reliable checkpoint files (executor-loss
+    // resilience for long folds) — see [[Graph.RoundCheckpoint]].
+    val checkpoint = new Graph.RoundCheckpoint(sc, checkpointDir)
+    val edges = checkpoint.pin(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var (labels, prevIds) = checkpoint(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     var iter = 0
@@ -833,12 +831,14 @@ object Dedup {
     * than the contraction rounds they save.) */
   def connectedComponentsIncremental(prevLabels: DataFrame, pairs: DataFrame,
                                      aCol: String, bCol: String,
-                                     maxIter: Int = 50): DataFrame = {
+                                     maxIter: Int = 50,
+                                     checkpointDir: Option[String] = None)
+      : DataFrame = {
     if (pairs.isEmpty) return prevLabels.select(col("id"), col("comp"))
     connectedComponents(
       prevLabels.select(col("id").as("__src"), col("comp").as("__dst"))
         .unionByName(pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))),
-      "__src", "__dst", maxIter)
+      "__src", "__dst", maxIter, checkpointDir)
   }
 
   /** In-bucket candidate pairs from an (id, bucket-key…) index frame:

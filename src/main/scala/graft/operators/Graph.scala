@@ -57,6 +57,41 @@ object Graph {
       ColumnBridge.expression(b.cast("long"))))
   }
 
+  /** Per-round materialization for the iterative operators (pageRank
+    * here, [[Dedup.connectedComponents]]), with the failure-domain knob:
+    *
+    *  - `reliableDir = None` (default): `localCheckpoint` — fastest, but
+    *    the truncated lineage lives in executor storage, so an executor
+    *    loss mid-run FAILS the job. Right for bounded bench runs.
+    *  - `Some(dir)`: reliable checkpoint files under `dir` (an
+    *    HDFS/object-store path at cluster scale) — each round pays a
+    *    second computation plus the file write, and a lost executor
+    *    recomputes from the files instead of killing the run. The knob
+    *    a 50-iteration convergence run on preemptible nodes wants.
+    *    Superseded rounds' checkpoint files are swept by
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    *    (GC-driven) or by deleting `dir` after the run.
+    *
+    * Returns the materialized frame plus the RDD ids the call pinned,
+    * so the caller can unpersist superseded rounds deterministically
+    * (reliable checkpoints pin nothing — the id set is empty and reads
+    * come from the files). */
+  private[operators] final class RoundCheckpoint(
+      sc: org.apache.spark.SparkContext, reliableDir: Option[String]) {
+    reliableDir.foreach(sc.setCheckpointDir)
+    def apply(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val mat = if (reliableDir.isDefined) df.checkpoint(true)
+                else df.localCheckpoint(true)
+      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    /** The one-shot form for frames that live for the whole run (edge
+      * list, node table) — no id tracking needed. */
+    def pin(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+  }
+
   /** Weighted in/out degrees per node: (node, out_deg, in_deg,
     * out_weight, in_weight); nodes missing a side report 0. Parallel
     * edges count individually in `*_deg` and sum into `*_weight`. */
@@ -81,11 +116,35 @@ object Graph {
     * teleport base plus their dshare slice). Edge weights must be
     * nonnegative; parallel edges collapse by weight sum, so
     * `pageRank(e)` ≡ `pageRank(e collapsed with weightCol)` by
-    * construction. */
+    * construction.
+    *
+    * `prior` warm-starts the iteration from an earlier (node, rank_fp)
+    * table — [[EdgeStore]]'s rank-maintenance path. The update is
+    * deterministic from ANY start, so the contract is exact, not
+    * approximate: on an UNCHANGED graph, `pageRank(e, j, prior =
+    * pageRank(e, k))` is bit-identical to `pageRank(e, k + j)`
+    * (spec-pinned). On a grown graph it is the exact fixed-iteration
+    * run from that start — nodes the prior doesn't cover (new since the
+    * prior) start at the uniform initR, nodes the graph no longer has
+    * are dropped, and because the damped update is a contraction, a
+    * prior near the fixed point needs FEWER iterations to a given
+    * tolerance than the uniform start (the fixed-iteration-vs-tolerance
+    * tradeoff: callers pinning bit-reproducibility fix `iters`; callers
+    * chasing convergence warm-start and iterate to tolerance). Prior
+    * ranks must sit in [0, scale] — each is row-local-asserted, and the
+    * overflow guards tighten to the warm bound (init mass ≤ 2·scale:
+    * prior mass ≤ scale plus ≤ scale of new-node initR; the contraction
+    * never grows it).
+    *
+    * `checkpointDir` switches the per-round lineage cut from
+    * localCheckpoint to reliable checkpoint files — see
+    * [[RoundCheckpoint]] for the failure-domain/cost tradeoff. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, weightCol: Option[String] = None,
                dampNum: Long = 85L, dampDen: Long = 100L,
-               scale: Long = 1L << 30): DataFrame = {
+               scale: Long = 1L << 30,
+               prior: Option[DataFrame] = None,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"pageRank iters must be >= 0, got $iters")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"pageRank damping must satisfy 0 <= dampNum <= dampDen, " +
@@ -93,6 +152,7 @@ object Graph {
     require(scale > 0, s"pageRank scale must be positive, got $scale")
     val spark = edges.sparkSession
     val sc = spark.sparkContext
+    val checkpoint = new RoundCheckpoint(sc, checkpointDir)
 
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
     val eAgg = edges
@@ -103,29 +163,30 @@ object Graph {
       .filter(col("w") > 0)
     val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
     // the big, per-iteration-reused side: fixed src layout, lineage cut
-    val contribE = eAgg.join(outW, "src")
-      .repartition(col("src")).localCheckpoint(true)
+    val contribE = checkpoint.pin(eAgg.join(outW, "src")
+      .repartition(col("src")))
     val nodes = contribE.select(col("src").as("node"))
       .union(contribE.select(col("dst").as("node"))).distinct()
-    val nodesF = nodes
+    val nodesF = checkpoint.pin(nodes
       .join(outW.select(col("src").as("node"), lit(true).as("__o")),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out"))
-      .localCheckpoint(true)
+      .select(col("node"), coalesce(col("__o"), lit(false)).as("has_out")))
 
     val n = nodesF.count() // bounded control read: node count
     require(n > 0, "pageRank: empty graph")
-    // overflow guard: rank_fp ≤ scale (mass only shrinks), so the
-    // largest products are rank_fp*w ≤ scale*maxWtot and
-    // dampNum*(inSum+dshare) ≤ dampNum*2*scale — fail fast instead of
-    // silently wrapping (the zorderValue lesson)
+    // overflow guard: cold start keeps mass ≤ scale (it only shrinks);
+    // a warm start may begin at ≤ 2·scale (see the prior contract), so
+    // its bounds tighten ×2 — fail fast instead of silently wrapping
+    // (the zorderValue lesson). Largest products: rank_fp*w ≤
+    // massBound*maxWtot and dampNum*(inSum+dshare) ≤ dampNum*2*massBound.
+    val massBound = if (prior.isDefined) 2 * scale else scale
     val maxW = outW.agg(coalesce(max(col("wtot")), lit(1L)))
       .first().getLong(0) // bounded control read: max out-weight
-    require(maxW <= Long.MaxValue / scale,
-      s"pageRank: scale=$scale * max out-weight=$maxW would overflow; " +
-        "lower scale or pre-normalize weights")
-    require(dampNum <= Long.MaxValue / (2 * scale),
-      s"pageRank: dampNum=$dampNum * 2*scale=$scale overflows")
+    require(maxW <= Long.MaxValue / massBound,
+      s"pageRank: mass bound $massBound * max out-weight=$maxW would " +
+        "overflow; lower scale or pre-normalize weights")
+    require(dampNum <= Long.MaxValue / (2 * massBound),
+      s"pageRank: dampNum=$dampNum * 2*mass bound=$massBound overflows")
     // n > scale ⇒ initR = 0 and every rank silently collapses to zero;
     // fail fast like the other fixed-point guards (raise scale instead)
     require(n <= scale,
@@ -134,13 +195,23 @@ object Graph {
     val initR = scale / n
     val base = ((dampDen - dampNum) * initR) / dampDen
 
-    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val mat = df.localCheckpoint(true)
-      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+    val init = prior match {
+      case None => nodesF.withColumn("rank_fp", lit(initR))
+      case Some(p) =>
+        // nodes the prior misses start uniform; out-of-range prior
+        // ranks fail row-locally (no extra job — the assert rides the
+        // init materialization the loop pays anyway)
+        nodesF.join(
+            p.select(col("node"), col("rank_fp").cast("long").as("__pr")),
+            Seq("node"), "left")
+          .select(col("node"), col("has_out"),
+            coalesce(col("__pr"), lit(initR)).as("rank_fp"))
+          .filter(assert_true(
+            col("rank_fp") >= 0 && col("rank_fp") <= scale,
+            lit(s"pageRank: prior rank outside [0, $scale] — priors " +
+              "must come from a pageRank run at the same scale")).isNull)
     }
-    var (ranks, prevIds) = checkpoint(
-      nodesF.withColumn("rank_fp", lit(initR)))
+    var (ranks, prevIds) = checkpoint(init)
     for (_ <- 0 until iters) {
       val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank_fp")), lit(0L)))

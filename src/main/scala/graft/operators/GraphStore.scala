@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parameters of an [[EdgeStore]]. `weightCol` names the weight column
+  * appended batches carry (None → every edge weighs 1). One value is
+  * shared by every append — a weighted and an unweighted ingest into
+  * the same store would silently disagree on the graph. */
+final case class EdgeStoreConfig(weightCol: Option[String] = None,
+                                 nStoreBuckets: Int = 32)
+
+/** Persisted link-graph edge store — the incremental arm of the
+  * [[Graph]] tier, completing the family contract the rest of the
+  * dedup/ANN stores already have (a crawl's edge list grows
+  * continuously; re-shuffling and re-aggregating the full history per
+  * batch is O(corpus) work for O(batch) new edges). Two tables under
+  * `wh`, both src-bucketed (the layout [[Graph.pageRank]]'s
+  * per-iteration join wants):
+  *
+  *  - `<name>_eg_edge` (src, dst, w, cnt) — the batch-collapsed edge
+  *    list: one row per distinct (src, dst) PER APPEND, `w` the weight
+  *    sum and `cnt` the parallel-edge count within the batch. Rows
+  *    from different appends collapse lazily at read ([[edges]] /
+  *    [[degrees]] / [[pageRank]]) — a groupBy that is exchange-free on
+  *    the bucketed read (src-hash partitioning satisfies the (src, dst)
+  *    clustering) — and physically at [[compact]].
+  *  - `<name>_eg_wtot` (src, wtot) — per-src batch weight totals, the
+  *    out-strength profile a reputation gate reads without touching
+  *    the dst/cnt columns (an append-sized sidecar; per-src totals sum
+  *    across appends, again exchange-free on the bucketed read).
+  *
+  * Appends run as [[graft.sources.StoreTxn]] transactions (atomic
+  * publish, crash rollback, writer lease) with the family's
+  * `appendOnce` redelivery ledger, so the store composes with the
+  * streaming maintenance sink unchanged.
+  *
+  * Equivalence contract (oracle-verified, q157): after appending
+  * batches B1…Bn, [[degrees]] ≡ [[Graph.degrees]] over B1∪…∪Bn and
+  * [[pageRank]] ≡ [[Graph.pageRank]] over B1∪…∪Bn, row-for-row —
+  * batch-collapsing preserves both because degrees keeps the
+  * parallel-edge count in `cnt` and pageRank collapses parallel edges
+  * by weight sum anyway. Unlike the pair stores there is no per-ingest
+  * result (an edge batch emits nothing); the read-side operators are
+  * the store's outputs.
+  *
+  * Edge weights must be nonnegative at append time ([[Graph.pageRank]]
+  * would reject them at read time otherwise — fail at the write, where
+  * the offending batch is still identifiable). Zero-weight edges are
+  * kept in the edge table (they count in [[degrees]], exactly like the
+  * batch operator) and drop out of [[pageRank]]'s w > 0 filter, also
+  * like the batch operator. */
+final class EdgeStore(wh: graft.sources.Warehouse, name: String,
+                      cfg: EdgeStoreConfig) extends AppendStore {
+  private def edgeParams = Seq(
+    "weighted" -> cfg.weightCol.isDefined.toString)
+  private val edgeSpec = StoreCompaction.TableSpec(
+    s"active:$name:eg_edge", s"${name}_eg_edge", Seq("src"))
+  private val wtotSpec = StoreCompaction.TableSpec(
+    s"active:$name:eg_wtot", s"${name}_eg_wtot", Seq("src"))
+  private def edgeTable = StoreCompaction.active(wh.root, edgeSpec)
+  private def wtotTable = StoreCompaction.active(wh.root, wtotSpec)
+  def storeRoot: String = wh.root
+
+  /** Rewrite both tables into fresh single-generation layouts,
+    * collapsing cross-append duplicates while at it (the per-row
+    * transform contract allows only row-local maps, so the collapse
+    * rides the pre-partitioned rewrite as a groupBy that the bucket
+    * alignment keeps exchange-free — rows may MERGE here, which is
+    * semantics-preserving for this store because every reader
+    * re-aggregates by the same keys). */
+  def compact(spark: SparkSession): Unit =
+    StoreCompaction.compact(spark, wh, s"EdgeStore '$name'",
+      Seq(edgeSpec.copy(params = edgeParams,
+          transform = df => df.groupBy("src", "dst")
+            .agg(sum(col("w")).as("w"), sum(col("cnt")).as("cnt"))),
+        wtotSpec.copy(transform = df => df.groupBy("src")
+          .agg(sum(col("wtot")).as("wtot")))),
+      cfg.nStoreBuckets)
+
+  protected def appendBody(batch: DataFrame, srcCol: String,
+                           dstCol: String): Unit = {
+    wh.paramsSpecValidated(edgeTable, edgeParams)
+    val w = cfg.weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    // collapse the batch's parallel edges once (w sums, cnt keeps the
+    // count degrees needs); reject negative weights at the write —
+    // row-local assert fused into the aggregation scan
+    val eAgg = batch
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("w"))
+      .filter(assert_true(col("w") >= 0,
+        lit("EdgeStore: negative edge weight")).isNull)
+      .groupBy("src", "dst")
+      .agg(sum(col("w")).as("w"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds both appends — materialize once
+    wh.appendBucketed(edgeTable, eAgg, Seq("src"), cfg.nStoreBuckets)
+    wh.appendBucketed(wtotTable,
+      eAgg.groupBy("src").agg(sum(col("w")).as("wtot")),
+      Seq("src"), cfg.nStoreBuckets)
+  }
+
+  private def requireIngested(spark: SparkSession): Unit = {
+    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
+    require(wh.exists(edgeTable),
+      s"EdgeStore '$name' at ${wh.root} has no appended edges")
+  }
+
+  /** The accumulated edge list, cross-append duplicates collapsed:
+    * (src, dst, w, cnt). The groupBy is exchange-free on the bucketed
+    * read — src-hash partitioning satisfies the (src, dst) clustering. */
+  def edges(spark: SparkSession): DataFrame = {
+    requireIngested(spark)
+    wh.readBucketed(edgeTable).groupBy("src", "dst")
+      .agg(sum(col("w")).as("w"), sum(col("cnt")).as("cnt"))
+  }
+
+  /** Per-src out-strength totals (src, wtot) — the cheap profile read:
+    * scans only the sidecar table, never the dst/cnt columns. */
+  def outWeights(spark: SparkSession): DataFrame = {
+    requireIngested(spark)
+    wh.readBucketed(wtotTable).groupBy("src")
+      .agg(sum(col("wtot")).as("wtot"))
+  }
+
+  /** [[Graph.degrees]] over every edge ever appended — the out side
+    * aggregates exchange-free (src-bucketed); the in side pays the one
+    * dst exchange the batch operator pays too, over the COLLAPSED rows
+    * rather than the raw history. */
+  def degrees(spark: SparkSession): DataFrame = {
+    requireIngested(spark)
+    val e = wh.readBucketed(edgeTable)
+    val out = e.groupBy(col("src").as("node"))
+      .agg(sum(col("cnt")).as("out_deg"), sum(col("w")).as("out_weight"))
+    val in = e.groupBy(col("dst").as("node"))
+      .agg(sum(col("cnt")).as("in_deg"), sum(col("w")).as("in_weight"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+  }
+
+  /** [[Graph.pageRank]] over every edge ever appended. Pass the
+    * previous run's output as `prior` to warm-start rank maintenance:
+    * exact semantics preserved (see the prior contract on
+    * [[Graph.pageRank]]) — on an unchanged store, k cold + j warm
+    * iterations ≡ k+j cold ones, and after new appends a near-fixed-
+    * point prior needs fewer iterations to a tolerance than the
+    * uniform start re-paying every iteration. */
+  def pageRank(spark: SparkSession, iters: Int,
+               prior: Option[DataFrame] = None,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1L << 30,
+               checkpointDir: Option[String] = None): DataFrame = {
+    requireIngested(spark)
+    Graph.pageRank(edges(spark), "src", "dst", iters, Some("w"),
+      dampNum, dampDen, scale, prior, checkpointDir)
+  }
+}

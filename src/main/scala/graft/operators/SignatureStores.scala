@@ -164,7 +164,11 @@ private[operators] object StoreCompaction {
     * `transform` is applied to the rows during the rewrite — the hook a
     * store uses to fold a schema upgrade (e.g. backfilling a column
     * added after the table was created) into the compaction it already
-    * pays for; must be a row-local projection (identity on row count). */
+    * pays for. Usually a row-local projection (identity on row count);
+    * a store whose EVERY reader re-aggregates by the bucket keys may
+    * also merge rows here ([[EdgeStore]] collapses cross-append
+    * duplicate edges) — any other row-count change silently corrupts
+    * the store. */
   final case class TableSpec(aliasKey: String, base: String,
                              bucketCols: Seq[String],
                              params: Seq[(String, String)] = Nil,

@@ -446,6 +446,60 @@ private[queries] object ScaleQueries {
           AND l_suppkey IN (SELECT node FROM r3
                             WHERE rank_fp > (SELECT 1073741824 // n
                                              FROM k))""")),
+
+    // ===== incremental edge store: degrees over two appends ≡ the
+    // one-shot degrees on the union (q153's oracle verbatim) — the
+    // cross-batch equivalence the rest of the store family pins
+    // (q65/q143/q155 pattern); one (src,dst) group straddles the split,
+    // so the cross-append collapse is exercised for real =====
+    QueryDef("q157_edge_store_degrees",
+      (s, dir) => {
+        val e = graphEdges(s, dir)
+        val store = new graft.operators.EdgeStore(
+          new graft.sources.Warehouse(s, java.nio.file.Files
+            .createTempDirectory("graft_q157_").toString),
+          "inc", graft.operators.EdgeStoreConfig(
+            weightCol = Some("w"), nStoreBuckets = 8))
+        store.append(e.filter(col("dst") % 2 === 0), "src", "dst")
+        store.append(e.filter(col("dst") % 2 === 1), "src", "dst")
+        store.degrees(s)
+      },
+      Some(s"""
+        WITH $graphEdgeCtes,
+        o AS (SELECT src AS node, count(*) AS out_deg,
+                     CAST(sum(w) AS BIGINT) AS out_weight
+              FROM e0 GROUP BY 1),
+        i AS (SELECT dst AS node, count(*) AS in_deg,
+                     CAST(sum(w) AS BIGINT) AS in_weight
+              FROM e0 GROUP BY 1)
+        SELECT coalesce(o.node, i.node) AS node,
+               coalesce(out_deg, 0) AS out_deg,
+               coalesce(in_deg, 0) AS in_deg,
+               coalesce(out_weight, 0) AS out_weight,
+               coalesce(in_weight, 0) AS in_weight
+        FROM o FULL OUTER JOIN i ON o.node = i.node""")),
+
+    // ===== warm-start rank maintenance through the store: 2 cold
+    // iterations checkpointed as the prior, 1 warm continuation — the
+    // exact update is deterministic from any start, so the result IS
+    // the 3-iteration fixed point the q154 oracle replays (r3) =====
+    QueryDef("q158_pagerank_warmstart",
+      (s, dir) => {
+        val store = new graft.operators.EdgeStore(
+          new graft.sources.Warehouse(s, java.nio.file.Files
+            .createTempDirectory("graft_q158_").toString),
+          "inc", graft.operators.EdgeStoreConfig(
+            weightCol = Some("w"), nStoreBuckets = 8))
+        store.append(graphEdges(s, dir), "src", "dst")
+        val prior = store.pageRank(s, iters = 2)
+          .select("node", "rank_fp").localCheckpoint(true)
+        store.pageRank(s, iters = 1, prior = Some(prior))
+      },
+      Some(s"""
+        WITH $pageRankCtes
+        SELECT node, rank_fp,
+               CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
+        FROM r3""")),
   )
 
   /** The link graph both Graph queries share: supplier → part, one edge

@@ -385,6 +385,94 @@ object ScaleProbe {
     require(above > 0, "hub nodes must out-rank the uniform prior")
   }
 
+  /** Incremental edge-store probe: the same synthetic hubbed graph as
+    * [[graphProbe]], appended as a 99% bulk batch + a 1% delta —
+    * EdgeStore's append never reads the store (unlike the pair stores'
+    * candidate joins), so the delta must cost ∝ batch plus the fixed
+    * per-append write of nStoreBuckets files. Then the warm-start
+    * claim, measured: L1 distance to a long-run fixed point from
+    * (a) the uniform cold start and (b) the pre-delta prior, at equal
+    * iteration counts — the prior must start closer and stay closer. */
+  private def edgeStoreProbe(spark: SparkSession, whRoot: String,
+                             n: Long, e: Long): Unit = {
+    import graft.operators.{EdgeStore, EdgeStoreConfig, Graph}
+    val edges = spark.range(e).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      when(pmod(col("id"), lit(4)) === 0,
+        pmod(xxhash64(col("id"), lit(3)), lit(math.max(n / 1000, 1L))))
+        .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(n))).as("dst"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(10)) + 1).as("w"),
+      (pmod(xxhash64(col("id"), lit(5)), lit(100)) === 0).as("__delta"))
+    // spill to parquet, not localCheckpoint — the 10M-probe discipline
+    val edgePath = s"$whRoot/edges_probe"
+    time(s"gen edges n=$n e=$e") {
+      edges.write.mode("overwrite").parquet(edgePath)
+    }
+    val all = spark.read.parquet(edgePath)
+    val bulk = all.filter(!col("__delta"))
+    val delta = all.filter(col("__delta"))
+    val deltaRows = delta.count()
+    println(s"[probe] edgestore bulk=${e - deltaRows} delta=$deltaRows")
+    val store = new EdgeStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/eg_wh"),
+      "probe", EdgeStoreConfig(weightCol = Some("w")))
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val tBulk = secs(store.append(bulk, "src", "dst"))
+    println(f"[probe] edgestore bulk append (99%%) $tBulk%8.2f s")
+    val tDelta = secs(store.append(delta, "src", "dst"))
+    println(f"[probe] edgestore delta append (1%%) $tDelta%8.2f s")
+    timedCount("edgestore degrees (collapsed read)") {
+      store.degrees(spark)
+    }
+    // equivalence at scale: agg checksum of store degrees vs the batch
+    // operator on the raw union — one pass each, no pair join
+    def checksum(df: DataFrame): Long = df.agg(sum(xxhash64(
+      col("node"), col("out_deg"), col("in_deg"),
+      col("out_weight"), col("in_weight")))).head().getLong(0)
+    val storeSum = checksum(store.degrees(spark))
+    val batchSum = checksum(Graph.degrees(all, "src", "dst", Some("w")))
+    println(s"[probe] degrees checksum store=$storeSum batch=$batchSum " +
+      s"match=${storeSum == batchSum}")
+    require(storeSum == batchSum, "store degrees must equal batch degrees")
+    // warm start: the pre-delta prior vs the uniform start, both run 2
+    // iterations on the full store, scored by L1 distance to a 6-iter
+    // reference — the maintenance claim is "closer at equal iterations"
+    val prior = time("pageRank prior (2 iters, pre-delta edges)") {
+      Graph.pageRank(bulk, "src", "dst", 2, Some("w"))
+        .select("node", "rank_fp")
+    }
+    val priorPath = s"$whRoot/prior_ranks"
+    prior.write.mode("overwrite").parquet(priorPath)
+    val priorR = spark.read.parquet(priorPath)
+    val refPath = s"$whRoot/ref_ranks"
+    time("pageRank reference (6 iters, full store)") {
+      store.pageRank(spark, 6).select("node", "rank_fp")
+        .write.mode("overwrite").parquet(refPath)
+    }
+    val ref = spark.read.parquet(refPath)
+    def l1(ranks: DataFrame): Long = ranks
+      .select(col("node"), col("rank_fp").as("__r"))
+      .join(ref.select(col("node"), col("rank_fp").as("__f")), "node")
+      .agg(sum(abs(col("__r") - col("__f")))).head().getLong(0)
+    val cold = time("pageRank cold (2 iters, full store)") {
+      store.pageRank(spark, 2).select("node", "rank_fp")
+        .localCheckpoint(true)
+    }
+    val warm = time("pageRank warm (2 iters from pre-delta prior)") {
+      store.pageRank(spark, 2, prior = Some(priorR))
+        .select("node", "rank_fp").localCheckpoint(true)
+    }
+    val (l1Cold, l1Warm) = (l1(cold), l1(warm))
+    println(f"[probe] L1-to-fixedpoint cold2=$l1Cold%d warm2=$l1Warm%d " +
+      f"ratio=${l1Warm.toDouble / math.max(l1Cold, 1L)}%.3f " +
+      f"(bulk=$tBulk%.1fs delta=$tDelta%.1fs delta_frac=${
+        tDelta / math.max(tBulk, 1e-9)}%.3f)")
+    require(l1Warm <= l1Cold,
+      "warm start must be at least as close to the fixed point")
+  }
+
   /** Dup-structured random embeddings: coordinates are uniform hash
     * noise (pairwise cosine of distinct bases concentrates at 0 ±1/√dim,
     * so no phantom near-dups — the sin-lattice directions of
@@ -1948,6 +2036,8 @@ object ScaleProbe {
         contProbe(spark, docsPath, whRoot)
       case "graph" :: nStr :: eStr :: Nil =>
         graphProbe(spark, nStr.toLong, eStr.toLong)
+      case "edgestore" :: whRoot :: nStr :: eStr :: Nil =>
+        edgeStoreProbe(spark, whRoot, nStr.toLong, eStr.toLong)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case "bq" :: root :: nRows :: Nil =>
@@ -1957,7 +2047,8 @@ object ScaleProbe {
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e", "clf", "cont", "graph", "warc", "bq")
+            "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore",
+            "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>

@@ -363,6 +363,23 @@ object Smoke {
           col("node") === col("node2"), "left")
         .drop("node2")
     }
+    show("edge store: batched appends -> degrees + warm-start pageRank") {
+      val edges = docs.select(
+        pmod(col("doc_id"), lit(7L)).as("src"),
+        pmod(col("doc_id") * 31L, lit(3L)).as("dst"),
+        lit(1L).as("w")).filter(col("src") =!= col("dst"))
+      val store = new graft.operators.EdgeStore(
+        new graft.sources.Warehouse(spark, java.nio.file.Files
+          .createTempDirectory("smoke_eg_").toString),
+        "smoke", graft.operators.EdgeStoreConfig(
+          weightCol = Some("w"), nStoreBuckets = 4))
+      store.append(edges.filter(col("dst") % 2 === 0), "src", "dst")
+      store.append(edges.filter(col("dst") % 2 === 1), "src", "dst")
+      val prior = store.pageRank(spark, iters = 1)
+        .select("node", "rank_fp").localCheckpoint(true)
+      store.degrees(spark).join(
+        store.pageRank(spark, iters = 1, prior = Some(prior)), "node")
+    }
     show("streaming WARC (AvailableNow micro-batches)") {
       val html = "<html><body>stream crawl page</body></html>"
       val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"

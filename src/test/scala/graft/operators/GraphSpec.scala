@@ -77,6 +77,112 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank warm start: k cold + j warm iterations ≡ k+j cold ones " +
+      "(bit-identical on an unchanged graph)") {
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cold5 = ranksOf(Graph.pageRank(edges, "src", "dst", 5, Some("w")))
+    val state3 = Graph.pageRank(edges, "src", "dst", 3, Some("w"))
+      .select("node", "rank_fp").localCheckpoint(true)
+    val warm2 = ranksOf(Graph.pageRank(edges, "src", "dst", 2, Some("w"),
+      prior = Some(state3)))
+    assert(warm2.sameElements(cold5),
+      "warm continuation must be bit-identical to the longer cold run")
+    // a GROWN graph: new nodes start uniform, prior nodes keep their
+    // rank — the exact fixed-iteration run from that start (here just
+    // pinned deterministic + mass-bounded; convergence is the probe's)
+    val grown = edges.union(Seq((4L, 5L, 2L)).toDF("src", "dst", "w"))
+    val warmGrown = Graph.pageRank(grown, "src", "dst", 2, Some("w"),
+      prior = Some(state3))
+    val again = Graph.pageRank(grown, "src", "dst", 2, Some("w"),
+      prior = Some(state3))
+    assert(ranksOf(warmGrown).sameElements(ranksOf(again)))
+    assert(warmGrown.count() === 5)
+    // an out-of-range prior fails fast (must come from the same scale)
+    intercept[Exception] {
+      Graph.pageRank(edges, "src", "dst", 1, Some("w"),
+        prior = Some(Seq((1L, -5L)).toDF("node", "rank_fp"))).collect()
+    }
+  }
+
+  test("pageRank + connectedComponents reliable-checkpoint path is " +
+      "result-identical to the localCheckpoint default") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    val a = Graph.pageRank(edges, "src", "dst", 3, Some("w"))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Graph.pageRank(edges, "src", "dst", 3, Some("w"),
+        checkpointDir = Some(dir))
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    // the reliable path actually wrote checkpoint files under the dir
+    def files(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(files).sum
+      else 1
+    assert(files(new java.io.File(dir)) > 0,
+      "reliable path must persist round checkpoints to the dir")
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val cc1 = Dedup.connectedComponents(pairs, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cc2 = Dedup.connectedComponents(pairs, "a", "b",
+        checkpointDir = Some(dir))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc1.sameElements(cc2))
+  }
+
+  test("EdgeStore: batched appends serve degrees/pageRank identical to " +
+      "the one-shot operators on the union; compact preserves both") {
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_eg_").toString)
+    val store = new EdgeStore(wh, "g",
+      EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 4))
+    // split so one (src,dst) pair STRADDLES the batches — the
+    // cross-append collapse has to merge it
+    store.append(edges.limit(3), "src", "dst")
+    store.append(edges.offset(3), "src", "dst")
+    def degs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(degs(store.degrees(spark)).sameElements(
+      degs(Graph.degrees(edges, "src", "dst", Some("w")))))
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = ranks(Graph.pageRank(edges, "src", "dst", 3, Some("w")))
+    assert(ranks(store.pageRank(spark, 3)).sameElements(batch))
+    // compact merges cross-append duplicate rows; reads are unchanged
+    store.compact(spark)
+    assert(degs(store.degrees(spark)).sameElements(
+      degs(Graph.degrees(edges, "src", "dst", Some("w")))))
+    assert(ranks(store.pageRank(spark, 3)).sameElements(batch))
+    // warm-start maintenance through the store: 2 cold + 1 warm ≡ 3 cold
+    val s2 = store.pageRank(spark, 2).select("node", "rank_fp")
+      .localCheckpoint(true)
+    assert(ranks(store.pageRank(spark, 1, prior = Some(s2)))
+      .sameElements(batch))
+    // the collapsed reads are exchange-free on the bucketed layout:
+    // src-hash partitioning satisfies the (src, dst) clustering, so
+    // the groupBy needs no shuffle — the store-side scan never
+    // re-shuffles, which is the whole point of bucketing by src
+    val edgesPlan = store.edges(spark).queryExecution.executedPlan.toString
+    assert(!edgesPlan.contains("Exchange hashpartitioning"),
+      s"collapsed edge read must not shuffle:\n$edgesPlan")
+    val wtotPlan =
+      store.outWeights(spark).queryExecution.executedPlan.toString
+    assert(!wtotPlan.contains("Exchange hashpartitioning"),
+      s"out-weight read must not shuffle:\n$wtotPlan")
+    // negative weights are rejected at the WRITE
+    intercept[Exception] {
+      store.append(Seq((9L, 10L, -1L)).toDF("src", "dst", "w"),
+        "src", "dst")
+    }
+    // appendOnce redelivery ledger: the second delivery skips
+    assert(store.appendOnce(edges.limit(1), "src", "dst", Some("b#1")))
+    assert(!store.appendOnce(edges.limit(1), "src", "dst", Some("b#1")))
+  }
+
   test("authorityGate keeps rows whose key out-ranks the uniform prior") {
     val ranks = Graph.pageRank(edges, "src", "dst", 4, Some("w"))
     val n = ranks.count()
