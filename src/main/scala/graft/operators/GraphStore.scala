@@ -82,20 +82,27 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
                            dstCol: String): Unit = {
     wh.paramsSpecValidated(edgeTable, edgeParams)
     val w = cfg.weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    // collapse the batch's parallel edges once (w sums, cnt keeps the
-    // count degrees needs); reject negative weights at the write —
-    // row-local assert fused into the aggregation scan
-    val eAgg = batch
+    // reject negative weights at the write — row-local assert fused
+    // into the aggregation scans
+    def staged = batch
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), w.as("w"))
       .filter(assert_true(col("w") >= 0,
         lit("EdgeStore: negative edge weight")).isNull)
-      .groupBy("src", "dst")
-      .agg(sum(col("w")).as("w"), count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds both appends — materialize once
-    wh.appendBucketed(edgeTable, eAgg, Seq("src"), cfg.nStoreBuckets)
+    // the two appends aggregate the batch INDEPENDENTLY (collapse to
+    // (src, dst) for the edge table; straight per-src totals for the
+    // sidecar) rather than sharing a materialized collapse: an initial
+    // bulk load is corpus-sized, and caching it just to save one
+    // re-scan evicts under memory pressure exactly when the load is
+    // big (measured: a 99M-row localCheckpoint here died mid-eviction
+    // at the 100M-edge probe). Two map-side-combined aggregation
+    // passes over the source stream are the memory-safe shape.
+    wh.appendBucketed(edgeTable,
+      staged.groupBy("src", "dst")
+        .agg(sum(col("w")).as("w"), count(lit(1)).as("cnt")),
+      Seq("src"), cfg.nStoreBuckets)
     wh.appendBucketed(wtotTable,
-      eAgg.groupBy("src").agg(sum(col("w")).as("wtot")),
+      staged.groupBy("src").agg(sum(col("w")).as("wtot")),
       Seq("src"), cfg.nStoreBuckets)
   }
 

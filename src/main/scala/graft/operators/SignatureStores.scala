@@ -752,7 +752,14 @@ final class SimhashStore(wh: graft.sources.Warehouse, name: String,
 
 final case class ContainmentConfig(shingleN: Int, threshold: Double,
                                    maxDocFreq: Long = 1000L,
-                                   nStoreBuckets: Int = 32)
+                                   nStoreBuckets: Int = 32,
+                                   // denominator-join route gate: size
+                                   // side under this estimate →
+                                   // broadcast + fused single-job
+                                   // ingest; over → prune-to-candidates
+                                   // + merge (see ingestBody). 0 forces
+                                   // the pruned path.
+                                   broadcastSizesBytes: Long = 16L << 20)
 
 /** Persisted shingle-postings store for incremental CONTAINMENT dedup —
   * the swallowed-document signal ([[Dedup.ngramContainmentPairs]]) as a
@@ -800,6 +807,18 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
     StoreCompaction.compact(spark, wh, s"ContainmentStore '$name'",
       Seq(postSpec.copy(params = postParams), sizeSpec), cfg.nStoreBuckets)
 
+  // phase timing for the ingest, printed only under GRAFT_TIMING=1 —
+  // the profiling hook the fusion work measures against
+  private def tphase[A](label: String)(body: => A): A =
+    if (!sys.env.contains("GRAFT_TIMING")) body
+    else {
+      val t0 = System.nanoTime()
+      val a = body
+      println(f"[timing] containment/$label%-18s ${
+        (System.nanoTime() - t0) / 1e9}%7.3f s")
+      a
+    }
+
   protected def ingestBody(batch: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     // shingle-space identity: stored postings are only comparable to
@@ -808,16 +827,29 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
     wh.paramsSpecValidated(postTable, postParams)
     // batch staging materialized once — feeds candidate generation,
     // the size branch, and both appends. Batch-sized (ids + shingles).
-    val sh = Dedup.shingleStage(batch, idCol, textCol, cfg.shingleN)
-      .localCheckpoint(true)
+    val sh = tphase("shingleStage")(
+      Dedup.shingleStage(batch, idCol, textCol, cfg.shingleN)
+        .localCheckpoint(true))
+    // an empty batch pairs with nothing and appends nothing — return
+    // the empty result without paying the candidate pipeline, the
+    // transaction's append jobs, or (in a maintenance stream) the
+    // store-read semi joins. One cheap emptiness probe on the
+    // materialized staging (the connectedComponentsIncremental idiom).
+    if (sh.isEmpty)
+      return sh.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cont_a"), lit(0.0).as("cont_b")).limit(0)
+    // batch sizes: a cheap aggregation over the CHECKPOINTED staging —
+    // deliberately not its own checkpoint (a whole extra job); each of
+    // its two consumers (denominator union, size append) re-derives it
+    // from sh's cached blocks in one map-side-combined pass
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-      .localCheckpoint(true)
     // store postings for the shingles this batch carries — every
     // shared shingle of a (store, batch) pair is by definition in the
     // batch's set, so `touched` covers all cross pairs. No broadcast
     // hint — see MinhashStore.ingest on AQE sizing.
+    val storeExists = wh.exists(postTable)
     val touched =
-      if (wh.exists(postTable))
+      if (storeExists)
         wh.readBucketed(postTable).join(
           sh.select("shingle").distinct(), Seq("shingle"), "left_semi")
       else sh.limit(0)
@@ -842,42 +874,78 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
       .agg(count(lit(1)).as("common"))
     // old–old pairs were emitted at the later endpoint's own ingest —
     // keep only pairs touching this batch (left joins + coalesce, the
-    // SimhashStore newness idiom)
-    val newIds = sizes.select(col("id")).withColumn("__new", lit(true))
-    val candidates = counted
-      .join(newIds.withColumnsRenamed(
-        Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
-      .join(newIds.withColumnsRenamed(
-        Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
-      .filter(coalesce(col("__na"), lit(false)) ||
-        coalesce(col("__nb"), lit(false)))
-      .select("id_a", "id_b", "common")
-      .localCheckpoint(true)
+    // SimhashStore newness idiom). FIRST ingest: no store, every pair
+    // touches the batch trivially — skip the joins outright.
+    val newIds = sh.select(col("id")).distinct()
+      .withColumn("__new", lit(true))
+    val candidates =
+      if (!storeExists) counted
+      else counted
+        .join(newIds.withColumnsRenamed(
+          Map("id" -> "id_a", "__new" -> "__na")), Seq("id_a"), "left")
+        .join(newIds.withColumnsRenamed(
+          Map("id" -> "id_b", "__new" -> "__nb")), Seq("id_b"), "left")
+        .filter(coalesce(col("__na"), lit(false)) ||
+          coalesce(col("__nb"), lit(false)))
+        .select("id_a", "id_b", "common")
     // denominators: batch sizes from staging, old sizes from the
-    // id-bucketed store — PRUNED to candidate ids first, so only
-    // candidate-proportional rows leave the scan (the MinhashStore
-    // set-store lesson). Merge hint: candidates descend from an
-    // explode, their size estimate is garbage — see Dedup.joinSizes.
-    val candIds = candidates.select(col("id_a").as("id"))
-      .union(candidates.select(col("id_b").as("id"))).distinct()
+    // id-bucketed store. TWO routes on the size side's metadata-only
+    // optimizer estimate (the BigQueryWarehouse.load routing idiom):
+    //
+    //  - SMALL (young store, the maintenance-stream common case):
+    //    broadcast the whole size side into two hash joins and leave
+    //    the candidate pipeline UNMATERIALIZED — candidates then have
+    //    exactly one consumer, so the window → pair-count → newness →
+    //    denominator chain fuses into the single job that materializes
+    //    `pairs` (measured: this halves the q155 board entry — the
+    //    separate candidate checkpoint plus three merge-join exchanges
+    //    were pure per-ingest overhead at this scale).
+    //  - LARGE: the r9 shape — checkpoint candidates, prune the size
+    //    side to candidate ids first (only candidate-proportional rows
+    //    leave the scan, the MinhashStore set-store lesson), and merge
+    //    join (candidates descend from an explode, their size estimate
+    //    is garbage — a hash hint could OOM; see Dedup.joinSizes).
     val allSizes =
       if (wh.exists(sizeTable)) wh.readBucketed(sizeTable).unionByName(sizes)
       else sizes
-    val szTagged = allSizes.join(candIds, Seq("id"), "left_semi")
-    val pairs = candidates.hint("merge")
-      .join(szTagged.withColumnsRenamed(
-        Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
-      .join(szTagged.withColumnsRenamed(
-        Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+    // metadata-only estimate: parquet file sizes for the store side +
+    // the optimizer's estimate of the batch agg. 16 MB of (id, sz)
+    // parquet ≈ low-millions of docs — comfortably broadcastable; past
+    // it the pruned path's extra jobs are noise against the data.
+    val sizesSmall = allSizes.queryExecution.optimizedPlan.stats
+      .sizeInBytes <= BigInt(cfg.broadcastSizesBytes)
+    val pairs0 =
+      if (sizesSmall) {
+        val szB = broadcast(allSizes)
+        candidates
+          .join(szB.withColumnsRenamed(
+            Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+          .join(szB.withColumnsRenamed(
+            Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      } else {
+        val candidatesMat =
+          tphase("candidates")(candidates.localCheckpoint(true))
+        val candIds = candidatesMat.select(col("id_a").as("id"))
+          .union(candidatesMat.select(col("id_b").as("id"))).distinct()
+        val szTagged = allSizes.join(candIds, Seq("id"), "left_semi")
+        candidatesMat.hint("merge")
+          .join(szTagged.withColumnsRenamed(
+            Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+          .join(szTagged.withColumnsRenamed(
+            Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      }
+    val pairs = tphase("pairs")(pairs0
       .withColumn("cont_a",
         col("common").cast("double") / col("sz_a").cast("double"))
       .withColumn("cont_b",
         col("common").cast("double") / col("sz_b").cast("double"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= cfg.threshold)
       .select("id_a", "id_b", "cont_a", "cont_b")
-      .localCheckpoint(true) // BEFORE the appends — see MinhashStore
-    wh.appendBucketed(postTable, sh, Seq("shingle"), cfg.nStoreBuckets)
-    wh.appendBucketed(sizeTable, sizes, Seq("id"), cfg.nStoreBuckets)
+      .localCheckpoint(true)) // BEFORE the appends — see MinhashStore
+    tphase("appendPost")(
+      wh.appendBucketed(postTable, sh, Seq("shingle"), cfg.nStoreBuckets))
+    tphase("appendSize")(
+      wh.appendBucketed(sizeTable, sizes, Seq("id"), cfg.nStoreBuckets))
     pairs
   }
 }

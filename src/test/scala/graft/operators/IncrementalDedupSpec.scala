@@ -248,6 +248,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(p2 === full.filter(p => p._1._1 % 2 == 1 || p._1._2 % 2 == 1),
       "ingest 2 = full pairs touching batch 2, same cont values")
     assert((p1.keySet & p2.keySet) === Set.empty, "no pair emitted twice")
+
+    // BOTH denominator routes are the same operator: the pruned merge
+    // path (forced by gate 0 — what a web-scale size store takes) must
+    // emit identical pairs to the broadcast-fused path above
+    val storeBig = new ContainmentStore(freshWh(), "t",
+      ContainmentConfig(shingleN = 3, threshold = 0.8, maxDocFreq = 1000L,
+        broadcastSizesBytes = 0L))
+    val q1 = valued(storeBig.ingest(docs.filter(even), "id", "text"))
+    val q2 = valued(storeBig.ingest(docs.filter(!even), "id", "text"))
+    assert(q1 === p1 && q2 === p2,
+      "pruned-merge route must emit exactly the broadcast route's pairs")
+
+    // an empty batch short-circuits: schema-right empty result, and the
+    // store is unchanged (the next real ingest behaves identically)
+    val e = storeBig.ingest(docs.filter(col("id") < -1), "id", "text")
+    assert(e.columns.toSeq ===
+      Seq("id_a", "id_b", "cont_a", "cont_b") && e.isEmpty)
   }
 
   test("incremental connected components equal the full recompute") {
