@@ -231,6 +231,82 @@ private[queries] object MultimodalQueries {
         lab AS (SELECT id, min(comp) AS comp FROM ccr GROUP BY id)
         SELECT media_id FROM dh
         WHERE media_id NOT IN (SELECT id FROM lab WHERE comp < id)""")),
+
+    // ===== Multimodal: REAL audio metadata roundtrip — synthWavs emits
+    // actual RIFF/WAVE PCM16 bytes at id-derived (sample rate, frame
+    // count); the oracle's arithmetic only matches if AudioCodec parses
+    // the ACTUAL header fields back out (the q59 image pattern) =====
+    QueryDef("q159_audio_meta",
+      (s, dir) => {
+        val spec = T.documents(s, dir).select(col("doc_id"),
+          element_at(array(lit(8000), lit(16000), lit(44100)),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("sr"),
+          (pmod(col("doc_id"), lit(200)) + 50).as("n"))
+        val wavs = graft.operators.Multimodal.synthWavs(
+          spec, "doc_id", "sr", "n").withColumn("kind", lit("audio"))
+        graft.operators.Multimodal.withDecodedMeta(wavs,
+            "media_id", "content", "kind")
+          .select(col("media_id"), col("duration_ms"),
+            col("sample_rate").cast("long").as("sample_rate"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               CAST((doc_id % 200 + 50) * 1000 // sr AS BIGINT)
+                 AS duration_ms,
+               CAST(sr AS BIGINT) AS sample_rate
+        FROM (SELECT doc_id,
+                [8000, 16000, 44100][CAST(doc_id % 3 AS INTEGER) + 1] AS sr
+              FROM documents)""")),
+
+    // ===== Multimodal: ANN over REAL audio features — the energy
+    // envelope AudioCodec decodes from actual PCM frames. Every window
+    // sum is exact (dyadic |sample| values, binary64 headroom), so the
+    // oracle replays sample stream → envelope → cosine bit-for-bit
+    // (the q37/q134 replay discipline, now through a real codec) =====
+    QueryDef("q160_audio_ann",
+      (s, dir) => {
+        val spec = T.documents(s, dir).select(col("doc_id"),
+          lit(8000).as("sr"), (pmod(col("doc_id"), lit(400)) + 100).as("n"))
+        val wavs = graft.operators.Multimodal.synthWavs(
+          spec, "doc_id", "sr", "n")
+        val feats = graft.operators.Multimodal.audioFeatures(
+          wavs, "media_id", "content", dim = 8)
+        Similarity.bruteForceTopK(feats,
+            feats.filter(col("media_id") < 4), "media_id", "features", k = 3)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some {
+        val d = duckDot("qv", "cv")
+        val na = s"sqrt(${duckDot("qv", "qv")})"
+        val nb = s"sqrt(${duckDot("cv", "cv")})"
+        s"""
+        WITH spec AS (SELECT doc_id,
+            CAST(doc_id % 400 + 100 AS BIGINT) AS n FROM documents),
+        sa AS (SELECT doc_id, n,
+            list_transform(range(0, n),
+              i -> abs(((doc_id + 1) * (i + 7)) % 65536 - 32768)) AS a
+          FROM spec),
+        env AS (SELECT doc_id,
+            list_transform(range(0, 8), k ->
+              CAST(list_sum(a[CAST(k * n // 8 AS INTEGER) + 1 :
+                              CAST((k + 1) * n // 8 AS INTEGER)])
+                AS DOUBLE)) AS sums
+          FROM sa),
+        feats AS (SELECT doc_id,
+            list_transform(sums, v ->
+              CAST(v / list_reduce(sums, (x, y) -> x + y) AS REAL)) AS fv
+          FROM env),
+        q AS (SELECT doc_id AS query_id, fv AS qv FROM feats WHERE doc_id < 4),
+        c AS (SELECT doc_id AS nbr_id, fv AS cv FROM feats),
+        scored AS (SELECT query_id, nbr_id,
+            CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0
+                 ELSE $d / ($na * $nb) END AS sim
+          FROM c CROSS JOIN q WHERE nbr_id != query_id)
+        SELECT query_id, nbr_id, sim, "rank" FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+        WHERE "rank" <= 3"""
+      }),
   ) :+ videoNearDupDef
 
   /** The defs entry for q144 (appended to [[defs]] in the Seq above

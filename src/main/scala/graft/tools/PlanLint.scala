@@ -35,6 +35,8 @@ object PlanLint {
       "broadcast query set, maxQueries-capped",
     ("q37_media_ann", "NestedLoopJoin") ->
       "broadcast query set, maxQueries-capped",
+    ("q160_audio_ann", "NestedLoopJoin") ->
+      "broadcast query set, maxQueries-capped",
     ("q131_int8_topk", "NestedLoopJoin") ->
       "broadcast query set, maxQueries-capped (int8 candidate pass)",
     ("q133_pq_topk", "NestedLoopJoin") ->
@@ -125,6 +127,7 @@ object PlanLint {
     // the centroid/codebook tables are broadcast by construction
     "q22_brute_topk" -> "query set (maxQueries-capped)",
     "q37_media_ann" -> "query set (maxQueries-capped)",
+    "q160_audio_ann" -> "query set (maxQueries-capped)",
     "q42_lsh_topk" -> "query set (maxQueries-capped, LSH-bucketed)",
     "q23_ivf_topk" -> "centroid table (one row per cell)",
     "q73_ivf_incremental" -> "centroid table (one row per cell)",

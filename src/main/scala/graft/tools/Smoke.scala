@@ -238,6 +238,20 @@ object Smoke {
         graft.operators.Multimodal.dHash(media, "media_id", "content"),
         "media_id", "dhash", maxDist = 3)
     }
+    show("AudioCodec: real WAV meta + energy-envelope ANN") {
+      val wavs = graft.operators.Multimodal.synthWavs(
+        docs.limit(20).select(col("doc_id"), lit(8000).as("sr"),
+          (pmod(col("doc_id"), lit(100)) + 50).as("n")),
+        "doc_id", "sr", "n")
+      val feats = graft.operators.Multimodal.audioFeatures(
+        wavs, "media_id", "content", dim = 8)
+      graft.operators.Multimodal.withDecodedMeta(
+          wavs.withColumn("kind", lit("audio")),
+          "media_id", "content", "kind")
+        .join(graft.operators.Similarity.bruteForceTopK(feats,
+          feats.limit(2), "media_id", "features", k = 2)
+          .withColumnRenamed("nbr_id", "media_id"), Seq("media_id"))
+    }
     show("Sampling.repeatSample (epoch oversampling)") {
       graft.operators.Sampling.repeatSample(
         docs.select(col("doc_id"), col("lang")), "lang", "doc_id",

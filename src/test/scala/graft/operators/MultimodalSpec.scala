@@ -131,4 +131,92 @@ class MultimodalSpec extends SparkSpec {
       "media_id", "features", k = 2)
     assert(top.count() === 2)
   }
+
+  test("AudioCodec: real WAV roundtrip — header fields, exact 16-bit " +
+      "samples, multi-channel integer averaging, 8-bit path") {
+    val codec = new Multimodal.AudioCodec
+    val s16 = Array[Short](0, 16384, -32768, 32767, -1, 100)
+    val wav = Multimodal.wavBytes(16000, 1, s16)
+    val m = codec.meta(wav).get
+    assert((m.channels, m.sampleRate, m.bitsPerSample, m.nFrames) ===
+      ((1, 16000, 16, 6L)))
+    assert(m.durationMs === 6L * 1000 / 16000)
+    val dec = codec.samples(wav).get
+    assert(dec === s16.map(_ / 32768.0f), "16-bit decode is exact")
+    // stereo: frames average integer-exactly before the division
+    val st = Multimodal.wavBytes(8000, 2, Array[Short](100, 200, -7, -8))
+    assert(codec.meta(st).get.nFrames === 2L)
+    assert(codec.samples(st).get ===
+      Array(150 / 32768.0f, (-15 / 2) / 32768.0f))
+    // a LIST chunk before fmt/data is skipped (chunk-walking parse)
+    val bare = Multimodal.wavBytes(8000, 1, Array[Short](5, 6))
+    val extra = java.nio.ByteBuffer.allocate(bare.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(bare, 0, 12)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    extra.put(bare, 12, bare.length - 12)
+    val withList = extra.array()
+    // patch the RIFF size for the inserted chunk
+    val riffSz = java.nio.ByteBuffer.wrap(withList, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riffSz.putInt(withList.length - 8)
+    assert(codec.samples(withList).get ===
+      Array(5 / 32768.0f, 6 / 32768.0f))
+    // non-WAV / truncated / compressed-format payloads decode to None
+    assert(codec.meta("not audio at all".getBytes).isEmpty)
+    assert(codec.meta(bare.take(20)).isEmpty)
+    val mp3ish = bare.clone(); mp3ish(20) = 85 // audioFormat != 1
+    assert(codec.meta(mp3ish).isEmpty)
+  }
+
+  test("AudioCodec.energyEnvelope: exact window sums, silence is zero") {
+    val codec = new Multimodal.AudioCodec
+    // 4 samples, 2 windows: |2048|+|−2048| vs |4096|+|0|
+    val wav = Multimodal.wavBytes(8000, 1,
+      Array[Short](2048, -2048, 4096, 0))
+    val env = codec.energyEnvelope(wav, 2).get
+    assert(env === Array(0.5f, 0.5f))
+    val loud = Multimodal.wavBytes(8000, 1, Array[Short](1024, 3072))
+    assert(codec.energyEnvelope(loud, 2).get === Array(0.25f, 0.75f))
+    val silence = Multimodal.wavBytes(8000, 1, Array[Short](0, 0, 0))
+    assert(codec.energyEnvelope(silence, 4).get === Array(0f, 0f, 0f, 0f))
+  }
+
+  test("audioFeatures + withDecodedMeta: real codec for WAV rows, stub " +
+      "fallback for the rest; video seam routes to a plugged codec") {
+    import spark.implicits._
+    val wavs = Multimodal.synthWavs(
+      Seq((1L, 8000, 40), (2L, 16000, 80)).toDF("id", "sr", "n"),
+      "id", "sr", "n")
+    val mixed = wavs.withColumn("kind", lit("audio"))
+      .unionByName(Seq((3L, "plain text, not a wav", "audio"))
+        .toDF("media_id", "content", "kind")
+        .withColumn("content", col("content").cast("binary")))
+    val meta = Multimodal.withDecodedMeta(mixed, "media_id", "content",
+        "kind").collect().map(r => r.getLong(0) -> r).toMap
+    assert(meta(1L).getLong(4) === 40L * 1000 / 8000)
+    assert(meta(1L).getInt(5) === 8000)
+    assert(meta(2L).getInt(5) === 16000)
+    assert(meta(3L).getInt(5) === 16000, "non-WAV falls back to the stub")
+    assert(meta(3L).getLong(4) === "plain text, not a wav".length * 8L)
+    // the envelope is the real one: replay sample stream for id 1
+    val env = Multimodal.audioFeatures(wavs, "media_id", "content", dim = 4)
+      .filter(col("media_id") === 1).select("features")
+      .as[Array[Float]].head()
+    val samples = Array.tabulate(40)(i =>
+      ((2L * (i + 7)) % 65536 - 32768) / 32768.0)
+    val sums = Array.tabulate(4)(k =>
+      (k * 40 / 4 until (k + 1) * 40 / 4).map(i => math.abs(samples(i))).sum)
+    val expected = sums.map(v => (v / sums.sum).toFloat)
+    assert(env === expected, "envelope must replay from the raw stream")
+    // video plugin seam: a caller-supplied codec wins over the stub
+    val vid = Seq((9L, Array[Byte](1, 2, 3), "video"))
+      .toDF("media_id", "content", "kind")
+    val plugged = Multimodal.withDecodedMeta(vid, "media_id", "content",
+      "kind", videoCodec = Some(new Multimodal.VideoCodec {
+        def meta(bytes: Array[Byte]) = Some((640, 480, 1234L))
+      })).head()
+    assert((plugged.getInt(2), plugged.getInt(3), plugged.getLong(4)) ===
+      ((640, 480, 1234L)))
+  }
 }
