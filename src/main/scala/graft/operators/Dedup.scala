@@ -806,6 +806,9 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
+    // labels are checkpointed (lineage-free) — free the run-scoped edge
+    // pin so looped callers don't accumulate cached edge lists
+    checkpoint.releasePinned()
     labels
   }
 

@@ -86,10 +86,25 @@ object Graph {
       (mat, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     /** The one-shot form for frames that live for the whole run (edge
-      * list, node table) — no id tracking needed. */
-    def pin(df: DataFrame): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      * list, node table): tracked so [[releasePinned]] can free them
+      * when the run's RESULT no longer depends on them — a caller
+      * looping pageRank/CC calls (warm-start maintenance, probes)
+      * otherwise accumulates one cached edge list per call until the
+      * storage pool evicts mid-aggregation (measured: three 100M-edge
+      * pageRank calls OOM'd the 10M probe before this). */
+    private var pinnedIds: Set[Int] = Set.empty
+    def pin(df: DataFrame): DataFrame = {
+      val (mat, ids) = apply(df)
+      pinnedIds ++= ids
+      mat
+    }
+    /** Unpersist every [[pin]]'d frame — call once the returned result
+      * is itself materialized and lineage-free. */
+    def releasePinned(): Unit = {
+      pinnedIds.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      pinnedIds = Set.empty
+    }
   }
 
   /** Weighted in/out degrees per node: (node, out_deg, in_deg,
@@ -232,6 +247,10 @@ object Graph {
       ranks = mat
       prevIds = ids
     }
+    // the final ranks are checkpointed (lineage-free) — the run-scoped
+    // edge/node pins can go now, so looped callers (warm-start
+    // maintenance) don't accumulate a cached edge list per call
+    checkpoint.releasePinned()
     ranks.select(col("node"), col("rank_fp"),
       (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
   }
