@@ -692,7 +692,8 @@ object ScaleProbe {
         rows.foreach(_ => driverRows += 1)
       def loadUris(d: String, t: String, uris: Seq[String],
                    disp: WriteDisposition,
-                   p: Option[TimePartitioning]): Unit = {
+                   p: Option[TimePartitioning],
+                   format: StagedFormat): Unit = {
         uriLoadCalls += 1
         val hconf = spark.sparkContext.hadoopConfiguration
         uris.foreach { u =>
@@ -704,9 +705,6 @@ object ScaleProbe {
       def insertRows(d: String, t: String, rows: Seq[String]): Unit = ()
       def query(sql: String, params: Map[String, String]): Seq[String] = Nil
     }
-    val client = new StatClient
-    val wh = new graft.sources.BigQueryWarehouse(client, "probe",
-      stagingUri = Some(s"$root/bq_staging"))
     val frame = spark.range(0, n, 1, 32).select(
       col("id"),
       date_format(date_add(to_date(lit("2024-01-01")),
@@ -718,20 +716,38 @@ object ScaleProbe {
       val r = Runtime.getRuntime
       (r.totalMemory - r.freeMemory) >> 20
     }
-    val before = heapMb()
-    time(f"staged load $n%,d rows") {
-      wh.load(frame, "big", WriteAppend,
-        Some(TimePartitioning("date", Some("DAY"))))
+    // one staged load per format — the bytes-on-staging comparison the
+    // compressed default exists for
+    val fmts = Seq(
+      graft.sources.BigQueryStore.StagedFormat.Ndjson,
+      graft.sources.BigQueryStore.StagedFormat.GzipNdjson,
+      graft.sources.BigQueryStore.StagedFormat.Parquet)
+    val byFmt = fmts.map { fmt =>
+      val client = new StatClient
+      val wh = new graft.sources.BigQueryWarehouse(client, "probe",
+        stagingUri = Some(s"$root/bq_staging_$fmt"),
+        stagedFormat = fmt)
+      val before = heapMb()
+      time(f"staged load $n%,d rows [$fmt]") {
+        wh.load(frame, "big", WriteAppend,
+          Some(TimePartitioning("date", Some("DAY"))))
+      }
+      val after = heapMb()
+      println(s"[probe] [$fmt] driver heap before=$before MB " +
+        s"after=$after MB delta=${after - before} MB")
+      println(f"[probe] [$fmt] uriLoadCalls=${client.uriLoadCalls} " +
+        f"stagedFiles=${client.stagedFiles} " +
+        f"stagedBytes=${client.stagedBytes / 1e9}%.3f GB " +
+        f"driverRows=${client.driverRows} (must be 0)")
+      require(client.driverRows == 0L,
+        "staged-load contract violated: a row crossed the driver")
+      fmt -> client.stagedBytes
+    }.toMap
+    val plain = byFmt(graft.sources.BigQueryStore.StagedFormat.Ndjson)
+    fmts.drop(1).foreach { f =>
+      println(f"[probe] staged-bytes ratio $f vs plain NDJSON: ${
+        byFmt(f).toDouble / plain}%.3f")
     }
-    val after = heapMb()
-    println(s"[probe] driver heap before=$before MB after=$after MB " +
-      s"delta=${after - before} MB")
-    println(f"[probe] uriLoadCalls=${client.uriLoadCalls} " +
-      f"stagedFiles=${client.stagedFiles} " +
-      f"stagedBytes=${client.stagedBytes / 1e9}%.2f GB " +
-      f"driverRows=${client.driverRows} (must be 0)")
-    require(client.driverRows == 0L,
-      "staged-load contract violated: a row crossed the driver")
   }
 
   private def clfProbe(spark: SparkSession, docsPath: String): Unit = {

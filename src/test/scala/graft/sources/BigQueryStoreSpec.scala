@@ -178,6 +178,64 @@ class BigQueryStoreSpec extends SparkSpec {
     assert(client.tableRows("ds", "checks_a").size === 2)
   }
 
+  test("staged formats: gzip default shrinks staged bytes, parquet " +
+      "roundtrips, format recorded on the load job") {
+    def stagedBytes(uris: Seq[String]): Long = uris.map(u =>
+      new java.io.File(java.net.URI.create(u).getPath).length).sum
+    // a repetitive frame so gzip has something to compress
+    val wide = spark.range(2000).select(
+      col("id"),
+      concat(lit("2024-01-"), lpad((col("id") % 28 + 1).cast("string"),
+        2, "0")).as("date"),
+      lit("the same value every row ").as("k"),
+      (col("id") % 7).as("v"))
+    def loadWith(fmt: StagedFormat): RecordingBigQueryClient = {
+      val client = new RecordingBigQueryClient
+      val staging = java.nio.file.Files
+        .createTempDirectory("bq_fmt").toString
+      val wh = new BigQueryWarehouse(client, "ds",
+        stagingUri = Some(staging), stagedThresholdBytes = 1L,
+        stagedFormat = fmt)
+      wh.load(wide, "t", WriteAppend)
+      assert(client.loads.isEmpty, "must take the staged route")
+      assert(client.uriLoads.size === 1)
+      client
+    }
+    val cPlain = loadWith(StagedFormat.Ndjson)
+    val cGzip = loadWith(StagedFormat.GzipNdjson)
+    val cParq = loadWith(StagedFormat.Parquet)
+    assert(cPlain.uriLoads.get(0).format === StagedFormat.Ndjson &&
+      cGzip.uriLoads.get(0).format === StagedFormat.GzipNdjson &&
+      cParq.uriLoads.get(0).format === StagedFormat.Parquet,
+      "the load job must record the staged wire format")
+    // the mock server decoded every format to the same 2000 rows
+    assert(cPlain.tableRows("ds", "t").size === 2000)
+    assert(cGzip.tableRows("ds", "t").size === 2000)
+    assert(cParq.tableRows("ds", "t").size === 2000)
+    // gzip is the default because it shrinks the staged bytes hard
+    val (bPlain, bGzip, bParq) = (
+      stagedBytes(cPlain.uriLoads.get(0).uris),
+      stagedBytes(cGzip.uriLoads.get(0).uris),
+      stagedBytes(cParq.uriLoads.get(0).uris))
+    assert(bGzip * 4 < bPlain,
+      s"gzip staged bytes $bGzip must be <1/4 of plain $bPlain")
+    assert(bParq < bPlain, s"parquet $bParq must beat plain $bPlain")
+    // parquet rows re-render with the frame's field names and values
+    val row = cParq.tableRows("ds", "t").head
+    assert(row.contains("\"date\":\"2024-01-") &&
+      row.contains("\"k\":\"the same value every row \"") &&
+      row.contains("\"v\":"), row)
+    // disposition semantics are format-independent
+    val cT = loadWith(StagedFormat.Parquet)
+    // (loadWith used WriteAppend; a second truncate load replaces)
+    val whT = new BigQueryWarehouse(cT, "ds",
+      stagingUri = Some(java.nio.file.Files
+        .createTempDirectory("bq_fmt").toString),
+      stagedThresholdBytes = 1L, stagedFormat = StagedFormat.Parquet)
+    whT.load(wide, "t", WriteTruncate)
+    assert(cT.tableRows("ds", "t").size === 2000)
+  }
+
   test("parameterized queries pass through the client boundary") {
     val client = new RecordingBigQueryClient
     client.queryResult = Seq("""{"n":3}""")
