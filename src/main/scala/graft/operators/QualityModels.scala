@@ -345,6 +345,61 @@ object QualityModels {
     } finally release(train.sparkSession, ckptIds)
   }
 
+  /** [[trainPerceptron]] with per-feature POWER-OF-TWO up-scaling — the
+    * conditioning fix for signals that live on small-magnitude features
+    * (ScaleProbe `clf` arm A: a ±10-token suffix delta on features whose
+    * shared per-doc base runs to ~10³; the batch update then swings
+    * along the large uninformative directions and the iterates
+    * oscillate). Each feature is shifted UP so its training-set max
+    * fills the feature cap — never down (a down-shift would quantize
+    * away exactly the small deltas that carry the signal) — training
+    * runs on the scaled integers, and the shifts fold back into the
+    * returned weights (`margin = Σ wⱼ·(xⱼ·2^sⱼ) = Σ (wⱼ·2^sⱼ)·xⱼ`), so
+    * the result scores RAW [[classifierFeatures]] rows through the same
+    * [[perceptronMargin]]/[[perceptronQuality]]/[[saveWeights]] surface
+    * as the plain trainer. Everything stays exact integer arithmetic:
+    * bit-reproducible, no seed, partition-order independent.
+    *
+    * Measured (spec-pinned, ScaledPerceptronSpec): on a uniform-base
+    * suffix-delta arm the unscaled trainer is fully INVERTED (AUC 0.0 —
+    * the probe's arm-A 0.009) while the scaled one separates exactly
+    * (AUC 1.0); with 3× per-doc base-length variance the scaled form
+    * still ranks at AUC ≈ 0.99. Boundary that remains: scaling
+    * equalizes feature MAGNITUDES, not content — a signal carried by
+    * WHICH tokens appear (not how many of what shape) needs
+    * [[trainHashedPerceptron]], which learns the tokens themselves.
+    * Costs one extra aggregate over the training sample. */
+  def trainPerceptronScaled(train: DataFrame, labelCol: String,
+                            iters: Int,
+                            featCols: Seq[String] = ClassifierFeatureCols)
+      : Array[Long] = {
+    // per-feature training max — one aggregate job, d values back
+    val maxRow = train
+      .agg(max(col(featCols.head).cast("long")).as(featCols.head),
+        featCols.tail.map(c => max(col(c).cast("long")).as(c)): _*)
+      .head()
+    val shifts = featCols.indices.map { j =>
+      val m = if (maxRow.isNullAt(j)) 1L
+        else math.max(1L, maxRow.getLong(j))
+      require(m <= ClassifierFeatureCap,
+        s"feature ${featCols(j)} max $m exceeds the cap " +
+          s"$ClassifierFeatureCap — not a classifierFeatures frame?")
+      var s = 0
+      while ((m << (s + 1)) <= ClassifierFeatureCap) s += 1
+      s
+    }
+    val scaled = train.select(col(labelCol) +:
+      featCols.zip(shifts).map { case (c, s) =>
+        (col(c).cast("long") * lit(1L << s)).as(c) }: _*)
+    // scaled features stay ≤ the cap by construction, so the plain
+    // trainer's overflow guard covers the scaled run unchanged; the
+    // folded weights below grow by ≤ 2^s ≤ cap, and the scoring margin
+    // bound d·iters·n·cap²·2^s keeps >2^9 headroom under Long.MaxValue
+    // for any n the training guard admits
+    val w = trainPerceptron(scaled, labelCol, iters, featCols)
+    w.zip(shifts).map { case (wj, s) => wj << s }.toArray
+  }
+
   /** localCheckpoint with its new RDD ids tracked, so training can
     * unpersist its blocks deterministically instead of leaking one
     * materialized stream per call until ContextCleaner GC (see

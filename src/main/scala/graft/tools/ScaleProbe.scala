@@ -867,6 +867,23 @@ object ScaleProbe {
         gateAcc(denseScored, 1.0)}%.4f  acc@cal($dTau%.1f)=${
         gateAcc(denseScored, dTau)}%.4f  auc=${rankAuc(denseScored)}%.4f")
 
+      // the conditioning fix: power-of-two up-scaled dense training
+      // (weights fold back to raw feature space — same scorer)
+      val wSc = time(s"dense-scaled train ($tag, 8 it)") {
+        QualityModels.trainPerceptronScaled(featsSep, "label", iters = 8)
+      }
+      def scaledScore(d: DataFrame) = QualityModels
+        .classifierFeatures(d, "doc_id", "text")
+        .withColumn("s",
+          QualityModels.perceptronMargin(wSc.toSeq).cast("double"))
+        .join(d.select(col("doc_id").as("id"), col("label")), Seq("id"))
+        .select("s", "label")
+      val scaledScored = scaledScore(heldout).localCheckpoint(true)
+      val (sTau, _) = QualityModels.calibrateThreshold(
+        scaledScore(trainSep), "s", "label")
+      println(f"[probe]   $tag dense-SCALED heldout acc@cal($sTau%.1f)=${
+        gateAcc(scaledScored, sTau)}%.4f  auc=${rankAuc(scaledScored)}%.4f")
+
       val wHs = time(s"hashed train ($tag, 4 it)") {
         QualityModels.trainHashedPerceptron(trainSep, "doc_id", "text",
           "label", numFeatures = 4096, iters = 4)
