@@ -161,7 +161,14 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
                scale: Long = 1L << 30,
                checkpointDir: Option[String] = None): DataFrame = {
     requireIngested(spark)
-    Graph.pageRank(edges(spark), "src", "dst", iters, Some("w"),
-      dampNum, dampDen, scale, prior, checkpointDir)
+    // the RAW bucketed read, not [[edges]]: pageRank collapses parallel
+    // edges itself (by weight sum, its documented contract), and its
+    // collapse is exchange-free on the src-bucketed layout — going
+    // through the collapsed view would pay a second full hash
+    // aggregation over the edge history for nothing (measured: the
+    // 100M-edge probe OOM'd its aggregation headroom on exactly that
+    // double pass)
+    Graph.pageRank(wh.readBucketed(edgeTable), "src", "dst", iters,
+      Some("w"), dampNum, dampDen, scale, prior, checkpointDir)
   }
 }

@@ -205,25 +205,56 @@ object Pipeline {
     PreFiltered(decon, scored, deconDropped)
   }
 
+  /** Host-reputation gate for [[curate]] / [[CurationStore]]: keep only
+    * documents whose `keyCol` value is a node the link graph promotes —
+    * rank_fp strictly above `minRankFp` in `ranks`, a PRECOMPUTED
+    * [[Graph.pageRank]] output (compute the ranks once per crawl epoch,
+    * amortized across every curation run, the [[Graph.authorityGate]]
+    * contract). Dropped docs land in the audit ledger under stage
+    * "authority" with no winner — the provenance answer for "where did
+    * my host go". Like `evalTexts`, the ranks table is STATIC input, so
+    * gating stays a pure per-doc predicate and the batch ≡ incremental
+    * curation contract is preserved; the comparison runs on the exact
+    * fixed-point rank, so the kept set is deterministic. The gate runs
+    * FIRST — a reputation drop is the cheapest filter in the chain (an
+    * ids-only semi-join, no tokenization), so at crawl scale it should
+    * shed whole hosts before any per-row text work. */
+  final case class AuthorityGate(ranks: DataFrame, keyCol: String,
+                                 minRankFp: Long) {
+    private[operators] def promoted: DataFrame =
+      ranks.filter(col("rank_fp") > minRankFp)
+        .select(col("node").as(keyCol))
+    private[operators] def keep(docs: DataFrame): DataFrame =
+      docs.join(promoted, Seq(keyCol), "left_semi")
+    private[operators] def droppedIds(docs: DataFrame,
+                                      idCol: String): DataFrame =
+      docs.join(promoted, Seq(keyCol), "left_anti")
+        .select(col(idCol).as("id"))
+  }
+
   /** Run the full curation pipeline over `docs`. Ids must be integral
     * and unique (connected components requires integral labels).
     * `evalTexts` enables the decontamination stage; `withCounts` adds
     * the survivor accounting (three extra jobs: one aggregate over the
     * scored scan, one count of the decontaminated set, one of the kept
-    * set — the exact-dedup count is free off the checkpoint). */
+    * set — the exact-dedup count is free off the checkpoint);
+    * `authority` prepends the host-reputation stage (see
+    * [[AuthorityGate]] — `docs` must then carry its key column). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              evalTexts: Option[DataFrame] = None,
              evalTextCol: String = "text",
              cfg: CurateConfig = CurateConfig(),
              withCounts: Boolean = false,
              withAudit: Boolean = false,
-             stage: DataFrame => DataFrame = _.localCheckpoint(true))
+             stage: DataFrame => DataFrame = _.localCheckpoint(true),
+             authority: Option[AuthorityGate] = None)
       : CurateResult =
     // the pipeline's transforms are string-heavy over ~KB texts; size
     // the scan batches to heap-per-slot FOR THIS CALL (the staged
     // checkpoints execute every wide scan inside it) and restore after
     graft.core.WideScan.withScanSizing(docs.sparkSession) {
-    val pf = preFilter(docs, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+    val gated = authority.map(_.keep(docs)).getOrElse(docs)
+    val pf = preFilter(gated, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
     val scored = pf.scored
     // the audit's exact-dup loser scan is a second read of the
     // decontaminated frame — materialize it once rather than re-running
@@ -244,9 +275,9 @@ object Pipeline {
     val counts =
       if (!withCounts) Nil
       else {
-        // one aggregate scan covers input + both filter stages; the
-        // decon count re-runs only the staged-redacted anti-join; the
-        // exact and kept counts read checkpointed frames
+        // one aggregate scan covers gate survivors + both filter
+        // stages; the decon count re-runs only the staged-redacted
+        // anti-join; the exact and kept counts read checkpointed frames
         val qr = scored.agg(
           count(lit(1)).as("nin"),
           count(when(qPass(cfg), lit(1))).as("nq"),
@@ -254,7 +285,15 @@ object Pipeline {
         val nDec = decon.count()
         val nEx = exact.count()
         val nKept = kept.count()
-        Seq("input" -> qr.getLong(0), "quality" -> qr.getLong(1),
+        // with an authority gate, "input" is the PRE-gate count (one
+        // extra job) and the scored scan's row count becomes the gate's
+        // survivor line — every stage still reads "rows surviving it"
+        val head = authority match {
+          case Some(_) => Seq("input" -> docs.count(),
+            "authority" -> qr.getLong(0))
+          case None => Seq("input" -> qr.getLong(0))
+        }
+        head ++ Seq("quality" -> qr.getLong(1),
           "repetition" -> qr.getLong(2), "decontaminate" -> nDec,
           "exact_dedup" -> nEx, "near_dedup" -> nKept)
       }
@@ -267,6 +306,10 @@ object Pipeline {
           .select(col("id"), lit(stageName).as("stage"), noWinner)
         // each doc appears at most once: every arm filters on "survived
         // all earlier stages" by construction (the pipeline is a chain)
+        val authorityDropped = authority match {
+          case Some(a) => row(a.droppedIds(docs, idCol), "authority")
+          case None => row(scored.select("id").limit(0), "authority")
+        }
         val qualityDropped = row(scored.filter(!qPass(cfg)), "quality")
         val repDropped =
           row(scored.filter(qPass(cfg) && !rPass(cfg)), "repetition")
@@ -276,7 +319,8 @@ object Pipeline {
         val nearDropped = labels.filter(col("comp") < col("id"))
           .select(col("id"), lit("near_dup").as("stage"),
             col("comp").cast(idType).as("kept_id"))
-        Some(qualityDropped.unionByName(repDropped)
+        Some(authorityDropped.unionByName(qualityDropped)
+          .unionByName(repDropped)
           .unionByName(deconDropped).unionByName(exactDropped)
           .unionByName(nearDropped))
       }
@@ -337,6 +381,7 @@ object Pipeline {
                             cfg: CurateConfig = CurateConfig(),
                             evalTexts: Option[DataFrame] = None,
                             evalTextCol: String = "text",
+                            authority: Option[AuthorityGate] = None,
                             stage: DataFrame => DataFrame =
                               _.localCheckpoint(true)) {
     private val wh = new graft.sources.Warehouse(spark, root)
@@ -435,8 +480,14 @@ object Pipeline {
       graft.core.WideScan.withScanSizing(spark) {
       graft.sources.StoreTxn.transact(spark, root) {
       val txn = graft.sources.StoreTxn.current(root)
+      // host-reputation gate first (the curate ordering): the ranks are
+      // static input like evalTexts, so the batch ≡ full-corpus
+      // equivalence survives — every batch is gated by the same
+      // predicate the one-shot run applies
+      val gatedBatch = authority.map(_.keep(batch)).getOrElse(batch)
       val pf =
-        preFilter(batch, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+        preFilter(gatedBatch, idCol, textCol, evalTexts, evalTextCol, cfg,
+          stage)
       // the audit's exact-loser pass re-reads the decontaminated frame —
       // materialize it once rather than re-running the redaction chain
       val decon = if (withAudit) stage(pf.decon) else pf.decon
@@ -521,7 +572,12 @@ object Pipeline {
             .select(col("id").cast("long").as("id"),
               lit("near_dup").as("stage"),
               col("comp").cast("long").as("kept_id"))
-          Some(ledger(pf.scored.filter(!qPass(cfg)), "quality")
+          val authorityRows = authority match {
+            case Some(a) => ledger(a.droppedIds(batch, idCol), "authority")
+            case None => ledger(pf.scored.select("id").limit(0), "authority")
+          }
+          Some(authorityRows
+            .unionByName(ledger(pf.scored.filter(!qPass(cfg)), "quality"))
             .unionByName(
               ledger(pf.scored.filter(qPass(cfg) && !rPass(cfg)),
                 "repetition"))

@@ -79,7 +79,8 @@ private[queries] object CurationQueries {
       |             THEN CAST(t2 - len(list_distinct(g2)) AS DOUBLE) / CAST(t2 AS DOUBLE)
       |             ELSE 0.0 END)""".stripMargin
 
-  private def curateCtesFor(surgical: Boolean): String = {
+  private def curateCtesFor(surgical: Boolean,
+      baseWhere: String = ""): String = {
     val mh = CurateCfg.minhash
     require(mh.shingleN == 3 && CurateCfg.repN == 2,
       "the SQL mirror hardwires 3-token shingles and bigram repetition")
@@ -99,7 +100,8 @@ private[queries] object CurationQueries {
     val jacc = "CASE WHEN CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) = 0.0 THEN 0.0 " +
       "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) " +
       "/ CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END"
-    s"""base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id >= 25),
+    s"""base AS (SELECT doc_id AS id, text FROM documents
+                 WHERE doc_id >= 25 $baseWhere),
         stg AS (SELECT id, text, $duckToks AS tk FROM base),
         sc AS (SELECT id, text,
             CAST(length(text) AS DOUBLE) AS len,
@@ -239,6 +241,48 @@ private[queries] object CurationQueries {
       },
       Some(LlmQueries.containmentOracle(maxDf = 1000L,
         extraWhere = "AND (id_a % 2 = 1 OR id_b % 2 = 1)"))),
+
+    // ===== Authority-gated curation: the crawl-scale composition
+    // (link-graph PageRank → host-reputation gate → full curate chain)
+    // as one call. Hosts = doc_id%100+1, keyed into the q154 supplier
+    // graph's node space; the gate drops below-prior hosts FIRST and
+    // the ledger accounts for every gated id. Oracle = the unrolled
+    // 3-iteration PageRank replay (ScaleQueries' CTEs) feeding a
+    // host-filtered curate chain =====
+    QueryDef("q161_curate_authority",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val ranks = graft.operators.Graph.pageRank(
+          ScaleQueries.graphEdges(s, dir), "src", "dst", iters = 3,
+          Some("w")).localCheckpoint(true)
+        val n = ranks.count() // bounded control read, = the oracle's k.n
+        val hosted = d.filter(col("doc_id") >= 25)
+          .withColumn("host", pmod(col("doc_id"), lit(100L)) + 1L)
+        val r = Pipeline.curate(hosted, "doc_id", "text",
+          Some(d.filter(col("doc_id") < 25)), "text", CurateCfg,
+          withAudit = true,
+          authority = Some(Pipeline.AuthorityGate(ranks, "host",
+            minRankFp = (1L << 30) / n)))
+        r.kept.select(col("id"), lit("kept").as("stage"))
+          .unionByName(r.audit.get
+            .filter(col("stage") === "authority").select("id", "stage"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ScaleQueries.pageRankCtes},
+        -- MATERIALIZED: the curate chain below references `promoted`
+        -- from several self-joining arms; inlined, the whole unrolled
+        -- PageRank would be re-planned once per reference (measured:
+        -- DuckDB ran out of file handles on the multiplied scans)
+        promoted AS MATERIALIZED (SELECT node FROM r3
+                     WHERE rank_fp > (SELECT 1073741824 // n FROM k)),
+        ${curateCtesFor(surgical = false,
+          baseWhere =
+            "AND (doc_id % 100) + 1 IN (SELECT node FROM promoted)")}
+        SELECT id, 'kept' AS stage FROM kept
+        UNION ALL
+        SELECT doc_id AS id, 'authority' AS stage FROM documents
+        WHERE doc_id >= 25
+          AND (doc_id % 100) + 1 NOT IN (SELECT node FROM promoted)""")),
 
     // ===== Incremental connected components: fold the k2 pair family
     // into the k1-only labeling; must equal q64's full recompute =====

@@ -507,7 +507,7 @@ private[queries] object ScaleQueries {
     * doubles, exact as BIGINT). Parallel edges are REAL here (a
     * supplier ships the same part on many orders) — exactly what
     * degrees counts individually and pageRank collapses by weight. */
-  private def graphEdges(s: org.apache.spark.sql.SparkSession,
+  private[queries] def graphEdges(s: org.apache.spark.sql.SparkSession,
                          dir: String) =
     T.lineitem(s, dir).filter(col("l_linenumber") === 1)
       .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"),
@@ -527,7 +527,7 @@ private[queries] object ScaleQueries {
     * `r3`, with `k` carrying n/initr/base) — shared by q154 and the
     * q156 authority gate. Every update is integer multiply /
     * floor-divide / sum, mirroring Graph.pageRank exactly. */
-  private lazy val pageRankCtes: String = {
+  private[queries] lazy val pageRankCtes: String = {
     def iter(prev: String, cur: String) = s"""
         $cur AS (
           SELECT nf.node, nf.has_out,

@@ -419,6 +419,52 @@ class PipelineSpec extends SparkSpec {
     assert(dup.kept.count() === 0)
   }
 
+  test("authority gate composes into curate: hosts below the rank bar " +
+      "drop first, ledger accounts for them, store form agrees") {
+    // hosts: doc 1,5,6 on host 10 (promoted), 7,8 on host 20
+    // (promoted), the rest on host 30 (below the bar)
+    val hosted = docs.withColumn("host",
+      when(col("doc_id").isin(1L, 5L, 6L), 10L)
+        .when(col("doc_id").isin(7L, 8L), 20L).otherwise(30L))
+    val ranks = Seq((10L, 900L), (20L, 800L), (30L, 10L))
+      .toDF("node", "rank_fp")
+    val gate = Pipeline.AuthorityGate(ranks, "host", minRankFp = 100L)
+    val lax = Pipeline.CurateConfig(minQuality = 0.0, maxRepetition = 1.0)
+    val r = Pipeline.curate(hosted, "doc_id", "text", None, "text", lax,
+      withCounts = true, withAudit = true, authority = Some(gate))
+    // hosts 10/20 survive the gate; then exact dedup (6 loses to 5)
+    // and near-dup (7 loses to 1) run on the gated set only
+    assert(r.kept.select("id").as[Long].collect().toSet ===
+      Set(1L, 5L, 8L))
+    val audit = r.audit.get.collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(audit(2L) === "authority" && audit(3L) === "authority" &&
+      audit(4L) === "authority", s"host-30 docs drop at the gate: $audit")
+    assert(audit(6L) === "exact_dup" && audit(7L) === "near_dup")
+    // ledger invariant: kept ∪ audit partitions the input ids
+    assert((audit.keySet ++ Set(1L, 5L, 8L)) === (1L to 8L).toSet &&
+      !audit.contains(1L))
+    // counts: input is pre-gate, authority is the gate's survivors
+    val counts = r.stageCounts.toMap
+    assert(counts("input") === 8L && counts("authority") === 5L)
+
+    // the incremental store applies the same static gate — batch
+    // ingests reassemble the one-shot result (kept set and ledger)
+    val store = new Pipeline.CurationStore(spark,
+      freshRoot(), "auth", lax, authority = Some(gate))
+    val d1 = store.ingest(hosted.filter(col("doc_id") <= 4), "doc_id",
+      "text", withAudit = true)
+    val d2 = store.ingest(hosted.filter(col("doc_id") > 4), "doc_id",
+      "text", withAudit = true)
+    val keptInc = (d1.kept.select("id").as[Long].collect().toSet ++
+      d2.kept.select("id").as[Long].collect().toSet) --
+      d2.retracted.as[Long].collect().toSet
+    assert(keptInc === Set(1L, 5L, 8L))
+    val auditInc = (d1.audit.get.collect() ++ d2.audit.get.collect())
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(auditInc === audit)
+  }
+
   test("preFilter's widening gate skips few-partition inputs whose size " +
       "estimate is large") {
     // few partitions + a LARGE optimizer size estimate: a non-splittable
