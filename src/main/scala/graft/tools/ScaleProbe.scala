@@ -360,6 +360,8 @@ object ScaleProbe {
       .localCheckpoint(true)
     println(s"[probe] graph nodes≈$n edges=${edges.count()} " +
       s"hubs=${math.max(n / 1000, 1L)}")
+    println(s"[probe] master=${spark.sparkContext.master} " +
+      s"heapPerSlot=${graft.core.WideScan.heapPerSlotBytes(spark) >> 20} MB")
     timedCount("graph_degrees") {
       Graph.degrees(edges, "src", "dst", Some("w"))
     }
@@ -471,6 +473,47 @@ object ScaleProbe {
         tDelta / math.max(tBulk, 1e-9)}%.3f)")
     require(l1Warm <= l1Cold,
       "warm start must be at least as close to the fixed point")
+  }
+
+  /** Composed crawl-scale authority curation: synthetic host link graph
+    * → exact PageRank → [[Pipeline.AuthorityGate]] → full curate with
+    * audit, at corpus scale — the one-call composition the q161 oracle
+    * pins at sf0.01, probed for wall time and ledger accounting. */
+  private def authProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.{Graph, Pipeline}
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
+    val nHosts = 10000L
+    val hosted = docs.select(col("doc_id"), col("text"),
+      pmod(xxhash64(col("doc_id"), lit(5L)), lit(nHosts)).as("host"))
+    // hubbed host graph (the graphProbe generator at host scale)
+    val edges = spark.range(nHosts * 100).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(nHosts)).as("src"),
+      when(pmod(col("id"), lit(4)) === 0,
+        pmod(xxhash64(col("id"), lit(3)), lit(nHosts / 1000)))
+        .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(nHosts))).as("dst"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(10)) + 1).as("w"))
+    val ranks = time("authority: pageRank(3) over hosts") {
+      Graph.pageRank(edges, "src", "dst", 3, Some("w"))
+        .localCheckpoint(true)
+    }
+    val n = ranks.count()
+    val gate = Pipeline.AuthorityGate(ranks, "host", (1L << 30) / n)
+    val r = time(s"authority-gated curate ($nDocs docs, audit on)") {
+      val res = Pipeline.curate(hosted, "doc_id", "text",
+        cfg = Pipeline.CurateConfig(minQuality = 0.2, maxRepetition = 0.5),
+        withAudit = true, authority = Some(gate))
+      res.copy(kept = res.kept.localCheckpoint(true),
+        audit = res.audit.map(_.localCheckpoint(true)))
+    }
+    val nKept = r.kept.count()
+    val byStage = r.audit.get.groupBy("stage").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    println(s"[probe] kept=$nKept audit=$byStage")
+    require(nKept + byStage.values.sum == nDocs,
+      "ledger invariant: kept + audited must partition the input")
+    require(byStage.getOrElse("authority", 0L) > 0,
+      "the gate must drop below-prior hosts on a hubbed graph")
   }
 
   /** Dup-structured random embeddings: coordinates are uniform hash
@@ -1953,7 +1996,12 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_MASTER overrides for provisioning probes — e.g.
+    // "local-cluster[4,8,8192]" runs REAL executor JVMs (4 × 8 cores ×
+    // 8 GB) so per-executor memory pressure and WideScan's cluster
+    // branch are exercised, not just local-mode's one shared heap
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
@@ -2071,6 +2119,8 @@ object ScaleProbe {
         graphProbe(spark, nStr.toLong, eStr.toLong)
       case "edgestore" :: whRoot :: nStr :: eStr :: Nil =>
         edgeStoreProbe(spark, whRoot, nStr.toLong, eStr.toLong)
+      case "auth" :: docsPath :: Nil =>
+        authProbe(spark, docsPath)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case "bq" :: root :: nRows :: Nil =>
@@ -2080,7 +2130,7 @@ object ScaleProbe {
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore",
+            "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore", "auth",
             "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)

@@ -183,6 +183,39 @@ class GraphSpec extends SparkSpec {
     assert(!store.appendOnce(edges.limit(1), "src", "dst", Some("b#1")))
   }
 
+  test("EdgeStore compact: crash mid-compact leaves the store intact; " +
+      "completed compact merges cross-append rows") {
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_egc_").toString)
+    val store = new EdgeStore(wh, "g",
+      EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 2))
+    store.append(edges, "src", "dst")
+    store.append(edges, "src", "dst") // same keys again — must merge
+    def degs() = store.degrees(spark).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val before = degs()
+    graft.sources.StoreTxn.leaseTtlMs = 250L
+    graft.sources.StoreTxn.hooks.crashBeforeCommit = true
+    try intercept[graft.sources.StoreTxn.SimulatedCrash] {
+      store.compact(spark)
+    } finally graft.sources.StoreTxn.hooks.reset()
+    Thread.sleep(400)
+    try {
+      assert(degs() === before, "crashed compact must not change reads")
+      store.compact(spark)
+      assert(degs() === before, "compaction preserves the read results")
+      // the merging transform actually collapsed the duplicate rows
+      val files = Option(new java.io.File(s"${wh.root}/warehouse")
+          .listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.contains("eg_edge"))
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .count(_.getName.endsWith(".parquet"))
+      assert(files <= 2, s"one 2-bucket generation after compact: $files")
+      assert(store.edges(spark).count() ===
+        edges.select("src", "dst").distinct().count())
+    } finally graft.sources.StoreTxn.leaseTtlMs = 60000L
+  }
+
   test("authorityGate keeps rows whose key out-ranks the uniform prior") {
     val ranks = Graph.pageRank(edges, "src", "dst", 4, Some("w"))
     val n = ranks.count()

@@ -544,6 +544,42 @@ class StreamingSpec extends SparkSpec {
       k = 3, nProbes = 2)))
   }
 
+  test("append-store catch-up: streamed edge appends serve the one-shot " +
+      "degrees and pageRank") {
+    val root = java.nio.file.Files.createTempDirectory("graft_egstream").toString
+    val edges = (0L until 60L).map(i =>
+      (i % 9, (i * 7) % 11, i % 5 + 1)) // parallel edges included
+    val inDir = s"$root/in"
+    edges.filter(_._1 < 5).toDF("src", "dst", "w").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    edges.filter(_._1 >= 5).toDF("src", "dst", "w").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val store = new graft.operators.EdgeStore(
+      new graft.sources.Warehouse(spark, s"$root/store"), "g",
+      graft.operators.EdgeStoreConfig(weightCol = Some("w"),
+        nStoreBuckets = 2))
+    val schema = edges.toDF("src", "dst", "w").schema
+    Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      store, s"$root/ckpt", "src", "dst")
+    val all = edges.toDF("src", "dst", "w")
+    def degs(df: org.apache.spark.sql.DataFrame) = df.orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(degs(store.degrees(spark)) ===
+      degs(graft.operators.Graph.degrees(all, "src", "dst", Some("w"))))
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ranks(store.pageRank(spark, 2)) === ranks(
+      graft.operators.Graph.pageRank(all, "src", "dst", 2, Some("w"))))
+    // a redelivered completed append key is a no-op (degrees unchanged)
+    assert(!store.appendOnce(edges.filter(_._1 < 5).toDF("src", "dst", "w"),
+      "src", "dst", Some(s"$root/ckpt#0")))
+    assert(degs(store.degrees(spark)) ===
+      degs(graft.operators.Graph.degrees(all, "src", "dst", Some("w"))))
+  }
+
   test("append-store catch-up: streamed IVFADC appends serve the one-shot results") {
     val root = java.nio.file.Files.createTempDirectory("graft_adcstream").toString
     val vecs = (0L until 40L).map { i =>
