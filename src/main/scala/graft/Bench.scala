@@ -60,8 +60,12 @@ object Bench {
     val full = results.map { case (k, v, f) =>
       s""""$k":{"sec":${String.format(java.util.Locale.ROOT, "%.9f",
         Double.box(v))},"failed":$f}""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"sf":"$sfDir","total":${ms(total)},"queries":$full}""" + "\n")
+    // FULL boards only: a filtered profiling run must not overwrite the
+    // cross-round comparison file with a one-query board (bit us live —
+    // an ad-hoc `Bench q155` clobbered the round's reference board)
+    if (wanted.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+        s"""{"sf":"$sfDir","total":${ms(total)},"queries":$full}""" + "\n")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -846,13 +846,24 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
     // store postings for the shingles this batch carries — every
     // shared shingle of a (store, batch) pair is by definition in the
     // batch's set, so `touched` covers all cross pairs. No broadcast
-    // hint — see MinhashStore.ingest on AQE sizing.
+    // hint — see MinhashStore.ingest on AQE sizing. SMALL stores (same
+    // metadata gate as the denominators) skip the prune entirely:
+    // AQE's semi join must first collect-and-broadcast the batch's
+    // distinct-shingle set, which costs more than just scanning a
+    // young store whole — non-batch shingles' groups only ever form
+    // old–old pairs, which the newness filter below drops, so the
+    // output is identical on both routes (spec-pinned with the
+    // denominator routes).
     val storeExists = wh.exists(postTable)
     val touched =
-      if (storeExists)
-        wh.readBucketed(postTable).join(
+      if (!storeExists) sh.limit(0)
+      else {
+        val post = wh.readBucketed(postTable)
+        if (post.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            BigInt(cfg.broadcastSizesBytes)) post
+        else post.join(
           sh.select("shingle").distinct(), Seq("shingle"), "left_semi")
-      else sh.limit(0)
+      }
     val members = touched.unionByName(sh)
     // df cap via a WINDOW COUNT over members BEFORE any collect — the
     // cappedPairCounts discipline: a hot shingle (10M stored postings
