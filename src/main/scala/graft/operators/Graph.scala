@@ -159,8 +159,10 @@ object Graph {
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1L << 30,
                prior: Option[DataFrame] = None,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               tol: Option[Long] = None): DataFrame = {
     require(iters >= 0, s"pageRank iters must be >= 0, got $iters")
+    tol.foreach(t => require(t >= 0, s"pageRank tol must be >= 0, got $t"))
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"pageRank damping must satisfy 0 <= dampNum <= dampDen, " +
         s"got $dampNum/$dampDen")
@@ -227,7 +229,9 @@ object Graph {
               "must come from a pageRank run at the same scale")).isNull)
     }
     var (ranks, prevIds) = checkpoint(init)
-    for (_ <- 0 until iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(col("rank_fp")), lit(0L)))
         .first().getLong(0) // bounded control read: 1-row dangling mass
@@ -242,10 +246,28 @@ object Graph {
             lit(dampNum) * (coalesce(col("__in"), lit(0L)) + lit(dshare)),
             lit(dampDen))).as("rank_fp"))
       val (mat, ids) = checkpoint(next)
+      // tolerance mode: stop once the L1 step shrinks to `tol` ulps —
+      // `iters` is then the CAP, not the count. One extra 1-row
+      // aggregate per round (both rank tables are checkpointed). The
+      // RESULT is still exactly pageRank(edges, k) for the k where the
+      // rule fired — every iteration stays exact integer arithmetic —
+      // but k is data-dependent, so callers pinning bit-reproducible
+      // replay (the q154 oracle) use the fixed-iteration form and
+      // convergence chasers (warm-start maintenance on preemptible
+      // nodes, with `checkpointDir`) use this one.
+      tol.foreach { t =>
+        val delta = mat.select(col("node"), col("rank_fp").as("__n"))
+          .join(ranks.select(col("node"), col("rank_fp").as("__o")),
+            "node")
+          .agg(coalesce(sum(abs(col("__n") - col("__o"))), lit(0L)))
+          .first().getLong(0) // bounded control read: 1-row L1 step
+        if (delta <= t) converged = true
+      }
       prevIds.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
       ranks = mat
       prevIds = ids
+      it += 1
     }
     // the final ranks are checkpointed (lineage-free) — the run-scoped
     // edge/node pins can go now, so looped callers (warm-start

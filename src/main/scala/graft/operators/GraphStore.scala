@@ -159,7 +159,8 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
                prior: Option[DataFrame] = None,
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1L << 30,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               tol: Option[Long] = None): DataFrame = {
     requireIngested(spark)
     // the RAW bucketed read, not [[edges]]: pageRank collapses parallel
     // edges itself (by weight sum, its documented contract), and its
@@ -169,6 +170,44 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
     // 100M-edge probe OOM'd its aggregation headroom on exactly that
     // double pass)
     Graph.pageRank(wh.readBucketed(edgeTable), "src", "dst", iters,
-      Some("w"), dampNum, dampDen, scale, prior, checkpointDir)
+      Some("w"), dampNum, dampDen, scale, prior, checkpointDir, tol)
+  }
+
+  private val ranksState = s"${name}_ranks"
+
+  /** The last [[pageRankMaintain]]'s rank table (node, rank_fp), or
+    * None before the first — reads the COMMITTED state version, so a
+    * crashed maintenance run never serves half-written ranks. */
+  def storedRanks(spark: SparkSession): Option[DataFrame] = {
+    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
+    graft.sources.StoreTxn.stateDir(wh.root, ranksState)
+      .map(spark.read.parquet(_))
+  }
+
+  /** One rank-maintenance step: warm-start from the STORED ranks (cold
+    * uniform start on the first call), run [[pageRank]], persist the
+    * result as the store's new rank table — a versioned state directory
+    * published by a StoreTxn commit, so readers switch atomically and a
+    * crash rolls back to the previous ranks. The maintenance loop a
+    * crawl runs per edge epoch is then literally `store.append(batch);
+    * store.pageRankMaintain(iters)` — on an unchanged store, k
+    * maintained + j maintained iterations equal one k+j cold run
+    * (spec-pinned); after appends, the stored prior reaches a given
+    * `tol` in fewer iterations than the uniform start (probe-measured:
+    * 0.23× the L1 distance at equal iterations at 10M nodes). */
+  def pageRankMaintain(spark: SparkSession, iters: Int,
+                       dampNum: Long = 85L, dampDen: Long = 100L,
+                       scale: Long = 1L << 30,
+                       checkpointDir: Option[String] = None,
+                       tol: Option[Long] = None): DataFrame = {
+    val prior = storedRanks(spark).map(_.select("node", "rank_fp"))
+    val ranks = pageRank(spark, iters, prior, dampNum, dampDen, scale,
+      checkpointDir, tol) // checkpointed by pageRank — safe to persist
+    graft.sources.StoreTxn.transact(spark, wh.root) {
+      val txn = graft.sources.StoreTxn.current(wh.root)
+      ranks.select("node", "rank_fp")
+        .write.parquet(txn.stateVersionDir(ranksState))
+    }
+    ranks
   }
 }

@@ -183,6 +183,41 @@ class GraphSpec extends SparkSpec {
     assert(!store.appendOnce(edges.limit(1), "src", "dst", Some("b#1")))
   }
 
+  test("pageRank tolerance mode: stops early at exactly a fixed-iteration " +
+      "state; EdgeStore rank maintenance warm-starts from stored ranks") {
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a huge tol stops after ONE iteration — and the result is exactly
+    // the 1-iteration fixed run (tol changes WHEN to stop, never a bit
+    // of the arithmetic)
+    val one = ranksOf(Graph.pageRank(edges, "src", "dst", iters = 50,
+      Some("w"), tol = Some(Long.MaxValue)))
+    assert(one.sameElements(ranksOf(
+      Graph.pageRank(edges, "src", "dst", 1, Some("w")))))
+    // tol = 0 runs to the exact fixed point within the cap: one more
+    // iteration from there changes nothing
+    val fixed = Graph.pageRank(edges, "src", "dst", iters = 200,
+      Some("w"), tol = Some(0L)).select("node", "rank_fp")
+      .localCheckpoint(true)
+    assert(ranksOf(Graph.pageRank(edges, "src", "dst", 1, Some("w"),
+      prior = Some(fixed))).sameElements(ranksOf(fixed.withColumn(
+      "rank", col("rank_fp")))))
+
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_egm_").toString)
+    val store = new EdgeStore(wh, "g",
+      EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 2))
+    store.append(edges, "src", "dst")
+    assert(store.storedRanks(spark).isEmpty, "no ranks before maintain")
+    // 2 maintained + 1 maintained ≡ 3 cold (unchanged store)
+    store.pageRankMaintain(spark, iters = 2)
+    val m2 = ranksOf(store.pageRankMaintain(spark, iters = 1))
+    assert(m2.sameElements(ranksOf(store.pageRank(spark, 3))))
+    // the stored table serves the same state back
+    assert(ranksOf(store.storedRanks(spark).get
+      .withColumn("rank", col("rank_fp"))).sameElements(m2))
+  }
+
   test("EdgeStore compact: crash mid-compact leaves the store intact; " +
       "completed compact merges cross-append rows") {
     val wh = new graft.sources.Warehouse(spark,
