@@ -277,6 +277,131 @@ object Graph {
       (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
+  /** TrustRank — personalized PageRank whose teleport distribution
+    * concentrates on a trusted SEED set instead of the uniform prior
+    * (Gyöngyi/Garcia-Molina/Pedersen, "Combating Web Spam with
+    * TrustRank", VLDB 2004): trust flows out of hand-vetted hosts along
+    * links, so spam farms that bootstrap rank from their own link mass
+    * score near zero — the complement to [[pageRank]]'s popularity
+    * signal for curation gating (compose with [[authorityGate]] over
+    * these ranks to keep only seed-reachable hosts).
+    *
+    * Update rule, all integer ops (same determinism contract as
+    * [[pageRank]] — bit-reproducible, oracle-replayable):
+    * {{{
+    *   seedShare   = scale div |seeds ∩ nodes|     (0 for non-seeds)
+    *   r⁰(v)       = seedShare(v)
+    *   dtel        = (Σ dangling rank · seedShare) div scale
+    *   r'(v)       = ((dampDen−dampNum)·seedShare(v)) div dampDen
+    *               + (dampNum·(Σ contrib(·→v) + [v∈seeds]·dtel)) div dampDen
+    * }}}
+    * Mass starts ≤ scale (seeds share it) and only shrinks, which keeps
+    * every product inside the [[pageRank]] overflow bounds; the one new
+    * intermediate (dangling·seedShare ≤ scale²) is computed driver-side
+    * in BigInt, and `scale²` never materializes on executors. Seeds not
+    * present in the graph are ignored (they can neither hold nor pass
+    * trust); `seeds` must carry unique node ids in `seedCol`.
+    *
+    * `tol`/`checkpointDir` behave exactly as on [[pageRank]]. Returns
+    * (node, rank_fp, rank) for every graph node — non-seed nodes
+    * unreachable from any seed converge to 0, which IS the signal. */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                iters: Int, seeds: DataFrame, seedCol: String,
+                weightCol: Option[String] = None,
+                dampNum: Long = 85L, dampDen: Long = 100L,
+                scale: Long = 1L << 30,
+                checkpointDir: Option[String] = None,
+                tol: Option[Long] = None): DataFrame = {
+    require(iters >= 0, s"trustRank iters must be >= 0, got $iters")
+    tol.foreach(t => require(t >= 0, s"trustRank tol must be >= 0, got $t"))
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"trustRank damping must satisfy 0 <= dampNum <= dampDen, " +
+        s"got $dampNum/$dampDen")
+    require(scale > 0, s"trustRank scale must be positive, got $scale")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val checkpoint = new RoundCheckpoint(sc, checkpointDir)
+
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val eAgg = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
+      .filter(assert_true(col("w") >= 0,
+        lit("trustRank: negative edge weight")).isNull)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+    val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
+    val contribE = checkpoint.pin(eAgg.join(outW, "src")
+      .repartition(col("src")))
+    val nodes = contribE.select(col("src").as("node"))
+      .union(contribE.select(col("dst").as("node"))).distinct()
+    val nodesF = checkpoint.pin(nodes
+      .join(outW.select(col("src").as("node"), lit(true).as("__o")),
+        Seq("node"), "left")
+      .join(seeds.select(col(seedCol).as("node"), lit(true).as("__s"))
+        .distinct(), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__o"), lit(false)).as("has_out"),
+        coalesce(col("__s"), lit(false)).as("is_seed")))
+
+    // bounded control reads: node count + seed∩graph count in one pass
+    val cr = nodesF.agg(count(lit(1)),
+      sum(when(col("is_seed"), 1L).otherwise(0L))).head()
+    val (n, nSeeds) = (cr.getLong(0), cr.getLong(1))
+    require(n > 0, "trustRank: empty graph")
+    require(nSeeds > 0,
+      "trustRank: no seed is a graph node — trust cannot enter")
+    val maxW = outW.agg(coalesce(max(col("wtot")), lit(1L)))
+      .first().getLong(0) // bounded control read: max out-weight
+    require(maxW <= Long.MaxValue / scale,
+      s"trustRank: scale=$scale * max out-weight=$maxW would overflow")
+    require(dampNum <= Long.MaxValue / (2 * scale),
+      s"trustRank: dampNum=$dampNum * 2*scale=$scale overflows")
+    require(nSeeds <= scale,
+      s"trustRank: seed count $nSeeds exceeds fixed-point scale $scale")
+    val seedShare = scale / nSeeds
+    val base = ((dampDen - dampNum) * seedShare) / dampDen
+
+    var (ranks, prevIds) = checkpoint(nodesF.withColumn("rank_fp",
+      when(col("is_seed"), lit(seedShare)).otherwise(lit(0L))))
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      val dangling = ranks.filter(!col("has_out"))
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)))
+        .first().getLong(0) // bounded control read: 1-row dangling mass
+      // dangling·seedShare can exceed Long for large scales — one
+      // driver-side BigInt scalar, never an executor expression
+      val dtel = ((BigInt(dangling) * seedShare) / scale).toLong
+      val inSum = ranks.select(col("node").as("src"), col("rank_fp"))
+        .join(contribE, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(idiv(col("rank_fp") * col("w"), col("wtot"))).as("__in"))
+      val next = nodesF.join(inSum, Seq("node"), "left")
+        .select(col("node"), col("has_out"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) + idiv(
+            lit(dampNum) * (coalesce(col("__in"), lit(0L)) +
+              when(col("is_seed"), lit(dtel)).otherwise(lit(0L))),
+            lit(dampDen))).as("rank_fp"))
+      val (mat, ids) = checkpoint(next)
+      tol.foreach { t =>
+        val delta = mat.select(col("node"), col("rank_fp").as("__n"))
+          .join(ranks.select(col("node"), col("rank_fp").as("__o")),
+            "node")
+          .agg(coalesce(sum(abs(col("__n") - col("__o"))), lit(0L)))
+          .first().getLong(0) // bounded control read: 1-row L1 step
+        if (delta <= t) converged = true
+      }
+      prevIds.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      ranks = mat
+      prevIds = ids
+      it += 1
+    }
+    checkpoint.releasePinned()
+    ranks.select(col("node"), col("rank_fp"),
+      (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+
   /** Authority gate: keep rows of `docs` whose `keyCol` node holds a
     * PageRank strictly above the uniform prior scale div N — i.e. hosts
     * the link graph promotes. The comparison runs on the exact

@@ -500,6 +500,26 @@ private[queries] object ScaleQueries {
         SELECT node, rank_fp,
                CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
         FROM r3""")),
+
+    // ===== TrustRank: seed-personalized PageRank (teleport mass flows
+    // only to a trusted seed set — Gyöngyi et al., VLDB 2004), 3 exact
+    // fixed-point iterations over the same shipment graph, seeds =
+    // every 10th node id. Same bit-replay contract as q154: the oracle
+    // unrolls the seeded update rule in integer SQL =====
+    QueryDef("q162_trustrank",
+      (s, dir) => {
+        val e = graphEdges(s, dir)
+        val seeds = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .filter(pmod(col("node"), lit(10)) === 0)
+        graft.operators.Graph.trustRank(e, "src", "dst", iters = 3,
+          seeds, "node", Some("w"))
+      },
+      Some(s"""
+        WITH $trustRankCtes
+        SELECT node, rank_fp,
+               CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
+        FROM t3""")),
   )
 
   /** The link graph both Graph queries share: supplier → part, one edge
@@ -560,5 +580,54 @@ private[queries] object ScaleQueries {
         ${iter("r0", "r1")},
         ${iter("r1", "r2")},
         ${iter("r2", "r3")}"""
+  }
+
+  /** The unrolled 3-iteration TrustRank replay (through CTE `t3`):
+    * the [[pageRankCtes]] chain with the SEEDED teleport — base and the
+    * dangling return flow only to seed nodes (node % 10 = 0 here), in
+    * shares of scale div |seeds|. Every update is integer multiply /
+    * floor-divide / sum, mirroring Graph.trustRank exactly (dtel =
+    * (dangling · seedShare) // scale stays inside BIGINT at this
+    * scale; the Scala side computes it in BigInt for safety at larger
+    * scales). */
+  private lazy val trustRankCtes: String = {
+    def iter(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT nf.node, nf.has_out, nf.is_seed,
+            CAST(CASE WHEN nf.is_seed THEN (SELECT sbase FROM sk)
+                      ELSE 0 END
+              + (85 * (coalesce(i.insum, 0)
+                 + CASE WHEN nf.is_seed THEN d.dtel ELSE 0 END)) // 100
+              AS BIGINT) AS rank_fp
+          FROM nfs nf
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum((r.rank_fp * e.w) // ow.wtot) AS insum
+                     FROM $prev r
+                     JOIN e ON r.node = e.src
+                     JOIN ow ON e.src = ow.src
+                     GROUP BY 1) i ON nf.node = i.node
+          CROSS JOIN (SELECT (coalesce(sum(rank_fp), 0)
+                              * (SELECT sshare FROM sk)) // 1073741824
+                        AS dtel
+                      FROM $prev WHERE NOT has_out) d)"""
+    s"""$graphEdgeCtes,
+        ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY 1),
+        nd AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nfs AS (SELECT nd.node, ow.src IS NOT NULL AS has_out,
+                       nd.node % 10 = 0 AS is_seed
+                FROM nd LEFT JOIN ow ON nd.node = ow.src),
+        sk AS (SELECT 1073741824 // sum(CASE WHEN is_seed THEN 1 ELSE 0
+                        END) AS sshare,
+                      ((100 - 85) * (1073741824 // sum(CASE WHEN is_seed
+                        THEN 1 ELSE 0 END))) // 100 AS sbase
+               FROM nfs),
+        t0 AS (SELECT node, has_out, is_seed,
+                      CAST(CASE WHEN is_seed THEN (SELECT sshare FROM sk)
+                                ELSE 0 END AS BIGINT) AS rank_fp
+               FROM nfs),
+        ${iter("t0", "t1")},
+        ${iter("t1", "t2")},
+        ${iter("t2", "t3")}"""
   }
 }

@@ -394,6 +394,14 @@ object Smoke {
       store.degrees(spark).join(
         store.pageRank(spark, iters = 1, prior = Some(prior)), "node")
     }
+    show("trustRank: seed-personalized PageRank (spam-immune trust flow)") {
+      val edges = docs.select(
+        pmod(col("doc_id"), lit(7L)).as("src"),
+        pmod(col("doc_id") * 31L, lit(3L)).as("dst"),
+        lit(1L).as("w")).filter(col("src") =!= col("dst"))
+      graft.operators.Graph.trustRank(edges, "src", "dst", iters = 2,
+        spark.range(1).select(lit(0L).as("node")), "node", Some("w"))
+    }
     show("streaming WARC (AvailableNow micro-batches)") {
       val html = "<html><body>stream crawl page</body></html>"
       val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"

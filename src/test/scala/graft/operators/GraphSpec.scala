@@ -183,6 +183,45 @@ class GraphSpec extends SparkSpec {
     assert(!store.appendOnce(edges.limit(1), "src", "dst", Some("b#1")))
   }
 
+  test("trustRank: trust flows only out of seeds — an unlinked spam " +
+      "cluster scores zero; guards and determinism hold") {
+    val seeds1 = Seq(1L).toDF("node")
+    val scale = 1L << 30
+    val tr = Graph.trustRank(edges, "src", "dst", 4, seeds1, "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all of 2,3,4 are seed-reachable; total mass bounded by scale
+    assert(tr(2L) > 0 && tr(3L) > 0 && tr(4L) > 0)
+    assert(tr.values.sum <= scale)
+    // a disconnected "spam farm" linking only to itself gets NO trust,
+    // however much internal link mass it builds — the TrustRank point
+    val g2 = edges.union(Seq((10L, 11L, 9L), (11L, 10L, 9L))
+      .toDF("src", "dst", "w"))
+    val tr2 = Graph.trustRank(g2, "src", "dst", 4, seeds1, "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr2(10L) === 0L && tr2(11L) === 0L && tr2(2L) > 0)
+    // a dangling SEED keeps its mass (teleport returns it): seeds={4}
+    val tr4 = Graph.trustRank(edges, "src", "dst", 4,
+        Seq(4L).toDF("node"), "node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr4(4L) > 0 && tr4(1L) === 0L && tr4(2L) === 0L,
+      "trust at a dangling seed must not leak to unreachable nodes")
+    // seeds outside the graph are ignored; all-outside fails fast
+    val trMixed = Graph.trustRank(edges, "src", "dst", 2,
+      Seq(1L, 999L).toDF("node"), "node")
+    assert(trMixed.count() === 4)
+    intercept[IllegalArgumentException] {
+      Graph.trustRank(edges, "src", "dst", 2,
+        Seq(999L).toDF("node"), "node")
+    }
+    // bit-identical across partitionings
+    def rs(df: org.apache.spark.sql.DataFrame) = df.orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rs(Graph.trustRank(edges.repartition(7), "src", "dst", 3,
+      seeds1, "node")).sameElements(
+      rs(Graph.trustRank(edges.coalesce(1), "src", "dst", 3,
+        seeds1, "node"))))
+  }
+
   test("pageRank tolerance mode: stops early at exactly a fixed-iteration " +
       "state; EdgeStore rank maintenance warm-starts from stored ranks") {
     def ranksOf(df: org.apache.spark.sql.DataFrame) =
