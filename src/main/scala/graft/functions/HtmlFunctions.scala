@@ -51,6 +51,27 @@ object HtmlFunctions {
   def robotsSitemaps(body: Column): Column =
     regexp_extract_all(body, lit("(?im)^\\s*sitemap:\\s*(\\S+)"), lit(1))
 
+  /** All ABSOLUTE http(s) href targets of <a> elements, document order.
+    * Relative links stay inside the page's own host and carry no
+    * cross-host signal, so the link-graph builder ([[graft.operators
+    * .Graph.hostEdges]]) wants exactly these. Pure regexp (codegen'd),
+    * any attribute order around href. */
+  def outLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'](https?://[^\"'\\s]+)[\"']"),
+      lit(1))
+
+  /** Host of an absolute http(s) URL — lower-cased, userinfo and port
+    * stripped; null for anything else. RFC-lite by design: a crawl's
+    * host graph wants a deterministic, engine-portable extraction (the
+    * same regex replays in the oracle SQL), not full URI semantics —
+    * [[graft.core.Url.parse]] is the full parser for single-URL work. */
+  def urlHost(url: Column): Column = {
+    val h = lower(regexp_extract(url,
+      "(?i)^https?://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    when(length(h) > 0, h)
+  }
+
   /** Lower-case the keys of a header map
     * (responseheader.py:91's case normalization). */
   def normalizeHeaderKeys(headers: Column): Column =

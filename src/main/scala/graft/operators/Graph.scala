@@ -277,6 +277,34 @@ object Graph {
       (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
+  /** Build the HOST-level link graph from crawled pages — the missing
+    * first step of the crawl-curation composition (WARC →
+    * [[hostEdges]] → [[EdgeStore]] → [[pageRank]]/[[trustRank]] →
+    * [[authorityGate]] → curate): one (src, dst, w) edge per ordered
+    * host pair, `w` = number of page-links from src-host pages to
+    * dst-host URLs. Self-links (same host) are dropped — they carry no
+    * cross-host reputation. Hosts come from the RFC-lite
+    * [[graft.functions.HtmlFunctions.urlHost]] extraction (lower-cased,
+    * port/userinfo stripped), so the whole builder is a codegen'd
+    * regex projection + one explode + one aggregation — row-local
+    * until the final groupBy's single exchange, and the heavy html
+    * column is pruned at the explode projection, never shuffled.
+    *
+    * Node ids are host STRINGS — [[pageRank]]/[[trustRank]] join on
+    * them directly; an [[EdgeStore]] (long-keyed) ingests
+    * `xxhash64(host)` with a (hash, host) dimension kept alongside. */
+  def hostEdges(pages: DataFrame, urlCol: String,
+                htmlCol: String): DataFrame = {
+    import graft.functions.HtmlFunctions
+    pages
+      .select(HtmlFunctions.urlHost(col(urlCol)).as("src"),
+        explode(HtmlFunctions.outLinks(col(htmlCol))).as("__link"))
+      .select(col("src"), HtmlFunctions.urlHost(col("__link")).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
   /** TrustRank — personalized PageRank whose teleport distribution
     * concentrates on a trusted SEED set instead of the uniform prior
     * (Gyöngyi/Garcia-Molina/Pedersen, "Combating Web Spam with

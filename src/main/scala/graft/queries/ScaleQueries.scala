@@ -520,6 +520,41 @@ private[queries] object ScaleQueries {
         SELECT node, rank_fp,
                CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
         FROM t3""")),
+
+    // ===== host-level link-graph construction from crawled pages —
+    // the first step of the crawl composition (WARC → hostEdges →
+    // EdgeStore → rank → gate → curate). Fixture pages carry two
+    // absolute links (one with UPPERCASE scheme/host + userinfo +
+    // port, exercising the RFC-lite normalization) and one relative
+    // link (dropped); the oracle re-derives every edge ARITHMETICALLY
+    // from the id stream, so it matches only if the regex extraction
+    // and host normalization are right (the q59 fixture pattern) =====
+    QueryDef("q163_host_edges",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val pages = d.select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(50)),
+            lit(".example/p/"), col("doc_id")).as("url"),
+          concat(
+            lit("<html><body><a class=\"x\" href=\"http://h"),
+            pmod(col("doc_id") * 7, lit(50)),
+            lit(".example/a\">l1</a><p>filler</p>" +
+              "<a href='HTTPS://user@H"),
+            pmod(col("doc_id") * 13, lit(50)),
+            lit(".EXAMPLE:8443/b?q=1'>l2</a>" +
+              "<a href=\"/relative\">r</a></body></html>")).as("html"))
+        graft.operators.Graph.hostEdges(pages, "url", "html")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id % 50 AS s, (doc_id * 7) % 50 AS d1,
+                          (doc_id * 13) % 50 AS d2 FROM documents),
+        l AS (SELECT 'h' || s || '.example' AS src,
+                     'h' || d1 || '.example' AS dst FROM d
+              UNION ALL
+              SELECT 'h' || s || '.example', 'h' || d2 || '.example'
+              FROM d)
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        FROM l WHERE src <> dst GROUP BY 1, 2""")),
   )
 
   /** The link graph both Graph queries share: supplier → part, one edge

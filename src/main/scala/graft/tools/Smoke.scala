@@ -402,6 +402,64 @@ object Smoke {
       graft.operators.Graph.trustRank(edges, "src", "dst", iters = 2,
         spark.range(1).select(lit(0L).as("node")), "node", Some("w"))
     }
+    show("composed crawl chain: WARC -> hostEdges -> EdgeStore -> " +
+        "trustRank -> authority-gated curate") {
+      // a 3-page mini-crawl: trusted.test links to linked.test;
+      // spam.test links only to itself's farm — the gate must keep
+      // seed-reachable hosts' docs and shed the farm's
+      def page(host: String, n: Int, hrefHost: String, body: String) = {
+        val html = s"<html><body><a href=\"http://$hrefHost/x\">l</a>" +
+          s"<p>$body</p></body></html>"
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"
+        val content = http.getBytes("UTF-8")
+        (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://$host/p$n\r\n" +
+          "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+          s"WARC-Record-ID: <urn:uuid:smoke-$host-$n>\r\n" +
+          "Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${content.length}\r\n\r\n").getBytes("UTF-8") ++
+          content ++ "\r\n\r\n".getBytes("UTF-8")
+      }
+      val prose = "the quick brown fox jumps over the lazy dog and " +
+        "that is a fine day in the sun with you it is true"
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_cc_")
+      java.nio.file.Files.write(dir.resolve("crawl.warc"),
+        page("trusted.test", 1, "linked.test", prose) ++
+          page("linked.test", 2, "trusted.test", prose + " again now") ++
+          page("spam.test", 3, "spam.test", prose + " spam spam"))
+      val pages = graft.sources.WarcSource
+        .readResponses(spark, dir.toString)
+        .select(col("url"), col("text").as("html"))
+        .localCheckpoint(true)
+      val hostEdges = graft.operators.Graph.hostEdges(pages, "url", "html")
+      val store = new graft.operators.EdgeStore(
+        new graft.sources.Warehouse(spark, java.nio.file.Files
+          .createTempDirectory("smoke_cceg_").toString),
+        "crawl", graft.operators.EdgeStoreConfig(weightCol = Some("w"),
+          nStoreBuckets = 2))
+      // long-keyed store: hash the host strings, keep the dimension
+      store.append(hostEdges.select(xxhash64(col("src")).as("src"),
+        xxhash64(col("dst")).as("dst"), col("w")), "src", "dst")
+      val ranks = graft.operators.Graph.trustRank(
+        hostEdges, "src", "dst", iters = 3,
+        spark.range(1).select(lit("trusted.test").as("node")), "node",
+        Some("w"))
+      val docs = pages.select(
+        xxhash64(col("url")).as("doc_id"),
+        graft.functions.HtmlFunctions.urlHost(col("url")).as("host"),
+        graft.functions.TextFunctions.mainContent(col("html")).as("text"))
+      val r = graft.operators.Pipeline.curate(docs, "doc_id", "text",
+        cfg = graft.operators.Pipeline.CurateConfig(minQuality = 0.0,
+          maxRepetition = 1.0),
+        withAudit = true,
+        authority = Some(graft.operators.Pipeline.AuthorityGate(
+          ranks, "host", minRankFp = 0L)))
+      val audit = r.audit.get.collect()
+      require(audit.exists(_.getString(1) == "authority"),
+        "the spam host must drop at the gate")
+      r.kept.join(docs.withColumnRenamed("doc_id", "id"), Seq("id"))
+        .select("id", "host")
+    }
     show("streaming WARC (AvailableNow micro-batches)") {
       val html = "<html><body>stream crawl page</body></html>"
       val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$html"

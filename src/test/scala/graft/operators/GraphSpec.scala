@@ -183,6 +183,35 @@ class GraphSpec extends SparkSpec {
     assert(!store.appendOnce(edges.limit(1), "src", "dst", Some("b#1")))
   }
 
+  test("hostEdges: absolute links only, hosts normalized, self-links " +
+      "dropped, parallel links collapse by count") {
+    val pages = Seq(
+      // two links to b (one uppercase+userinfo+port), one self-link
+      // (dropped), one relative (dropped), one single-quoted c link
+      (s"http://a.example/p1",
+        "<a href=\"http://b.example/x\">1</a>" +
+          "<a href='HTTPS://u:p@B.EXAMPLE:8443/y?q=1#f'>2</a>" +
+          "<a href=\"http://a.example/self\">s</a>" +
+          "<a href=\"/rel\">r</a>" +
+          "<a class='k' href='http://c.example/z'>3</a>"),
+      // ftp and malformed hrefs never become edges; null html tolerated
+      ("https://user@A.example:80/p2",
+        "<a href=\"ftp://d.example/f\">f</a><a href=>broken</a>" +
+          "<a href=\"http://c.example/w\">4</a>"),
+      ("not a url at all", "<a href=\"http://b.example/q\">x</a>"))
+      .toDF("url", "html")
+    val edges = Graph.hostEdges(pages, "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(edges === Set(
+      ("a.example", "b.example", 2L),
+      ("a.example", "c.example", 2L)))
+    // string-keyed nodes feed pageRank/trustRank directly
+    val ranks = Graph.pageRank(
+      Graph.hostEdges(pages, "url", "html"), "src", "dst", 2, Some("w"))
+    assert(ranks.count() === 3)
+  }
+
   test("trustRank: trust flows only out of seeds — an unlinked spam " +
       "cluster scores zero; guards and determinism hold") {
     val seeds1 = Seq(1L).toDF("node")
