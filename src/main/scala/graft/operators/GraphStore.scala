@@ -173,6 +173,22 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
       Some("w"), dampNum, dampDen, scale, prior, checkpointDir, tol)
   }
 
+  /** [[Graph.trustRank]] over every edge ever appended — seeds keyed in
+    * the store's (long) node space, so a host-string graph passes
+    * `xxhash64(host)` seeds like its edges. Same raw-read shape as
+    * [[pageRank]]. */
+  def trustRank(spark: SparkSession, iters: Int, seeds: DataFrame,
+                seedCol: String,
+                dampNum: Long = 85L, dampDen: Long = 100L,
+                scale: Long = 1L << 30,
+                checkpointDir: Option[String] = None,
+                tol: Option[Long] = None): DataFrame = {
+    requireIngested(spark)
+    Graph.trustRank(wh.readBucketed(edgeTable), "src", "dst", iters,
+      seeds, seedCol, Some("w"), dampNum, dampDen, scale, checkpointDir,
+      tol)
+  }
+
   private val ranksState = s"${name}_ranks"
 
   /** The last [[pageRankMaintain]]'s rank table (node, rank_fp), or

@@ -162,6 +162,11 @@ class GraphSpec extends SparkSpec {
       .localCheckpoint(true)
     assert(ranks(store.pageRank(spark, 1, prior = Some(s2)))
       .sameElements(batch))
+    // the trustRank delegate reads the same accumulated edges
+    assert(ranks(store.trustRank(spark, 3,
+      Seq(1L).toDF("node"), "node")).sameElements(
+      ranks(Graph.trustRank(edges, "src", "dst", 3,
+        Seq(1L).toDF("node"), "node", Some("w")))))
     // the collapsed reads are exchange-free on the bucketed layout:
     // src-hash partitioning satisfies the (src, dst) clustering, so
     // the groupBy needs no shuffle — the store-side scan never
