@@ -475,6 +475,37 @@ object ScaleProbe {
       "warm start must be at least as close to the fixed point")
   }
 
+  /** TrustRank at graph scale: the [[graphProbe]] generator with a
+    * 0.1% seed set — per-iteration shape identical to pageRank (two
+    * exchanges against the fixed edge layout; the one new intermediate
+    * is a driver-side BigInt scalar), plus the signal the operator
+    * exists for: how much of the graph holds ZERO trust. */
+  private def trustProbe(spark: SparkSession, n: Long, e: Long): Unit = {
+    import graft.operators.Graph
+    val edges = spark.range(e).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      when(pmod(col("id"), lit(4)) === 0,
+        pmod(xxhash64(col("id"), lit(3)), lit(math.max(n / 1000, 1L))))
+        .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(n))).as("dst"),
+      (pmod(xxhash64(col("id"), lit(4)), lit(10)) + 1).as("w"))
+      .localCheckpoint(true)
+    println(s"[probe] trust graph nodes≈$n edges=${edges.count()}")
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(pmod(col("node"), lit(1000)) === 0)
+    val ranks = time("trustRank(3 iters)") {
+      Graph.trustRank(edges, "src", "dst", 3, seeds, "node", Some("w"))
+        .localCheckpoint(true)
+    }
+    val agg = ranks.agg(sum(col("rank_fp")),
+      sum(when(col("rank_fp") === 0, 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val (mass, zero, nn) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    println(f"[probe] mass=$mass%d of ${1L << 30}%d zero_trust=$zero%d " +
+      f"of $nn%d (${zero * 100.0 / nn}%.1f%%)")
+    require(mass > 0 && mass <= (1L << 30), "trust mass invariant")
+    require(zero > 0, "a hubbed random graph must leave unreached nodes")
+  }
+
   /** Composed crawl-scale authority curation: synthetic host link graph
     * → exact PageRank → [[Pipeline.AuthorityGate]] → full curate with
     * audit, at corpus scale — the one-call composition the q161 oracle
@@ -2121,6 +2152,8 @@ object ScaleProbe {
         edgeStoreProbe(spark, whRoot, nStr.toLong, eStr.toLong)
       case "auth" :: docsPath :: Nil =>
         authProbe(spark, docsPath)
+      case "trust" :: nStr :: eStr :: Nil =>
+        trustProbe(spark, nStr.toLong, eStr.toLong)
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case "bq" :: root :: nRows :: Nil =>
@@ -2130,7 +2163,7 @@ object ScaleProbe {
             "seq", "spans", "vocab", "vocabdiag", "bpe", "bm25", "gram",
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
-            "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore", "auth",
+            "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore", "auth", "trust",
             "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
