@@ -339,7 +339,8 @@ object Graph {
                 dampNum: Long = 85L, dampDen: Long = 100L,
                 scale: Long = 1L << 30,
                 checkpointDir: Option[String] = None,
-                tol: Option[Long] = None): DataFrame = {
+                tol: Option[Long] = None,
+                prior: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, s"trustRank iters must be >= 0, got $iters")
     tol.foreach(t => require(t >= 0, s"trustRank tol must be >= 0, got $t"))
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
@@ -389,8 +390,29 @@ object Graph {
     val seedShare = scale / nSeeds
     val base = ((dampDen - dampNum) * seedShare) / dampDen
 
-    var (ranks, prevIds) = checkpoint(nodesF.withColumn("rank_fp",
-      when(col("is_seed"), lit(seedShare)).otherwise(lit(0L))))
+    // warm start — the [[pageRank]] prior contract verbatim: exact
+    // continuation on an unchanged graph (k cold + j warm ≡ k+j cold,
+    // spec-pinned); nodes the prior misses start at THEIR cold init
+    // (seedShare for seeds, 0 otherwise); out-of-range priors fail
+    // row-locally. Trust mass only shrinks from ≤ scale, so the cold
+    // overflow bounds already cover any legitimate prior.
+    val init = prior match {
+      case None => nodesF.withColumn("rank_fp",
+        when(col("is_seed"), lit(seedShare)).otherwise(lit(0L)))
+      case Some(p) =>
+        nodesF.join(
+            p.select(col("node"), col("rank_fp").cast("long").as("__pr")),
+            Seq("node"), "left")
+          .select(col("node"), col("has_out"), col("is_seed"),
+            coalesce(col("__pr"),
+              when(col("is_seed"), lit(seedShare)).otherwise(lit(0L)))
+              .as("rank_fp"))
+          .filter(assert_true(
+            col("rank_fp") >= 0 && col("rank_fp") <= scale,
+            lit(s"trustRank: prior rank outside [0, $scale] — priors " +
+              "must come from a trustRank run at the same scale")).isNull)
+    }
+    var (ranks, prevIds) = checkpoint(init)
     var it = 0
     var converged = false
     while (it < iters && !converged) {

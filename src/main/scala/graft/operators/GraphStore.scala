@@ -182,11 +182,12 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
                 dampNum: Long = 85L, dampDen: Long = 100L,
                 scale: Long = 1L << 30,
                 checkpointDir: Option[String] = None,
-                tol: Option[Long] = None): DataFrame = {
+                tol: Option[Long] = None,
+                prior: Option[DataFrame] = None): DataFrame = {
     requireIngested(spark)
     Graph.trustRank(wh.readBucketed(edgeTable), "src", "dst", iters,
       seeds, seedCol, Some("w"), dampNum, dampDen, scale, checkpointDir,
-      tol)
+      tol, prior)
   }
 
   private val ranksState = s"${name}_ranks"

@@ -254,6 +254,12 @@ class GraphSpec extends SparkSpec {
       seeds1, "node")).sameElements(
       rs(Graph.trustRank(edges.coalesce(1), "src", "dst", 3,
         seeds1, "node"))))
+    // warm start: 2 cold + 1 warm ≡ 3 cold (the pageRank contract)
+    val t2 = Graph.trustRank(edges, "src", "dst", 2, seeds1, "node")
+      .select("node", "rank_fp").localCheckpoint(true)
+    assert(rs(Graph.trustRank(edges, "src", "dst", 1, seeds1, "node",
+      prior = Some(t2))).sameElements(
+      rs(Graph.trustRank(edges, "src", "dst", 3, seeds1, "node"))))
   }
 
   test("pageRank tolerance mode: stops early at exactly a fixed-iteration " +
