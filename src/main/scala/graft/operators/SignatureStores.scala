@@ -758,8 +758,16 @@ final case class ContainmentConfig(shingleN: Int, threshold: Double,
                                    // broadcast + fused single-job
                                    // ingest; over → prune-to-candidates
                                    // + merge (see ingestBody). 0 forces
-                                   // the pruned path.
-                                   broadcastSizesBytes: Long = 16L << 20)
+                                   // the pruned path. 4 MB ≈ a few
+                                   // hundred k docs — at 1M both
+                                   // routes measure ~16 s (recall
+                                   // identical), so the gate is set
+                                   // small to BOUND broadcast memory
+                                   // pressure, keeping the fused
+                                   // single-job win for the
+                                   // maintenance micro-batches it
+                                   // exists for.
+                                   broadcastSizesBytes: Long = 4L << 20)
 
 /** Persisted shingle-postings store for incremental CONTAINMENT dedup —
   * the swallowed-document signal ([[Dedup.ngramContainmentPairs]]) as a
@@ -920,9 +928,10 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
       if (wh.exists(sizeTable)) wh.readBucketed(sizeTable).unionByName(sizes)
       else sizes
     // metadata-only estimate: parquet file sizes for the store side +
-    // the optimizer's estimate of the batch agg. 16 MB of (id, sz)
-    // parquet ≈ low-millions of docs — comfortably broadcastable; past
-    // it the pruned path's extra jobs are noise against the data.
+    // the optimizer's estimate of the batch agg. Under the gate the
+    // fused single-job ingest wins (maintenance micro-batches); past it
+    // the pruned path's candidate-proportional joins beat the
+    // ever-growing broadcast build.
     val sizesSmall = allSizes.queryExecution.optimizedPlan.stats
       .sizeInBytes <= BigInt(cfg.broadcastSizesBytes)
     val pairs0 =
