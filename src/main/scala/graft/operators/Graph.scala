@@ -41,9 +41,10 @@ import org.apache.spark.sql.functions._
   * never re-shuffles. Rank lineage is truncated per round via tracked
   * localCheckpoints (the connectedComponents discipline — storage
   * holds the edge list plus two rank tables, superseded blocks are
-  * unpersisted eagerly). Per-round driver reads are bounded control
-  * values: one 1-row dangling-mass aggregate; N and the max out-weight
-  * are read once up front.
+  * unpersisted eagerly). Per-round driver chatter is ONE job: the
+  * 1-row dangling-mass control read (plus the L1 step in tol mode)
+  * rides the round's materialization action via a lazy checkpoint
+  * mark; N and the max out-weight are read once up front.
   */
 object Graph {
 
@@ -83,6 +84,23 @@ object Graph {
       val before = sc.getPersistentRDDs.keySet.toSet
       val mat = if (reliableDir.isDefined) df.checkpoint(true)
                 else df.localCheckpoint(true)
+      (mat, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    /** Mark for checkpoint WITHOUT forcing a materialization job: the
+      * caller's next action on the frame computes it, persists the
+      * blocks, and truncates lineage in that ONE job — the rank loops
+      * ride their per-round control aggregate (dangling mass / L1
+      * step) on exactly that job, halving per-iteration job
+      * submissions. The caller MUST run an action over every partition
+      * (an aggregate does) before relying on the frame being pinned.
+      * Reliable mode stays eager: a lazy reliable checkpoint would
+      * recompute the whole RDD for the file write (RDD.checkpoint's
+      * documented behavior for unpersisted lineage), costing more than
+      * the job it saves. */
+    def lazyMark(df: DataFrame): (DataFrame, Set[Int]) = {
+      if (reliableDir.isDefined) return apply(df)
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val mat = df.localCheckpoint(false)
       (mat, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     /** The one-shot form for frames that live for the whole run (edge
@@ -228,13 +246,23 @@ object Graph {
             lit(s"pageRank: prior rank outside [0, $scale] — priors " +
               "must come from a pageRank run at the same scale")).isNull)
     }
-    var (ranks, prevIds) = checkpoint(init)
+    // the dangling-mass control read RIDES each round's materialization
+    // job (lazyMark + the aggregate below is the round's ONE action in
+    // local-checkpoint mode; reliable mode pays the eager checkpoint's
+    // extra job by design) — round k's update consumes the mass
+    // computed when round k−1's output materialized, the identical
+    // value the old separate per-round aggregate read. In tol mode the
+    // L1 step rides the SAME aggregate, so tolerance-chased runs also
+    // submit one job per round instead of three.
+    def danglingOf(c: Column): Column =
+      coalesce(sum(when(!col("has_out"), c)), lit(0L))
+    var (ranks, prevIds) = checkpoint.lazyMark(init)
+    // bounded control read: materializes init and returns its dangling
+    // mass in one job
+    var dangling = ranks.agg(danglingOf(col("rank_fp"))).first().getLong(0)
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val dangling = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)))
-        .first().getLong(0) // bounded control read: 1-row dangling mass
       val dshare = dangling / n
       val inSum = ranks.select(col("node").as("src"), col("rank_fp"))
         .join(contribE, "src")
@@ -245,24 +273,31 @@ object Graph {
           (lit(base) + idiv(
             lit(dampNum) * (coalesce(col("__in"), lit(0L)) + lit(dshare)),
             lit(dampDen))).as("rank_fp"))
-      val (mat, ids) = checkpoint(next)
+      val (mat, ids) = checkpoint.lazyMark(next)
       // tolerance mode: stop once the L1 step shrinks to `tol` ulps —
-      // `iters` is then the CAP, not the count. One extra 1-row
-      // aggregate per round (both rank tables are checkpointed). The
-      // RESULT is still exactly pageRank(edges, k) for the k where the
-      // rule fired — every iteration stays exact integer arithmetic —
-      // but k is data-dependent, so callers pinning bit-reproducible
-      // replay (the q154 oracle) use the fixed-iteration form and
-      // convergence chasers (warm-start maintenance on preemptible
-      // nodes, with `checkpointDir`) use this one.
-      tol.foreach { t =>
-        val delta = mat.select(col("node"), col("rank_fp").as("__n"))
-          .join(ranks.select(col("node"), col("rank_fp").as("__o")),
-            "node")
-          .agg(coalesce(sum(abs(col("__n") - col("__o"))), lit(0L)))
-          .first().getLong(0) // bounded control read: 1-row L1 step
-        if (delta <= t) converged = true
+      // `iters` is then the CAP, not the count. The RESULT is still
+      // exactly pageRank(edges, k) for the k where the rule fired —
+      // every iteration stays exact integer arithmetic — but k is
+      // data-dependent, so callers pinning bit-reproducible replay
+      // (the q154 oracle) use the fixed-iteration form and convergence
+      // chasers (warm-start maintenance on preemptible nodes, with
+      // `checkpointDir`) use this one.
+      val row = tol match {
+        case None => mat.agg(danglingOf(col("rank_fp"))).first()
+        case Some(_) =>
+          // both rank tables carry the full node universe, so the inner
+          // join preserves every row and the dangling sum over it
+          // equals the sum over `mat` alone
+          mat.select(col("node"), col("has_out"),
+              col("rank_fp").as("__n"))
+            .join(ranks.select(col("node"), col("rank_fp").as("__o")),
+              "node")
+            .agg(danglingOf(col("__n")),
+              coalesce(sum(abs(col("__n") - col("__o"))), lit(0L)))
+            .first()
       }
+      dangling = row.getLong(0)
+      tol.foreach(t => if (row.getLong(1) <= t) converged = true)
       prevIds.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
       ranks = mat
@@ -379,12 +414,19 @@ object Graph {
     require(n > 0, "trustRank: empty graph")
     require(nSeeds > 0,
       "trustRank: no seed is a graph node — trust cannot enter")
+    // overflow guards mirror pageRank's: cold trust mass stays ≤ scale
+    // (it only shrinks), but a warm start on a GROWN graph can carry
+    // transient mass up to ~2·scale (prior mass ≤ scale plus new-seed
+    // seedShare mass ≤ scale) — the bound tightens ×2 when a prior is
+    // set so the guard fails fast instead of silently wrapping
+    val massBound = if (prior.isDefined) 2 * scale else scale
     val maxW = outW.agg(coalesce(max(col("wtot")), lit(1L)))
       .first().getLong(0) // bounded control read: max out-weight
-    require(maxW <= Long.MaxValue / scale,
-      s"trustRank: scale=$scale * max out-weight=$maxW would overflow")
-    require(dampNum <= Long.MaxValue / (2 * scale),
-      s"trustRank: dampNum=$dampNum * 2*scale=$scale overflows")
+    require(maxW <= Long.MaxValue / massBound,
+      s"trustRank: mass bound $massBound * max out-weight=$maxW would " +
+        "overflow; lower scale or pre-normalize weights")
+    require(dampNum <= Long.MaxValue / (2 * massBound),
+      s"trustRank: dampNum=$dampNum * 2*mass bound=$massBound overflows")
     require(nSeeds <= scale,
       s"trustRank: seed count $nSeeds exceeds fixed-point scale $scale")
     val seedShare = scale / nSeeds
@@ -394,8 +436,9 @@ object Graph {
     // continuation on an unchanged graph (k cold + j warm ≡ k+j cold,
     // spec-pinned); nodes the prior misses start at THEIR cold init
     // (seedShare for seeds, 0 otherwise); out-of-range priors fail
-    // row-locally. Trust mass only shrinks from ≤ scale, so the cold
-    // overflow bounds already cover any legitimate prior.
+    // row-locally. On a grown graph the init mass can transiently reach
+    // ~2·scale (prior ≤ scale plus new-seed seedShare mass ≤ scale) —
+    // covered by the ×2 massBound tightening above.
     val init = prior match {
       case None => nodesF.withColumn("rank_fp",
         when(col("is_seed"), lit(seedShare)).otherwise(lit(0L)))
@@ -412,15 +455,17 @@ object Graph {
             lit(s"trustRank: prior rank outside [0, $scale] — priors " +
               "must come from a trustRank run at the same scale")).isNull)
     }
-    var (ranks, prevIds) = checkpoint(init)
+    // the dangling control read rides each round's materialization job
+    // — the pageRank fold verbatim; the dangling·seedShare product
+    // stays a DRIVER-side BigInt scalar (it can exceed Long for large
+    // scales), never an executor expression
+    def danglingOf(c: Column): Column =
+      coalesce(sum(when(!col("has_out"), c)), lit(0L))
+    var (ranks, prevIds) = checkpoint.lazyMark(init)
+    var dangling = ranks.agg(danglingOf(col("rank_fp"))).first().getLong(0)
     var it = 0
     var converged = false
     while (it < iters && !converged) {
-      val dangling = ranks.filter(!col("has_out"))
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)))
-        .first().getLong(0) // bounded control read: 1-row dangling mass
-      // dangling·seedShare can exceed Long for large scales — one
-      // driver-side BigInt scalar, never an executor expression
       val dtel = ((BigInt(dangling) * seedShare) / scale).toLong
       val inSum = ranks.select(col("node").as("src"), col("rank_fp"))
         .join(contribE, "src")
@@ -432,15 +477,20 @@ object Graph {
             lit(dampNum) * (coalesce(col("__in"), lit(0L)) +
               when(col("is_seed"), lit(dtel)).otherwise(lit(0L))),
             lit(dampDen))).as("rank_fp"))
-      val (mat, ids) = checkpoint(next)
-      tol.foreach { t =>
-        val delta = mat.select(col("node"), col("rank_fp").as("__n"))
-          .join(ranks.select(col("node"), col("rank_fp").as("__o")),
-            "node")
-          .agg(coalesce(sum(abs(col("__n") - col("__o"))), lit(0L)))
-          .first().getLong(0) // bounded control read: 1-row L1 step
-        if (delta <= t) converged = true
+      val (mat, ids) = checkpoint.lazyMark(next)
+      val row = tol match {
+        case None => mat.agg(danglingOf(col("rank_fp"))).first()
+        case Some(_) =>
+          mat.select(col("node"), col("has_out"),
+              col("rank_fp").as("__n"))
+            .join(ranks.select(col("node"), col("rank_fp").as("__o")),
+              "node")
+            .agg(danglingOf(col("__n")),
+              coalesce(sum(abs(col("__n") - col("__o"))), lit(0L)))
+            .first()
       }
+      dangling = row.getLong(0)
+      tol.foreach(t => if (row.getLong(1) <= t) converged = true)
       prevIds.foreach(i =>
         sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
       ranks = mat

@@ -80,15 +80,24 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
 
   protected def appendBody(batch: DataFrame, srcCol: String,
                            dstCol: String): Unit = {
+    // integral node ids only — the cast below would silently collapse a
+    // string-keyed batch (e.g. Graph.hostEdges output appended directly,
+    // the documented composition) to (null, null) edges; key host
+    // strings first (xxhash64, or an arithmetic map the caller owns).
+    // Same guard genus as Dedup.connectedComponents' label check.
+    Pipeline.requireIntegralId(batch.schema, srcCol, "EdgeStore src")
+    Pipeline.requireIntegralId(batch.schema, dstCol, "EdgeStore dst")
     wh.paramsSpecValidated(edgeTable, edgeParams)
     val w = cfg.weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    // reject negative weights at the write — row-local assert fused
-    // into the aggregation scans
+    // reject negative weights and null endpoints at the write —
+    // row-local asserts fused into the aggregation scans (a null id
+    // would aggregate into a phantom null node the readers then serve)
     def staged = batch
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), w.as("w"))
-      .filter(assert_true(col("w") >= 0,
-        lit("EdgeStore: negative edge weight")).isNull)
+      .filter(assert_true(
+        col("src").isNotNull && col("dst").isNotNull && col("w") >= 0,
+        lit("EdgeStore: null edge endpoint or negative weight")).isNull)
     // the two appends aggregate the batch INDEPENDENTLY (collapse to
     // (src, dst) for the edge table; straight per-src totals for the
     // sidecar) rather than sharing a materialized collapse: an initial
@@ -191,14 +200,58 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
   }
 
   private val ranksState = s"${name}_ranks"
+  private val trustState = s"${name}_tranks"
+  private def trustSeedKey = s"${name}_tranks_seedfp"
+
+  private def storedState(spark: SparkSession,
+                          state: String): Option[DataFrame] = {
+    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
+    graft.sources.StoreTxn.stateDir(wh.root, state)
+      .map(spark.read.parquet(_))
+  }
 
   /** The last [[pageRankMaintain]]'s rank table (node, rank_fp), or
     * None before the first — reads the COMMITTED state version, so a
     * crashed maintenance run never serves half-written ranks. */
-  def storedRanks(spark: SparkSession): Option[DataFrame] = {
-    graft.sources.StoreTxn.recoverIfIdle(spark, wh.root)
-    graft.sources.StoreTxn.stateDir(wh.root, ranksState)
-      .map(spark.read.parquet(_))
+  def storedRanks(spark: SparkSession): Option[DataFrame] =
+    storedState(spark, ranksState)
+
+  /** The last [[trustRankMaintain]]'s rank table (node, rank_fp), or
+    * None before the first — same committed-version read as
+    * [[storedRanks]]. */
+  def storedTrustRanks(spark: SparkSession): Option[DataFrame] =
+    storedState(spark, trustState)
+
+  /** Shared maintenance body: compute ranks from the stored prior,
+    * publish them as the state's new version (atomic commit; the
+    * commit also GCs the superseded version directory, so epochs don't
+    * accumulate one parquet dir each forever), then serve the result
+    * FROM the committed files and unpersist every checkpoint pin the
+    * computation left behind — the rank operators return their final
+    * round's localCheckpoint pinned, and a per-epoch maintenance loop
+    * would otherwise accumulate one cached rank table per call (the
+    * looped-pin OOM class `RoundCheckpoint.releasePinned` exists for).
+    * The served frame is bit-identical: rank_fp round-trips parquet
+    * exactly and `rank` is a pure scalar function of it. */
+  private def maintainCommit(spark: SparkSession, state: String,
+      scale: Long, kvs: Seq[(String, String)] = Nil)(
+      compute: Option[DataFrame] => DataFrame): DataFrame = {
+    val prior = storedState(spark, state)
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val ranks = compute(prior)
+    graft.sources.StoreTxn.transact(spark, wh.root) {
+      val txn = graft.sources.StoreTxn.current(wh.root)
+      ranks.select("node", "rank_fp")
+        .write.parquet(txn.stateVersionDir(state))
+      kvs.foreach { case (k, v) => txn.putKv(k, v) }
+    }
+    (sc.getPersistentRDDs.keySet.toSet -- before).foreach(i =>
+      sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+    val committed = spark.read.parquet(
+      graft.sources.StoreTxn.stateDir(wh.root, state).get)
+    committed.select(col("node"), col("rank_fp"),
+      (col("rank_fp").cast("double") / lit(scale.toDouble)).as("rank"))
   }
 
   /** One rank-maintenance step: warm-start from the STORED ranks (cold
@@ -211,20 +264,56 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
     * maintained + j maintained iterations equal one k+j cold run
     * (spec-pinned); after appends, the stored prior reaches a given
     * `tol` in fewer iterations than the uniform start (probe-measured:
-    * 0.23× the L1 distance at equal iterations at 10M nodes). */
+    * 0.23× the L1 distance at equal iterations at 10M nodes). The
+    * returned frame reads the COMMITTED parquet (nothing stays pinned
+    * in executor storage across epochs). */
   def pageRankMaintain(spark: SparkSession, iters: Int,
                        dampNum: Long = 85L, dampDen: Long = 100L,
                        scale: Long = 1L << 30,
                        checkpointDir: Option[String] = None,
-                       tol: Option[Long] = None): DataFrame = {
-    val prior = storedRanks(spark).map(_.select("node", "rank_fp"))
-    val ranks = pageRank(spark, iters, prior, dampNum, dampDen, scale,
-      checkpointDir, tol) // checkpointed by pageRank — safe to persist
-    graft.sources.StoreTxn.transact(spark, wh.root) {
-      val txn = graft.sources.StoreTxn.current(wh.root)
-      ranks.select("node", "rank_fp")
-        .write.parquet(txn.stateVersionDir(ranksState))
+                       tol: Option[Long] = None): DataFrame =
+    maintainCommit(spark, ranksState, scale) { prior =>
+      pageRank(spark, iters, prior.map(_.select("node", "rank_fp")),
+        dampNum, dampDen, scale, checkpointDir, tol)
     }
-    ranks
+
+  /** [[pageRankMaintain]] for the TRUST signal: warm-start
+    * [[trustRank]] from the stored seeded ranks and publish the result
+    * as versioned state — the maintenance arm a crawl that gates on
+    * trust runs per epoch instead of re-paying cold iterations or
+    * hand-managing the prior. The stored state is KEYED TO ITS SEED
+    * SET (an order-independent fingerprint of the distinct seed ids,
+    * committed alongside the first version — the retrained-centroids
+    * precedent): a call with a drifted seed set fails fast, because
+    * warm-starting one seed set's trust from another's ranks is
+    * silently wrong, not approximate. Same contracts as
+    * [[pageRankMaintain]] otherwise — k maintained + j maintained
+    * iterations ≡ k+j cold (spec-pinned), committed-parquet serving,
+    * superseded versions GC'd. */
+  def trustRankMaintain(spark: SparkSession, iters: Int,
+                        seeds: DataFrame, seedCol: String,
+                        dampNum: Long = 85L, dampDen: Long = 100L,
+                        scale: Long = 1L << 30,
+                        checkpointDir: Option[String] = None,
+                        tol: Option[Long] = None): DataFrame = {
+    requireIngested(spark)
+    // one bounded aggregate: |seeds| + a wrapping order-independent
+    // hash-sum — deterministic identity for the seed SET
+    val fpRow = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .agg(count(lit(1)), coalesce(sum(xxhash64(col("node"))), lit(0L)))
+      .head()
+    val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
+    graft.sources.StoreTxn.getKv(wh.root, trustSeedKey).foreach(stored =>
+      require(stored == fp,
+        s"trustRankMaintain: seed set drifted (stored fingerprint " +
+          s"$stored, this call $fp) — stored trust state is keyed to " +
+          "its seed set; keep seeds fixed, or rebuild under a new " +
+          "store name"))
+    maintainCommit(spark, trustState, scale, Seq(trustSeedKey -> fp)) {
+      prior =>
+        trustRank(spark, iters, seeds, seedCol, dampNum, dampDen, scale,
+          checkpointDir, tol, prior.map(_.select("node", "rank_fp")))
+    }
   }
 }

@@ -104,27 +104,33 @@ object Multimodal {
     def meta(bytes: Array[Byte]): Option[WavMeta] = {
       if (bytes == null || bytes.length < 44) return None
       if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
-      var off = 12
+      // the chunk cursor walks in LONG: a crafted chunk size near
+      // Int.MaxValue would wrap an Int cursor (or the bounds sum)
+      // negative, pass validation, and the sample decode would then
+      // throw or attempt a multi-GB allocation — violating the codec's
+      // never-throw/fallback-to-stub contract for crawled media
+      var off = 12L
       var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
       var data: Option[(Int, Int)] = None     // offset, length
       while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
-        val id = tag(bytes, off)
-        val sz = le32(bytes, off + 4)
-        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        val o = off.toInt // off + 8 <= length, so the cast is exact
+        val id = tag(bytes, o)
+        val sz = le32(bytes, o + 4)
+        if (sz < 0 || off + 8L + sz > bytes.length) return None
         id match {
           case "fmt " =>
             if (sz < 16) return None
-            val audioFormat = le16(bytes, off + 8)
+            val audioFormat = le16(bytes, o + 8)
             if (audioFormat != 1) return None // PCM only
-            val ch = le16(bytes, off + 10)
-            val rate = le32(bytes, off + 12)
-            val bits = le16(bytes, off + 22)
+            val ch = le16(bytes, o + 10)
+            val rate = le32(bytes, o + 12)
+            val bits = le16(bytes, o + 22)
             if (ch < 1 || rate < 1 || (bits != 8 && bits != 16)) return None
             fmt = Some((ch, rate, bits))
-          case "data" => data = Some((off + 8, sz))
+          case "data" => data = Some((o + 8, sz))
           case _      => () // skip unknown chunks (LIST, fact, …)
         }
-        off += 8 + sz + (sz & 1) // RIFF pads odd chunks to even
+        off += 8L + sz + (sz & 1) // RIFF pads odd chunks to even
       }
       for ((ch, rate, bits) <- fmt; (dOff, dLen) <- data) yield {
         val frameBytes = ch * (bits / 8)

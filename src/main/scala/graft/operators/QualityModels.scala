@@ -373,11 +373,14 @@ object QualityModels {
                             iters: Int,
                             featCols: Seq[String] = ClassifierFeatureCols)
       : Array[Long] = {
-    // per-feature training max — one aggregate job, d values back
+    // per-feature training max (+ the row count for the scoring-margin
+    // guard below) — one aggregate job, d+1 values back
     val maxRow = train
       .agg(max(col(featCols.head).cast("long")).as(featCols.head),
-        featCols.tail.map(c => max(col(c).cast("long")).as(c)): _*)
+        featCols.tail.map(c => max(col(c).cast("long")).as(c)) :+
+          count(lit(1)).as("__n"): _*)
       .head()
+    val n = maxRow.getLong(featCols.size)
     val shifts = featCols.indices.map { j =>
       val m = if (maxRow.isNullAt(j)) 1L
         else math.max(1L, maxRow.getLong(j))
@@ -388,14 +391,22 @@ object QualityModels {
       while ((m << (s + 1)) <= ClassifierFeatureCap) s += 1
       s
     }
+    // scaled features stay ≤ the cap by construction, so the plain
+    // trainer's overflow guard covers the TRAINING run unchanged — but
+    // the folded weights below grow by 2^s, and a SCORED row's feature
+    // may exceed the training-set max (up to the cap), so the scoring
+    // margin can reach d·iters·n·cap²·2^maxShift: the training-size
+    // guard must tighten by the max shift or scoring a legitimate
+    // frame could silently wrap Long
+    val maxShift = if (shifts.isEmpty) 0 else shifts.max
+    require(BigInt(math.max(n, 1L)) * ClassifierFeatureCap * iters *
+        ClassifierFeatureCap * featCols.size * (BigInt(1) << maxShift) <
+        BigInt(Long.MaxValue / 4),
+      s"training set too large for exact scaled training ($n rows × " +
+        s"$iters iters × 2^$maxShift max up-shift): train on a sample")
     val scaled = train.select(col(labelCol) +:
       featCols.zip(shifts).map { case (c, s) =>
         (col(c).cast("long") * lit(1L << s)).as(c) }: _*)
-    // scaled features stay ≤ the cap by construction, so the plain
-    // trainer's overflow guard covers the scaled run unchanged; the
-    // folded weights below grow by ≤ 2^s ≤ cap, and the scoring margin
-    // bound d·iters·n·cap²·2^s keeps >2^9 headroom under Long.MaxValue
-    // for any n the training guard admits
     val w = trainPerceptron(scaled, labelCol, iters, featCols)
     w.zip(shifts).map { case (wj, s) => wj << s }.toArray
   }

@@ -330,6 +330,69 @@ class GraphSpec extends SparkSpec {
     } finally graft.sources.StoreTxn.leaseTtlMs = 60000L
   }
 
+  test("trustRankMaintain: stored seeded warm-start ≡ cold, seed drift " +
+      "fails fast, superseded versions swept, no pins accumulate") {
+    def ranksOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_egt_").toString
+    val wh = new graft.sources.Warehouse(spark, root)
+    val store = new EdgeStore(wh, "g",
+      EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 2))
+    store.append(edges, "src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    assert(store.storedTrustRanks(spark).isEmpty)
+    // the maintenance loop must not pin one rank table per epoch (the
+    // looped-pin OOM class) — persistent-RDD set unchanged across calls
+    val sc = spark.sparkContext
+    val pinsBefore = sc.getPersistentRDDs.keySet.toSet
+    store.trustRankMaintain(spark, iters = 2, seeds, "node")
+    val t3 = ranksOf(store.trustRankMaintain(spark, iters = 1, seeds,
+      "node"))
+    assert(sc.getPersistentRDDs.keySet.toSet === pinsBefore,
+      "maintenance epochs must release every checkpoint pin")
+    // 2 maintained + 1 maintained ≡ 3 cold (unchanged store)
+    assert(t3.sameElements(ranksOf(
+      store.trustRank(spark, 3, seeds, "node"))))
+    // superseded rank-state versions are GC'd by the commit — one
+    // version directory per state, not one per epoch
+    def versionDirs(state: String) =
+      Option(new java.io.File(s"$root/state/$state").listFiles())
+        .toSeq.flatten.count(_.isDirectory)
+    assert(versionDirs("g_tranks") === 1,
+      "superseded trust-rank versions must be swept")
+    store.pageRankMaintain(spark, 1)
+    store.pageRankMaintain(spark, 1)
+    assert(versionDirs("g_ranks") === 1,
+      "superseded page-rank versions must be swept")
+    // a drifted seed set must fail fast — stored trust state is keyed
+    // to its seed set
+    intercept[IllegalArgumentException] {
+      store.trustRankMaintain(spark, 1, Seq(1L, 2L).toDF("node"), "node")
+    }
+    // same seed set under a different frame shape still matches (the
+    // fingerprint is over the distinct VALUE set)
+    assert(ranksOf(store.trustRankMaintain(spark, 1,
+      Seq(1L, 1L).toDF("node"), "node")).length === 4)
+  }
+
+  test("EdgeStore append rejects non-integral and null node ids") {
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_egi_").toString)
+    val store = new EdgeStore(wh, "g", EdgeStoreConfig(nStoreBuckets = 2))
+    // string-keyed edges (hostEdges output appended directly) would
+    // silently cast to (null, null) — refuse at the schema
+    intercept[IllegalArgumentException] {
+      store.append(Seq(("a.example", "b.example")).toDF("src", "dst"),
+        "src", "dst")
+    }
+    // a null endpoint in an integral column fails row-locally
+    intercept[Exception] {
+      store.append(Seq((Some(1L), None: Option[Long]))
+        .toDF("src", "dst"), "src", "dst")
+    }
+  }
+
   test("authorityGate keeps rows whose key out-ranks the uniform prior") {
     val ranks = Graph.pageRank(edges, "src", "dst", 4, Some("w"))
     val n = ranks.count()

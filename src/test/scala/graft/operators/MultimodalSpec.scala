@@ -167,6 +167,21 @@ class MultimodalSpec extends SparkSpec {
     assert(codec.meta(bare.take(20)).isEmpty)
     val mp3ish = bare.clone(); mp3ish(20) = 85 // audioFormat != 1
     assert(codec.meta(mp3ish).isEmpty)
+    // a crafted chunk size near Int.MaxValue must not wrap the bounds
+    // arithmetic — the never-throw contract for crawled media (the
+    // parse returns None; samples/envelope follow)
+    val crafted = bare.clone()
+    java.nio.ByteBuffer.wrap(crafted, 16, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(Int.MaxValue - 4) // fmt chunk size: off+8+sz wraps in Int
+    assert(codec.meta(crafted).isEmpty)
+    assert(codec.samples(crafted).isEmpty)
+    assert(codec.energyEnvelope(crafted, 4).isEmpty)
+    val crafted2 = bare.clone() // data chunk size just as hostile
+    java.nio.ByteBuffer.wrap(crafted2, 40, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(Int.MaxValue - 40)
+    assert(codec.meta(crafted2).isEmpty)
   }
 
   test("AudioCodec.energyEnvelope: exact window sums, silence is zero") {
