@@ -284,6 +284,110 @@ private[queries] object CurationQueries {
         WHERE doc_id >= 25
           AND (doc_id % 100) + 1 NOT IN (SELECT node FROM promoted)""")),
 
+    // ===== The incremental crawl-epoch composition END-TO-END — the
+    // engine's headline story oracle-pinned across two epochs: pages →
+    // hostEdges → EdgeStore.append → pageRankMaintain (2 cold iters
+    // epoch 1, 1 WARM iter over the grown graph epoch 2) →
+    // authorityGate on the final committed ranks → CurationStore
+    // ingests (one per epoch). Hosts are doc_id-arithmetic
+    // ("h<id%300>.example", so the oracle re-derives every edge and the
+    // host key without hashing; 6 hosts appear only in epoch 2 —
+    // the warm start's new-node path runs for real). The oracle
+    // replays the maintained ranks exactly (2-iteration unroll over
+    // the epoch-1 graph, then 1 warm iteration over the full graph
+    // from those ranks — the engine's documented prior contract) and
+    // feeds them into the q161-shaped gated curate chain; the output
+    // is the final kept set ∪ the authority ledger rows of BOTH
+    // ingests, which must equal the one-shot batch composition =====
+    QueryDef("q164_crawl_epochs",
+      (s, dir) => {
+        import graft.operators.{EdgeStore, EdgeStoreConfig, Graph}
+        val d = T.documents(s, dir)
+        def pages(df: org.apache.spark.sql.DataFrame) = df.select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(300)),
+            lit(".example/p/"), col("doc_id")).as("url"),
+          concat(
+            lit("<html><body><a class=\"x\" href=\"http://h"),
+            pmod(col("doc_id") * 7, lit(300)),
+            lit(".example/a\">l1</a><p>filler</p><a href='HTTPS://u@H"),
+            pmod(col("doc_id") * 13, lit(300)),
+            lit(".EXAMPLE:8443/b?q=1'>l2</a>" +
+              "<a href=\"/relative\">r</a></body></html>")).as("html"))
+        def hostNum(c: org.apache.spark.sql.Column) =
+          regexp_extract(c, "^h(\\d+)\\.example$", 1).cast("long")
+        def epochEdges(df: org.apache.spark.sql.DataFrame) =
+          Graph.hostEdges(pages(df), "url", "html")
+            .select(hostNum(col("src")).as("src"),
+              hostNum(col("dst")).as("dst"), col("w"))
+        val b1 = d.filter(col("doc_id") >= 25 && col("doc_id") < 250)
+        val b2 = d.filter(col("doc_id") >= 250)
+        val estore = new EdgeStore(
+          new Warehouse(s, scratchRoot("graft_q164e_")), "crawl",
+          EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 8))
+        // epoch 1: crawl → edges → cold rank maintenance
+        estore.append(epochEdges(b1), "src", "dst")
+        estore.pageRankMaintain(s, iters = 2)
+        // epoch 2: new pages grow the graph; ONE warm iteration from
+        // the committed epoch-1 ranks
+        estore.append(epochEdges(b2), "src", "dst")
+        val ranks = estore.pageRankMaintain(s, iters = 1)
+        val n = ranks.count() // bounded control read, = the oracle's gfk.n
+        val gate = Pipeline.AuthorityGate(ranks, "host",
+          minRankFp = (1L << 30) / n)
+        def hosted(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("host", pmod(col("doc_id"), lit(300L)))
+        val cstore = new Pipeline.CurationStore(s,
+          scratchRoot("graft_q164c_"), "cur", CurateCfg,
+          Some(d.filter(col("doc_id") < 25)), "text",
+          authority = Some(gate))
+        val r1 = cstore.ingest(hosted(b1), "doc_id", "text",
+          withAudit = true)
+        val r2 = cstore.ingest(hosted(b2), "doc_id", "text",
+          withAudit = true)
+        val kept = r1.kept.select("id").unionByName(r2.kept.select("id"))
+          .join(r1.retracted.unionByName(r2.retracted), Seq("id"),
+            "left_anti")
+        kept.select(col("id"), lit("kept").as("stage"))
+          .unionByName(r1.audit.get.unionByName(r2.audit.get)
+            .filter(col("stage") === "authority").select("id", "stage"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        -- epoch-1 host edges (q163's arithmetic derivation, numeric keys)
+        xp1 AS (SELECT doc_id % 300 AS s, (doc_id * 7) % 300 AS d1,
+                       (doc_id * 13) % 300 AS d2 FROM documents
+                WHERE doc_id >= 25 AND doc_id < 250),
+        xl1 AS (SELECT s AS src, d1 AS dst FROM xp1
+                UNION ALL SELECT s, d2 FROM xp1),
+        xe1 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM xl1 WHERE src <> dst GROUP BY 1, 2),
+        -- full-corpus host edges (both epochs accumulated in the store)
+        xpa AS (SELECT doc_id % 300 AS s, (doc_id * 7) % 300 AS d1,
+                       (doc_id * 13) % 300 AS d2 FROM documents
+                WHERE doc_id >= 25),
+        xla AS (SELECT s AS src, d1 AS dst FROM xpa
+                UNION ALL SELECT s, d2 FROM xpa),
+        xea AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                FROM xla WHERE src <> dst GROUP BY 1, 2),
+        -- 2 cold iterations over the epoch-1 graph …
+        ${ScaleQueries.pageRankUnrolled("xe1", "g1", 2)},
+        -- … then 1 WARM iteration over the grown graph from those
+        -- ranks (new hosts start at the FULL graph's uniform initr)
+        ${ScaleQueries.pageRankUnrolled("xea", "gf", 1,
+          prior = Some("g1r2"))},
+        -- MATERIALIZED: referenced from several curate arms (the q161
+        -- file-handle lesson)
+        promoted AS MATERIALIZED (SELECT node FROM gfr1
+                     WHERE rank_fp > (SELECT 1073741824 // n FROM gfk)),
+        ${curateCtesFor(surgical = false,
+          baseWhere =
+            "AND (doc_id % 300) IN (SELECT node FROM promoted)")}
+        SELECT id, 'kept' AS stage FROM kept
+        UNION ALL
+        SELECT doc_id AS id, 'authority' AS stage FROM documents
+        WHERE doc_id >= 25
+          AND (doc_id % 300) NOT IN (SELECT node FROM promoted)""")),
+
     // ===== Incremental connected components: fold the k2 pair family
     // into the k1-only labeling; must equal q64's full recompute =====
     QueryDef("q67_incremental_components",

@@ -521,6 +521,32 @@ private[queries] object ScaleQueries {
                CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
         FROM t3""")),
 
+    // ===== trust-rank maintenance through the store: 2 maintained + 1
+    // maintained iterations over stored seeded-rank state ≡ the
+    // 3-iteration cold run the q162 oracle replays — the per-epoch
+    // maintenance loop a trust-gating crawl runs (warm-start from the
+    // COMMITTED ranks, seed-set fingerprint as the state identity) =====
+    QueryDef("q165_trustrank_maintain",
+      (s, dir) => {
+        val e = graphEdges(s, dir)
+        val seeds = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .filter(pmod(col("node"), lit(10)) === 0)
+        val store = new graft.operators.EdgeStore(
+          new graft.sources.Warehouse(s, java.nio.file.Files
+            .createTempDirectory("graft_q165_").toString),
+          "inc", graft.operators.EdgeStoreConfig(
+            weightCol = Some("w"), nStoreBuckets = 8))
+        store.append(e, "src", "dst")
+        store.trustRankMaintain(s, iters = 2, seeds, "node")
+        store.trustRankMaintain(s, iters = 1, seeds, "node")
+      },
+      Some(s"""
+        WITH $trustRankCtes
+        SELECT node, rank_fp,
+               CAST(rank_fp AS DOUBLE) / 1073741824.0 AS rank
+        FROM t3""")),
+
     // ===== host-level link-graph construction from crawled pages —
     // the first step of the crawl composition (WARC → hostEdges →
     // EdgeStore → rank → gate → curate). Fixture pages carry two
@@ -578,44 +604,61 @@ private[queries] object ScaleQueries {
         e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
               FROM e0 GROUP BY 1, 2 HAVING sum(w) > 0)"""
 
+  /** Generalized unrolled fixed-point PageRank replay over an arbitrary
+    * COLLAPSED edge CTE `edges` (src, dst, w with w > 0): emits CTEs
+    * `${p}ow`/`${p}nd`/`${p}nf`/`${p}k` and `${p}r0`…`${p}r$iters`,
+    * mirroring Graph.pageRank's integer update exactly. `prior` names a
+    * (node, rank_fp) CTE to warm-start from — nodes it misses start at
+    * the uniform initr of THIS graph, exactly the engine's prior
+    * contract — which is how the q164 epoch composition replays
+    * pageRankMaintain across a grown graph. */
+  private[queries] def pageRankUnrolled(edges: String, p: String,
+      iters: Int, prior: Option[String] = None): String = {
+    def iter(prev: String, cur: String) = s"""
+        $cur AS (
+          SELECT nf.node, nf.has_out,
+            CAST((SELECT base FROM ${p}k)
+              + (85 * (coalesce(i.insum, 0) + d.dsh)) // 100 AS BIGINT)
+              AS rank_fp
+          FROM ${p}nf nf
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum((r.rank_fp * e.w) // ow.wtot) AS insum
+                     FROM $prev r
+                     JOIN $edges e ON r.node = e.src
+                     JOIN ${p}ow ow ON e.src = ow.src
+                     GROUP BY 1) i ON nf.node = i.node
+          CROSS JOIN (SELECT coalesce(sum(rank_fp), 0)
+                        // (SELECT n FROM ${p}k) AS dsh
+                      FROM $prev WHERE NOT has_out) d)"""
+    val init = prior match {
+      case None => s"CAST((SELECT initr FROM ${p}k) AS BIGINT)"
+      case Some(pr) =>
+        s"CAST(coalesce((SELECT rank_fp FROM $pr WHERE $pr.node = nf.node)," +
+          s" (SELECT initr FROM ${p}k)) AS BIGINT)"
+    }
+    s"""${p}ow AS (SELECT src, sum(w) AS wtot FROM $edges GROUP BY 1),
+        ${p}nd AS (SELECT DISTINCT node FROM
+                 (SELECT src AS node FROM $edges
+                  UNION ALL SELECT dst FROM $edges)),
+        ${p}nf AS (SELECT nd.node, ow.src IS NOT NULL AS has_out
+               FROM ${p}nd nd LEFT JOIN ${p}ow ow ON nd.node = ow.src),
+        ${p}k AS (SELECT count(*) AS n,
+                     1073741824 // count(*) AS initr,
+                     ((100 - 85) * (1073741824 // count(*))) // 100 AS base
+              FROM ${p}nf),
+        ${p}r0 AS (SELECT node, has_out, $init AS rank_fp
+               FROM ${p}nf nf),
+        ${(1 to iters).map(i => iter(s"${p}r${i - 1}", s"${p}r$i"))
+          .mkString(",\n")}"""
+  }
+
   /** The unrolled 3-iteration fixed-point PageRank replay (through CTE
     * `r3`, with `k` carrying n/initr/base) — shared by q154 and the
     * q156 authority gate. Every update is integer multiply /
     * floor-divide / sum, mirroring Graph.pageRank exactly. */
-  private[queries] lazy val pageRankCtes: String = {
-    def iter(prev: String, cur: String) = s"""
-        $cur AS (
-          SELECT nf.node, nf.has_out,
-            CAST((SELECT base FROM k)
-              + (85 * (coalesce(i.insum, 0) + d.dsh)) // 100 AS BIGINT)
-              AS rank_fp
-          FROM nf
-          LEFT JOIN (SELECT e.dst AS node,
-                            sum((r.rank_fp * e.w) // ow.wtot) AS insum
-                     FROM $prev r
-                     JOIN e ON r.node = e.src
-                     JOIN ow ON e.src = ow.src
-                     GROUP BY 1) i ON nf.node = i.node
-          CROSS JOIN (SELECT coalesce(sum(rank_fp), 0)
-                        // (SELECT n FROM k) AS dsh
-                      FROM $prev WHERE NOT has_out) d)"""
+  private[queries] lazy val pageRankCtes: String =
     s"""$graphEdgeCtes,
-        ow AS (SELECT src, sum(w) AS wtot FROM e GROUP BY 1),
-        nd AS (SELECT DISTINCT node FROM
-                 (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-        nf AS (SELECT nd.node, ow.src IS NOT NULL AS has_out
-               FROM nd LEFT JOIN ow ON nd.node = ow.src),
-        k AS (SELECT count(*) AS n,
-                     1073741824 // count(*) AS initr,
-                     ((100 - 85) * (1073741824 // count(*))) // 100 AS base
-              FROM nf),
-        r0 AS (SELECT node, has_out,
-                      CAST((SELECT initr FROM k) AS BIGINT) AS rank_fp
-               FROM nf),
-        ${iter("r0", "r1")},
-        ${iter("r1", "r2")},
-        ${iter("r2", "r3")}"""
-  }
+        ${pageRankUnrolled("e", "", 3)}"""
 
   /** The unrolled 3-iteration TrustRank replay (through CTE `t3`):
     * the [[pageRankCtes]] chain with the SEEDED teleport — base and the

@@ -391,8 +391,18 @@ object Smoke {
       store.append(edges.filter(col("dst") % 2 === 1), "src", "dst")
       val prior = store.pageRank(spark, iters = 1)
         .select("node", "rank_fp").localCheckpoint(true)
-      store.degrees(spark).join(
-        store.pageRank(spark, iters = 1, prior = Some(prior)), "node")
+      // the per-epoch maintenance loop: stored page-rank and seeded
+      // trust-rank state, warm-started and committed per call
+      store.pageRankMaintain(spark, iters = 1)
+      val seeds = spark.range(1).select(lit(0L).as("node"))
+      store.trustRankMaintain(spark, iters = 1, seeds, "node")
+      store.degrees(spark)
+        .join(store.pageRank(spark, iters = 1, prior = Some(prior)),
+          "node")
+        .join(store.pageRankMaintain(spark, iters = 1)
+          .select(col("node"), col("rank_fp").as("maint_fp")), "node")
+        .join(store.trustRankMaintain(spark, iters = 1, seeds, "node")
+          .select(col("node"), col("rank_fp").as("trust_fp")), "node")
     }
     show("trustRank: seed-personalized PageRank (spam-immune trust flow)") {
       val edges = docs.select(
