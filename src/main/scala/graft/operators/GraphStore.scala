@@ -49,7 +49,20 @@ final case class EdgeStoreConfig(weightCol: Option[String] = None,
   * the offending batch is still identifiable). Zero-weight edges are
   * kept in the edge table (they count in [[degrees]], exactly like the
   * batch operator) and drop out of [[pageRank]]'s w > 0 filter, also
-  * like the batch operator. */
+  * like the batch operator.
+  *
+  * APPEND COST CONTRACT: one append SCANS ITS BATCH SOURCE TWICE — the
+  * edge-table collapse and the per-src weight sidecar are two
+  * independent map-side-combined aggregation passes (spec-pinned;
+  * sharing a materialized collapse was measured to evict under memory
+  * pressure exactly when the load is big — a 99M-row cached collapse
+  * died mid-eviction at the 100M-edge probe, so re-scanning is the
+  * memory-safe shape). For a file-backed batch the second scan is
+  * cheap; a batch that is itself an EXPENSIVE unmaterialized pipeline
+  * (e.g. [[Graph.hostEdges]] over raw HTML) pays the parse twice —
+  * stage such batches first (`batch.write.parquet(tmp)` then append
+  * the read, or `localCheckpoint` a bounded batch) and append the
+  * staged frame. */
 final class EdgeStore(wh: graft.sources.Warehouse, name: String,
                       cfg: EdgeStoreConfig) extends AppendStore {
   private def edgeParams = Seq(

@@ -583,6 +583,35 @@ private[queries] object ScaleQueries {
         FROM l WHERE src <> dst GROUP BY 1, 2""")),
   )
 
+  /** One committed rank table per (session, sfDir) — the PRODUCTION
+    * pattern for authority gating: a crawl epoch computes and COMMITS
+    * ranks once ([[graft.operators.EdgeStore.pageRankMaintain]], 3
+    * iterations over [[graphEdges]], bit-identical to the in-query
+    * `Graph.pageRank(…, 3)` by the maintain contract), and every
+    * curation run READS the committed table instead of re-iterating —
+    * the amortization [[graft.operators.Pipeline.AuthorityGate]]'s own
+    * scaladoc claims. q161 gates off this holder; the oracle (the
+    * unrolled r3 replay) is unchanged. Cached like CurationQueries'
+    * curateShared: the store lives in session-scoped scratch, and the
+    * returned frame is parquet-backed (nothing pinned in executor
+    * storage). */
+  private val rankStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.DataFrame, Long)]
+  private[queries] def storedSupplierRanks(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Long) =
+    rankStoreCache.getOrElseUpdate((s, dir), {
+      val store = new graft.operators.EdgeStore(
+        new graft.sources.Warehouse(s, java.nio.file.Files
+          .createTempDirectory("graft_rankstore_").toString),
+        "rank", graft.operators.EdgeStoreConfig(
+          weightCol = Some("w"), nStoreBuckets = 8))
+      store.append(graphEdges(s, dir), "src", "dst")
+      val ranks = store.pageRankMaintain(s, iters = 3)
+      (ranks, ranks.count()) // node count, = the oracle's k.n
+    })
+
   /** The link graph both Graph queries share: supplier → part, one edge
     * per order's first line, weighted by quantity (integer-valued
     * doubles, exact as BIGINT). Parallel edges are REAL here (a

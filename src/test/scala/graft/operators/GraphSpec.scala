@@ -376,6 +376,23 @@ class GraphSpec extends SparkSpec {
       Seq(1L, 1L).toDF("node"), "node")).length === 4)
   }
 
+  test("EdgeStore.append scans its batch source exactly twice — the " +
+      "documented cost contract (stage expensive pipelines first)") {
+    val wh = new graft.sources.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft_egs_").toString)
+    val store = new EdgeStore(wh, "g",
+      EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 2))
+    val scans = spark.sparkContext.longAccumulator("batch_scans")
+    val counted = edges.coalesce(1) // one partition → passes == scans
+      .as[(Long, Long, Long)]
+      .mapPartitions { it => scans.add(1); it }
+      .toDF("src", "dst", "w")
+    store.append(counted, "src", "dst")
+    assert(scans.value === 2L,
+      "append is two independent aggregation passes over the source — " +
+        "if this changes, update the EdgeStore scaladoc's cost contract")
+  }
+
   test("EdgeStore append rejects non-integral and null node ids") {
     val wh = new graft.sources.Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft_egi_").toString)

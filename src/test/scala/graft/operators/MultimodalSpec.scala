@@ -234,4 +234,83 @@ class MultimodalSpec extends SparkSpec {
     assert((plugged.getInt(2), plugged.getInt(3), plugged.getLong(4)) ===
       ((640, 480, 1234L)))
   }
+
+  test("VideoCodec seam contract: serializable config + lazy handle " +
+      "acquired once per partition, parse-failure stub fallback, mixed " +
+      "tables intact — a production codec is a drop-in") {
+    import spark.implicits._
+    MultimodalSpec.FakeVideoCodec.reset()
+    // 8 parseable payloads (first three bytes encode w/h/duration) plus
+    // one the codec refuses (too short) — the stub must absorb it
+    val vids = (1L to 8L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 10 + j).toByte), "video")) :+
+      ((99L, Array[Byte](1, 2), "video"))
+    val df = vids.toDF("media_id", "content", "kind").repartition(2)
+    val out = Multimodal.withDecodedMeta(df, "media_id", "content",
+        "kind", videoCodec = Some(new MultimodalSpec.FakeVideoCodec))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (1L to 8L).foreach { i =>
+      val r = out(i)
+      assert((r.getInt(2), r.getInt(3), r.getLong(4)) ===
+        (((i * 10) & 0xFF).toInt, ((i * 10 + 1) & 0xFF).toInt,
+          ((i * 10 + 2) & 0xFF).toLong),
+        "plugged codec's meta must flow through unchanged")
+    }
+    // the refused payload degrades THAT ROW to the stub, not the job
+    val stub = new Multimodal.StubDecoder
+    val (sw, sh, sd, _) = stub.decodeMeta(Array[Byte](1, 2), "video")
+    assert((out(99L).getInt(2), out(99L).getInt(3), out(99L).getLong(4))
+      === ((sw, sh, sd)))
+    // handle economics: the instance ships as CONFIG and acquires its
+    // handle lazily on the executor, once per partition — not per row
+    assert(MultimodalSpec.FakeVideoCodec.handles.get === 2,
+      "one handle per partition (2 partitions)")
+    assert(MultimodalSpec.FakeVideoCodec.calls.get === 9,
+      "every video row consults the plugged codec")
+    // mixed table: image + audio + video through ONE pass, each kind
+    // routed to its codec (the q159/q160 entry point unchanged)
+    MultimodalSpec.FakeVideoCodec.reset()
+    val png = Multimodal.pngBytes(11, 7, seed = 5L)
+    val wav = Multimodal.wavBytes(8000, 1, Array[Short](1, 2, 3, 4))
+    val mixedAll = Seq(
+      (1L, png, "image"), (2L, wav, "audio"),
+      (3L, Array.tabulate(8)(j => (40 + j).toByte), "video"))
+      .toDF("media_id", "content", "kind")
+    val m = Multimodal.withDecodedMeta(mixedAll, "media_id", "content",
+        "kind", videoCodec = Some(new MultimodalSpec.FakeVideoCodec))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert((m(1L).getInt(2), m(1L).getInt(3)) === ((11, 7)))
+    assert(m(2L).getInt(5) === 8000 && m(2L).getLong(4) === 0L)
+    assert((m(3L).getInt(2), m(3L).getInt(3)) === ((40, 41)))
+    assert(MultimodalSpec.FakeVideoCodec.calls.get === 1,
+      "only video rows reach the video codec")
+  }
+}
+
+object MultimodalSpec {
+  /** Recording fake for the [[Multimodal.VideoCodec]] seam: follows the
+    * contract to the letter — serializable CONFIG, a @transient lazy
+    * "native handle" acquired on first use on the executor (counted),
+    * None for payloads it cannot parse, never throws. The counters
+    * prove the partition-wise handle economics a real FFmpeg/JavaCV
+    * implementation relies on. */
+  object FakeVideoCodec {
+    val handles = new java.util.concurrent.atomic.AtomicInteger
+    val calls = new java.util.concurrent.atomic.AtomicInteger
+    def reset(): Unit = { handles.set(0); calls.set(0) }
+  }
+  final class FakeVideoCodec extends Multimodal.VideoCodec {
+    // never serialized — re-acquired per deserialized instance, i.e.
+    // once per task/partition (the seam contract's handle pattern)
+    @transient private lazy val handle: AnyRef = {
+      FakeVideoCodec.handles.incrementAndGet(); new Object
+    }
+    def meta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      require(handle ne null)
+      FakeVideoCodec.calls.incrementAndGet()
+      if (bytes == null || bytes.length < 4) None // undecodable → stub
+      else Some(((bytes(0) & 0xFF, (bytes(1) & 0xFF),
+        (bytes(2) & 0xFF).toLong)))
+    }
+  }
 }
