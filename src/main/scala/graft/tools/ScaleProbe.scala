@@ -547,6 +547,151 @@ object ScaleProbe {
       "the gate must drop below-prior hosts on a hubbed graph")
   }
 
+  /** The q164 crawl-epoch composition at corpus scale: two epochs of
+    * pages → [[Graph.hostEdges]] → [[EdgeStore.append]] (staged first —
+    * the append-cost contract) → [[EdgeStore.pageRankMaintain]] →
+    * authority-gated [[Pipeline.CurationStore.ingest]]. Epoch 2 is 10%
+    * of the corpus: its edge append and gated ingest must cost ∝ the
+    * batch, while the warm maintain pays one iteration over the FULL
+    * graph (the N-row rank table, not the batch — flat across epochs by
+    * design). The ledger invariant is re-asserted per batch. */
+  private def epochProbe(spark: SparkSession, whRoot: String,
+                         docsPath: String): Unit = {
+    import graft.operators.{EdgeStore, EdgeStoreConfig, Graph, Pipeline}
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
+    val nHosts = 10000L
+    val cut = (nDocs * 9) / 10
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def hostOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c, lit(5L)), lit(nHosts))
+    def hosted(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      hostOf(col("doc_id")).as("host"))
+    // synthetic crawl pages: each doc's host links to two hash-derived
+    // hosts, one through the uppercase/userinfo/port form — the real
+    // regex extraction + RFC-lite normalization run at full scale
+    def pages(df: DataFrame) = df.select(
+      concat(lit("http://h"), hostOf(col("doc_id")),
+        lit(".example/p/"), col("doc_id")).as("url"),
+      concat(lit("<html><body><a href=\"http://h"),
+        pmod(xxhash64(col("doc_id"), lit(6L)), lit(nHosts)),
+        lit(".example/a\">l</a><a href='HTTPS://u@H"),
+        pmod(xxhash64(col("doc_id"), lit(7L)), lit(nHosts)),
+        lit(".EXAMPLE:8443/b'>l2</a></body></html>")).as("html"))
+    def hostNum(c: org.apache.spark.sql.Column) =
+      regexp_extract(c, "^h(\\d+)\\.example$", 1).cast("long")
+    def edgesOf(df: DataFrame, path: String) = {
+      Graph.hostEdges(pages(df), "url", "html")
+        .select(hostNum(col("src")).as("src"),
+          hostNum(col("dst")).as("dst"), col("w"))
+        .write.mode("overwrite").parquet(path) // stage-first contract
+      spark.read.parquet(path)
+    }
+    val b1 = docs.filter(col("doc_id") < cut)
+    val b2 = docs.filter(col("doc_id") >= cut)
+    val estore = new EdgeStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/epoch_eg"),
+      "crawl", EdgeStoreConfig(weightCol = Some("w")))
+    val e1 = time("epoch-1 hostEdges (90%, staged)") {
+      edgesOf(b1, s"$whRoot/e1")
+    }
+    val tE1 = secs(estore.append(e1, "src", "dst"))
+    val tM1 = secs(estore.pageRankMaintain(spark, iters = 2))
+    val e2 = time("epoch-2 hostEdges (10%, staged)") {
+      edgesOf(b2, s"$whRoot/e2")
+    }
+    val tE2 = secs(estore.append(e2, "src", "dst"))
+    var ranks: DataFrame = null
+    val tM2 = secs { ranks = estore.pageRankMaintain(spark, iters = 1) }
+    println(f"[probe] epoch walls: append1=$tE1%.1fs maintain1(2it)=" +
+      f"$tM1%.1fs append2=$tE2%.1fs maintain2(1it,warm)=$tM2%.1fs " +
+      f"append_frac=${tE2 / math.max(tE1, 1e-9)}%.3f")
+    val n = ranks.count()
+    val gate = Pipeline.AuthorityGate(ranks, "host", (1L << 30) / n)
+    val cstore = new Pipeline.CurationStore(spark, s"$whRoot/epoch_cur",
+      "cur", Pipeline.CurateConfig(minQuality = 0.2, maxRepetition = 0.5),
+      authority = Some(gate))
+    def ingest(df: DataFrame, label: String, batchRows: Long) = {
+      var r: Pipeline.CurateDelta = null
+      val t = secs { r = cstore.ingest(df, "doc_id", "text",
+        withAudit = true) }
+      val kept = r.kept.count()
+      val byStage = r.audit.get.groupBy("stage").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      println(f"[probe] $label%-26s $t%8.2f s kept=$kept " +
+        s"audit=$byStage")
+      require(kept + byStage.values.sum == batchRows,
+        s"$label: kept + audited must partition the batch")
+      require(byStage.getOrElse("authority", 0L) > 0,
+        s"$label: the gate must drop below-prior hosts")
+      t
+    }
+    val tI1 = ingest(hosted(b1), "epoch-1 gated ingest (90%)", cut)
+    val tI2 = ingest(hosted(b2), "epoch-2 gated ingest (10%)",
+      nDocs - cut)
+    println(f"[probe] epoch ingest_frac=${tI2 / math.max(tI1, 1e-9)}%.3f")
+    require(tE2 < 0.5 * tE1,
+      "10% edge batch must cost well under half the 90% batch")
+    require(tI2 < 0.5 * tI1,
+      "10% gated ingest must cost well under half the 90% batch")
+  }
+
+  /** Stored-trust maintenance at graph scale: bulk append → COLD
+    * tolerance-chased [[EdgeStore.trustRankMaintain]]; 1% delta append
+    * → WARM maintain at the SAME tol from the committed ranks. The
+    * warm epoch must reach tolerance in less wall (fewer iterations —
+    * the maintenance claim). Also reports the fixed-iteration
+    * per-round wall in tol mode, the dangling-fold measurement (one
+    * control job per round riding the materialization). */
+  private def trustMaintProbe(spark: SparkSession, whRoot: String,
+                              n: Long, e: Long, tolFrac: Long): Unit = {
+    import graft.operators.{EdgeStore, EdgeStoreConfig}
+    def secs(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    val edgePath = s"$whRoot/tm_edges"
+    time(s"gen edges n=$n e=$e") {
+      spark.range(e).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+        when(pmod(col("id"), lit(4)) === 0,
+          pmod(xxhash64(col("id"), lit(3)), lit(math.max(n / 1000, 1L))))
+          .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(n))).as("dst"),
+        (pmod(xxhash64(col("id"), lit(4)), lit(10)) + 1).as("w"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(100)) === 0).as("__delta"))
+        .write.mode("overwrite").parquet(edgePath)
+    }
+    val all = spark.read.parquet(edgePath)
+    val store = new EdgeStore(
+      new graft.sources.Warehouse(spark, s"$whRoot/tm_wh"),
+      "probe", EdgeStoreConfig(weightCol = Some("w")))
+    val tBulk = secs(store.append(all.filter(!col("__delta")),
+      "src", "dst"))
+    // seed set derived from the id RANGE, not edge content — identical
+    // across epochs, as the stored fingerprint requires
+    val seeds = spark.range(n).filter(pmod(col("id"), lit(1000)) === 0)
+      .select(col("id").as("node"))
+    // per-round wall in tol mode, fixed 3 rounds (tol = 0 never fires):
+    // the dangling-fold note — one control job per round
+    val t3 = secs { store.trustRank(spark, 3, seeds, "node",
+      tol = Some(0L)).write.format("noop").mode("overwrite").save() }
+    println(f"[probe] trust fixed-3-rounds wall=$t3%.1fs per_iter=" +
+      f"${t3 / 3}%.1fs (tol mode, fold: 1 control job/round)")
+    val tol = (1L << 30) / math.max(tolFrac, 1L)
+    val tCold = secs { store.trustRankMaintain(spark, iters = 50, seeds,
+      "node", tol = Some(tol)) }
+    val tDelta = secs(store.append(all.filter(col("__delta")),
+      "src", "dst"))
+    val tWarm = secs { store.trustRankMaintain(spark, iters = 50, seeds,
+      "node", tol = Some(tol)) }
+    println(f"[probe] trustmaint cold=$tCold%.1fs warm=$tWarm%.1fs " +
+      f"(tol=$tol%d, bulk=$tBulk%.1fs delta=$tDelta%.1fs) " +
+      f"warm_frac=${tWarm / math.max(tCold, 1e-9)}%.3f")
+    require(tWarm <= tCold,
+      "warm maintenance must reach tolerance no slower than cold")
+  }
+
   /** Dup-structured random embeddings: coordinates are uniform hash
     * noise (pairwise cosine of distinct bases concentrates at 0 ±1/√dim,
     * so no phantom near-dups — the sin-lattice directions of
@@ -2154,6 +2299,11 @@ object ScaleProbe {
         authProbe(spark, docsPath)
       case "trust" :: nStr :: eStr :: Nil =>
         trustProbe(spark, nStr.toLong, eStr.toLong)
+      case "epoch" :: whRoot :: docsPath :: Nil =>
+        epochProbe(spark, whRoot, docsPath)
+      case "trustmaint" :: whRoot :: nStr :: eStr :: rest =>
+        trustMaintProbe(spark, whRoot, nStr.toLong, eStr.toLong,
+          rest.headOption.map(_.toLong).getOrElse(100L))
       case "warc" :: root :: nArch :: recs :: Nil =>
         warcProbe(spark, root, nArch.toInt, recs.toInt)
       case "bq" :: root :: nRows :: Nil =>
@@ -2164,7 +2314,7 @@ object ScaleProbe {
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
             "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore", "auth", "trust",
-            "warc", "bq")
+            "epoch", "trustmaint", "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
