@@ -780,11 +780,14 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
         .groupBy(col("src")).agg(min(col("__nc")).as("__nmin"))
-      // materialize BEFORE the pointer-jump self-join: `stepped` feeds
-      // both sides of it, and an unmaterialized plan would evaluate the
+      // persist BEFORE the pointer-jump self-join: `stepped` feeds both
+      // sides of it, and an unmaterialized plan would evaluate the
       // edges⋈labels subtree once per side — doubling the dominant
-      // per-round cost on large edge sets
-      val (stepped, stepIds) = checkpoint(labels
+      // per-round cost on large edge sets. A lazy mark suffices: the
+      // self-join's round computes each partition once and caches it
+      // (block-level locking serves the second side from cache), so no
+      // separate materialization job is paid.
+      val (stepped, stepIds) = checkpoint.lazyMark(labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("__nmin"), col("comp"))).as("__c1")))
@@ -796,7 +799,11 @@ object Dedup {
         .select(col("id"),
           least(col("__c1"), coalesce(col("__jump"), col("__c1"))).as("comp"),
           col("__old"))
-      val (mat, ids) = checkpoint(next)
+      // the fixpoint control read IS the round's materializing action
+      // (the Graph dangling-fold discipline): one job per round instead
+      // of three — the count computes `next`, persists its blocks, and
+      // truncates lineage in the same pass
+      val (mat, ids) = checkpoint.lazyMark(next)
       changed = mat.filter(col("comp") < col("__old")).count()
       labels = mat.select("id", "comp")
       (prevIds ++ stepIds).foreach(i =>
