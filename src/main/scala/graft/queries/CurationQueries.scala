@@ -287,6 +287,47 @@ private[queries] object CurationQueries {
         WHERE doc_id >= 25
           AND (doc_id % 100) + 1 NOT IN (SELECT node FROM promoted)""")),
 
+    // ===== Trust-gated curation: the spam-immune sibling of q161 —
+    // TrustRank (seed-personalized PageRank, q162's exact unroll)
+    // gates hosts on SEED-REACHABILITY (rank_fp > 0): a host farm with
+    // any amount of internal link mass holds exactly ZERO trust
+    // (integer arithmetic, no epsilon floor) and is sheared before any
+    // tokenization — the composition TrustRank exists for (Gyöngyi et
+    // al., VLDB 2004). In the supplier graph the src side holds no
+    // in-edges, so only seed hosts carry trust — the gate shears 90%
+    // of hosts, the heavy-shear shape a spam-dominated crawl has =====
+    QueryDef("q166_curate_trust",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val e = ScaleQueries.graphEdges(s, dir)
+        val seeds = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .filter(pmod(col("node"), lit(10)) === 0)
+        val ranks = graft.operators.Graph.trustRank(e, "src", "dst",
+          iters = 3, seeds, "node", Some("w"))
+        val hosted = d.filter(col("doc_id") >= 25)
+          .withColumn("host", pmod(col("doc_id"), lit(100L)) + 1L)
+        val r = Pipeline.curate(hosted, "doc_id", "text",
+          Some(d.filter(col("doc_id") < 25)), "text", CurateCfg,
+          withAudit = true,
+          authority = Some(Pipeline.AuthorityGate(ranks, "host",
+            minRankFp = 0L)))
+        r.kept.select(col("id"), lit("kept").as("stage"))
+          .unionByName(r.audit.get
+            .filter(col("stage") === "authority").select("id", "stage"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ScaleQueries.trustRankCtes},
+        trusted AS MATERIALIZED (SELECT node FROM t3 WHERE rank_fp > 0),
+        ${curateCtesFor(surgical = false,
+          baseWhere =
+            "AND (doc_id % 100) + 1 IN (SELECT node FROM trusted)")}
+        SELECT id, 'kept' AS stage FROM kept
+        UNION ALL
+        SELECT doc_id AS id, 'authority' AS stage FROM documents
+        WHERE doc_id >= 25
+          AND (doc_id % 100) + 1 NOT IN (SELECT node FROM trusted)""")),
+
     // ===== The incremental crawl-epoch composition END-TO-END — the
     // engine's headline story oracle-pinned across two epochs: pages →
     // hostEdges → EdgeStore.append → pageRankMaintain (2 cold iters

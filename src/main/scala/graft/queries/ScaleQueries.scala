@@ -697,7 +697,7 @@ private[queries] object ScaleQueries {
     * (dangling · seedShare) // scale stays inside BIGINT at this
     * scale; the Scala side computes it in BigInt for safety at larger
     * scales). */
-  private lazy val trustRankCtes: String = {
+  private[queries] lazy val trustRankCtes: String = {
     def iter(prev: String, cur: String) = s"""
         $cur AS (
           SELECT nf.node, nf.has_out, nf.is_seed,
