@@ -293,9 +293,11 @@ private[queries] object CurationQueries {
     // any amount of internal link mass holds exactly ZERO trust
     // (integer arithmetic, no epsilon floor) and is sheared before any
     // tokenization — the composition TrustRank exists for (Gyöngyi et
-    // al., VLDB 2004). In the supplier graph the src side holds no
-    // in-edges, so only seed hosts carry trust — the gate shears 90%
-    // of hosts, the heavy-shear shape a spam-dominated crawl has =====
+    // al., VLDB 2004). Hosts key into the shared supplier/part id
+    // space, where trust reaches most part-nodes in 3 rounds — the
+    // gate drops exactly the hosts the seeded flow never reaches
+    // (~19 docs at sf0.01), the complement of q161's above-prior
+    // popularity cut =====
     QueryDef("q166_curate_trust",
       (s, dir) => {
         val d = T.documents(s, dir)
