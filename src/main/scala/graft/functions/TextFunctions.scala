@@ -224,6 +224,94 @@ object TextFunctions {
     (alphaRatio + stopRatio + lengthTerm) / lit(3.0)
   }
 
+  /** The Gopher/MassiveWeb quality-RULE battery (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", appendix A — the published filter recipe
+    * C4/RefinedWeb-descended pipelines standardize on), as ONE
+    * row-local struct Column: the measured statistics, per-rule
+    * booleans, and the conjunction `pass`. Rules, over whitespace
+    * tokens ([[tokens]] — pass the SAME bound array the scan already
+    * stages):
+    *
+    *   1. `r_words`    — word count in [minWords, maxWords]
+    *   2. `r_mean_len` — mean word length in [3, 10]
+    *   3. `r_symbol`   — '#' occurrences/word ≤ 0.1 AND '...'
+    *                     occurrences/word ≤ 0.1
+    *   4. `r_bullet`   — ≤ 90% of non-blank lines start with a bullet
+    *                     (•, -, *)
+    *   5. `r_ell_line` — ≤ 30% of non-blank lines end with an ellipsis
+    *                     ('...' or '…')
+    *   6. `r_alpha`    — ≥ 80% of words contain an alphabetic char
+    *   7. `r_stop`     — ≥ 2 distinct words from the paper's 8-word
+    *                     stop set {the, be, to, of, and, that, have,
+    *                     with}
+    *
+    * Pure Column program (codegen'd, no UDF); every ratio is one exact
+    * integer count over one single division, so an external engine
+    * replays the struct bit-identically (the q167 oracle). Null text
+    * is the empty doc: zero words, every count-gated rule fails. To
+    * gate a curation run on the battery, plug it into
+    * [[graft.operators.Pipeline.CurateConfig.qualityExpr]]:
+    * `(t, tk) => when(gopherRules(t, tk).getField("pass"), 1.0)
+    *   .otherwise(0.0)` with `minQuality` at any value in (0, 1]. */
+  def gopherRules(text: Column, toks: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val t = coalesce(text, lit(""))
+    // size(null) is -1 with ANSI off (legacy sizeOfNull) — clamp so a
+    // null token array reads as the empty doc, not a negative count
+    val nWords = greatest(coalesce(size(toks), lit(0)), lit(0))
+      .cast("long")
+    val wordsD = nWords.cast("double")
+    val sumLen = coalesce(
+      aggregate(toks, lit(0L), (a, w) => a + length(w)), lit(0L))
+    val meanLen = when(nWords > 0, sumLen.cast("double") / wordsD)
+      .otherwise(lit(0.0))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    // '...' occurrences: non-overlapping left-to-right in both engines
+    val nEll = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val hashRatio = when(nWords > 0, nHash.cast("double") / wordsD)
+      .otherwise(lit(0.0))
+    val ellRatio = when(nWords > 0, nEll.cast("double") / wordsD)
+      .otherwise(lit(0.0))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = coalesce(size(lines), lit(0)).cast("long")
+    val linesD = nLines.cast("double")
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("^[•\\-\\*]")))
+        .cast("double") / linesD).otherwise(lit(0.0))
+    val ellLineFrac = when(nLines > 0,
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / linesD).otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / wordsD)
+      .otherwise(lit(0.0))
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val nStops = greatest(coalesce(
+      size(array_intersect(array_distinct(toks),
+        array(stopSet.map(lit): _*))), lit(0)), lit(0)).cast("long")
+    val rWords = nWords >= minWords && nWords <= maxWords
+    val rMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val rSymbol = hashRatio <= 0.1 && ellRatio <= 0.1
+    val rBullet = bulletFrac <= 0.9
+    val rEllLine = ellLineFrac <= 0.3
+    val rAlpha = alphaFrac >= 0.8
+    val rStop = nStops >= 2L
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      hashRatio.as("hash_ratio"), ellRatio.as("ellipsis_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellLineFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"), nStops.as("n_stop_hits"),
+      rWords.as("r_words"), rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllLine.as("r_ell_line"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      (rWords && rMeanLen && rSymbol && rBullet && rEllLine && rAlpha
+        && rStop).as("pass"))
+  }
+
   /** Unicode canonicalization (NFC + simple per-codepoint lowercase +
     * all-marks accent strip, in that order) — run it BEFORE any
     * hash-keyed operator when a corpus mixes encodings or scripts:

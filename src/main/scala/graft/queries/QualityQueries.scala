@@ -94,6 +94,83 @@ private[queries] object QualityQueries {
         FROM (SELECT doc_id FROM documents) d
         LEFT JOIN pd USING (doc_id)""")),
 
+    // ===== The Gopher/MassiveWeb quality-rule battery (Rae et al.
+    // 2021, appendix A) — per-doc statistics, per-rule booleans, and
+    // the conjunction, all exact counts over single divisions so the
+    // struct replays bit-identically. minWords=50 splits this corpus
+    // (word counts run 10–99); the line/symbol rules are exercised by
+    // TextFunctionsSpec fixtures (the synthetic corpus is single-line
+    // and symbol-free) =====
+    QueryDef("q167_gopher_rules",
+      (s, dir) => T.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.gopherRules(col("text"),
+            TextFunctions.tokens(col("text"))).as("__g"))
+        .select(col("doc_id"), col("__g.*")),
+      Some(s"""
+        WITH tkq AS (SELECT doc_id, text, $duckToks AS tk FROM documents),
+        st AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(tk, w -> CAST(len(w) AS BIGINT))),
+              (a, x) -> a + x) AS sum_len,
+            CAST(len(text) - len(regexp_replace(text, '#', '', 'g'))
+              AS BIGINT) AS n_hash,
+            CAST((len(text) -
+              len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+              AS BIGINT) AS n_ell,
+            list_filter(string_split(text, chr(10)),
+              l -> len(trim(l)) > 0) AS lines,
+            CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+            CAST(len(list_intersect(list_distinct(tk),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stop_hits
+          FROM tkq),
+        r AS (SELECT doc_id, n_words,
+            CASE WHEN n_words > 0
+                 THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END AS mean_word_len,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_hash AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END AS hash_ratio,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_ell AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END AS ellipsis_ratio,
+            CASE WHEN len(lines) > 0
+                 THEN CAST(len(list_filter(lines, l ->
+                      regexp_matches(trim(l), '^[•\\-\\*]')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS bullet_line_frac,
+            CASE WHEN len(lines) > 0
+                 THEN CAST(len(list_filter(lines, l ->
+                      regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+                      AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+                 ELSE 0.0 END AS ellipsis_line_frac,
+            CASE WHEN n_words > 0
+                 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                 ELSE 0.0 END AS alpha_word_frac,
+            n_stop_hits
+          FROM st)
+        SELECT doc_id, n_words, mean_word_len, hash_ratio,
+          ellipsis_ratio, bullet_line_frac, ellipsis_line_frac,
+          alpha_word_frac, n_stop_hits,
+          n_words >= 50 AND n_words <= 100000 AS r_words,
+          mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+          hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1 AS r_symbol,
+          bullet_line_frac <= 0.9 AS r_bullet,
+          ellipsis_line_frac <= 0.3 AS r_ell_line,
+          alpha_word_frac >= 0.8 AS r_alpha,
+          n_stop_hits >= 2 AS r_stop,
+          (n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND n_stop_hits >= 2 AS pass
+        FROM r""")),
+
     // ===== DSIR-style importance score vs a target corpus (the
     // doc_id % 3 = 0 slice stands in for the curated reference set) =====
     QueryDef("q101_importance_score",

@@ -161,4 +161,73 @@ class TextFunctionsSpec extends SparkSpec {
     assert(good >= 0.0 && good <= 1.0)
     assert(good > junk)
   }
+
+  test("gopherRules: each published rule trips on its own pathology " +
+      "and a clean doc passes the battery") {
+    def rules(input: String, minWords: Int = 5) =
+      Seq(input).toDF("text")
+        .select(TextFunctions.gopherRules(col("text"),
+          TextFunctions.tokens(col("text")), minWords = minWords).as("g"))
+        .select(col("g.*")).collect().head
+    def b(r: org.apache.spark.sql.Row, f: String): Boolean =
+      r.getBoolean(r.fieldIndex(f))
+    val clean = rules("the quick brown fox jumps over that lazy dog " +
+      "and we have fun with it all day long here")
+    assert(b(clean, "pass"), s"clean prose must pass: $clean")
+    // 1. word count below the floor
+    assert(!b(rules("the cat and that dog", minWords = 6), "r_words"))
+    // 2. mean word length outside [3, 10]
+    assert(!b(rules("a b c d e f g h"), "r_mean_len"))
+    assert(!b(rules("extraordinarily incomprehensibilities " +
+      "antidisestablishmentarianism counterrevolutionaries " +
+      "uncharacteristically"), "r_mean_len"))
+    // 3. symbol ratios: '#' per word and '...' per word
+    assert(!b(rules("the # tag # stream # of # hash # marks # here"),
+      "r_symbol"))
+    assert(!b(rules("truncated... snippets... everywhere... today... " +
+      "again... more..."), "r_symbol"))
+    // 4. >90% bullet lines (each non-blank line starts with a bullet)
+    val bullets = (1 to 12).map(i => s"• item $i").mkString("\n")
+    assert(!b(rules(bullets), "r_bullet"))
+    // 5. >30% of lines end with an ellipsis (both spellings)
+    assert(!b(rules("teaser one...\nteaser two…\nplain line"),
+      "r_ell_line"))
+    // 6. <80% of words contain a letter
+    assert(!b(rules("111 222 333 444 the 555 666 777 888 999"),
+      "r_alpha"))
+    // 7. fewer than 2 distinct stop-set hits
+    assert(!b(rules("quark boson lepton hadron photon gluon meson"),
+      "r_stop"))
+    // null text = the empty doc: zero words, count-gated rules fail,
+    // pass is FALSE (never null)
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.gopherRules(col("text"),
+        TextFunctions.tokens(col("text"))).as("g"))
+      .select(col("g.*")).collect().head
+    assert(!nullRow.isNullAt(nullRow.fieldIndex("pass")) &&
+      !b(nullRow, "pass") && nullRow.getLong(0) === 0L)
+  }
+
+  test("gopherRules plugs into curate as the quality stage") {
+    import graft.operators.Pipeline
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over that lazy dog and we " +
+        "have fun with it all day long here in the sun"),
+      (2L, "spam spam spam"), // fails the word-count floor
+      (3L, "111 222 333 444 the 555 666 777 888 999 000 111 222 " +
+        "333 444 555 666 777 888 999")) // fails the alpha rule
+      .toDF("doc_id", "text")
+    val r = Pipeline.curate(docs, "doc_id", "text",
+      cfg = Pipeline.CurateConfig(
+        minQuality = 0.5, maxRepetition = 1.0,
+        qualityExpr = Some((t, tk) =>
+          when(TextFunctions.gopherRules(t, tk, minWords = 10)
+            .getField("pass"), lit(1.0)).otherwise(lit(0.0)))),
+      withAudit = true)
+    assert(r.kept.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L))
+    val dropped = r.audit.get.filter(col("stage") === "quality")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(2L, 3L))
+  }
 }
