@@ -61,6 +61,32 @@ object HtmlFunctions {
       lit("(?is)<a\\b[^>]*\\bhref\\s*=\\s*[\"'](https?://[^\"'\\s]+)[\"']"),
       lit(1))
 
+  /** One pattern for (href, anchor-text) pairs — [[outLinks]]' href
+    * grammar extended through the anchor's close tag so group 2
+    * captures the inner markup. RE2-compatible (lazy `.*?`, no
+    * backreferences) so the oracle replays it. */
+  val AnchorPairRe: String = "(?is)<a\\b[^>]*\\bhref\\s*=\\s*" +
+    "[\"'](https?://[^\"'\\s]+)[\"'][^>]*>(.*?)</a>"
+
+  /** (href, text) of every absolute http(s) anchor — the anchor-TEXT
+    * complement of [[outLinks]]: anchor text is how the rest of the web
+    * DESCRIBES the target page, the classic retrieval/ranking signal a
+    * crawl-scale index builds alongside the link graph
+    * ([[graft.operators.Graph.anchorTerms]] aggregates it per target
+    * host). Two positionally-aligned `regexp_extract_all` passes over
+    * the ONE [[AnchorPairRe]] pattern zip into structs; inner markup is
+    * stripped to whitespace-collapsed text ([[TextFunctions.stripHtml]]'s
+    * tag rule). Anchors whose text strips to empty are kept with '' —
+    * they still carry the edge; callers filter when only worded anchors
+    * matter. Pure codegen'd Columns, no UDF. */
+  def anchorTexts(html: Column): Column =
+    zip_with(
+      regexp_extract_all(html, lit(AnchorPairRe), lit(1)),
+      regexp_extract_all(html, lit(AnchorPairRe), lit(2)),
+      (h, t) => struct(h.as("href"),
+        trim(regexp_replace(regexp_replace(t, "(?s)<[^>]*>", " "),
+          "\\s+", " ")).as("text")))
+
   /** Host of an absolute http(s) URL — lower-cased, userinfo and port
     * stripped; null for anything else. RFC-lite by design: a crawl's
     * host graph wants a deterministic, engine-portable extraction (the

@@ -340,6 +340,36 @@ object Graph {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
+  /** Per-target-host anchor-TERM profile from crawled pages — the
+    * retrieval-side complement of [[hostEdges]]: anchor text is how the
+    * rest of the web describes the TARGET page, so aggregating the
+    * terms per destination host yields the anchor-text index a
+    * crawl-scale search stack ranks with (feed the output to
+    * [[Retrieval]]'s BM25 with host as the document key, next to the
+    * [[pageRank]]/[[trustRank]] authority signals). One row per
+    * (host, term) with `w` = cross-site occurrence count; SAME-host
+    * anchors are dropped like [[hostEdges]]' self-links — site-internal
+    * nav text carries no cross-site description. Terms come from
+    * [[graft.functions.TextFunctions.tokens]] over the markup-stripped
+    * anchor text ([[graft.functions.HtmlFunctions.anchorTexts]]).
+    *
+    * Scale shape: row-local (regex extract → two explodes) until ONE
+    * aggregation exchange on (host, term); the html column is pruned at
+    * the first explode projection and never shuffles. */
+  def anchorTerms(pages: DataFrame, urlCol: String,
+                  htmlCol: String): DataFrame = {
+    import graft.functions.{HtmlFunctions, TextFunctions}
+    pages
+      .select(HtmlFunctions.urlHost(col(urlCol)).as("src"),
+        explode(HtmlFunctions.anchorTexts(col(htmlCol))).as("__a"))
+      .select(col("src"),
+        HtmlFunctions.urlHost(col("__a.href")).as("host"),
+        explode(TextFunctions.tokens(col("__a.text"))).as("term"))
+      .filter(col("src").isNotNull && col("host").isNotNull &&
+        col("src") =!= col("host"))
+      .groupBy("host", "term").agg(count(lit(1)).as("w"))
+  }
+
   /** TrustRank — personalized PageRank whose teleport distribution
     * concentrates on a trusted SEED set instead of the uniform prior
     * (Gyöngyi/Garcia-Molina/Pedersen, "Combating Web Spam with

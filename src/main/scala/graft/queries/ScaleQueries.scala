@@ -581,6 +581,48 @@ private[queries] object ScaleQueries {
               FROM d)
         SELECT src, dst, CAST(count(*) AS BIGINT) AS w
         FROM l WHERE src <> dst GROUP BY 1, 2""")),
+
+    // ===== anchor-text index construction: per-target-host term
+    // profile from crawled pages — the retrieval complement of q163's
+    // link graph (anchor text describes the TARGET; the classic
+    // cross-site ranking signal). Fixture anchors carry arithmetic
+    // terms plus inner markup (<b>…</b>, stripped) and a trailing
+    // space (collapsed); the uppercase/userinfo/port link and the
+    // relative link exercise the same normalization as q163. The
+    // oracle re-derives every (host, term, w) row from the id
+    // stream =====
+    QueryDef("q168_anchor_terms",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val pages = d.select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(50)),
+            lit(".example/p/"), col("doc_id")).as("url"),
+          concat(
+            lit("<html><body><a class=\"x\" href=\"http://h"),
+            pmod(col("doc_id") * 7, lit(50)),
+            lit(".example/a\">Alpha <b>t"),
+            pmod(col("doc_id"), lit(7)),
+            lit("</b></a><p>filler</p><a href='HTTPS://u@H"),
+            pmod(col("doc_id") * 13, lit(50)),
+            lit(".EXAMPLE:8443/b?q=1'>beta t"),
+            pmod(col("doc_id") * 3, lit(11)),
+            lit(" </a><a href=\"/relative\">skip</a></body></html>"))
+            .as("html"))
+        graft.operators.Graph.anchorTerms(pages, "url", "html")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id % 50 AS s,
+                          (doc_id * 7) % 50 AS d1,
+                          (doc_id * 13) % 50 AS d2,
+                          doc_id % 7 AS k1,
+                          (doc_id * 3) % 11 AS k2 FROM documents),
+        t AS (SELECT s, d1 AS dd, 'alpha' AS term FROM d
+              UNION ALL SELECT s, d1, 't' || k1 FROM d
+              UNION ALL SELECT s, d2, 'beta' FROM d
+              UNION ALL SELECT s, d2, 't' || k2 FROM d)
+        SELECT 'h' || dd || '.example' AS host, term,
+               CAST(count(*) AS BIGINT) AS w
+        FROM t WHERE s <> dd GROUP BY 1, 2""")),
   )
 
   /** One committed rank table per (session, sfDir) — the PRODUCTION

@@ -330,6 +330,34 @@ class GraphSpec extends SparkSpec {
     } finally graft.sources.StoreTxn.leaseTtlMs = 60000L
   }
 
+  test("anchorTexts/anchorTerms: markup stripped, empty anchors kept " +
+      "as '', relative links skipped, self-host terms dropped") {
+    import graft.functions.HtmlFunctions
+    val html = """<html><body>
+      |<a href="http://B.example/x">Deep <b>Learning</b>  guide</a>
+      |<a href='http://c.example/y'><img src="i.png"/></a>
+      |<a href="/relative">nope</a>
+      |<a href="http://a.example/self">self nav</a>
+      |</body></html>""".stripMargin
+    val pairs = Seq(html).toDF("html")
+      .select(explode(HtmlFunctions.anchorTexts(col("html"))).as("a"))
+      .select(col("a.href"), col("a.text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs === Array(
+      ("http://B.example/x", "Deep Learning guide"), // markup + ws fold
+      ("http://c.example/y", ""),                    // image-only anchor
+      ("http://a.example/self", "self nav")))        // relative skipped
+    val terms = Graph.anchorTerms(
+      Seq(("http://a.example/p", html)).toDF("url", "html"),
+      "url", "html")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // self-host anchor dropped; empty-text anchor contributes no terms
+    assert(terms === Set(
+      ("b.example", "deep", 1L), ("b.example", "learning", 1L),
+      ("b.example", "guide", 1L)))
+  }
+
   test("trustRankMaintain: stored seeded warm-start ≡ cold, seed drift " +
       "fails fast, superseded versions swept, no pins accumulate") {
     def ranksOf(df: org.apache.spark.sql.DataFrame) =
