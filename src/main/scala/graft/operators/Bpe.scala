@@ -212,4 +212,24 @@ object Bpe {
         .otherwise(size(split(enc, " ")).cast("long")).as("n_tokens"),
       enc.as("enc"))
   }
+
+  /** Inverse of [[encode]] — the detokenizer a data loader or a
+    * debugging pass runs over stored token streams. BPE decode is
+    * exact by CONSTRUCTION, independent of which merges were learned:
+    * merges only ever concatenate codepoints within one word, so
+    * dropping the inter-symbol spaces and turning each [[EndOfWord]]
+    * marker into a word boundary recovers the tokenized text. The
+    * round-trip contract (BpeSpec + the q169 oracle, which needs no
+    * BPE at all — the equality IS the proof):
+    * `decode(encode(docs, ANY merges))` ==
+    * `tokens(text)` joined by single spaces (i.e. the
+    * whitespace-normalized lowercased text [[encode]] consumed).
+    * Row-local codegen'd Columns, zero shuffles. */
+  def decode(encoded: DataFrame, idCol: String = "id",
+             encCol: String = "enc"): DataFrame = {
+    val joined = regexp_replace(
+      coalesce(col(encCol), lit("")), " ", "")
+    encoded.select(col(idCol).as("id"),
+      trim(regexp_replace(joined, EndOfWord, " ")).as("text"))
+  }
 }

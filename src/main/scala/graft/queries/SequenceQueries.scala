@@ -317,6 +317,24 @@ private[queries] object SequenceQueries {
         WITH ${bpeEncodeCtes(bpeK)}
         SELECT doc_id, n_tokens, enc FROM encoded""")),
 
+    // ===== BPE round trip: decode(encode(docs, learned merges)) must
+    // recover the tokenized text EXACTLY — decode is the inverse by
+    // construction for ANY merge table, so the oracle needs no BPE at
+    // all: the equality against the plainly-tokenized corpus IS the
+    // round-trip proof =====
+    QueryDef("q169_bpe_roundtrip",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        graft.operators.Bpe.decode(
+            graft.operators.Bpe.encode(d, "doc_id", "text",
+              graft.operators.Bpe.learnMerges(d, "text", bpeK)))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+               coalesce(array_to_string($duckToks, ' '), '') AS text
+        FROM documents""")),
+
     // ===== tokenizer-aware packing: documents laid end-to-end into
     // 256-token training sequences where a token is a REAL BPE token
     // from the corpus-learned table, not a whitespace word — the

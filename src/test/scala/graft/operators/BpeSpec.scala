@@ -89,4 +89,26 @@ class BpeSpec extends SparkSpec {
       "doc_id", "text", deep).as[(Long, Long, String)].collect()
     assert(out === Array((1L, 12L, "p l a i n </w> w o r d s </w>")))
   }
+
+  test("decode inverts encode for ANY merge table (round trip to the " +
+      "tokenized text); empty and null docs decode to ''") {
+    val docs = Seq(
+      (1L, "The  Quick   brown fox"), // case + whitespace normalize
+      (2L, "aaaa aa a"),              // heavy in-word merging
+      (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    def roundtrip(merges: org.apache.spark.sql.DataFrame) =
+      Bpe.decode(Bpe.encode(docs, "doc_id", "text", merges))
+        .orderBy("id").as[(Long, String)].collect()
+    val expected = Array((1L, "the quick brown fox"), (2L, "aaaa aa a"),
+      (3L, ""), (4L, ""))
+    // learned table, empty table, and a hand-built adversarial table:
+    // decode must not depend on WHICH merges encode applied
+    assert(roundtrip(Bpe.learnMerges(docs, "text", 20)) === expected)
+    assert(roundtrip(Seq.empty[(Int, String, String, Long)]
+      .toDF("rank", "lhs", "rhs", "pair_cnt")) === expected)
+    assert(roundtrip(Seq((1, "a", "a", 1L), (2, "aa", "a</w>", 1L),
+        (3, "t", "h", 1L))
+      .toDF("rank", "lhs", "rhs", "pair_cnt")) === expected)
+  }
 }
