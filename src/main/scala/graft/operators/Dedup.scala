@@ -534,6 +534,53 @@ object Dedup {
       r.nextInt(PortableMod.toInt).toLong))
   }
 
+  /** Plan (bands, rowsPerBand) for a target Jaccard threshold under a
+    * signature-size budget — the S-curve solver (Leskovec/Rajaraman/
+    * Ullman, "Mining of Massive Datasets" ch. 3, public): a pair at
+    * similarity s collides in some band with probability
+    * P(s) = 1 − (1 − s^r)^b, and the right (b, r) puts the curve's
+    * rise at `threshold` while keeping it steep. Scoring: total error
+    * mass against the ideal step — ∫₀ᵗ P(s) ds (false-candidate area,
+    * weighted by `fpWeight`) + ∫ₜ¹ (1 − P(s)) ds (missed-pair area) —
+    * on a fixed 1000-point grid, deterministic doubles. Enumerates
+    * every (b, r) with b·r ≤ maxHashes and returns the minimizer
+    * (smallest signature, then smallest r, on ties). At threshold 0.5
+    * a 16-hash budget plans (5, 3) and a 128-hash budget the steeper
+    * (25, 5); a 0.8 threshold pushes rows up to (9, 13) — longer
+    * bands collide only at high similarity. `fpWeight` > 1 when
+    * verification is expensive (false candidates each cost an
+    * exact-Jaccard check — it trades toward longer bands); < 1 when
+    * recall is the product (missed near-dups poison training data
+    * silently).
+    *
+    * Driver-side config arithmetic — no data, no jobs; feed the result
+    * straight into [[minhashPortablePairs]] / MinhashConfig. */
+  def lshPlan(threshold: Double, maxHashes: Int,
+              fpWeight: Double = 1.0): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+    require(fpWeight > 0, s"fpWeight must be positive, got $fpWeight")
+    val grid = 1000
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fp * fpWeight + fn) / grid
+    }
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+    } yield (b, r)
+    candidates.minBy { case (b, r) => (err(b, r), b * r, r) }
+  }
+
   /** Portable MinHash + LSH banding pairs, verified with exact Jaccard.
     * Candidate generation: per band, bucket = "_"-joined minhashes of the
     * band's rows; docs sharing a (band, bucket) pair up via in-group

@@ -638,6 +638,46 @@ object ScaleProbe {
       "10% gated ingest must cost well under half the 90% batch")
   }
 
+  /** Anchor-text index construction at corpus scale: synthetic pages
+    * (the [[epochProbe]] generator plus worded anchors) → one
+    * [[Graph.anchorTerms]] pass — regex extraction + two explodes
+    * row-local, ONE aggregation exchange on (host, term); the html
+    * column must never shuffle (plan-asserted). */
+  private def anchorProbe(spark: SparkSession, docsPath: String): Unit = {
+    import graft.operators.Graph
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
+    val nHosts = 10000L
+    def hostOf(c: org.apache.spark.sql.Column, seed: Long) =
+      pmod(xxhash64(c, lit(seed)), lit(nHosts))
+    val pages = docs.select(
+      concat(lit("http://h"), hostOf(col("doc_id"), 5L),
+        lit(".example/p/"), col("doc_id")).as("url"),
+      concat(lit("<html><body><a href=\"http://h"),
+        hostOf(col("doc_id"), 6L),
+        lit(".example/a\">guide to <b>topic"),
+        pmod(col("doc_id"), lit(997L)),
+        lit("</b></a><a href='HTTPS://u@H"), hostOf(col("doc_id"), 7L),
+        lit(".EXAMPLE:8443/b'>review of topic"),
+        pmod(col("doc_id") * 3, lit(997L)),
+        lit("</a></body></html>")).as("html"))
+    val terms = Graph.anchorTerms(pages, "url", "html")
+    // the html column must be pruned BEFORE the aggregation exchange —
+    // inspect every shuffle's output attributes, not the plan string
+    // (the scan/projection nodes legitimately name the column)
+    val shuffledCols = terms.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }
+    require(shuffledCols.forall(!_.exists(_.contains("html"))),
+      s"html column crossed an exchange: $shuffledCols")
+    val n = timedCount(s"anchorTerms ($nDocs pages)")(terms)
+    val top = terms.orderBy(col("w").desc).limit(3).collect()
+      .map(r => s"${r.getString(0)}:${r.getString(1)}=${r.getLong(2)}")
+    println(s"[probe] anchor profile rows=$n top=${top.mkString(", ")}")
+    require(n > 0, "anchor profile must be non-empty")
+  }
+
   /** Stored-trust maintenance at graph scale: bulk append → COLD
     * tolerance-chased [[EdgeStore.trustRankMaintain]]; 1% delta append
     * → WARM maintain at the SAME tol from the committed ranks. The
@@ -2301,6 +2341,8 @@ object ScaleProbe {
         trustProbe(spark, nStr.toLong, eStr.toLong)
       case "epoch" :: whRoot :: docsPath :: Nil =>
         epochProbe(spark, whRoot, docsPath)
+      case "anchor" :: docsPath :: Nil =>
+        anchorProbe(spark, docsPath)
       case "trustmaint" :: whRoot :: nStr :: eStr :: rest =>
         trustMaintProbe(spark, whRoot, nStr.toLong, eStr.toLong,
           rest.headOption.map(_.toLong).getOrElse(100L))
@@ -2314,7 +2356,7 @@ object ScaleProbe {
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
             "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore", "auth", "trust",
-            "epoch", "trustmaint", "warc", "bq")
+            "epoch", "trustmaint", "anchor", "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>

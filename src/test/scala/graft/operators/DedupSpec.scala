@@ -376,4 +376,27 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("lshPlan: budget respected, computed picks, threshold and " +
+      "fpWeight move the curve the right way") {
+    // hand-checked minimizers of the S-curve error integral
+    assert(Dedup.lshPlan(0.5, 16) === ((5, 3)))
+    assert(Dedup.lshPlan(0.5, 128) === ((25, 5)))
+    assert(Dedup.lshPlan(0.8, 128) === ((9, 13)))
+    assert(Dedup.lshPlan(0.3, 128) === ((37, 3)))
+    // a costlier false candidate trades toward longer bands (higher r)
+    assert(Dedup.lshPlan(0.5, 16, fpWeight = 5.0) === ((3, 5)))
+    // properties across a sweep: budget respected; the planned curve's
+    // 50%-collision point tracks the requested threshold
+    for (t <- Seq(0.2, 0.4, 0.6, 0.8); mx <- Seq(8, 32, 256)) {
+      val (b, r) = Dedup.lshPlan(t, mx)
+      assert(b >= 1 && r >= 1 && b * r <= mx, s"budget: ($b,$r) at $mx")
+      val mid = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      assert(math.abs(mid - t) < 0.25,
+        s"50%-collision point $mid far from threshold $t at ($b,$r)")
+    }
+    // guards
+    intercept[IllegalArgumentException](Dedup.lshPlan(0.0, 16))
+    intercept[IllegalArgumentException](Dedup.lshPlan(0.5, 1))
+  }
 }
