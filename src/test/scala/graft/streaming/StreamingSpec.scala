@@ -330,6 +330,104 @@ class StreamingSpec extends SparkSpec {
       (6L, "exact_dup", Some(5L)), (7L, "near_dup", Some(1L))))
   }
 
+  test("streaming crawl epochs: edge-stream catch-ups + per-epoch rank " +
+      "maintenance + gated curation catch-ups ≡ the one-shot batch " +
+      "composition (the q164 story as always-on sinks)") {
+    import graft.operators.{EdgeStore, EdgeStoreConfig, Graph, Pipeline}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_epochstream").toString
+    // 24 docs on hosts h0..h6; texts reuse the curation fixtures so
+    // every stage has work (junk, exact dup, near-dup, PII)
+    val docs = (0L until 24L).map { i =>
+      val text = i % 6 match {
+        case 2 => "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!!"
+        case 3 => curExact56
+        case 4 => curNear7
+        case 5 => curPii8
+        case _ => curGood1 + s" marker$i"
+      }
+      (i, text)
+    }
+    def pages(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(
+        concat(lit("http://h"), pmod(col("doc_id"), lit(7)),
+          lit(".example/p/"), col("doc_id")).as("url"),
+        // a HUBBED graph: every page links h0 plus a spread host — a
+        // near-regular graph would leave every rank at the uniform
+        // prior and the strict > gate would shear ALL hosts
+        concat(lit("<html><body><a href=\"http://h"),
+          pmod(col("doc_id") * 3, lit(7)),
+          lit(".example/a\">l</a><a href=\"http://h0.example/b\">l2" +
+            "</a></body></html>")).as("html"))
+    def edgesOf(rows: Seq[(Long, String)]) =
+      Graph.hostEdges(pages(rows), "url", "html")
+        .select(regexp_extract(col("src"), "^h(\\d+)\\.example$", 1)
+          .cast("long").as("src"),
+          regexp_extract(col("dst"), "^h(\\d+)\\.example$", 1)
+            .cast("long").as("dst"), col("w"))
+    val (epoch1, epoch2) = docs.partition(_._1 < 12)
+    val estore = new EdgeStore(
+      new graft.sources.Warehouse(spark, s"$root/eg"), "crawl",
+      EdgeStoreConfig(weightCol = Some("w"), nStoreBuckets = 2))
+    val eDir = s"$root/edges_in"
+    val eSchema = edgesOf(docs).schema
+    def edgeCatchUp(): Unit = Streaming.runAppendStoreAvailableNow(
+      spark.readStream.schema(eSchema).option("maxFilesPerTrigger", 1)
+        .parquet(eDir),
+      estore, s"$root/eckpt", "src", "dst")
+    // epoch 1: edges stream in, ranks maintained (cold)
+    edgesOf(epoch1).coalesce(1).write.mode("append").parquet(eDir)
+    edgeCatchUp()
+    estore.pageRankMaintain(spark, iters = 2)
+    // epoch 2: only the new file is processed, warm maintain
+    edgesOf(epoch2).coalesce(1).write.mode("append").parquet(eDir)
+    edgeCatchUp()
+    val ranks = estore.pageRankMaintain(spark, iters = 1)
+    val n = ranks.count()
+    val gate = Pipeline.AuthorityGate(ranks, "host", (1L << 30) / n)
+    // curation sink gated by the committed ranks (static input — the
+    // batch ≡ incremental contract), docs streamed per epoch
+    val wh = new graft.sources.Warehouse(spark, s"$root/wh")
+    val cstore = new Pipeline.CurationStore(spark, s"$root/cur", "t",
+      curCfg, authority = Some(gate))
+    val dDir = s"$root/docs_in"
+    val dSchema = docs.toDF("doc_id", "text")
+      .withColumn("host", pmod(col("doc_id"), lit(7L))).schema
+    def hosted(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("host", pmod(col("doc_id"), lit(7L)))
+    def curCatchUp(): Unit = Streaming.runCurationAvailableNow(
+      spark.readStream.schema(dSchema).option("maxFilesPerTrigger", 1)
+        .parquet(dDir),
+      cstore, wh, "ep_kept", "ep_retracted", s"$root/cckpt",
+      "doc_id", "text", auditTable = Some("ep_audit"))
+    hosted(epoch1).coalesce(1).write.mode("append").parquet(dDir)
+    curCatchUp()
+    hosted(epoch2).coalesce(1).write.mode("append").parquet(dDir)
+    curCatchUp()
+    val streamed = {
+      val kept = wh.read("ep_kept").select("id")
+      val ret = if (wh.exists("ep_retracted"))
+        wh.read("ep_retracted").select("id") else kept.limit(0)
+      kept.except(ret).as[Long].collect().sorted.toSeq
+    }
+    // one-shot batch reference: the SAME gate over the full corpus
+    val batch = Pipeline.curate(hosted(docs), "doc_id", "text",
+      None, "text", curCfg, withAudit = true, authority = Some(gate))
+    assert(streamed === batch.kept.select("id").as[Long]
+      .collect().sorted.toSeq)
+    assert(streamed.nonEmpty, "the composition must keep something")
+    // the authority ledger matches the batch run's gate drops — and the
+    // gate actually sheared hosts (below-prior hosts exist on this graph)
+    val streamedAuth = wh.read("ep_audit")
+      .filter(col("stage") === "authority")
+      .select("id").as[Long].collect().sorted.toSeq
+    val batchAuth = batch.audit.get
+      .filter(col("stage") === "authority")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(streamedAuth === batchAuth)
+    assert(streamedAuth.nonEmpty, "the gate must drop below-prior hosts")
+  }
+
   test("bm25 index catch-up: streamed appends serve the one-shot ranking") {
     val root = java.nio.file.Files.createTempDirectory("graft_bmstream").toString
     val corpus = (1L to 40L).map { i =>
