@@ -98,6 +98,43 @@ object HtmlFunctions {
     when(length(h) > 0, h)
   }
 
+  /** Well-known second-level public suffixes for
+    * [[registrableDomain]] — the high-traffic entries of the Public
+    * Suffix List's cc-SLD family. Deliberately a small static set:
+    * the full PSL is an external, mutable artifact; the grouping this
+    * feeds (per-site caps and gates) degrades gracefully when a rare
+    * suffix is missed (one site splits into a few host groups), and
+    * callers with the PSL on hand can pre-map hosts themselves. */
+  val SecondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "com.cn", "net.cn", "org.cn",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr", "com.mx",
+    "co.nz", "net.nz", "org.nz", "com.sg", "co.za", "com.tr",
+    "com.tw")
+
+  /** Registrable domain (eTLD+1-LITE) of a host — the grouping key a
+    * C4/RefinedWeb-style pipeline caps and gates per SITE rather than
+    * per host (www./m./cdn. subdomains share one reputation; collapse
+    * [[graft.operators.Graph.hostEdges]] output through this before
+    * ranking to make the authority signal site-level). Heuristic by
+    * design: the last two labels, or the last three when the trailing
+    * pair is a known second-level public suffix
+    * ([[SecondLevelSuffixes]]). Pure-numeric hosts (IPv4 literals) and
+    * single-label hosts (intranet names) pass through unchanged. Pure
+    * Column program; the identical arithmetic replays in the q170
+    * oracle. */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = array_join(slice(parts, -2, 2), ".")
+    val last3 = array_join(slice(parts, -3, 3), ".")
+    when(host.rlike("^[0-9.]+$") || n <= 2, host)
+      .when(last2.isInCollection(SecondLevelSuffixes), last3)
+      .otherwise(last2)
+  }
+
   /** Lower-case the keys of a header map
     * (responseheader.py:91's case normalization). */
   def normalizeHeaderKeys(headers: Column): Column =

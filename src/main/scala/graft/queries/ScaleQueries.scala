@@ -5,7 +5,7 @@ import graft.core.{Tables => T}
 import graft.functions.TextFunctions
 import graft.operators.{RangeJoin, Sequences, Sharding, Sketches}
 import Catalog.QueryDef
-import Catalog.{duckHashBucket, duckPolyHash, duckToks}
+import Catalog.{duckHashBucket, duckPolyHash, duckToks, sqlList}
 
 /** Scale-pattern tier: binned range joins (the equi-join rewrite of the
   * inequality-join trap), keep-first block dedup, the deterministic
@@ -623,6 +623,55 @@ private[queries] object ScaleQueries {
         SELECT 'h' || dd || '.example' AS host, term,
                CAST(count(*) AS BIGINT) AS w
         FROM t WHERE s <> dd GROUP BY 1, 2""")),
+
+    // ===== registrable-domain grouping (eTLD+1-lite): the per-SITE
+    // key a C4/RefinedWeb-style pipeline caps and gates on —
+    // subdomains collapse to one domain, cc-SLD suffixes (co.uk, …)
+    // take three labels, IPv4 literals and single-label intranet
+    // hosts pass through. Fixture hosts exercise every branch; the
+    // oracle replays the label arithmetic =====
+    QueryDef("q170_registrable_domain",
+      (s, dir) => {
+        val d = T.documents(s, dir)
+        val host = when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("www.h"), pmod(col("doc_id"), lit(40)),
+              lit(".example")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("a.b.h"), pmod(col("doc_id"), lit(40)),
+              lit(".co.uk")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit("h"), pmod(col("doc_id"), lit(40)),
+              lit(".example")))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            concat(lit("10.0.0."), pmod(col("doc_id"), lit(250))))
+          .otherwise(concat(lit("intranet"), pmod(col("doc_id"),
+            lit(40))))
+        d.select(graft.functions.HtmlFunctions
+            .registrableDomain(host).as("domain"))
+          .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""
+        WITH h AS (SELECT CASE doc_id % 5
+            WHEN 0 THEN 'www.h' || (doc_id % 40) || '.example'
+            WHEN 1 THEN 'a.b.h' || (doc_id % 40) || '.co.uk'
+            WHEN 2 THEN 'h' || (doc_id % 40) || '.example'
+            WHEN 3 THEN '10.0.0.' || (doc_id % 250)
+            ELSE 'intranet' || (doc_id % 40) END AS host
+          FROM documents),
+        p AS (SELECT host, string_split(host, '.') AS parts FROM h),
+        r AS (SELECT host,
+            len(parts) AS np,
+            array_to_string(parts[len(parts)-1:], '.') AS last2,
+            array_to_string(parts[len(parts)-2:], '.') AS last3
+          FROM p)
+        SELECT CASE
+            WHEN regexp_matches(host, '^[0-9.]+$$') OR np <= 2 THEN host
+            WHEN list_contains(${sqlList(
+              graft.functions.HtmlFunctions.SecondLevelSuffixes)},
+              last2) THEN last3
+            ELSE last2 END AS domain,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM r GROUP BY 1""")),
   )
 
   /** One committed rank table per (session, sfDir) — the PRODUCTION

@@ -358,6 +358,34 @@ class GraphSpec extends SparkSpec {
       ("b.example", "guide", 1L)))
   }
 
+  test("registrableDomain: subdomains collapse, cc-SLD suffixes take " +
+      "three labels, IPs and single labels pass through") {
+    import graft.functions.HtmlFunctions
+    val cases = Seq(
+      "www.news.example.com" -> "example.com",
+      "m.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "a.b.site.co.uk" -> "site.co.uk",
+      "site.co.uk" -> "site.co.uk",
+      "shop.example.com.au" -> "example.com.au",
+      "10.0.0.7" -> "10.0.0.7",   // IPv4 literal untouched
+      "intranet" -> "intranet",   // single label untouched
+      "co.uk" -> "co.uk")         // a bare suffix has nothing to take
+    val out = cases.map(_._1).toDF("h")
+      .select(col("h"), HtmlFunctions.registrableDomain(col("h")))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(out === cases.toArray)
+    // composes with hostEdges: a site's subdomain edges collapse
+    val e = Seq(("www.a.example", "cdn.b.example"),
+        ("m.a.example", "b.example"))
+      .toDF("src", "dst")
+      .select(HtmlFunctions.registrableDomain(col("src")).as("src"),
+        HtmlFunctions.registrableDomain(col("dst")).as("dst"))
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(e === Array(("a.example", "b.example", 2L)))
+  }
+
   test("trustRankMaintain: stored seeded warm-start ≡ cold, seed drift " +
       "fails fast, superseded versions swept, no pins accumulate") {
     def ranksOf(df: org.apache.spark.sql.DataFrame) =
