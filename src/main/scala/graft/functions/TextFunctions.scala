@@ -241,7 +241,13 @@ object TextFunctions {
     *                     (•, -, *)
     *   5. `r_ell_line` — ≤ 30% of non-blank lines end with an ellipsis
     *                     ('...' or '…')
-    *   6. `r_alpha`    — ≥ 80% of words contain an alphabetic char
+    *   6. `r_alpha`    — ≥ 80% of words contain an ASCII letter
+    *                     ([a-z] over the lowercased tokens — the
+    *                     battery is ENGLISH/ASCII-targeted, the Gopher
+    *                     paper's own scope: a non-Latin-script corpus
+    *                     scores alpha_word_frac 0 and fails outright,
+    *                     so gate multilingual crawls per-language
+    *                     (langId) before applying it)
     *   7. `r_stop`     — ≥ 2 distinct words from the paper's 8-word
     *                     stop set {the, be, to, of, and, that, have,
     *                     with}

@@ -197,9 +197,21 @@ object Bpe {
     require(m.forall(r => !r.getString(1).contains(EndOfWord)),
       s"merge whose lhs contains $EndOfWord cannot come from " +
         "learnMerges and could merge across word boundaries")
+    // a token containing the literal marker would round-trip wrong:
+    // spacedWord splits "</w>" into its codepoints, decode's space
+    // removal re-concatenates them INTO the marker, and the boundary
+    // replace then eats real text. The marker has no whitespace and
+    // tokens() only lowercases, so "lower(text) contains marker" is
+    // exactly "some token contains marker" — fail fast row-locally
+    // (the merge-table guard's genus), riding the encode projection.
+    val guarded = coalesce(col(textCol), lit(""))
+    val safeText = when(assert_true(
+      !contains(lower(guarded), lit(EndOfWord)),
+      lit(s"Bpe.encode: text contains the literal $EndOfWord marker — " +
+        "decode could not invert it; strip or escape the marker " +
+        "upstream")).isNull, guarded)
     val e0 = concat(lit(" "),
-      array_join(transform(TextFunctions.tokens(
-        coalesce(col(textCol), lit(""))),
+      array_join(transform(TextFunctions.tokens(safeText),
         w => concat(array_join(codepoints(w), " "),
           lit(" " + EndOfWord))), "  "),
       lit(" "))
@@ -224,6 +236,11 @@ object Bpe {
     * `decode(encode(docs, ANY merges))` ==
     * `tokens(text)` joined by single spaces (i.e. the
     * whitespace-normalized lowercased text [[encode]] consumed).
+    * The one input that could break the inversion — a token containing
+    * the literal [[EndOfWord]] marker, whose codepoints decode's space
+    * removal would re-concatenate into a phantom word boundary — is
+    * rejected row-locally at ENCODE time (fail fast, like the
+    * merge-table guard), so every stream decode sees is invertible.
     * Row-local codegen'd Columns, zero shuffles. */
   def decode(encoded: DataFrame, idCol: String = "id",
              encCol: String = "enc"): DataFrame = {

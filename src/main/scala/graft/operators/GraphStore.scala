@@ -198,7 +198,11 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
   /** [[Graph.trustRank]] over every edge ever appended — seeds keyed in
     * the store's (long) node space, so a host-string graph passes
     * `xxhash64(host)` seeds like its edges. Same raw-read shape as
-    * [[pageRank]]. */
+    * [[pageRank]]. This is the ONE-SHOT form (caller holds any prior);
+    * per-epoch production loops should use [[trustRankMaintain]], which
+    * versions the prior in the store (warm start, atomic commit,
+    * seed-set fingerprint) instead of leaving prior management to the
+    * caller. */
   def trustRank(spark: SparkSession, iters: Int, seeds: DataFrame,
                 seedCol: String,
                 dampNum: Long = 85L, dampDen: Long = 100L,
@@ -225,20 +229,29 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
 
   /** The last [[pageRankMaintain]]'s rank table (node, rank_fp), or
     * None before the first — reads the COMMITTED state version, so a
-    * crashed maintenance run never serves half-written ranks. */
+    * crashed maintenance run never serves half-written ranks.
+    * VALIDITY: the frame is lazily parquet-backed on the committed
+    * version directory, which the NEXT maintenance commit GCs —
+    * materialize (collect / localCheckpoint / write) before running
+    * another epoch if the ranks must outlive it. */
   def storedRanks(spark: SparkSession): Option[DataFrame] =
     storedState(spark, ranksState)
 
   /** The last [[trustRankMaintain]]'s rank table (node, rank_fp), or
-    * None before the first — same committed-version read as
-    * [[storedRanks]]. */
+    * None before the first — same committed-version read (and same
+    * next-commit invalidation caveat) as [[storedRanks]]. */
   def storedTrustRanks(spark: SparkSession): Option[DataFrame] =
     storedState(spark, trustState)
 
   /** Shared maintenance body: compute ranks from the stored prior,
     * publish them as the state's new version (atomic commit; the
     * commit also GCs the superseded version directory, so epochs don't
-    * accumulate one parquet dir each forever), then serve the result
+    * accumulate one parquet dir each forever — which also means a
+    * frame RETURNED by an earlier maintain/storedRanks call is lazily
+    * backed by the directory that GC deletes: it fails with
+    * FileNotFoundException on its next action once a later maintenance
+    * commits. Callers holding ranks across epochs must materialize
+    * them first — collect / localCheckpoint / write), then serve the result
     * FROM the committed files and unpersist every checkpoint pin the
     * computation left behind — the rank operators return their final
     * round's localCheckpoint pinned, and a per-epoch maintenance loop
@@ -310,11 +323,15 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
                         checkpointDir: Option[String] = None,
                         tol: Option[Long] = None): DataFrame = {
     requireIngested(spark)
-    // one bounded aggregate: |seeds| + a wrapping order-independent
-    // hash-sum — deterministic identity for the seed SET
+    // one bounded aggregate: |seeds| + an order-independent XOR-fold of
+    // the per-seed hashes — deterministic identity for the seed SET.
+    // bit_xor, not sum: a hash-sum relies on silent Long wraparound,
+    // which spark.sql.ansi.enabled turns into ArithmeticException on a
+    // large seed set; XOR is overflow-free under every SQL mode
     val fpRow = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
-      .agg(count(lit(1)), coalesce(sum(xxhash64(col("node"))), lit(0L)))
+      .agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(node))"), lit(0L)))
       .head()
     val fp = s"${fpRow.getLong(0)}:${fpRow.getLong(1)}"
     graft.sources.StoreTxn.getKv(wh.root, trustSeedKey).foreach(stored =>

@@ -361,10 +361,16 @@ private[queries] object CurationQueries {
               "<a href=\"/relative\">r</a></body></html>")).as("html"))
         def hostNum(c: org.apache.spark.sql.Column) =
           regexp_extract(c, "^h(\\d+)\\.example$", 1).cast("long")
+        // STAGED (localCheckpoint of the bounded collapsed edge list):
+        // append's cost contract scans its source twice, and an
+        // unmaterialized hostEdges pipeline would pay the HTML regex
+        // parse per scan — exactly the anti-pattern the EdgeStore
+        // scaladoc (and ScaleProbe.epochProbe) says to stage away
         def epochEdges(df: org.apache.spark.sql.DataFrame) =
           Graph.hostEdges(pages(df), "url", "html")
             .select(hostNum(col("src")).as("src"),
               hostNum(col("dst")).as("dst"), col("w"))
+            .localCheckpoint(true)
         val b1 = d.filter(col("doc_id") >= 25 && col("doc_id") < 250)
         val b2 = d.filter(col("doc_id") >= 250)
         val estore = new EdgeStore(

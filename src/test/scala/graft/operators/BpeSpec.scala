@@ -111,4 +111,20 @@ class BpeSpec extends SparkSpec {
         (3, "t", "h", 1L))
       .toDF("rank", "lhs", "rhs", "pair_cnt")) === expected)
   }
+
+  test("encode rejects text containing the literal marker (decode " +
+      "could not invert it) — row-local fail-fast, any case") {
+    val empty = Seq.empty[(Int, String, String)].toDF("rank", "lhs", "rhs")
+    for (t <- Seq("discussing the </w> token", "upper </W> too")) {
+      val ex = intercept[Exception] {
+        Bpe.encode(Seq((1L, t)).toDF("doc_id", "text"),
+          "doc_id", "text", empty).collect()
+      }
+      assert(ex.getMessage.contains("</w>") ||
+        Option(ex.getCause).exists(_.getMessage.contains("</w>")))
+    }
+    // marker-free text still encodes — the guard is surgical
+    assert(Bpe.encode(Seq((1L, "plain < / w > text")).toDF("doc_id", "text"),
+      "doc_id", "text", empty).count() === 1L)
+  }
 }
