@@ -116,22 +116,26 @@ object HtmlFunctions {
 
   /** Registrable domain (eTLD+1-LITE) of a host — the grouping key a
     * C4/RefinedWeb-style pipeline caps and gates per SITE rather than
-    * per host (www./m./cdn. subdomains share one reputation; collapse
-    * [[graft.operators.Graph.hostEdges]] output through this before
-    * ranking to make the authority signal site-level). Heuristic by
-    * design: the last two labels, or the last three when the trailing
-    * pair is a known second-level public suffix
-    * ([[SecondLevelSuffixes]]). Pure-numeric hosts (IPv4 literals) and
-    * single-label hosts (intranet names) pass through unchanged. Pure
-    * Column program; the identical arithmetic replays in the q170
-    * oracle. */
-  def registrableDomain(host: Column): Column = {
+    * per host (www./m./cdn. subdomains share one reputation; pass this
+    * as [[graft.operators.Graph.hostEdges]]' `siteKey` — or collapse
+    * its output through it after the fact — to make the authority
+    * signal site-level). Heuristic by design: the last two labels, or
+    * the last three when the trailing pair is a known second-level
+    * public suffix. `suffixes` defaults to the built-in
+    * [[SecondLevelSuffixes]] shortlist; callers holding the real
+    * Public Suffix List inject their cc-SLD entries here (the list is
+    * configuration-sized — it compiles into the expression, no join).
+    * Pure-numeric hosts (IPv4 literals) and single-label hosts
+    * (intranet names) pass through unchanged. Pure Column program; the
+    * identical arithmetic replays in the q170 oracle. */
+  def registrableDomain(host: Column,
+      suffixes: Seq[String] = SecondLevelSuffixes): Column = {
     val parts = split(host, "\\.")
     val n = size(parts)
     val last2 = array_join(slice(parts, -2, 2), ".")
     val last3 = array_join(slice(parts, -3, 3), ".")
     when(host.rlike("^[0-9.]+$") || n <= 2, host)
-      .when(last2.isInCollection(SecondLevelSuffixes), last3)
+      .when(last2.isInCollection(suffixes), last3)
       .otherwise(last2)
   }
 

@@ -327,14 +327,26 @@ object Graph {
     *
     * Node ids are host STRINGS — [[pageRank]]/[[trustRank]] join on
     * them directly; an [[EdgeStore]] (long-keyed) ingests
-    * `xxhash64(host)` with a (hash, host) dimension kept alongside. */
-  def hostEdges(pages: DataFrame, urlCol: String,
-                htmlCol: String): DataFrame = {
+    * `xxhash64(host)` with a (hash, host) dimension kept alongside.
+    *
+    * `siteKey` re-keys each extracted host BEFORE the self-link filter
+    * and the aggregation — pass
+    * [[graft.functions.HtmlFunctions.registrableDomain]] to build the
+    * SITE-level graph (www./m./cdn. subdomains collapse into one node)
+    * directly, instead of building the host graph and collapsing after:
+    * same result by construction (spec-pinned equivalence — a host
+    * self-link is a domain self-link too, and the weight is the
+    * page-link count between distinct keys either way), one fewer
+    * projection over the extracted edges at crawl scale. Default
+    * identity = the raw host graph. */
+  def hostEdges(pages: DataFrame, urlCol: String, htmlCol: String,
+                siteKey: Column => Column = identity): DataFrame = {
     import graft.functions.HtmlFunctions
     pages
-      .select(HtmlFunctions.urlHost(col(urlCol)).as("src"),
+      .select(siteKey(HtmlFunctions.urlHost(col(urlCol))).as("src"),
         explode(HtmlFunctions.outLinks(col(htmlCol))).as("__link"))
-      .select(col("src"), HtmlFunctions.urlHost(col("__link")).as("dst"))
+      .select(col("src"),
+        siteKey(HtmlFunctions.urlHost(col("__link"))).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
@@ -355,15 +367,20 @@ object Graph {
     *
     * Scale shape: row-local (regex extract → two explodes) until ONE
     * aggregation exchange on (host, term); the html column is pruned at
-    * the first explode projection and never shuffles. */
-  def anchorTerms(pages: DataFrame, urlCol: String,
-                  htmlCol: String): DataFrame = {
+    * the first explode projection and never shuffles.
+    *
+    * `siteKey` re-keys source and target hosts before the same-site
+    * filter and the aggregation — [[hostEdges]]' parameter verbatim
+    * (pass [[graft.functions.HtmlFunctions.registrableDomain]] for a
+    * site-level anchor index; spec-pinned equal to collapsing after). */
+  def anchorTerms(pages: DataFrame, urlCol: String, htmlCol: String,
+                  siteKey: Column => Column = identity): DataFrame = {
     import graft.functions.{HtmlFunctions, TextFunctions}
     pages
-      .select(HtmlFunctions.urlHost(col(urlCol)).as("src"),
+      .select(siteKey(HtmlFunctions.urlHost(col(urlCol))).as("src"),
         explode(HtmlFunctions.anchorTexts(col(htmlCol))).as("__a"))
       .select(col("src"),
-        HtmlFunctions.urlHost(col("__a.href")).as("host"),
+        siteKey(HtmlFunctions.urlHost(col("__a.href"))).as("host"),
         explode(TextFunctions.tokens(col("__a.text"))).as("term"))
       .filter(col("src").isNotNull && col("host").isNotNull &&
         col("src") =!= col("host"))

@@ -386,6 +386,42 @@ class GraphSpec extends SparkSpec {
     assert(e === Array(("a.example", "b.example", 2L)))
   }
 
+  test("siteKey: keying hostEdges/anchorTerms by registrableDomain " +
+      "inside ≡ building host-level and collapsing after") {
+    import graft.functions.HtmlFunctions
+    val pages = Seq(
+      ("http://www.a.example/p1",
+        "<a href=\"http://m.a.example/x\">in site</a>" + // same-domain
+          "<a href=\"http://cdn.b.example/y\">deep guide</a>" +
+          "<a href=\"http://b.example/z\">deep</a>"),
+      ("http://m.a.example/p2",
+        "<a href=\"http://b.example/w\">guide</a>" +
+          "<a href=\"http://shop.c.co.uk/v\">cc site</a>"))
+      .toDF("url", "html")
+    val dom = HtmlFunctions.registrableDomain(_: org.apache.spark.sql.Column)
+    // hostEdges: key-inside vs collapse-after, row-for-row
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val inside = edgeSet(Graph.hostEdges(pages, "url", "html", dom))
+    val after = edgeSet(Graph.hostEdges(pages, "url", "html")
+      .select(dom(col("src")).as("src"), dom(col("dst")).as("dst"),
+        col("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w")))
+    assert(inside === after)
+    // the www→m edge exists at host level but is a site self-link
+    assert(inside === Set(("a.example", "b.example", 3L),
+      ("a.example", "c.co.uk", 1L)))
+    // anchorTerms: subdomain targets collapse into one site key; the
+    // same-domain (cross-subdomain) anchor's terms are dropped
+    val terms = Graph.anchorTerms(pages, "url", "html", dom)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(terms === Set(
+      ("b.example", "deep", 2L), ("b.example", "guide", 2L),
+      ("c.co.uk", "cc", 1L), ("c.co.uk", "site", 1L)))
+  }
+
   test("trustRankMaintain: stored seeded warm-start ≡ cold, seed drift " +
       "fails fast, superseded versions swept, no pins accumulate") {
     def ranksOf(df: org.apache.spark.sql.DataFrame) =
