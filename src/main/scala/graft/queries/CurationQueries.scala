@@ -440,6 +440,102 @@ private[queries] object CurationQueries {
         WHERE doc_id >= 25
           AND (doc_id % 300) NOT IN (SELECT node FROM promoted)""")),
 
+    // ===== The SITE-level curation recipe end-to-end — the
+    // C4/RefinedWeb production pattern every operator's scaladoc names:
+    // pages → hostEdges keyed by registrableDomain (siteKey-inside, so
+    // www./m./cdn. subdomains pool their outlinks into ONE node) →
+    // domain-graph PageRank → authority gate on the doc's SITE → full
+    // curate chain → per-site quota cap (quotaSample keyed on the
+    // domain — C4's "cap per site" applied to the kept corpus). Page
+    // hosts rotate subdomains (doc_id%3 → www/m/cdn) over domains
+    // s<id%40>.example; links exercise subdomain collapse, uppercase/
+    // userinfo/port normalization, and the cc-SLD branch
+    // (a.s<k>.co.uk → s<k>.co.uk) IN-GRAPH. Output is full
+    // provenance: kept | capped (survived curate, cut by the site
+    // quota) | authority (site gated out). The oracle re-derives the
+    // domain edges arithmetically, unrolls the 3-iteration rank,
+    // replays the curate chain, and re-cuts the quota with the same
+    // spread-hash window =====
+    QueryDef("q171_curate_sitelevel",
+      (s, dir) => {
+        import graft.functions.HtmlFunctions
+        import graft.operators.Graph
+        val d = T.documents(s, dir)
+        val docs = d.filter(col("doc_id") >= 25)
+        val sub = element_at(
+          array(lit("www"), lit("m"), lit("cdn")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+        val pages = docs.select(
+          concat(lit("http://"), sub, lit(".s"),
+            pmod(col("doc_id"), lit(40)), lit(".example/p/"),
+            col("doc_id")).as("url"),
+          concat(
+            lit("<html><body><a class=\"x\" href=\"http://www.s"),
+            pmod(col("doc_id") * 7, lit(40)),
+            lit(".example/a\">l1</a><a href='HTTPS://u@M.S"),
+            pmod(col("doc_id") * 13, lit(40)),
+            lit(".EXAMPLE:8443/b?q=1'>l2</a><a href=\"http://a.s"),
+            pmod(col("doc_id") * 11, lit(40)),
+            lit(".co.uk/c\">l3</a>" +
+              "<a href=\"/relative\">r</a></body></html>")).as("html"))
+        // siteKey-inside: the domain graph comes straight off the crawl
+        val siteEdges = Graph.hostEdges(pages, "url", "html",
+          HtmlFunctions.registrableDomain(_))
+        val ranks = Graph.pageRank(siteEdges, "src", "dst", iters = 3,
+          Some("w")) // final ranks are checkpointed by the operator
+        val n = ranks.count() // bounded control read, = the oracle's spk.n
+        def domainOf(c: org.apache.spark.sql.Column) =
+          concat(lit("s"), pmod(c, lit(40)), lit(".example"))
+        val hosted = docs.withColumn("domain", domainOf(col("doc_id")))
+        val r = Pipeline.curate(hosted, "doc_id", "text",
+          Some(d.filter(col("doc_id") < 25)), "text", CurateCfg,
+          withAudit = true,
+          authority = Some(Pipeline.AuthorityGate(ranks, "domain",
+            minRankFp = (1L << 30) / n)))
+        val keptDom = r.kept
+          .withColumn("domain", domainOf(col("id")))
+          .localCheckpoint(true) // read twice: quota keep + capped diff
+        val capped = graft.operators.Sampling.quotaSample(keptDom,
+          "domain", "id", Nil, defaultK = 3, salt = "v1")
+        capped.select(col("id"), lit("kept").as("stage"))
+          .unionByName(keptDom.select("id")
+            .join(capped.select("id"), Seq("id"), "left_anti")
+            .select(col("id"), lit("capped").as("stage")))
+          .unionByName(r.audit.get
+            .filter(col("stage") === "authority").select("id", "stage"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        sd AS (SELECT doc_id,
+                 's' || (doc_id % 40) || '.example' AS src,
+                 's' || ((doc_id * 7) % 40) || '.example' AS d1,
+                 's' || ((doc_id * 13) % 40) || '.example' AS d2,
+                 's' || ((doc_id * 11) % 40) || '.co.uk' AS d3
+               FROM documents WHERE doc_id >= 25),
+        sl AS (SELECT src, d1 AS dst FROM sd
+               UNION ALL SELECT src, d2 FROM sd
+               UNION ALL SELECT src, d3 FROM sd),
+        se AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+               FROM sl WHERE src <> dst GROUP BY 1, 2),
+        ${ScaleQueries.pageRankUnrolled("se", "sp", 3)},
+        promoted AS MATERIALIZED (SELECT node FROM spr3
+                     WHERE rank_fp > (SELECT 1073741824 // n FROM spk)),
+        ${curateCtesFor(surgical = false,
+          baseWhere = "AND 's' || (doc_id % 40) || '.example' IN " +
+            "(SELECT node FROM promoted)")},
+        qd AS (SELECT id, 's' || (id % 40) || '.example' AS domain,
+                 ${Catalog.duckHashBucket("id", 1000000007L, "v1")} AS hv
+               FROM kept),
+        qr AS (SELECT id, row_number() OVER (PARTITION BY domain
+                 ORDER BY hv, id) AS rn FROM qd)
+        SELECT id, CASE WHEN rn <= 3 THEN 'kept' ELSE 'capped' END AS stage
+        FROM qr
+        UNION ALL
+        SELECT doc_id AS id, 'authority' AS stage FROM documents
+        WHERE doc_id >= 25
+          AND 's' || (doc_id % 40) || '.example' NOT IN
+            (SELECT node FROM promoted)""")),
+
     // ===== Incremental connected components: fold the k2 pair family
     // into the k1-only labeling; must equal q64's full recompute =====
     QueryDef("q67_incremental_components",

@@ -678,6 +678,63 @@ object ScaleProbe {
     require(n > 0, "anchor profile must be non-empty")
   }
 
+  /** Site-level graph collapse at crawl scale: the same synthetic crawl
+    * built once as the RAW-host graph and once keyed by
+    * [[graft.functions.HtmlFunctions.registrableDomain]] (hostEdges'
+    * siteKey — the q171 recipe). Hosts rotate www/m/cdn subdomains over
+    * `nDomains` registrable domains, so the collapse should shrink the
+    * node space ~3× and the per-iteration rank table with it — the
+    * measurement that justifies ranking at SITE granularity before
+    * gating (same edges scanned; the win is every downstream
+    * iteration's shuffle and the gate join's build side). */
+  private def siteLevelProbe(spark: SparkSession,
+                             docsPath: String): Unit = {
+    import graft.functions.HtmlFunctions
+    import graft.operators.Graph
+    val docs = spark.read.parquet(docsPath)
+    val nDocs = docs.count()
+    val nDomains = 10000L
+    def domOf(c: org.apache.spark.sql.Column, seed: Long) =
+      pmod(xxhash64(c, lit(seed)), lit(nDomains))
+    val sub = element_at(array(lit("www"), lit("m"), lit("cdn")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val pages = docs.select(
+      concat(lit("http://"), sub, lit(".s"), domOf(col("doc_id"), 5L),
+        lit(".example/p/"), col("doc_id")).as("url"),
+      concat(lit("<html><body><a href=\"http://www.s"),
+        domOf(col("doc_id"), 6L),
+        lit(".example/a\">l1</a><a href='HTTPS://u@M.S"),
+        domOf(col("doc_id"), 7L),
+        lit(".EXAMPLE:8443/b'>l2</a><a href=\"http://a.s"),
+        domOf(col("doc_id"), 8L),
+        lit(".co.uk/c\">l3</a></body></html>")).as("html"))
+    // stage the crawl once — both builds scan the same parsed pages
+    val staged = pages.localCheckpoint(true)
+    val hostG = timedCount(s"hostEdges raw hosts ($nDocs pages)")(
+      Graph.hostEdges(staged, "url", "html"))
+    val siteG = timedCount(s"hostEdges siteKey=registrableDomain")(
+      Graph.hostEdges(staged, "url", "html",
+        HtmlFunctions.registrableDomain(_)))
+    val siteEdges = Graph.hostEdges(staged, "url", "html",
+      HtmlFunctions.registrableDomain(_)).localCheckpoint(true)
+    val hostEdgesDf = Graph.hostEdges(staged, "url", "html")
+      .localCheckpoint(true)
+    def nodesOf(e: DataFrame) = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct().count()
+    val (hostNodes, siteNodes) = (nodesOf(hostEdgesDf), nodesOf(siteEdges))
+    time(s"pageRank 2 iters over raw hosts ($hostNodes nodes)") {
+      Graph.pageRank(hostEdgesDf, "src", "dst", 2, Some("w")).count()
+    }
+    time(s"pageRank 2 iters over domains ($siteNodes nodes)") {
+      Graph.pageRank(siteEdges, "src", "dst", 2, Some("w")).count()
+    }
+    println(s"[probe] sitelevel: hostEdges=$hostG nodes=$hostNodes vs " +
+      s"siteEdges=$siteG nodes=$siteNodes " +
+      f"(rank-table shrink ${hostNodes.toDouble / siteNodes}%.2fx)")
+    require(siteNodes < hostNodes,
+      "domain collapse must shrink the rank node space")
+  }
+
   /** Stored-trust maintenance at graph scale: bulk append → COLD
     * tolerance-chased [[EdgeStore.trustRankMaintain]]; 1% delta append
     * → WARM maintain at the SAME tol from the committed ranks. The
@@ -2343,6 +2400,8 @@ object ScaleProbe {
         epochProbe(spark, whRoot, docsPath)
       case "anchor" :: docsPath :: Nil =>
         anchorProbe(spark, docsPath)
+      case "sitelevel" :: docsPath :: Nil =>
+        siteLevelProbe(spark, docsPath)
       case "trustmaint" :: whRoot :: nStr :: eStr :: rest =>
         trustMaintProbe(spark, whRoot, nStr.toLong, eStr.toLong,
           rest.headOption.map(_.toLong).getOrElse(100L))
@@ -2356,7 +2415,7 @@ object ScaleProbe {
             "ccgiant", "kmeans", "srcstats", "range", "shard", "hh",
             "distincr", "ppairs", "compact", "quant", "img", "hamm",
             "autoc", "pquery", "e2e", "clf", "cont", "graph", "edgestore", "auth", "trust",
-            "epoch", "trustmaint", "anchor", "warc", "bq")
+            "epoch", "trustmaint", "anchor", "sitelevel", "warc", "bq")
             .contains(docsPath) =>
         legacyProbe(spark, docsPath, rest.headOption)
       case _ =>
@@ -2371,7 +2430,8 @@ object ScaleProbe {
           "ppairs <docs> | compact <docs> <root> [nAppends] | " +
           "quant <emb> <root> [all|base|planted|plantedfast] | " +
           "img <n> <root> | hamm <n> <root> | bq <root> <nRows> | " +
-          "cont <docs> <whRoot> | graph <n> <e> | <docs> [<emb>]")
+          "cont <docs> <whRoot> | graph <n> <e> | sitelevel <docs> | " +
+          "<docs> [<emb>]")
     }
     spark.stop()
   }
