@@ -79,8 +79,56 @@ private[queries] object CurationQueries {
       |             THEN CAST(t2 - len(list_distinct(g2)) AS DOUBLE) / CAST(t2 AS DOUBLE)
       |             ELSE 0.0 END)""".stripMargin
 
+  /** Gopher-battery replay over the `stg` CTE's (id, text, tk) — the
+    * q167 oracle's statistics CTE + pass conjunction, re-rooted on the
+    * curate chain's staged tokens so [[curateCtesFor]] can swap the
+    * default quality heuristic for the published rule battery (the
+    * `CurateConfig.qualityExpr` hookup, oracle side). Emits CTEs
+    * `gst`/`gq`; `gq` holds the ids that PASS. LAZY (the init-order
+    * trap — see [[qualityExpr]]). */
+  private lazy val gopherQualityCtes: String = s"""
+        gst AS (SELECT id,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(tk, w -> CAST(len(w) AS BIGINT))),
+              (a, x) -> a + x) AS sum_len,
+            CAST(len(text) - len(regexp_replace(text, '#', '', 'g'))
+              AS BIGINT) AS n_hash,
+            CAST((len(text) -
+              len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+              AS BIGINT) AS n_ell,
+            list_filter(string_split(text, chr(10)),
+              l -> len(trim(l)) > 0) AS lines,
+            CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+            CAST(len(list_intersect(list_distinct(tk),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stop
+          FROM stg),
+        gq AS (SELECT id FROM gst WHERE
+            n_words >= 50 AND n_words <= 100000
+            AND (CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE)
+                 / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+              BETWEEN 3.0 AND 10.0
+            AND (CASE WHEN n_words > 0 THEN CAST(n_hash AS DOUBLE)
+                 / CAST(n_words AS DOUBLE) ELSE 0.0 END) <= 0.1
+            AND (CASE WHEN n_words > 0 THEN CAST(n_ell AS DOUBLE)
+                 / CAST(n_words AS DOUBLE) ELSE 0.0 END) <= 0.1
+            AND (CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, l ->
+                   regexp_matches(trim(l), '^[•\\-\\*]'))) AS DOUBLE)
+                 / CAST(len(lines) AS DOUBLE) ELSE 0.0 END) <= 0.9
+            AND (CASE WHEN len(lines) > 0 THEN
+                 CAST(len(list_filter(lines, l ->
+                   regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+                 / CAST(len(lines) AS DOUBLE) ELSE 0.0 END) <= 0.3
+            AND (CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE)
+                 / CAST(n_words AS DOUBLE) ELSE 0.0 END) >= 0.8
+            AND n_stop >= 2)"""
+
   private def curateCtesFor(surgical: Boolean,
-      baseWhere: String = ""): String = {
+      baseWhere: String = "",
+      gopherQuality: Boolean = false): String = {
     val mh = CurateCfg.minhash
     require(mh.shingleN == 3 && CurateCfg.repN == 2,
       "the SQL mirror hardwires 3-token shingles and bigram repetition")
@@ -112,10 +160,16 @@ private[queries] object CurationQueries {
             list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
               i -> tk[i] || ' ' || tk[i+1]) AS g2
           FROM stg),
+        ${if (gopherQuality) s"""$gopherQualityCtes,
+        qonly AS (SELECT id FROM gq),
+        flt AS (SELECT id, text FROM sc
+          WHERE id IN (SELECT id FROM gq)
+            AND $repExpr <= ${CurateCfg.maxRepetition}),"""
+    else s"""
         qonly AS (SELECT id FROM sc WHERE $qualityExpr >= ${CurateCfg.minQuality}),
         flt AS (SELECT id, text FROM sc
           WHERE $qualityExpr >= ${CurateCfg.minQuality}
-            AND $repExpr <= ${CurateCfg.maxRepetition}),
+            AND $repExpr <= ${CurateCfg.maxRepetition}),"""}
         red AS (SELECT id, regexp_replace(regexp_replace(regexp_replace(text,
             '${graft.functions.TextFunctions.EmailRe}', '<EMAIL>', 'g'),
             '${graft.functions.TextFunctions.Ipv4Re}', '<IP>', 'g'),
@@ -535,6 +589,51 @@ private[queries] object CurationQueries {
         WHERE doc_id >= 25
           AND 's' || (doc_id % 40) || '.example' NOT IN
             (SELECT node FROM promoted)""")),
+
+    // ===== The Gopher rule battery AS the curate quality gate — the
+    // documented CurateConfig.qualityExpr hookup exercised end-to-end
+    // through the ledger: gopherRules' `pass` plugs in as a {0,1}
+    // score against minQuality 0.5, so the published filter recipe
+    // (Rae et al. 2021, appendix A) runs as the pipeline's quality
+    // stage, quality drops attributed in the audit. Output is full
+    // provenance (kept + every ledger row); the oracle swaps the
+    // default quality CTEs for the q167 battery replay and re-derives
+    // each stage's arm =====
+    QueryDef("q172_curate_gopher",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val d = T.documents(s, dir)
+        val cfg = CurateCfg.copy(minQuality = 0.5,
+          qualityExpr = Some((t, tk) =>
+            when(TextFunctions.gopherRules(t, tk).getField("pass"),
+              lit(1.0)).otherwise(lit(0.0))))
+        val r = Pipeline.curate(d.filter(col("doc_id") >= 25),
+          "doc_id", "text", Some(d.filter(col("doc_id") < 25)), "text",
+          cfg, withAudit = true)
+        r.kept.select(col("id"), lit("kept").as("stage"),
+            lit(null).cast("long").as("kept_id"))
+          .unionByName(r.audit.get.select(col("id"), col("stage"),
+            col("kept_id").cast("long").as("kept_id")))
+      },
+      Some(s"""
+        WITH RECURSIVE ${curateCtesFor(surgical = false,
+          gopherQuality = true)}
+        SELECT id, 'kept' AS stage, NULL::BIGINT AS kept_id FROM kept
+        UNION ALL
+        SELECT id, 'quality', NULL::BIGINT FROM sc
+          WHERE id NOT IN (SELECT id FROM gq)
+        UNION ALL
+        SELECT id, 'repetition', NULL::BIGINT FROM sc
+          WHERE id IN (SELECT id FROM gq)
+            AND NOT ($repExpr <= ${CurateCfg.maxRepetition})
+        UNION ALL
+        SELECT id, 'decontaminate', NULL::BIGINT FROM cont
+        UNION ALL
+        SELECT dec.id, 'exact_dup', gx.mid FROM dec
+          JOIN (SELECT text AS kk, min(id) AS mid FROM dec GROUP BY 1) gx
+            ON dec.text = gx.kk AND dec.id <> gx.mid
+        UNION ALL
+        SELECT id, 'near_dup', comp FROM lab WHERE comp < id""")),
 
     // ===== Incremental connected components: fold the k2 pair family
     // into the k1-only labeling; must equal q64's full recompute =====
