@@ -624,6 +624,131 @@ private[queries] object ScaleQueries {
                CAST(count(*) AS BIGINT) AS w
         FROM t WHERE s <> dd GROUP BY 1, 2""")),
 
+    // ===== anchor-text RETRIEVAL composition — what the anchor index
+    // exists for (Graph.anchorTerms' own scaladoc): per-host anchor
+    // profiles (q168's fixture and arithmetic) ingested into an
+    // incremental Bm25Index with the HOST as the document key (two
+    // host-parity appends — the continuous-crawl shape), BM25-searched,
+    // then fused by reciprocal-rank with the COMMITTED PageRank
+    // authority ranking of the same crawl's link graph (EdgeStore +
+    // pageRankMaintain — q161's stored-ranks amortization). The anchor
+    // "document" is each host's terms repeated by cross-site occurrence
+    // count, so tf ≡ w and dl ≡ Σw — BM25's stats come straight off
+    // the profile. The oracle re-derives the profile arithmetically,
+    // replays the shared BM25 score tree, unrolls the 3-iteration
+    // rank, and re-fuses =====
+    QueryDef("q173_anchor_retrieval",
+      (s, dir) => {
+        import graft.operators.{EdgeStore, EdgeStoreConfig, Graph, Retrieval}
+        val d = T.documents(s, dir)
+        val pages = d.select(
+          concat(lit("http://h"), pmod(col("doc_id"), lit(50)),
+            lit(".example/p/"), col("doc_id")).as("url"),
+          concat(
+            lit("<html><body><a class=\"x\" href=\"http://h"),
+            pmod(col("doc_id") * 7, lit(50)),
+            lit(".example/a\">Alpha <b>t"),
+            pmod(col("doc_id"), lit(7)),
+            lit("</b></a><p>filler</p><a href='HTTPS://u@H"),
+            pmod(col("doc_id") * 13, lit(50)),
+            lit(".EXAMPLE:8443/b?q=1'>beta t"),
+            pmod(col("doc_id") * 3, lit(11)),
+            lit(" </a><a href=\"/relative\">skip</a></body></html>"))
+            .as("html"))
+        def hostNum(c: org.apache.spark.sql.Column) =
+          regexp_extract(c, "^h(\\d+)\\.example$", 1).cast("long")
+        // per-host anchor documents: each term repeated w times, so the
+        // index's tf/dl are exactly the profile's w/Σw (order of the
+        // collect_list is irrelevant — BM25 stats are multiset facts)
+        val anchorDocs = Graph.anchorTerms(pages, "url", "html")
+          .select(hostNum(col("host")).as("host"), col("term"), col("w"))
+          .select(col("host"),
+            array_join(transform(sequence(lit(1L), col("w")),
+              _ => col("term")), " ").as("__rep"))
+          .groupBy("host")
+          .agg(concat_ws(" ", collect_list(col("__rep"))).as("text"))
+          .localCheckpoint(true) // bounded (≤50 hosts); read by 2 appends
+        val idx = new Retrieval.Bm25Index(s,
+          java.nio.file.Files.createTempDirectory("graft_q173b_").toString,
+          "anchor", nStoreBuckets = 8)
+        idx.append(anchorDocs.filter(col("host") % 2 === 0), "host", "text")
+        idx.append(anchorDocs.filter(col("host") % 2 === 1), "host", "text")
+        val lex = idx.search(Seq("alpha", "t3", "t9"), k = 10)
+        // authority leg: the committed rank table of the same crawl
+        val estore = new EdgeStore(new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft_q173e_").toString),
+          "anchorg", EdgeStoreConfig(weightCol = Some("w"),
+            nStoreBuckets = 8))
+        estore.append(Graph.hostEdges(pages, "url", "html")
+          .select(hostNum(col("src")).as("src"),
+            hostNum(col("dst")).as("dst"), col("w"))
+          .localCheckpoint(true), "src", "dst") // staged: append scans 2x
+        val ranks = estore.pageRankMaintain(s, iters = 3)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank_fp").desc, col("node").asc)
+        val auth = ranks.orderBy(col("rank_fp").desc, col("node").asc)
+          .limit(10)
+          .withColumn("rank", row_number().over(w))
+          .select(col("node").as("id"), col("rank"))
+        Retrieval.rrfFuse(lex.select("id", "rank"), auth, k = 10)
+          .select(col("id").as("host_id"), col("fused"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some {
+        val terms = Seq("alpha", "t3", "t9")
+        val score = terms.zipWithIndex.map { case (_, i) =>
+          s"""((tf$i * (1.2 + 1.0) / (tf$i + 1.2 * ((1.0 - 0.75)
+             |            + 0.75 * dl / (sumdl / n))))
+             |            * (((n - df$i) + 0.5) / (df$i + 0.5)))""".stripMargin
+        }.mkString("(", "\n           + ", ")")
+        val dfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"(SELECT CAST(count(*) AS DOUBLE) FROM a WHERE term = '$t') AS df$i"
+        }.mkString(",\n               ")
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(coalesce(sum(w) FILTER (term = '$t'), 0) AS DOUBLE) AS tf$i"
+        }.mkString(",\n               ")
+        s"""
+        WITH d AS (SELECT doc_id % 50 AS s,
+                          (doc_id * 7) % 50 AS d1,
+                          (doc_id * 13) % 50 AS d2,
+                          doc_id % 7 AS k1,
+                          (doc_id * 3) % 11 AS k2 FROM documents),
+        t AS (SELECT s, d1 AS dd, 'alpha' AS term FROM d
+              UNION ALL SELECT s, d1, 't' || k1 FROM d
+              UNION ALL SELECT s, d2, 'beta' FROM d
+              UNION ALL SELECT s, d2, 't' || k2 FROM d),
+        a AS (SELECT dd AS host, term, CAST(count(*) AS BIGINT) AS w
+              FROM t WHERE s <> dd GROUP BY 1, 2),
+        hl AS (SELECT host, CAST(sum(w) AS DOUBLE) AS dl FROM a GROUP BY 1),
+        bst AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM hl) AS n,
+               (SELECT CAST(sum(w) AS DOUBLE) FROM a) AS sumdl,
+               $dfCols),
+        tfm AS (SELECT host, $tfCols FROM a GROUP BY host),
+        bsc AS (SELECT hl.host, $score AS score
+               FROM hl JOIN tfm USING (host), bst),
+        lex AS (SELECT host AS id,
+                 row_number() OVER (ORDER BY score DESC, host) AS rank
+               FROM bsc WHERE score > 0.0 QUALIFY rank <= 10),
+        al AS (SELECT s AS src, d1 AS dst FROM d
+               UNION ALL SELECT s, d2 FROM d),
+        ae AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+               FROM al WHERE src <> dst GROUP BY 1, 2),
+        ${pageRankUnrolled("ae", "ap", 3)},
+        auth AS (SELECT node AS id,
+                  row_number() OVER (ORDER BY rank_fp DESC, node) AS rank
+                FROM apr3 QUALIFY rank <= 10),
+        f AS (SELECT id,
+                (coalesce(1.0 / (60.0 + CAST(lex.rank AS DOUBLE)), 0.0)
+                  + coalesce(1.0 / (60.0 + CAST(auth.rank AS DOUBLE)), 0.0))
+                  AS fused
+              FROM lex FULL JOIN auth USING (id))
+        SELECT id AS host_id, fused,
+               CAST(row_number() OVER (ORDER BY fused DESC, id) AS BIGINT)
+                 AS rank
+        FROM f
+        QUALIFY rank <= 10"""
+      }),
+
     // ===== registrable-domain grouping (eTLD+1-lite): the per-SITE
     // key a C4/RefinedWeb-style pipeline caps and gates on —
     // subdomains collapse to one domain, cc-SLD suffixes (co.uk, …)
