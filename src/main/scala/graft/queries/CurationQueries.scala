@@ -355,12 +355,13 @@ private[queries] object CurationQueries {
     QueryDef("q166_curate_trust",
       (s, dir) => {
         val d = T.documents(s, dir)
-        val e = ScaleQueries.graphEdges(s, dir)
-        val seeds = e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))).distinct()
-          .filter(pmod(col("node"), lit(10)) === 0)
-        val ranks = graft.operators.Graph.trustRank(e, "src", "dst",
-          iters = 3, seeds, "node", Some("w"))
+        // trust ranks come from the COMMITTED trustRankMaintain table
+        // (shared per session — ScaleQueries.storedSupplierTrustRanks),
+        // not an in-query iteration: the q161 amortization verbatim,
+        // now for the trust signal. The maintain contract keeps the
+        // committed table bit-identical to the in-query
+        // trustRank(…, 3), so the oracle is unchanged.
+        val ranks = ScaleQueries.storedSupplierTrustRanks(s, dir)
         val hosted = d.filter(col("doc_id") >= 25)
           .withColumn("host", pmod(col("doc_id"), lit(100L)) + 1L)
         val r = Pipeline.curate(hosted, "doc_id", "text",

@@ -814,6 +814,33 @@ private[queries] object ScaleQueries {
   private val rankStoreCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
       (org.apache.spark.sql.DataFrame, Long)]
+
+  /** The TRUST twin of [[storedSupplierRanks]]: one committed
+    * [[graft.operators.EdgeStore.trustRankMaintain]] table per
+    * (session, sfDir) — 3 maintained iterations over [[graphEdges]]
+    * with the q162 seed set (node % 10 = 0), bit-identical to the
+    * in-query `Graph.trustRank(…, 3)` by the maintain contract, so
+    * q166 gates off the committed state (the amortized production
+    * pattern for the trust signal) under the UNCHANGED q166 oracle. */
+  private val trustStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private[queries] def storedSupplierTrustRanks(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    trustStoreCache.getOrElseUpdate((s, dir), {
+      val e = graphEdges(s, dir)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .filter(pmod(col("node"), lit(10)) === 0)
+      val store = new graft.operators.EdgeStore(
+        new graft.sources.Warehouse(s, java.nio.file.Files
+          .createTempDirectory("graft_trankstore_").toString),
+        "trank", graft.operators.EdgeStoreConfig(
+          weightCol = Some("w"), nStoreBuckets = 8))
+      store.append(e, "src", "dst")
+      store.trustRankMaintain(s, iters = 3, seeds, "node")
+    })
   private[queries] def storedSupplierRanks(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Long) =
