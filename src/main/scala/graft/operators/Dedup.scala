@@ -47,6 +47,29 @@ object Dedup {
     .withColumn("__h1", xxhash64(col(valueCol)))
     .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col(valueCol)))
 
+  /** [[exact]] and [[exactLosers]] FUSED into one ids-only pass —
+    * (id, __h1, __h2, __rn, __win) where `__rn` is the min-id-first row
+    * number within the 128-bit hash group and `__win` the group's min
+    * id: `__rn = 1` rows are exactly [[exact]]'s keeps, `__rn > 1` rows
+    * with `__win` are exactly [[exactLosers]]' (id, kept_id) pairs. For
+    * an AUDITED dedup this replaces two hash+window passes (each
+    * shuffling the VALUE column for the window sort) with one whose
+    * shuffle carries 3 long columns — the value never leaves its scan;
+    * callers re-attach values by an id join against the staged output.
+    * Both window functions share the partition keys, so Spark computes
+    * them over one exchange/sort. */
+  private[operators] def exactIdWindow(df: DataFrame, idCol: String,
+                                       valueCol: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2")).orderBy(col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2"))
+    hashPair(df, valueCol)
+      .select(col(idCol), col("__h1"), col("__h2"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__win", min(col(idCol)).over(wAll))
+  }
+
   /** The complement of [[exact]]: the rows it DROPS, each with the id of
     * the row that superseded it — (idCol, kept_id). Same 128-bit key,
     * same min-id winner rule, one exchange (a min window over the hash
@@ -589,9 +612,25 @@ object Dedup {
   def minhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
                            shingleN: Int, bands: Int, rowsPerBand: Int,
                            threshold: Double, seed: Long = 42L,
-                           maxBucket: Int = 1000): DataFrame = {
-    val (banded, sets) =
-      minhashStage(df, idCol, textCol, shingleN, bands, rowsPerBand, seed)
+                           maxBucket: Int = 1000): DataFrame =
+    minhashPortablePairsFrom(
+      minhashCombined(df, idCol, textCol, shingleN, bands, rowsPerBand,
+        seed),
+      bands, rowsPerBand, threshold, maxBucket)
+
+  /** [[minhashPortablePairs]] over a PRE-STAGED [[minhashCombined]]
+    * frame — the fusion entry point for composed pipelines: the plan
+    * below reads `combined` THREE times (candidate generation plus the
+    * two verification joins), and Spark re-executes an uncached subtree
+    * per reference, so a caller that materializes the combined frame
+    * first (localCheckpoint / staging table) pays the expensive
+    * tokenize→shingle→hash pass once instead of three times
+    * ([[graft.operators.Pipeline.curate]] does exactly this). Values
+    * are identical either way. */
+  private[operators] def minhashPortablePairsFrom(combined: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val banded = bandedFromCombined(combined, bands, rowsPerBand)
     val candidates = bucketCandidates(banded, Seq("band", "bucket"), maxBucket)
     // Verify over the HASHED shingle sets (arrays of longs), not the
     // string shingles: set intersection/union on fixed-width longs is far
@@ -600,7 +639,7 @@ object Dedup {
     // distinct hashes equals Jaccard over shingles except on poly-hash
     // collisions (p = 1e9+7; ~1e-6 per pair at 10² shingles/doc) — and
     // the oracle mirrors the hashed form, so both engines always agree.
-    val tagged = sets.select(col("id").as("__tid"), col("hset").as("__sh"))
+    val tagged = combined.select(col("id").as("__tid"), col("hset").as("__sh"))
     candidates
       .join(tagged, col("id_a") === col("__tid"))
       .withColumnRenamed("__sh", "sh_a").drop("__tid")
@@ -627,6 +666,25 @@ object Dedup {
   private[operators] def minhashStage(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, bands: Int, rowsPerBand: Int,
       seed: Long): (DataFrame, DataFrame) = {
+    val combined =
+      minhashCombined(df, idCol, textCol, shingleN, bands, rowsPerBand, seed)
+    (bandedFromCombined(combined, bands, rowsPerBand),
+      combined.select(col("id"), col("hset")))
+  }
+
+  /** The ONE expensive pass of the portable MinHash pipeline —
+    * tokenize → shingle → hash → per-function minima AND the distinct
+    * hash set, emitted together as (id, mins, hset). Both MinHash
+    * products derive from the same `hv` array, so computing them in one
+    * projection lets a caller MATERIALIZE the pass once and serve the
+    * banding ([[bandedFromCombined]] — a cheap struct explode) and the
+    * Jaccard verification sets from the staged frame: the split
+    * (banded, sets) form re-runs this chain once per materialized
+    * product (measured as the dominant cost of an audited
+    * CurationStore ingest). */
+  private[operators] def minhashCombined(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, bands: Int, rowsPerBand: Int,
+      seed: Long): DataFrame = {
     val coeffs = universalCoeffs(bands * rowsPerBand, seed)
     val withHv = df
       .select(col(idCol).as("id"),
@@ -643,18 +701,24 @@ object Dedup {
       graft.functions.expressions.PortableMinHash(
         graft.functions.expressions.ColumnBridge.expression(col("hv")),
         coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
-    val withMins = withHv.select(col("id"), minsArr.as("mins"))
+    withHv.select(col("id"), minsArr.as("mins"),
+      array_distinct(col("hv")).as("hset"))
+  }
+
+  /** The LSH index slice (id, band, bucket) off a [[minhashCombined]]
+    * frame — a struct explode over the staged minima, cheap to
+    * re-evaluate per consumer. */
+  private[operators] def bandedFromCombined(combined: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val bucketStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws("_",
           (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
             .map(i => col("mins").getItem(i).cast("string")): _*).as("bucket"))
     }
-    val banded = withMins
+    combined
       .select(col("id"), explode(array(bucketStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val sets = withHv.select(col("id"), array_distinct(col("hv")).as("hset"))
-    (banded, sets)
   }
 
   /** Portable SimHash from a PRE-BOUND token-hash array column: bit_i =

@@ -117,10 +117,21 @@ object Pipeline {
     * decontamination) as a (id, redacted text) frame — row-local against
     * a static eval set, so shared verbatim by the batch [[curate]] and
     * the incremental [[CurationStore]]. `scored` (with the pass flags)
-    * is returned alongside for the survivor accounting. */
+    * is returned alongside for the survivor accounting.
+    *
+    * `stageForAudit` materializes the two frames the AUDIT arms re-read
+    * (the scored frame and the decontamination drop ids): without it,
+    * each audit arm re-runs the tokenize→score scan (quality and
+    * repetition arms) and the eval-gram join (decontaminate arm) —
+    * measured as the dominant re-execution in an audited ingest. The
+    * staged scored frame also serves the redaction input and the
+    * survivor accounting, so the expensive per-row scoring runs exactly
+    * once per audited run. Unaudited runs skip both stagings (the arms
+    * are never acted on — staging would be pure cost). */
   private[operators] def preFilter(docs: DataFrame, idCol: String,
       textCol: String, evalTexts: Option[DataFrame], evalTextCol: String,
-      cfg: CurateConfig, stage: DataFrame => DataFrame)
+      cfg: CurateConfig, stage: DataFrame => DataFrame,
+      stageForAudit: Boolean = false)
       : PreFiltered = {
     // the pipeline's per-row work (tokenize → score → redact → excise)
     // is the expensive part, and a SMALL corpus often arrives as one
@@ -153,7 +164,7 @@ object Pipeline {
     val base = widened.select(col(idCol).as("id"), col(textCol).as("text"))
     // one tokenization feeds both scores (lambda-capture rule: tokens
     // bound to a column first, scores staged off it)
-    val scored = base
+    val scoredRaw = base
       .select(col("id"), col("text"),
         TextFunctions.tokens(col("text")).as("__toks"))
       .select(col("id"), col("text"),
@@ -164,6 +175,7 @@ object Pipeline {
           .as("__q"),
         TextFunctions.duplicateNgramFraction(col("__toks"), cfg.repN)
           .as("__rep"))
+    val scored = if (stageForAudit) stage(scoredRaw) else scoredRaw
     val redactedRaw = scored
       .filter(qPass(cfg) && rPass(cfg))
       .select(col("id"), TextFunctions.redactPii(col("text")).as("text"))
@@ -197,8 +209,13 @@ object Pipeline {
         (redacted.join(spanIds, Seq("id"), "left_anti")
           .unionByName(excised), dropped)
       case Some(ev) =>
-        val contaminated = Decontamination.contaminatedIds(redacted, "id",
-          "text", ev, evalTextCol, cfg.deconN)
+        // audited runs read the flagged ids TWICE (the anti-join here
+        // and the ledger's decontaminate arm) — stage the ids-only
+        // frame so the eval-gram join runs once
+        val contaminatedRaw = Decontamination.contaminatedIds(redacted,
+          "id", "text", ev, evalTextCol, cfg.deconN)
+        val contaminated =
+          if (stageForAudit) stage(contaminatedRaw) else contaminatedRaw
         (redacted.join(contaminated, Seq("id"), "left_anti"), contaminated)
       case None => (redacted, redactedRaw.select("id").limit(0))
     }
@@ -254,17 +271,32 @@ object Pipeline {
     // checkpoints execute every wide scan inside it) and restore after
     graft.core.WideScan.withScanSizing(docs.sparkSession) {
     val gated = authority.map(_.keep(docs)).getOrElse(docs)
-    val pf = preFilter(gated, idCol, textCol, evalTexts, evalTextCol, cfg, stage)
+    val pf = preFilter(gated, idCol, textCol, evalTexts, evalTextCol, cfg,
+      stage, stageForAudit = withAudit)
     val scored = pf.scored
     // the audit's exact-dup loser scan is a second read of the
     // decontaminated frame — materialize it once rather than re-running
     // the redaction/anti-join chain per consumer
     val decon = if (withAudit) stage(pf.decon) else pf.decon
-    val exact = stage(Dedup.exact(decon, "id", "text"))
+    // audited: one staged ids-only hash window serves BOTH the exact
+    // keep set and the loser arm (see Dedup.exactIdWindow — the text
+    // column stays out of the window shuffle and the hashing runs once)
+    val exactHashed =
+      if (withAudit) Some(stage(Dedup.exactIdWindow(decon, "id", "text")))
+      else None
+    val exact = stage(exactHashed match {
+      case Some(h) => decon.join(
+        h.filter(col("__rn") === 1).select("id"), Seq("id"), "left_semi")
+      case None => Dedup.exact(decon, "id", "text")
+    })
     val mh = cfg.minhash
-    val pairs = Dedup.minhashPortablePairs(exact, "id", "text",
-      mh.shingleN, mh.bands, mh.rowsPerBand, mh.threshold, mh.seed,
-      mh.maxBucket)
+    // the near-dup plan reads its tokenize→shingle→hash staging three
+    // times (banding + both verification joins) — materialize the
+    // combined (id, mins, hset) pass once and let the pair plan read it
+    val mhStaged = stage(Dedup.minhashCombined(exact, "id", "text",
+      mh.shingleN, mh.bands, mh.rowsPerBand, mh.seed))
+    val pairs = Dedup.minhashPortablePairsFrom(mhStaged, mh.bands,
+      mh.rowsPerBand, mh.threshold, mh.maxBucket)
     // pairs → clusters → keep the min-id doc per near-dup component
     // (comp IS the component's min id, so "drop" = label rows where
     // comp < id; docs in no pair never appear in labels and are kept)
@@ -314,8 +346,9 @@ object Pipeline {
         val repDropped =
           row(scored.filter(qPass(cfg) && !rPass(cfg)), "repetition")
         val deconDropped = row(pf.deconDropped, "decontaminate")
-        val exactDropped = Dedup.exactLosers(decon, "id", "text")
-          .select(col("id"), lit("exact_dup").as("stage"), col("kept_id"))
+        val exactDropped = exactHashed.get.filter(col("__rn") > 1)
+          .select(col("id"), lit("exact_dup").as("stage"),
+            col("__win").cast(idType).as("kept_id"))
         val nearDropped = labels.filter(col("comp") < col("id"))
           .select(col("id"), lit("near_dup").as("stage"),
             col("comp").cast(idType).as("kept_id"))
@@ -487,7 +520,7 @@ object Pipeline {
       val gatedBatch = authority.map(_.keep(batch)).getOrElse(batch)
       val pf =
         preFilter(gatedBatch, idCol, textCol, evalTexts, evalTextCol, cfg,
-          stage)
+          stage, stageForAudit = withAudit)
       // the audit's exact-loser pass re-reads the decontaminated frame —
       // materialize it once rather than re-running the redaction chain
       val decon = if (withAudit) stage(pf.decon) else pf.decon
@@ -495,13 +528,26 @@ object Pipeline {
       // hash, then membership anti-join (bucketed on the hash pair, so
       // the store side never shuffles). Hash-only membership carries the
       // same negligible collision odds as Dedup.exact(verify = false).
+      // AUDITED runs stage ONE ids-only hash window
+      // ([[Dedup.exactIdWindow]]) that serves the batch winners, the
+      // in-batch loser arm AND the store-dup arm — the old shape re-ran
+      // the hash+window (with the text column in the window shuffle)
+      // once per consumer.
+      val exactHashed =
+        if (withAudit) Some(stage(Dedup.exactIdWindow(decon, "id", "text")))
+        else None
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("__h1", "__h2").orderBy(col("id"))
-      val batchWinners = decon
-        .withColumn("__h1", xxhash64(col("text")))
-        .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col("text")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val batchWinners = exactHashed match {
+        case Some(h) => decon.join(
+          h.filter(col("__rn") === 1).select("id", "__h1", "__h2"),
+          Seq("id"))
+        case None => decon
+          .withColumn("__h1", xxhash64(col("text")))
+          .withColumn("__h2", xxhash64(lit(0x9e3779b9L), col("text")))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
       val storeExact =
         if (wh.exists(exactTable)) Some(wh.readBucketed(exactTable))
         else None
@@ -547,10 +593,10 @@ object Pipeline {
             .select(col("id").cast("long").as("id"),
               lit(stageName).as("stage"),
               lit(null).cast("long").as("kept_id"))
-          val inBatchDup = Dedup.exactLosers(decon, "id", "text")
+          val inBatchDup = exactHashed.get.filter(col("__rn") > 1)
             .select(col("id").cast("long").as("id"),
               lit("exact_dup").as("stage"),
-              col("kept_id").cast("long").as("kept_id"))
+              col("__win").cast("long").as("kept_id"))
           val storeDup = storeExact match {
             case Some(st) =>
               // pre-owner-column stores (no id recorded) audit with a
@@ -558,7 +604,8 @@ object Pipeline {
               val owned =
                 if (st.columns.contains("id")) st
                 else st.withColumn("id", lit(null).cast("long"))
-              batchWinners.select(col("id"), col("__h1"), col("__h2"))
+              exactHashed.get.filter(col("__rn") === 1)
+                .select(col("id"), col("__h1"), col("__h2"))
                 .join(owned.select(col("__h1"), col("__h2"),
                   col("id").as("__owner")), Seq("__h1", "__h2"))
                 .select(col("id").cast("long").as("id"),

@@ -289,13 +289,19 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     // the same tokenizer mode — drift would silently band new docs
     // into an incompatible space, so fail fast on it
     wh.paramsSpecValidated(sigTable, sigParams)
-    // batch staging materialized once — banded feeds candidate
-    // generation, the store append, and the newness filter; sets feeds
-    // verification and the set-store append. Batch-sized, ids+hashes.
-    val (bandedL, setsL) = Dedup.minhashStage(batch, idCol, textCol,
+    // batch staging materialized ONCE as the combined (id, mins, hset)
+    // frame — the expensive tokenize→shingle→hash pass runs a single
+    // time (the old per-product checkpoints each re-ran it); banding is
+    // a cheap struct explode over the staged minima and the sets a
+    // column select, so every downstream consumer (candidate
+    // generation, newness filter, verification, both store appends)
+    // reads the one checkpoint. Batch-sized, ids+hashes.
+    val combined = Dedup.minhashCombined(batch, idCol, textCol,
       cfg.shingleN, cfg.bands, cfg.rowsPerBand, cfg.seed)
-    val banded = bandedL.localCheckpoint(true)
-    val sets = setsL.localCheckpoint(true)
+      .localCheckpoint(true)
+    val banded = Dedup.bandedFromCombined(combined, cfg.bands,
+      cfg.rowsPerBand)
+    val sets = combined.select(col("id"), col("hset"))
     // store rows for the buckets this batch touches. No broadcast HINT
     // on the batch's key set: a hard hint would OOM on a genuinely large
     // ingest; AQE converts the semi join to broadcast at runtime when
