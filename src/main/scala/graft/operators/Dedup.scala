@@ -300,6 +300,12 @@ object Dedup {
                                     threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // deliberately NOT materialized: the exploded frame's consumers
+    // re-scan a cheap codegen chain, and an A/B measured the staged
+    // form SLOWER (4.0 → 4.7 s on q128 at sf0.1) — the explode output
+    // is far larger than its input, so storing it costs more than the
+    // re-scans it saves (the opposite tradeoff from minhashCombined,
+    // whose staging is SMALLER than its input).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     // df per shingle from the same exchange the prefix grouping reuses
     val withDf = sh.withColumn("df", count(lit(1)).over(w))
