@@ -15,6 +15,15 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** [[connectedComponents]]' small-graph gate: max symmetric edge rows
+    * folded on the driver (≈ 8 MB collected at the default — a broadcast
+    * build side's size class). Env `SPARK_GRAFT_CC_DRIVER_MAX` overrides
+    * (0 forces the distributed fold; larger values trade driver memory
+    * for fewer distributed rounds). */
+  private[graft] val DefaultMaxDriverEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX").map(_.toLong)
+      .getOrElse(1L << 20)
+
   /** Exact dedup: keep the first row (min id) per identical value.
     * Grouping key is a 128-bit hash pair — two independently seeded
     * xxhash64s — so distinct values can't silently merge the way a single
@@ -867,17 +876,42 @@ object Dedup {
     * Returns (id, component) for every id appearing in `pairs`;
     * `component` = min id of the component. Ids must be integral
     * columns — a silent cast of string/UUID ids to long would collapse
-    * every edge to (null, null), so non-integral ids are rejected. */
+    * every edge to (null, null), so non-integral ids are rejected.
+    *
+    * `maxDriverEdges` (env override `SPARK_GRAFT_CC_DRIVER_MAX`, 0 to
+    * force the distributed fold) is deliberately a driver-MEMORY bound,
+    * not a data-scale bound — it needs no retuning per corpus size.
+    *
+    * SMALL-GRAPH ROUTE (r12): once the symmetric-deduped edge list is
+    * materialized, its row count is a free control read off the cached
+    * blocks — and when it is at most `maxDriverEdges` rows (default 2^20
+    * sym rows = 2^19 pairs ≈ 8 MB collected, the same size class as a
+    * broadcast build side or the ContainmentStore's 4 MB gate), the
+    * component fold runs as a driver union-find instead of the
+    * distributed rounds. Near-dup pair graphs are tiny relative to their
+    * corpus (pairs ≈ dup rate × corpus, and every generator caps
+    * degenerate buckets), so at ANY corpus scale most CC calls take this
+    * route; a pair explosion past the gate routes to the distributed
+    * fold unchanged. Measured motivation: the distributed fold spent 16
+    * rounds × 3 driver-side plan/actions ≈ 6.5 s on a 1,983-pair graph
+    * (q96 at sf0.1) that union-find folds in milliseconds. The labels
+    * come back as a LocalRelation (accurate stats), so downstream
+    * keep-joins auto-broadcast instead of shuffling the corpus side.
+    * Result is BIT-IDENTICAL: comp = min id of the component, schedule-
+    * independent (union-by-min root; property-pinned in DedupSpec). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          maxDriverEdges: Long = DefaultMaxDriverEdges)
+      : DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     Seq(aCol, bCol).foreach { c =>
       val dt = pairs.schema(c).dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
         s"connectedComponents id column '$c' must be integral, got $dt")
     }
-    val sc = pairs.sparkSession.sparkContext
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
     // per-round lineage cut + track the pinned RDD ids so superseded
     // rounds can be unpersisted deterministically instead of waiting on
     // the ContextCleaner's GC-driven cleanup. checkpointDir switches
@@ -889,6 +923,50 @@ object Dedup {
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct())
+    // the count reads the just-pinned blocks, not the pair-generation
+    // plan — a bounded control read in the repo's established sense
+    if (edges.count() <= maxDriverEdges) {
+      // one direction suffices for connectivity — halve the collect.
+      // <= keeps SELF-edges: the incremental fold's star contraction
+      // encodes untouched singletons as (id, id), and dropping them
+      // would erase those ids from the labeling
+      val half = edges.filter(col("src") <= col("dst"))
+        .select("src", "dst").collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      // union-by-min-root: the component's min id can never acquire a
+      // parent (only a smaller root could become one), so every final
+      // root IS the component minimum — the distributed fold's fixpoint
+      val nodes = new scala.collection.mutable.LongMap[Unit]()
+      half.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        nodes.update(a, ()); nodes.update(b, ())
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      checkpoint.releasePinned()
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+        System.err.println(
+          s"[cc] driver union-find: ${half.length} pairs, ${nodes.size} nodes")
+      val rows = nodes.keys.toSeq.map(id => (id, find(id)))
+      // LocalRelation below ~200k rows (accurate stats → downstream
+      // joins auto-broadcast); parallelized above (a multi-MB
+      // LocalRelation would be copied into every consumer plan)
+      import spark.implicits._
+      return if (rows.size <= 200000) rows.toDF("id", "comp")
+      else sc.parallelize(rows, math.max(1, rows.size / 100000))
+        .toDF("id", "comp")
+    }
     var (labels, prevIds) = checkpoint(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     var iter = 0
@@ -930,6 +1008,8 @@ object Dedup {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds")
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      System.err.println(s"[cc] converged in $iter rounds")
     // labels are checkpointed (lineage-free) — free the run-scoped edge
     // pin so looped callers don't accumulate cached edge lists
     checkpoint.releasePinned()

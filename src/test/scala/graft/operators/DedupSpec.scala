@@ -245,6 +245,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: distributed fold ≡ driver union-find route") {
+    // maxDriverEdges = 0 forces the distributed rounds; the default
+    // routes these tiny graphs through the driver union-find — the two
+    // must agree bit-for-bit, including the self-edge star encoding the
+    // incremental fold feeds in (singleton (id, id) rows must survive)
+    val graphs = Seq(
+      Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+        (22L, 20L), (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)),
+      (100L until 159L).map(i => (i, i + 1)),          // 60-node chain
+      Seq((5L, 5L), (7L, 7L), (7L, 8L)),               // self-edge stars
+      { val rnd = new scala.util.Random(7)
+        (1 to 80).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)) }
+    )
+    for ((edges, i) <- graphs.zipWithIndex) {
+      val df = edges.toDF("id_a", "id_b")
+      val driver = Dedup.connectedComponents(df, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.connectedComponents(df, "id_a", "id_b",
+          maxDriverEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(driver === dist, s"graph $i")
+    }
+  }
+
   test("duplicateSpans: hand-checked interior shared passage, both docs") {
     // 8-token passage s1..s8 shared at different offsets; k=3 covers the
     // 6 gram-start positions fully inside it, so the merged span is
