@@ -190,12 +190,17 @@ object Graph {
     val checkpoint = new RoundCheckpoint(sc, checkpointDir)
 
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    val eAgg = edges
+    // the aggregated edge list is staged ONCE: outW, both sides of the
+    // contrib join, the node table, and the maxW control read all
+    // descend from it, and an unmaterialized `edges` pipeline (e.g.
+    // hostEdges parsing raw HTML) would otherwise re-run its parse per
+    // consumer — measured 4× on the q171 site-graph build (r12)
+    val eAgg = checkpoint.pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .filter(assert_true(col("w") >= 0,
         lit("pageRank: negative edge weight")).isNull)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .filter(col("w") > 0)
+      .filter(col("w") > 0))
     val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
     // the big, per-iteration-reused side: fixed src layout, lineage cut
     val contribE = checkpoint.pin(eAgg.join(outW, "src")
@@ -434,12 +439,13 @@ object Graph {
     val checkpoint = new RoundCheckpoint(sc, checkpointDir)
 
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    val eAgg = edges
+    // staged once — the pageRank edge-staging rationale verbatim
+    val eAgg = checkpoint.pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
       .filter(assert_true(col("w") >= 0,
         lit("trustRank: negative edge weight")).isNull)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-      .filter(col("w") > 0)
+      .filter(col("w") > 0))
     val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
     val contribE = checkpoint.pin(eAgg.join(outW, "src")
       .repartition(col("src")))

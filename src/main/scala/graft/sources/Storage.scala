@@ -197,7 +197,22 @@ final class Warehouse(spark: SparkSession, root0: String) {
     // (e.g. a caller drifting to a different bucket count) would leave
     // a sidecar describing a layout the files don't have.
     writeSpecValidated(table, s"$nBuckets\n${bucketCols.mkString(",")}\n")
-    df.write.mode(SaveMode.Append)
+    // ALIGN the frame's partitioning with the bucket function before
+    // writing: a bucketed write emits one file per (task, bucket) pair,
+    // so an unaligned 32-task append of an 8-bucket table writes 256
+    // files per ingest (measured: 1.4-2.1 s vs 0.33 s, and ~2.5× slower
+    // read-back) where the aligned write emits exactly nBuckets.
+    // Partitioned on the writer's own bucket-id EXPRESSION —
+    // pmod(murmur3, nBuckets) — NOT the raw columns: a raw-column
+    // repartition over a bucketed scan of the same key is elided by
+    // EnsureRequirements (the scan already reports that partitioning),
+    // after which the auto-bucketed-scan rule may downgrade the read to
+    // raw file splits and the write runs unaligned (measured: the
+    // Bm25Index compaction path wrote 6 files for a 2-bucket table).
+    // The exchange this adds carries only the append delta.
+    df.repartition(nBuckets, pmod(hash(bucketCols.map(col): _*),
+        lit(nBuckets)))
+      .write.mode(SaveMode.Append)
       .option("path", path(table))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -220,7 +235,13 @@ final class Warehouse(spark: SparkSession, root0: String) {
     StoreTxn.touchIfActive(root, s"warehouse/$table")
     writeSpecValidated(table,
       s"$nBuckets\n${bucketCols.mkString(",")}\n$partitionCol\n")
-    df.write.mode(SaveMode.Append)
+    // same alignment as appendBucketed, keyed on (partition dir, bucket
+    // id): each combo then lands wholly in one task, so the append
+    // writes exactly one file per populated (partition, bucket) combo
+    // instead of one per (task, combo)
+    df.repartition(col(partitionCol),
+        pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
+      .write.mode(SaveMode.Append)
       .option("path", path(table))
       .partitionBy(partitionCol)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
