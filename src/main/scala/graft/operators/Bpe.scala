@@ -46,6 +46,15 @@ object Bpe {
     * as its OWN symbol; merges may absorb it ("t </w>" → "t</w>"). */
   val EndOfWord = "</w>"
 
+  /** [[learnMerges]]' small-vocabulary gate: max word-TYPE rows replayed
+    * on the driver (the [[Dedup.connectedComponents]] small-graph
+    * discipline — a driver-memory bound, not a data-scale bound; ~25 MB
+    * collected at the default). Env `SPARK_GRAFT_BPE_DRIVER_MAX`
+    * overrides; 0 forces the distributed rounds. */
+  private[graft] val DefaultMaxDriverTypes: Long =
+    sys.env.get("SPARK_GRAFT_BPE_DRIVER_MAX").map(_.toLong)
+      .getOrElse(1L << 19)
+
   /** Hard cap on merge-table size — bounds [[learnMerges]]' driver
     * rounds and [[encode]]'s collected table (the native ApplyMerges
     * kernel is one expression node regardless of table size, so the
@@ -90,7 +99,8 @@ object Bpe {
     * as the next round materializes, so at most two vocabulary-sized
     * tables are ever live. */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-                  minPairCount: Long = 2L): DataFrame = {
+                  minPairCount: Long = 2L,
+                  maxDriverTypes: Long = DefaultMaxDriverTypes): DataFrame = {
     require(numMerges > 0 && numMerges <= MaxMerges,
       s"numMerges must be in 1..$MaxMerges, got $numMerges")
     require(minPairCount >= 1L,
@@ -119,6 +129,70 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var (cur, prevIds) = checkpoint(base)
+    // SMALL-VOCAB ROUTE (r12): the merge loop iterates over the WORD-TYPE
+    // table, whose size follows Heaps' law — a fraction of the corpus at
+    // any scale — and each distributed round costs an argmax job plus a
+    // checkpoint job. When the materialized type table is at most
+    // `DefaultMaxDriverTypes` rows (env SPARK_GRAFT_BPE_DRIVER_MAX; the
+    // count reads the just-checkpointed blocks), collect it and replay
+    // the identical rounds in memory: same pair counting (each adjacent
+    // occurrence, freq-weighted), same argmax tie-break (count desc,
+    // then lhs/rhs in UTF-8 BYTE order — java.lang.String order would
+    // diverge on supplementary characters), same greedy left-to-right
+    // literal replace (String.replace ≡ UTF8String.replace). Real
+    // tokenizer trainers are single-node for exactly this reason; a
+    // web-garbage vocabulary past the gate takes the distributed rounds
+    // unchanged. Equivalence spec-pinned in BpeSpec.
+    if (cur.count() <= maxDriverTypes) {
+      var words = cur.select(col("wstr"), col("freq")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      prevIds.foreach(i =>
+        sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
+      def ltUtf8(a: String, b: String): Boolean = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          if ((x(i) & 0xff) != (y(i) & 0xff)) return (x(i) & 0xff) < (y(i) & 0xff)
+          i += 1
+        }
+        x.length < y.length
+      }
+      var k = 1
+      var done = false
+      while (k <= numMerges && !done) {
+        val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (w, f) =>
+          val t = w.trim.split(" ")
+          var i = 0
+          while (i < t.length - 1) {
+            val key = (t(i), t(i + 1))
+            cnt.update(key, cnt.getOrElse(key, 0L) + f)
+            i += 1
+          }
+        }
+        var best: ((String, String), Long) = null
+        cnt.foreach { kv =>
+          if (best == null ||
+              kv._2 > best._2 ||
+              (kv._2 == best._2 && (ltUtf8(kv._1._1, best._1._1) ||
+                (kv._1._1 == best._1._1 && ltUtf8(kv._1._2, best._1._2)))))
+            best = kv
+        }
+        if (best == null || best._2 < minPairCount) done = true
+        else {
+          val ((l, r), c) = best
+          merges += ((k, l, r, c))
+          words = words.map { case (w, f) =>
+            (w.replace(s" $l $r ", s" $l$r "), f)
+          }
+          k += 1
+        }
+      }
+      import spark.implicits._
+      return merges.toSeq.toDF("rank", "lhs", "rhs", "pair_cnt")
+    }
     var k = 1
     var done = false
     while (k <= numMerges && !done) {

@@ -27,6 +27,23 @@ class BpeSpec extends SparkSpec {
       (6, "e", "w", 6L)))
   }
 
+  test("learnMerges: distributed rounds ≡ driver small-vocab replay") {
+    // maxDriverTypes = 0 forces the distributed rounds; the default
+    // replays tiny vocabularies on the driver — identical tables, tie
+    // order included (non-ASCII words exercise the UTF-8 byte order)
+    val corpora = Seq(
+      classicCorpus,
+      Seq((1L, "aaa aaa ab ba"), (2L, "über üben ügen")).toDF("doc_id", "text"))
+    for ((c, i) <- corpora.zipWithIndex) {
+      val driver = Bpe.learnMerges(c, "text", numMerges = 8)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      val dist = Bpe.learnMerges(c, "text", numMerges = 8,
+          maxDriverTypes = 0)
+        .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      assert(driver === dist, s"corpus $i")
+    }
+  }
+
   test("within-word repeats count every adjacency and merge greedily") {
     val d = Seq((1L, "aaa")).toDF("doc_id", "text")
     // ' a a a </w> ': (a,a) has TWO adjacencies -> cnt 2; after the
