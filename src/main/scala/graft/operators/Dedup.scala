@@ -315,11 +315,24 @@ object Dedup {
     // is far larger than its input, so storing it costs more than the
     // re-scans it saves (the opposite tradeoff from minhashCombined,
     // whose staging is SMALLER than its input).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    //
+    // Shingles are REPLACED by a 128-bit hash pair up front (r12): the
+    // prefix-filter theorem holds under ANY shared total order of the
+    // element universe, so ordering/bucketing/verifying on (h1, h2)
+    // longs instead of shingle strings changes candidate sets but not
+    // the verified result — while every sort (the rare-first per-doc
+    // order, the SMJ verify join keyed on the shingle) runs on
+    // fixed-width longs instead of variable-length strings. Measured:
+    // the verify stage's CPU dominated q128 (14 s over 6 tasks at
+    // sf0.1). Collision odds are the exact-dedup hashPair birthday
+    // bound (two 64-bit seeds), already accepted engine-wide.
+    val shh = sh.select(col("id"), xxhash64(col("shingle")).as("h1"),
+      xxhash64(lit(0x9e3779b9L), col("shingle")).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h1", "h2")
     // df per shingle from the same exchange the prefix grouping reuses
-    val withDf = sh.withColumn("df", count(lit(1)).over(w))
+    val withDf = shh.withColumn("df", count(lit(1)).over(w))
     val perDoc = withDf.groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+      .agg(sort_array(collect_list(struct(col("df"), col("h1"), col("h2"))))
         .as("__ord"))
       .withColumn("sz", size(col("__ord")))
       .withColumn("__p",
@@ -327,22 +340,23 @@ object Dedup {
     val pref = perDoc
       .select(col("id"), col("sz"),
         explode(slice(col("__ord"), lit(1), col("__p"))).as("pe"))
-      .select(col("id"), col("pe.shingle").as("shingle"))
-    val cands = pref.groupBy("shingle")
+      .select(col("id"), col("pe.h1").as("h1"), col("pe.h2").as("h2"))
+    val cands = pref.groupBy("h1", "h2")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .select(explode(idPairs(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     // exact verify: |A∩B| over candidates only. merge hint for the same
     // reason as ngramJaccardPairs: explode-descended size estimates lie.
-    val toks = sh
+    val toks = shh
     val inter = cands.hint("merge")
-      .join(toks.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
-      .join(toks.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
+      .join(toks.select(col("id").as("id_a"), col("h1"), col("h2")),
+        Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("h1"), col("h2")),
+        Seq("id_b", "h1", "h2"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = shh.groupBy("id").agg(count(lit(1)).as("sz"))
     inter.hint("merge")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")

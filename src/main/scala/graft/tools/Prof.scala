@@ -28,7 +28,20 @@ object Prof {
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
     final case class E(id: Long, desc: String, start: Long, var end: Long)
     val execs = mutable.LinkedHashMap.empty[Long, E]
+    final case class S(id: Int, name: String, ms: Long, tasks: Int,
+                       cpuMs: Long)
+    val stages = mutable.ArrayBuffer.empty[S]
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val wall = (for (a <- i.submissionTime; b <- i.completionTime)
+          yield b - a).getOrElse(0L)
+        stages.synchronized {
+          stages += S(i.stageId, i.name, wall, i.numTasks,
+            i.taskMetrics.executorCpuTime / 1000000)
+        }
+      }
       override def onOtherEvent(ev: org.apache.spark.scheduler.SparkListenerEvent): Unit =
         ev match {
           case s: SparkListenerSQLExecutionStart => execs.synchronized {
@@ -43,6 +56,7 @@ object Prof {
     val fn = graft.SparkEntry.queries(name)
     for (r <- 1 to reps) {
       execs.synchronized(execs.clear())
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -57,6 +71,11 @@ object Prof {
         (es.map(e => (e.end - e.start) / 1e3).sum, es.size, d)
       }.toSeq.sortBy(-_._1).take(25).foreach { case (s, n, d) =>
         println(f"  $s%8.3f s  n=$n%3d  ${d.take(100)}")
+      }
+      println("  --- slowest stages ---")
+      stages.synchronized(stages.toSeq).sortBy(-_.ms).take(15).foreach { s =>
+        println(f"  stage ${s.id}%4d ${s.ms / 1e3}%8.3f s cpu ${s.cpuMs / 1e3}%8.3f s " +
+          f"tasks=${s.tasks}%3d  ${s.name.take(90)}")
       }
     }
     spark.stop()
