@@ -119,13 +119,15 @@ final class EdgeStore(wh: graft.sources.Warehouse, name: String,
     // big (measured: a 99M-row localCheckpoint here died mid-eviction
     // at the 100M-edge probe). Two map-side-combined aggregation
     // passes over the source stream are the memory-safe shape.
-    wh.appendBucketed(edgeTable,
-      staged.groupBy("src", "dst")
-        .agg(sum(col("w")).as("w"), count(lit(1)).as("cnt")),
-      Seq("src"), cfg.nStoreBuckets)
-    wh.appendBucketed(wtotTable,
-      staged.groupBy("src").agg(sum(col("w")).as("wtot")),
-      Seq("src"), cfg.nStoreBuckets)
+    graft.core.Par.both(
+      wh.appendBucketed(edgeTable,
+        staged.groupBy("src", "dst")
+          .agg(sum(col("w")).as("w"), count(lit(1)).as("cnt")),
+        Seq("src"), cfg.nStoreBuckets),
+      wh.appendBucketed(wtotTable,
+        staged.groupBy("src").agg(sum(col("w")).as("wtot")),
+        Seq("src"), cfg.nStoreBuckets))
+    ()
   }
 
   private def requireIngested(spark: SparkSession): Unit = {

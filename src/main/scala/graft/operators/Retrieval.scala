@@ -195,11 +195,13 @@ object Retrieval {
         val postings = toksed
           .select(col("id"), explode(col("__t")).as("tok"))
           .groupBy("tok", "id").agg(count(lit(1)).as("tf"))
-        wh.appendBucketed(postTable, postings, Seq("tok"), nStoreBuckets)
-        wh.appendBucketed(lenTable,
-          toksed.select(col("id"),
-            size(col("__t")).cast("long").as("dl")),
-          Seq("id"), nStoreBuckets)
+        graft.core.Par.both(
+          wh.appendBucketed(postTable, postings, Seq("tok"),
+            nStoreBuckets),
+          wh.appendBucketed(lenTable,
+            toksed.select(col("id"),
+              size(col("__t")).cast("long").as("dl")),
+            Seq("id"), nStoreBuckets))
         graft.sources.StoreTxn.current(root)
           .touchPath(statsRel)
         toksed.agg(count(lit(1)).as("n"),
@@ -251,10 +253,13 @@ object Retrieval {
         def byBucketId(df: DataFrame, c: String) =
           df.repartition(nStoreBuckets,
             pmod(hash(col(c)), lit(nStoreBuckets)))
-        wh.appendBucketed(newPost, byBucketId(wh.readBucketed(curPost), "tok"),
-          Seq("tok"), nStoreBuckets)
-        wh.appendBucketed(newLen, byBucketId(wh.readBucketed(curLen), "id"),
-          Seq("id"), nStoreBuckets)
+        graft.core.Par.both(
+          wh.appendBucketed(newPost,
+            byBucketId(wh.readBucketed(curPost), "tok"),
+            Seq("tok"), nStoreBuckets),
+          wh.appendBucketed(newLen,
+            byBucketId(wh.readBucketed(curLen), "id"),
+            Seq("id"), nStoreBuckets))
         txn.touchPath(newStatsRel)
         statsDf.coalesce(1).write.mode("overwrite")
           .parquet(s"$root/$newStatsRel")

@@ -363,8 +363,10 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
       .filter(col("jaccard") >= cfg.threshold)
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint(true) // BEFORE the append — see scaladoc
-    wh.appendBucketed(sigTable, banded, Seq("band", "bucket"), cfg.nStoreBuckets)
-    wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets)
+    graft.core.Par.both(
+      wh.appendBucketed(sigTable, banded, Seq("band", "bucket"),
+        cfg.nStoreBuckets),
+      wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets))
     pairs
   }
 }
@@ -687,8 +689,10 @@ final class EmbeddingLshStore(wh: graft.sources.Warehouse, name: String,
           col("__na"), col("__tn")).as("sim"))
       .filter(col("sim") >= cfg.threshold)
       .localCheckpoint(true) // BEFORE the appends — see MinhashStore
-    wh.appendBucketed(sigTable, banded, Seq("tbl", "sig"), cfg.nStoreBuckets)
-    wh.appendBucketed(vecTable, vecs, Seq("id"), cfg.nStoreBuckets)
+    graft.core.Par.both(
+      wh.appendBucketed(sigTable, banded, Seq("tbl", "sig"),
+        cfg.nStoreBuckets),
+      wh.appendBucketed(vecTable, vecs, Seq("id"), cfg.nStoreBuckets))
     pairs
   }
 }
@@ -968,10 +972,12 @@ final class ContainmentStore(wh: graft.sources.Warehouse, name: String,
       .filter(greatest(col("cont_a"), col("cont_b")) >= cfg.threshold)
       .select("id_a", "id_b", "cont_a", "cont_b")
       .localCheckpoint(true)) // BEFORE the appends — see MinhashStore
-    tphase("appendPost")(
-      wh.appendBucketed(postTable, sh, Seq("shingle"), cfg.nStoreBuckets))
-    tphase("appendSize")(
-      wh.appendBucketed(sizeTable, sizes, Seq("id"), cfg.nStoreBuckets))
+    graft.core.Par.both(
+      tphase("appendPost")(
+        wh.appendBucketed(postTable, sh, Seq("shingle"),
+          cfg.nStoreBuckets)),
+      tphase("appendSize")(
+        wh.appendBucketed(sizeTable, sizes, Seq("id"), cfg.nStoreBuckets)))
     pairs
   }
 }
