@@ -464,9 +464,18 @@ object QualityModels {
     * `iters` passes over the SAMPLE only) — then score any corpus
     * with [[hashedMargin]], a single identical pass. Returns the
     * dense weight array indexed by feature bucket. */
+  /** [[trainHashedPerceptron]]'s small-trainset gate: max feature-
+    * occurrence rows replayed on the driver (a driver-memory bound, the
+    * [[Dedup.connectedComponents]] discipline). Env
+    * `SPARK_GRAFT_TRAIN_DRIVER_MAX`; 0 forces distributed iterations. */
+  private[graft] val MaxDriverOcc: Long =
+    sys.env.get("SPARK_GRAFT_TRAIN_DRIVER_MAX").map(_.toLong)
+      .getOrElse(1L << 20)
+
   def trainHashedPerceptron(train: DataFrame, idCol: String,
                             textCol: String, labelCol: String,
-                            numFeatures: Int = 4096, iters: Int = 4)
+                            numFeatures: Int = 4096, iters: Int = 4,
+                            maxDriverOcc: Long = MaxDriverOcc)
       : Array[Long] = {
     require(iters >= 1 && iters <= 64, s"iters must be in [1,64], got $iters")
     require(numFeatures >= 2 && numFeatures <= (1 << 20),
@@ -490,6 +499,37 @@ object QualityModels {
       s"training set too large for exact integer training ($occ feature " +
         "occurrences): train on a sample")
     val w = Array.fill(numFeatures)(0L)
+    // SMALL-TRAINSET ROUTE (r12): each distributed iteration costs a
+    // broadcast-join margin pass plus an update collect over the staged
+    // occurrence stream. When the stream is at most `MaxDriverOcc` rows
+    // (the count above reads the staged blocks; ~24 MB collected at the
+    // default), collect (id, f, y) once and replay the identical
+    // iterations in memory — same margin sums, same y·m ≤ 0 update
+    // filter, same all-zero-update early stop. Exact integer arithmetic
+    // is order-independent, so the weights are bit-identical
+    // (spec-pinned in QualityModelsSpec).
+    if (occ <= maxDriverOcc) {
+      val rows = fs.select(col("id"), col("__f"), col("__y")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var it = 0
+      while (it < iters) {
+        val m = new scala.collection.mutable.LongMap[Long]()
+        rows.foreach { case (id, f, _) =>
+          m.update(id, m.getOrElse(id, 0L) + w(f.toInt))
+        }
+        val u = new scala.collection.mutable.LongMap[Long]()
+        rows.foreach { case (id, f, y) =>
+          if (y * m.getOrElse(id, 0L) <= 0L)
+            u.update(f, u.getOrElse(f, 0L) + y)
+        }
+        if (u.isEmpty || u.values.forall(_ == 0L)) it = iters
+        else {
+          u.foreach { case (f, uf) => w(f.toInt) += uf }
+          it += 1
+        }
+      }
+      return w
+    }
     var it = 0
     while (it < iters) {
       val weights = w.toSeq.zipWithIndex.collect {

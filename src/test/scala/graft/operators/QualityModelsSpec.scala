@@ -247,6 +247,21 @@ class QualityModelsSpec extends SparkSpec {
     assert(m(102L) === 0L) // tokenless doc: zero margin, survives
   }
 
+  test("hashed perceptron: distributed iterations ≡ driver replay") {
+    import spark.implicits._
+    // maxDriverOcc = 0 forces the distributed iterations; the default
+    // replays small occurrence streams on the driver — identical weights
+    val rows = (0L until 40L).map(i => if (i % 3 == 0) prose(i) else spam(i))
+    val df = rows.toDF("doc_id", "text").withColumn("label",
+      when(col("doc_id") % 3 === 0, 1L).otherwise(-1L))
+    val driver = QualityModels.trainHashedPerceptron(
+      df, "doc_id", "text", "label", numFeatures = 512, iters = 5)
+    val dist = QualityModels.trainHashedPerceptron(
+      df, "doc_id", "text", "label", numFeatures = 512, iters = 5,
+      maxDriverOcc = 0)
+    assert(driver.toSeq === dist.toSeq)
+  }
+
   test("hashed perceptron training is partition-order independent") {
     import spark.implicits._
     val rows = (0L until 30L).map(i => if (i % 2 == 0) prose(i) else spam(i))
