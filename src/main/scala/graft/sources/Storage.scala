@@ -209,9 +209,18 @@ final class Warehouse(spark: SparkSession, root0: String) {
     // after which the auto-bucketed-scan rule may downgrade the read to
     // raw file splits and the write runs unaligned (measured: the
     // Bm25Index compaction path wrote 6 files for a 2-bucket table).
-    // The exchange this adds carries only the append delta.
-    df.repartition(nBuckets, pmod(hash(bucketCols.map(col): _*),
-        lit(nBuckets)))
+    // The exchange this adds carries only the append delta. The task
+    // count is the session's shuffle parallelism (explicit, so AQE
+    // cannot coalesce it to one writer): partitioning is BY the
+    // bucket-id VALUE, so each bucket still lands wholly in one task —
+    // exactly nBuckets files — while the murmur of the id values
+    // spreads the buckets over more tasks than repartition(nBuckets)
+    // would (id-value hash collisions serialized several buckets onto
+    // one writer at small bucket counts).
+    df.repartition(
+        math.max(nBuckets,
+          df.sparkSession.sessionState.conf.numShufflePartitions),
+        pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
       .write.mode(SaveMode.Append)
       .option("path", path(table))
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -238,8 +247,13 @@ final class Warehouse(spark: SparkSession, root0: String) {
     // same alignment as appendBucketed, keyed on (partition dir, bucket
     // id): each combo then lands wholly in one task, so the append
     // writes exactly one file per populated (partition, bucket) combo
-    // instead of one per (task, combo)
-    df.repartition(col(partitionCol),
+    // instead of one per (task, combo). The partition count is EXPLICIT
+    // (session shuffle partitions): combos spread over that many tasks
+    // with the same file count, where the implicit form let AQE
+    // coalesce the small exchange to ONE task writing every file
+    // serially (measured 1 s/append on the GramIndex path).
+    val shufflePar = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(shufflePar, col(partitionCol),
         pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
       .write.mode(SaveMode.Append)
       .option("path", path(table))
