@@ -637,9 +637,6 @@ object Pipeline {
       // labels are overwrite-shaped → a fresh versioned directory the
       // commit record publishes (an in-place overwrite could not be
       // rolled back); survivors append under the transaction's snapshot
-      labels.write.parquet(txn.stateVersionDir(labelsState))
-      txn.touchPath(survRel)
-      survivors.select("id").write.mode("append").parquet(survDir)
       // the owner id rides with each hash pair so later ingests can
       // attribute a store-dup drop to the document that holds the text.
       // A store created before the owner column existed has a 2-column
@@ -650,8 +647,18 @@ object Pipeline {
         if (storeExact.exists(st => !st.columns.contains("id")))
           fresh.select("__h1", "__h2")
         else fresh.select("__h1", "__h2", "id")
-      wh.appendBucketed(exactTable, freshOut,
-        Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)
+      // the three state writes target disjoint directories and read
+      // staged frames — overlap them (Par rationale: each is a
+      // sub-second fixed-cost write; txn registration happens on THIS
+      // thread before the writes start)
+      val labelsDir = txn.stateVersionDir(labelsState)
+      txn.touchPath(survRel)
+      graft.core.Par.both(
+        labels.write.parquet(labelsDir),
+        graft.core.Par.both(
+          survivors.select("id").write.mode("append").parquet(survDir),
+          wh.appendBucketed(exactTable, freshOut,
+            Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)))
       txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
       CurateDelta(kept, retracted, audit)
       }
