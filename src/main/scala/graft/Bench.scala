@@ -7,6 +7,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // floor scan parallelism at the session's core count — derived
+      // from the SAME env knob as the master, so it scales with the
+      // harness instead of being tuned to any one box; at warehouse
+      // scale splits already outnumber cores and the floor is a no-op,
+      // while a small parquet input stops serializing its whole scan
+      // through one task (guide: input split sizing)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
