@@ -396,8 +396,17 @@ object TextFunctions {
     * integer counts and one IEEE division — oracle-portable. */
   def duplicateNgramFraction(toks: Column, n: Int): Column = {
     val total = size(toks) - (n - 1)
+    // distinct-gram count via the native [[expressions.WordShingles]]
+    // kernel (one compiled sliding-window pass, exact UTF8String-set
+    // distinct): identical to size(array_distinct(ngrams(toks, n))) on
+    // every row this branch evaluates (total > 0 ⇒ the kernel's
+    // short-doc whole-text case can't fire). The composed
+    // transform+array_join+array_distinct chain allocated a bigram
+    // string per position per row and dominated the curate quality scan
+    // (measured 4.5 s vs 0.2 s for every other score expression at
+    // sf0.1 — r12).
     when(total > 0,
-      (total - size(array_distinct(ngrams(toks, n)))).cast("double") /
+      (total - size(wordShinglesFromTokens(toks, n))).cast("double") /
         total.cast("double"))
       .otherwise(lit(0.0))
   }
