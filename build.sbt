@@ -39,3 +39,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )
+// The harness keeps only a bounded tail (2000 chars) of sbt's stdout and
+// parses the bench's one-line JSON out of it. sbt's "[success] Total
+// time ..." epilogue eats ~75 chars of that window after the line, so
+// suppress the banner; errors still print.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -46,17 +46,18 @@ object Bench {
       }
       (name, times.minOption.getOrElse(0.0), times.isEmpty)
     }
-    // The driver keeps only a bounded tail of stdout, so the contract line
-    // must stay small: short keys (the qNN prefix is the query identity)
-    // and ms precision. The full names + ns-precision map goes to
+    // The driver keeps only a bounded tail (2000 chars) of stdout and the
+    // sbt epilogue follows the line, so the contract line must stay small:
+    // short keys (the qNN prefix is the query identity) and INTEGER
+    // MILLISECONDS per query ("unit":"ms") — the 3-decimal-seconds form at
+    // 173 queries was ~2.3 KB and overflowed the window two rounds
+    // running, which blanked the driver's per-query/scaling comparison.
+    // The full names + ns-precision seconds map still goes to
     // BENCH_FULL.json alongside, for cross-round per-query comparison.
     def short(n: String): String = n.indexOf('_') match {
       case -1 => n case i => n.substring(0, i)
     }
-    // machine-read output: Locale.ROOT so a comma-decimal default
-    // locale cannot render invalid JSON
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def ms(v: Double): Long = math.round(v * 1000)
     val ok = results.filterNot(_._3)
     val qs = ok.map { case (k, v, _) => s""""${short(k)}":${ms(v)}""" }
       .mkString("{", ",", "}")
@@ -64,6 +65,8 @@ object Bench {
     val failedList = results.filter(_._3).map(r => s""""${short(r._1)}"""")
       .mkString("[", ",", "]")
     val failedField = if (results.exists(_._3)) s""","failed":$failedList""" else ""
+    // machine-read output: Locale.ROOT so a comma-decimal default
+    // locale cannot render invalid JSON
     val full = results.map { case (k, v, f) =>
       s""""$k":{"sec":${String.format(java.util.Locale.ROOT, "%.9f",
         Double.box(v))},"failed":$f}""" }.mkString("{", ",", "}")
@@ -72,8 +75,10 @@ object Bench {
     // an ad-hoc `Bench q155` clobbered the round's reference board)
     if (wanted.isEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-        s"""{"sf":"$sfDir","total":${ms(total)},"queries":$full}""" + "\n")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$failedField,"sf":"$sfDir"}""")
+        s"""{"sf":"$sfDir","total":${String.format(java.util.Locale.ROOT,
+          "%.3f", Double.box(total))},"queries":$full}""" + "\n")
+    val sfShort = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"ms","queries":$qs$failedField,"sf":"$sfShort"}""")
     spark.stop()
   }
 }

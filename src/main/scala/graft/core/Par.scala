@@ -18,11 +18,18 @@ private[graft] object Par {
     t.start()
     val ra =
       try a
-      catch { case e: Throwable => t.join(); throw e }
+      catch { case e: Throwable =>
+        t.join()
+        // keep the worker's failure visible when both arms threw
+        rb match { case Left(w) if w ne e => e.addSuppressed(w) case _ => () }
+        throw e
+      }
     t.join()
     rb match {
       case Right(v) => (ra, v)
       case Left(e)  => throw e
+      case null => throw new IllegalStateException(
+        "Par.both worker finished without publishing a result")
     }
   }
 }

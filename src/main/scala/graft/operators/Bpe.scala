@@ -52,8 +52,7 @@ object Bpe {
     * collected at the default). Env `SPARK_GRAFT_BPE_DRIVER_MAX`
     * overrides; 0 forces the distributed rounds. */
   private[graft] val DefaultMaxDriverTypes: Long =
-    sys.env.get("SPARK_GRAFT_BPE_DRIVER_MAX").map(_.toLong)
-      .getOrElse(1L << 19)
+    graft.core.Env.long("SPARK_GRAFT_BPE_DRIVER_MAX", 1L << 19)
 
   /** Hard cap on merge-table size — bounds [[learnMerges]]' driver
     * rounds and [[encode]]'s collected table (the native ApplyMerges
@@ -143,7 +142,7 @@ object Bpe {
     // tokenizer trainers are single-node for exactly this reason; a
     // web-garbage vocabulary past the gate takes the distributed rounds
     // unchanged. Equivalence spec-pinned in BpeSpec.
-    if (cur.count() <= maxDriverTypes) {
+    if (maxDriverTypes > 0 && cur.count() <= maxDriverTypes) {
       var words = cur.select(col("wstr"), col("freq")).collect()
         .map(r => (r.getString(0), r.getLong(1)))
       prevIds.foreach(i =>

@@ -326,10 +326,10 @@ object Decontamination {
         val cur = gramTable
         val newTable = s"${gramBase}__c${txn.epoch}"
         wh.paramsSpecValidated(newTable, storeParams)
-        wh.appendPartitionedBucketed(newTable,
-          wh.readBucketed(cur)
-            .repartition(prefixPartitions * nStoreBuckets, col("gpfx"),
-              pmod(hash(col("ghash")), lit(nStoreBuckets))),
+        // appendPartitionedBucketed aligns on (partition dir, bucket id)
+        // itself — a caller-side pre-repartition would add a second
+        // exchange per compaction
+        wh.appendPartitionedBucketed(newTable, wh.readBucketed(cur),
           "gpfx", Seq("ghash"), nStoreBuckets)
         txn.putKv(s"active:$name:gram", newTable)
       }

@@ -21,8 +21,7 @@ object Dedup {
     * (0 forces the distributed fold; larger values trade driver memory
     * for fewer distributed rounds). */
   private[graft] val DefaultMaxDriverEdges: Long =
-    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX").map(_.toLong)
-      .getOrElse(1L << 20)
+    graft.core.Env.long("SPARK_GRAFT_CC_DRIVER_MAX", 1L << 20)
 
   /** Exact dedup: keep the first row (min id) per identical value.
     * Grouping key is a 128-bit hash pair — two independently seeded
@@ -293,8 +292,11 @@ object Dedup {
     * [[prefixJaccardPairs]] prefix-filter machinery without the text
     * shingling stage: `setCol` is any array column (frame fingerprints
     * of a video, hashed features, category sets), de-duplicated per
-    * row, and pairs with Jaccard ≥ threshold come back exactly —
-    * lossless, same contract. Output (id_a, id_b, jaccard). */
+    * row, and pairs with Jaccard ≥ threshold come back exact up to the
+    * engine-wide 128-bit hashPair collision bound (the verify stage
+    * matches elements by hash pair — the [[exact]] birthday-bound
+    * convention, ~10⁻¹⁴ at 10¹² elements). Output
+    * (id_a, id_b, jaccard). */
   def setJaccardPairs(df: DataFrame, idCol: String, setCol: String,
                       threshold: Double): DataFrame =
     prefixJaccardExploded(
@@ -939,7 +941,9 @@ object Dedup {
       .distinct())
     // the count reads the just-pinned blocks, not the pair-generation
     // plan — a bounded control read in the repo's established sense
-    if (edges.count() <= maxDriverEdges) {
+    // strict guard on the gate itself: 0 must force the distributed
+    // fold as documented, including for an EMPTY edge list (count 0)
+    if (maxDriverEdges > 0 && edges.count() <= maxDriverEdges) {
       // one direction suffices for connectivity — halve the collect.
       // <= keeps SELF-edges: the incremental fold's star contraction
       // encodes untouched singletons as (id, id), and dropping them

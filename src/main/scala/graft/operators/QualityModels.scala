@@ -469,8 +469,7 @@ object QualityModels {
     * [[Dedup.connectedComponents]] discipline). Env
     * `SPARK_GRAFT_TRAIN_DRIVER_MAX`; 0 forces distributed iterations. */
   private[graft] val MaxDriverOcc: Long =
-    sys.env.get("SPARK_GRAFT_TRAIN_DRIVER_MAX").map(_.toLong)
-      .getOrElse(1L << 20)
+    graft.core.Env.long("SPARK_GRAFT_TRAIN_DRIVER_MAX", 1L << 20)
 
   def trainHashedPerceptron(train: DataFrame, idCol: String,
                             textCol: String, labelCol: String,
@@ -508,7 +507,7 @@ object QualityModels {
     // filter, same all-zero-update early stop. Exact integer arithmetic
     // is order-independent, so the weights are bit-identical
     // (spec-pinned in QualityModelsSpec).
-    if (occ <= maxDriverOcc) {
+    if (maxDriverOcc > 0 && occ <= maxDriverOcc) {
       val rows = fs.select(col("id"), col("__f"), col("__y")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       var it = 0

@@ -244,21 +244,15 @@ object Retrieval {
         val newStatsRel = s"${statsBase}__c${txn.epoch}"
         wh.paramsSpecValidated(newPost, Seq("scriptAwareTokens" ->
           TextFunctions.scriptAwareEnabled.toString))
-        // pre-partition on the WRITER'S OWN bucket id — pmod(murmur3,
-        // nBuckets), what the bucket writer computes per row — so each
-        // bucket's rows land wholly inside one task and the generation
-        // totals exactly nBuckets files. Repartitioning on the raw
-        // column instead spreads every bucket across tasks (files =
-        // tasks × buckets; measured 2× in the compaction spec).
-        def byBucketId(df: DataFrame, c: String) =
-          df.repartition(nStoreBuckets,
-            pmod(hash(col(c)), lit(nStoreBuckets)))
+        // appendBucketed itself aligns the frame on the writer's bucket
+        // id (pmod(murmur3, nBuckets)) — a caller-side pre-repartition
+        // on the same expression but a DIFFERENT partition count would
+        // not collapse with it and each compaction would pay a double
+        // shuffle (the r12 caller did; dropped in r13)
         graft.core.Par.both(
-          wh.appendBucketed(newPost,
-            byBucketId(wh.readBucketed(curPost), "tok"),
+          wh.appendBucketed(newPost, wh.readBucketed(curPost),
             Seq("tok"), nStoreBuckets),
-          wh.appendBucketed(newLen,
-            byBucketId(wh.readBucketed(curLen), "id"),
+          wh.appendBucketed(newLen, wh.readBucketed(curLen),
             Seq("id"), nStoreBuckets))
         txn.touchPath(newStatsRel)
         statsDf.coalesce(1).write.mode("overwrite")

@@ -189,9 +189,10 @@ private[operators] object StoreCompaction {
         val cur = active(wh.root, t)
         val newTable = s"${t.base}__c${txn.epoch}"
         if (t.params.nonEmpty) wh.paramsSpecValidated(newTable, t.params)
-        wh.appendBucketed(newTable,
-          t.transform(wh.readBucketed(cur)).repartition(nStoreBuckets,
-            pmod(hash(t.bucketCols.map(col): _*), lit(nStoreBuckets))),
+        // appendBucketed aligns on the writer's bucket id itself — a
+        // caller-side pre-repartition (same expression, different
+        // count) would just add a second exchange per table
+        wh.appendBucketed(newTable, t.transform(wh.readBucketed(cur)),
           t.bucketCols, nStoreBuckets)
         txn.putKv(t.aliasKey, newTable)
       }

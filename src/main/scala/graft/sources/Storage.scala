@@ -252,7 +252,11 @@ final class Warehouse(spark: SparkSession, root0: String) {
     // with the same file count, where the implicit form let AQE
     // coalesce the small exchange to ONE task writing every file
     // serially (measured 1 s/append on the GramIndex path).
-    val shufflePar = df.sparkSession.sessionState.conf.numShufflePartitions
+    // same math.max floor as appendBucketed: a session configured with
+    // fewer shuffle partitions than buckets would otherwise serialize
+    // several (partition, bucket) combos per writer task
+    val shufflePar = math.max(nBuckets,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     df.repartition(shufflePar, col(partitionCol),
         pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
       .write.mode(SaveMode.Append)
