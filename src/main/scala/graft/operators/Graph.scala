@@ -58,6 +58,173 @@ object Graph {
       ColumnBridge.expression(b.cast("long"))))
   }
 
+  /** [[pageRank]]/[[trustRank]]'s small-graph gate: max aggregated edge
+    * rows replayed on the driver (≈ 24 MB collected at the default — a
+    * broadcast build side's size class; the
+    * [[Dedup.connectedComponents]] discipline: a driver-MEMORY bound on
+    * an already-materialized count, not a data-scale tuning). Env
+    * `SPARK_GRAFT_RANK_DRIVER_MAX` overrides; 0 forces the distributed
+    * rounds. */
+  private[graft] val DefaultMaxDriverRankEdges: Long =
+    graft.core.Env.long("SPARK_GRAFT_RANK_DRIVER_MAX", 1L << 20)
+
+  /** DRIVER REPLAY of the rank fixpoint (r13): every update is exact
+    * integer arithmetic over the aggregated edge list, so once that
+    * list is materialized and small (the gate above), replaying the
+    * rounds in memory is bit-identical to the distributed loop — same
+    * long multiply / truncating divide / wrapping sum, same
+    * driver-side dshare / BigInt-dtel scalars — while saving 2 pinned
+    * materializations plus ~2 jobs per iteration (the per-round
+    * shuffle-join and its control read). Host graphs are tiny relative
+    * to their corpus at any scale (nodes = hosts, not documents);
+    * a graph past the gate takes the distributed rounds unchanged.
+    * Equivalence is spec-pinned in GraphSpec (driver ≡ distributed,
+    * weighted/dangling/warm/tol, both operators).
+    *
+    * Returns None — fall through to the distributed loop — when the
+    * prior or seed table exceeds the gate, when an edge endpoint is
+    * null (the distributed join silently drops those contributions;
+    * replaying that faithfully is not worth the code), or when the
+    * src/dst types differ (driver Any-equality cannot mirror the
+    * union's type coercion).
+    *
+    * `seedsOpt` = Some(distinct seed ids) selects the trustRank update
+    * rule; None the pageRank one. */
+  private def rankReplay(checkpoint: RoundCheckpoint, eAgg: DataFrame,
+                         seedsOpt: Option[DataFrame],
+                         prior: Option[DataFrame], iters: Int,
+                         dampNum: Long, dampDen: Long, scale: Long,
+                         tol: Option[Long], maxRows: Long,
+                         label: String): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val spark = eAgg.sparkSession
+    val nodeType = eAgg.schema("src").dataType
+    if (eAgg.schema("dst").dataType != nodeType) return None
+    if (seedsOpt.exists(_.schema.fields.head.dataType != nodeType))
+      return None
+    def bounded(df: DataFrame): Option[Array[Row]] = {
+      val cap = math.min(maxRows, Int.MaxValue.toLong - 2).toInt
+      val rows = df.limit(cap + 1).collect()
+      if (rows.length > cap) None else Some(rows)
+    }
+    // prior/seeds collect under the same driver-memory bound as the
+    // edges (bounded by a limit, not a count — one job each); an
+    // oversized one routes the whole call distributed
+    var priorMap: mutable.HashMap[Any, Long] = null
+    if (prior.isDefined) bounded(prior.get
+        .select(col("node"), col("rank_fp").cast("long"))) match {
+      case None => return None
+      case Some(rows) =>
+        priorMap = mutable.HashMap.empty
+        rows.foreach(r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            priorMap.update(r.get(0), r.getLong(1)))
+    }
+    var seedSet: mutable.HashSet[Any] = null
+    seedsOpt.foreach(s => bounded(s) match {
+      case None => return None
+      case Some(rows) =>
+        seedSet = mutable.HashSet.empty
+        rows.foreach(r => if (!r.isNullAt(0)) seedSet += r.get(0))
+    })
+    val eRows = eAgg.select("src", "dst", "w").collect()
+    val wtot = mutable.HashMap.empty[Any, Long]
+    val nodeSet = mutable.LinkedHashSet.empty[Any]
+    var i = 0
+    while (i < eRows.length) {
+      val r = eRows(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val s = r.get(0)
+      wtot.update(s, wtot.getOrElse(s, 0L) + r.getLong(2))
+      nodeSet += s; nodeSet += r.get(1)
+      i += 1
+    }
+    val trust = seedSet != null
+    val n = nodeSet.size.toLong
+    require(n > 0, s"$label: empty graph")
+    val nSeeds = if (trust) nodeSet.iterator.count(seedSet.contains).toLong else 0L
+    if (trust) require(nSeeds > 0,
+      "trustRank: no seed is a graph node — trust cannot enter")
+    val massBound = if (prior.isDefined) 2 * scale else scale
+    val maxW = if (wtot.isEmpty) 1L else wtot.valuesIterator.max
+    require(maxW <= Long.MaxValue / massBound,
+      s"$label: mass bound $massBound * max out-weight=$maxW would " +
+        "overflow; lower scale or pre-normalize weights")
+    require(dampNum <= Long.MaxValue / (2 * massBound),
+      s"$label: dampNum=$dampNum * 2*mass bound=$massBound overflows")
+    if (trust) require(nSeeds <= scale,
+      s"trustRank: seed count $nSeeds exceeds fixed-point scale $scale")
+    else require(n <= scale,
+      s"pageRank: node count $n exceeds fixed-point scale $scale; " +
+        "raise scale so initR = scale/n stays nonzero")
+    val share = if (trust) scale / nSeeds else scale / n // seedShare|initR
+    val base = ((dampDen - dampNum) * share) / dampDen
+    var rank = mutable.HashMap.empty[Any, Long]
+    nodeSet.foreach { nd =>
+      val cold = if (!trust || seedSet.contains(nd)) share else 0L
+      val v = if (priorMap == null) cold else priorMap.getOrElse(nd, cold)
+      require(v >= 0 && v <= scale,
+        s"$label: prior rank outside [0, $scale] — priors must come " +
+          s"from a $label run at the same scale")
+      rank.update(nd, v)
+    }
+    def danglingSum(m: mutable.HashMap[Any, Long]): Long = {
+      var s = 0L
+      nodeSet.foreach(nd => if (!wtot.contains(nd)) s += m(nd))
+      s
+    }
+    var dangling = danglingSum(rank)
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
+      // identical scalars to the distributed loop: dshare is plain Long
+      // division, trust's teleport share goes through BigInt
+      val extra =
+        if (trust) ((BigInt(dangling) * share) / scale).toLong
+        else dangling / n
+      val in = mutable.HashMap.empty[Any, Long]
+      var j = 0
+      while (j < eRows.length) {
+        val r = eRows(j)
+        val s = r.get(0); val d = r.get(1)
+        val c = (rank(s) * r.getLong(2)) / wtot(s)
+        in.update(d, in.getOrElse(d, 0L) + c)
+        j += 1
+      }
+      var newDangling = 0L
+      var l1 = 0L
+      val next = mutable.HashMap.empty[Any, Long]
+      nodeSet.foreach { nd =>
+        val seeded = !trust || seedSet.contains(nd)
+        val v = (if (seeded) base else 0L) +
+          (dampNum * (in.getOrElse(nd, 0L) +
+            (if (seeded) extra else 0L))) / dampDen
+        next.update(nd, v)
+        if (!wtot.contains(nd)) newDangling += v
+        if (tol.isDefined) l1 += math.abs(v - rank(nd))
+      }
+      rank = next
+      dangling = newDangling
+      tol.foreach(t => if (l1 <= t) converged = true)
+      it += 1
+    }
+    checkpoint.releasePinned()
+    val schema = StructType(Seq(StructField("node", nodeType),
+      StructField("rank_fp", LongType), StructField("rank", DoubleType)))
+    val out = nodeSet.iterator.map(nd =>
+      Row(nd, rank(nd), rank(nd).toDouble / scale.toDouble)).toVector
+    // LocalRelation below ~200k rows (accurate stats → downstream gate
+    // joins auto-broadcast); parallelized above — the CC convention
+    Some(
+      if (out.size <= 200000) spark.createDataFrame(out.asJava, schema)
+      else spark.createDataFrame(
+        spark.sparkContext.parallelize(out, math.max(1, out.size / 100000)),
+        schema))
+  }
+
   /** Per-round materialization for the iterative operators (pageRank
     * here, [[Dedup.connectedComponents]]), with the failure-domain knob:
     *
@@ -178,7 +345,9 @@ object Graph {
                scale: Long = 1L << 30,
                prior: Option[DataFrame] = None,
                checkpointDir: Option[String] = None,
-               tol: Option[Long] = None): DataFrame = {
+               tol: Option[Long] = None,
+               maxDriverEdges: Long = DefaultMaxDriverRankEdges)
+      : DataFrame = {
     require(iters >= 0, s"pageRank iters must be >= 0, got $iters")
     tol.foreach(t => require(t >= 0, s"pageRank tol must be >= 0, got $t"))
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
@@ -201,6 +370,16 @@ object Graph {
         lit("pageRank: negative edge weight")).isNull)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0))
+    // SMALL-GRAPH ROUTE (r13): the count reads the just-pinned blocks
+    // (a bounded control read); at or under the gate the whole
+    // fixpoint replays on the driver, bit-identically — see
+    // [[rankReplay]]. Strict gate guard: 0 forces distributed as
+    // documented, including for an empty edge list.
+    if (maxDriverEdges > 0 && eAgg.count() <= maxDriverEdges) {
+      rankReplay(checkpoint, eAgg, None, prior, iters, dampNum, dampDen,
+        scale, tol, maxDriverEdges, "pageRank")
+        .foreach(df => return df)
+    }
     val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
     // the big, per-iteration-reused side: fixed src layout, lineage cut
     val contribE = checkpoint.pin(eAgg.join(outW, "src")
@@ -427,7 +606,9 @@ object Graph {
                 scale: Long = 1L << 30,
                 checkpointDir: Option[String] = None,
                 tol: Option[Long] = None,
-                prior: Option[DataFrame] = None): DataFrame = {
+                prior: Option[DataFrame] = None,
+                maxDriverEdges: Long = DefaultMaxDriverRankEdges)
+      : DataFrame = {
     require(iters >= 0, s"trustRank iters must be >= 0, got $iters")
     tol.foreach(t => require(t >= 0, s"trustRank tol must be >= 0, got $t"))
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
@@ -446,6 +627,14 @@ object Graph {
         lit("trustRank: negative edge weight")).isNull)
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .filter(col("w") > 0))
+    // SMALL-GRAPH ROUTE (r13) — the pageRank gate verbatim, with the
+    // distinct seed set collected under the same driver-memory bound
+    if (maxDriverEdges > 0 && eAgg.count() <= maxDriverEdges) {
+      rankReplay(checkpoint, eAgg,
+        Some(seeds.select(col(seedCol)).distinct()), prior, iters,
+        dampNum, dampDen, scale, tol, maxDriverEdges, "trustRank")
+        .foreach(df => return df)
+    }
     val outW = eAgg.groupBy("src").agg(sum(col("w")).as("wtot"))
     val contribE = checkpoint.pin(eAgg.join(outW, "src")
       .repartition(col("src")))

@@ -513,4 +513,59 @@ class GraphSpec extends SparkSpec {
     // sinks accumulate rank above the prior; the pure source does not
     assert(kept.contains(4L) && !kept.contains(1L))
   }
+
+  test("rank driver replay ≡ distributed rounds — weighted, dangling, " +
+      "string nodes, warm start, tolerance mode, seeded trust") {
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect()
+        .map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSeq
+    // cold, weighted, with a dangling sink (maxDriverEdges = 0 forces
+    // the distributed rounds — the documented escape hatch)
+    assert(ranks(Graph.pageRank(edges, "src", "dst", 4, Some("w"))) ===
+      ranks(Graph.pageRank(edges, "src", "dst", 4, Some("w"),
+        maxDriverEdges = 0)))
+    // string-keyed host graph (hostEdges' direct composition)
+    val sEdges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L),
+      ("c", "d", 3L)).toDF("src", "dst", "w")
+    assert(ranks(Graph.pageRank(sEdges, "src", "dst", 3, Some("w"))) ===
+      ranks(Graph.pageRank(sEdges, "src", "dst", 3, Some("w"),
+        maxDriverEdges = 0)))
+    // random graph with dangling nodes (dst space > src space) and
+    // parallel edges
+    val rnd = new scala.util.Random(42)
+    val re = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(60).toLong,
+      (rnd.nextInt(5) + 1).toLong)).toDF("src", "dst", "w")
+    assert(ranks(Graph.pageRank(re, "src", "dst", 5, Some("w"))) ===
+      ranks(Graph.pageRank(re, "src", "dst", 5, Some("w"),
+        maxDriverEdges = 0)))
+    // warm start: the same prior feeds both routes
+    val prior = Graph.pageRank(edges, "src", "dst", 2, Some("w"))
+      .select("node", "rank_fp").localCheckpoint(true)
+    assert(ranks(Graph.pageRank(edges, "src", "dst", 2, Some("w"),
+        prior = Some(prior))) ===
+      ranks(Graph.pageRank(edges, "src", "dst", 2, Some("w"),
+        prior = Some(prior), maxDriverEdges = 0)))
+    // tolerance mode must stop at the same data-dependent round
+    assert(ranks(Graph.pageRank(edges, "src", "dst", 50, Some("w"),
+        tol = Some(10L))) ===
+      ranks(Graph.pageRank(edges, "src", "dst", 50, Some("w"),
+        tol = Some(10L), maxDriverEdges = 0)))
+    // seeded trust, cold and warm
+    val seeds = Seq(1L, 3L).toDF("node")
+    assert(ranks(Graph.trustRank(edges, "src", "dst", 3, seeds, "node",
+        Some("w"))) ===
+      ranks(Graph.trustRank(edges, "src", "dst", 3, seeds, "node",
+        Some("w"), maxDriverEdges = 0)))
+    val tprior = Graph.trustRank(edges, "src", "dst", 2, seeds, "node",
+        Some("w")).select("node", "rank_fp").localCheckpoint(true)
+    assert(ranks(Graph.trustRank(edges, "src", "dst", 1, seeds, "node",
+        Some("w"), prior = Some(tprior))) ===
+      ranks(Graph.trustRank(edges, "src", "dst", 1, seeds, "node",
+        Some("w"), prior = Some(tprior), maxDriverEdges = 0)))
+    // out-of-range prior fails fast on the driver route too
+    intercept[Exception] {
+      Graph.pageRank(edges, "src", "dst", 1, Some("w"),
+        prior = Some(Seq((1L, -5L)).toDF("node", "rank_fp"))).collect()
+    }
+  }
 }
