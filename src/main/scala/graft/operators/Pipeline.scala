@@ -558,8 +558,15 @@ object Pipeline {
       })
       val survivors = fresh.select("id", "text")
       // near-dup pairs of the batch survivors vs everything curated —
-      // the embedded store's ingest JOINS this transaction
-      val pairs = mh.ingest(survivors, "id", "text")
+      // the embedded store's ingest JOINS this transaction (same root).
+      // Its two signature-table appends depend only on the staged batch
+      // frames and nothing below reads those tables, so they run on a
+      // FORKED thread under the label/delta work and join before
+      // commit; the failure path joins too (a rollback must never race
+      // a still-running append — the Par.fork contract)
+      val (pairs, mhAppend) = mh.ingestParts(survivors, "id", "text")
+      val joinMhAppend = graft.core.Par.fork(mhAppend())
+      try {
       val prevLabels =
         graft.sources.StoreTxn.stateDir(root, labelsState) match {
           case Some(p) => spark.read.parquet(p)
@@ -576,17 +583,15 @@ object Pipeline {
         else spark.emptyDataset[Long].toDF("id")
       // deltas materialized BEFORE the state writes below — their plans
       // read the state paths this ingest is about to replace/extend
-      val kept = survivors
+      val keptPlan = survivors
         .join(nowDropped, Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      val retracted = oldSurvivors
+      val retractedPlan = oldSurvivors
         .join(nowDropped, Seq("id"), "left_semi")
         .join(prevDropped, Seq("id"), "left_anti")
-        .localCheckpoint(true)
       // the ledger must materialize BEFORE the state writes too: the
       // store-dup arm reads the pre-append exact table, the near-dup arm
       // this ingest's labels — both replaced by the writes below
-      val audit =
+      val auditPlan =
         if (!withAudit) None
         else {
           def ledger(ids: DataFrame, stageName: String) = ids
@@ -630,9 +635,16 @@ object Pipeline {
                 "repetition"))
             .unionByName(ledger(pf.deconDropped, "decontaminate"))
             .unionByName(inBatchDup).unionByName(storeDup)
-            .unionByName(nearDup)
-            .localCheckpoint(true))
+            .unionByName(nearDup))
         }
+      // the three delta materializations read only pre-write state and
+      // staged frames — independent of each other (and of the forked
+      // signature appends), so they overlap (guide: fill idle capacity
+      // with concurrent independent jobs)
+      val ((kept, retracted), audit) = graft.core.Par.both(
+        graft.core.Par.both(keptPlan.localCheckpoint(true),
+          retractedPlan.localCheckpoint(true)),
+        auditPlan.map(_.localCheckpoint(true)))
       beforeCommit(CurateDelta(kept, retracted, audit))
       // labels are overwrite-shaped → a fresh versioned directory the
       // commit record publishes (an in-place overwrite could not be
@@ -659,8 +671,18 @@ object Pipeline {
           survivors.select("id").write.mode("append").parquet(survDir),
           wh.appendBucketed(exactTable, freshOut,
             Seq("__h1", "__h2"), cfg.minhash.nStoreBuckets)))
+      // the forked signature appends must be durably done before the
+      // marker publishes (commit is all-or-nothing per table set)
+      joinMhAppend()
       txn.putKv(maxIdKey, math.max(bounds.getLong(1), prevMax).toString)
       CurateDelta(kept, retracted, audit)
+      } catch { case e: Throwable =>
+        // a rollback must never race the forked appends: join (again —
+        // idempotent) before the transaction's failure path runs
+        try joinMhAppend()
+        catch { case w: Throwable => if (w ne e) e.addSuppressed(w) }
+        throw e
+      }
       }
       }
     }

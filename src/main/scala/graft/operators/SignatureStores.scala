@@ -285,6 +285,20 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
     * batch against its own signatures. */
   protected def ingestBody(batch: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
+    val (pairs, append) = ingestParts(batch, idCol, textCol)
+    append()
+    pairs
+  }
+
+  /** [[ingestBody]] split into (materialized pairs, deferred appends):
+    * the pairs frame is localCheckpointed against the PRE-append store
+    * state, after which the two table appends touch nothing the caller
+    * reads — an embedding caller inside the same transaction
+    * ([[Pipeline.CurationStore.ingest]]) can run them on a forked
+    * thread under its own downstream work and join before commit. */
+  private[graft] def ingestParts(batch: DataFrame, idCol: String,
+                                 textCol: String)
+      : (DataFrame, () => Unit) = {
     // signature-space identity: stored (band, bucket) rows are only
     // comparable to batches hashed under the same geometry/seed and
     // the same tokenizer mode — drift would silently band new docs
@@ -364,11 +378,13 @@ final class MinhashStore(wh: graft.sources.Warehouse, name: String,
       .filter(col("jaccard") >= cfg.threshold)
       .select("id_a", "id_b", "jaccard")
       .localCheckpoint(true) // BEFORE the append — see scaladoc
-    graft.core.Par.both(
-      wh.appendBucketed(sigTable, banded, Seq("band", "bucket"),
-        cfg.nStoreBuckets),
-      wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets))
-    pairs
+    (pairs, () => {
+      graft.core.Par.both(
+        wh.appendBucketed(sigTable, banded, Seq("band", "bucket"),
+          cfg.nStoreBuckets),
+        wh.appendBucketed(setTable, sets, Seq("id"), cfg.nStoreBuckets))
+      ()
+    })
   }
 }
 

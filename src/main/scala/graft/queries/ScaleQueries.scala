@@ -671,19 +671,29 @@ private[queries] object ScaleQueries {
         val idx = new Retrieval.Bm25Index(s,
           java.nio.file.Files.createTempDirectory("graft_q173b_").toString,
           "anchor", nStoreBuckets = 8)
-        idx.append(anchorDocs.filter(col("host") % 2 === 0), "host", "text")
-        idx.append(anchorDocs.filter(col("host") % 2 === 1), "host", "text")
-        val lex = idx.search(Seq("alpha", "t3", "t9"), k = 10)
-        // authority leg: the committed rank table of the same crawl
         val estore = new EdgeStore(new graft.sources.Warehouse(s,
           java.nio.file.Files.createTempDirectory("graft_q173e_").toString),
           "anchorg", EdgeStoreConfig(weightCol = Some("w"),
             nStoreBuckets = 8))
-        estore.append(Graph.hostEdges(pages, "url", "html")
-          .select(hostNum(col("src")).as("src"),
-            hostNum(col("dst")).as("dst"), col("w"))
-          .localCheckpoint(true), "src", "dst") // staged: append scans 2x
-        val ranks = estore.pageRankMaintain(s, iters = 3)
+        // the lexical leg (two BM25 appends) and the authority leg
+        // (edge append + maintained rank) are independent until the
+        // final fuse and write DISJOINT store roots — overlap them
+        // (guide: fill the tail with the other leg's jobs)
+        val (_, ranks) = graft.core.Par.both(
+          {
+            idx.append(anchorDocs.filter(col("host") % 2 === 0),
+              "host", "text")
+            idx.append(anchorDocs.filter(col("host") % 2 === 1),
+              "host", "text")
+          },
+          {
+            estore.append(Graph.hostEdges(pages, "url", "html")
+              .select(hostNum(col("src")).as("src"),
+                hostNum(col("dst")).as("dst"), col("w"))
+              .localCheckpoint(true), "src", "dst") // staged: append scans 2x
+            estore.pageRankMaintain(s, iters = 3)
+          })
+        val lex = idx.search(Seq("alpha", "t3", "t9"), k = 10)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("rank_fp").desc, col("node").asc)
         val auth = ranks.orderBy(col("rank_fp").desc, col("node").asc)
