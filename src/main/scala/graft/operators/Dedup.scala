@@ -406,7 +406,19 @@ object Dedup {
     require(k >= 1, s"gram size must be >= 1, got $k")
     require(minSpan >= k,
       s"minSpan ($minSpan) below the gram size ($k) is unsatisfiable")
+    // the gram stream is byte-SMALL (id, pos, two longs) but CPU-dense
+    // (hash sort/join over every token position), and AQE's byte-driven
+    // coalescing serialized the dup-decide join onto ONE task at sf0.1
+    // (Prof r13: two 1-task stages of ~0.5-0.7 s CPU each at 32 cores).
+    // An explicit repartition on the gram hash pins the exchange at the
+    // session's parallelism — gram hashes are collision-free keys, so
+    // this distributes evenly (no q128-style hot-key serialization) —
+    // and BOTH consumers (the dup-count aggregate and the semi join
+    // back) reuse the one exchange.
     val grams = positionedGramHashes(df, idCol, textCol, k)
+      .repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__h1"), col("__h2"))
     val dupGrams = grams
       .groupBy("__h1", "__h2").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
